@@ -1,38 +1,750 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() parity.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` key is an operator family from SURVEY.md §2 (reference
+``jiminnote/data-quality-framework``) or a training-data operator; the matching
+``oracle_sql()`` entry is the ANSI/DuckDB equivalent over the same parquet
+views. Column names and rounding are aligned on both sides so the driver's
+order-insensitive value-hash matches.
+
+Operators whose semantics are not SQL-expressible (MinHash/SimHash LSH pairs,
+hyperplane-LSH ANN, Arrow-UDF feature extraction, the full generator-backed
+web-text pipeline) have queries() entries only -> driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_quality_framework_spark.functions import textstats as TS  # noqa: E402
+from data_quality_framework_spark.functions.scoring import LANG_MARKERS, detect_lang  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ==========================================================================
+# entry — flagship: web-text quality-filter pipeline summary at sf0.001 scale
+# ==========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Runs the full quality-filter pipeline on a 10k-page synthetic corpus
+    (deterministic generator) and returns per-reason decision counts."""
+    from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    pages = gen_pages(spark, 10000)
+    out = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=False)
+    return (
+        out.decisions.groupBy("keep", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep", "drop_reason")
+    )
+
+
+# ==========================================================================
+# queries — one per implemented operator family
+# ==========================================================================
+
+def _words():
+    # built lazily: constructing a Column requires an active SparkContext
+    return TS.words_col(F.col("text"))
+
+
+_STOP_SQL = "[" + ",".join(f"'{w}'" for w in TS.STOPWORDS) + "]"
+
+
+def _q_s1(spark, sf):  # P1/P2: projection + pushed filter
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def _q_s3(spark, sf):  # S3/A1: filtered count
+    return _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _q_a2(spark, sf):  # A2: src-vs-tgt count compare with diff ratio + verdict
+    src = _t(spark, sf, "orders").agg(F.count(F.lit(1)).alias("source_count"))
+    tgt = _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("target_count")
+    )
+    return src.crossJoin(tgt).select(
+        "source_count",
+        "target_count",
+        F.round(
+            F.abs(F.col("source_count") - F.col("target_count"))
+            / F.col("source_count"),
+            6,
+        ).alias("diff_ratio"),
+        F.when(
+            F.abs(F.col("source_count") - F.col("target_count"))
+            / F.col("source_count")
+            <= 0.01,
+            "PASS",
+        ).otherwise("FAIL").alias("status"),
+    )
+
+
+def _q_a3(spark, sf):  # A3: COUNT(DISTINCT DATE(ts))
+    return _t(spark, sf, "orders").agg(
+        F.countDistinct(F.to_date("o_orderdate")).alias("distinct_days")
+    )
+
+
+def _q_a4(spark, sf):  # A4/A5: duplicate groups + extra rows in ONE aggregation
+    from data_quality_framework_spark.operators.dedup import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf, "lineitem"), ["l_partkey", "l_suppkey"])
+
+
+def _q_a6(spark, sf):  # A6: duplicate rate = count - countDistinct
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("user_id")).alias("duplicate_values"),
+    )
+
+
+def _q_a7(spark, sf):  # A7: PK uniqueness
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).alias("is_unique"),
+    )
+
+
+def _q_a8(spark, sf):  # A8/P4: TS-2 null-or-blank profile, fused conditional aggs
+    d = _t(spark, sf, "documents")
+    blank = TS.is_blank(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("pure_null_count"),
+        F.sum(
+            F.when(F.col("text").isNotNull() & blank, 1).otherwise(0)
+        ).alias("blank_count"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("lang_null_count"),
+    )
+
+
+def _q_a9(spark, sf):  # A9/P5: range violations + observed min/max in one scan
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").isNotNull())
+    viol = (F.col("l_quantity") < 5) | (F.col("l_quantity") > 45)
+    return li.agg(
+        F.sum(F.when(viol, 1).otherwise(0)).alias("violation_count"),
+        F.round(F.min("l_quantity"), 2).alias("actual_min"),
+        F.round(F.max("l_quantity"), 2).alias("actual_max"),
+    )
+
+
+def _q_a10(spark, sf):  # A10: multi-stat daily summary (ETL summary analog)
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            # derive avg from the ROUNDED sum: raw avg differs between engines
+            # in the last ulp (summation order), which flips round(.,4) at
+            # boundary values; round(sum,2)/count is bit-identical on both sides
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "purchase_count"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "error_count"
+            ),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+def _q_a11(spark, sf):  # A11: sum compare with tolerance verdict
+    src = _t(spark, sf, "orders").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("source_value")
+    )
+    tgt = _t(spark, sf, "lineitem").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("target_value")
+    )
+    return src.crossJoin(tgt).select(
+        "source_value",
+        "target_value",
+        F.round(
+            F.abs(F.col("source_value") - F.col("target_value"))
+            / F.abs(F.col("source_value")),
+            4,
+        ).alias("diff_ratio"),
+    )
+
+
+def _q_a13(spark, sf):  # A13/J10: 3-sigma outlier detection (sample stddev)
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    stats = e.agg(
+        F.avg("value").alias("mean"), F.stddev("value").alias("sd")
+    )
+    j = e.crossJoin(F.broadcast(stats))
+    return j.agg(
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("mean") - 3 * F.col("sd"))
+                | (F.col("value") > F.col("mean") + 3 * F.col("sd")),
+                1,
+            ).otherwise(0)
+        ).alias("outlier_count"),
+        F.round(F.first("mean"), 2).alias("mean_value"),
+        F.round(F.first("sd"), 2).alias("stddev_value"),
+    )
+
+
+def _q_a14(spark, sf):  # A14: multi-column null profile, one row
+    c = _t(spark, sf, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("name_nulls"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("acctbal_nulls"),
+        F.sum(F.when(F.col("c_mktsegment").isNull(), 1).otherwise(0)).alias(
+            "mktsegment_nulls"
+        ),
+    )
+
+
+def _q_a15(spark, sf):  # A15: FK distribution profile
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").agg(F.count(F.lit(1)).alias("parent_count"))
+    prof = li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count("l_partkey").alias("non_null_fk"),
+        F.countDistinct("l_partkey").alias("distinct_fk"),
+    )
+    return prof.crossJoin(p)
+
+
+def _q_j1(spark, sf):  # J1: FK orphan check via broadcast anti join
+    e = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id")).distinct()
+    orphans = e.join(F.broadcast(c), "user_id", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_count"))
+
+
+def _q_j2(spark, sf):  # J2: anti join detail — customers with no orders
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_j5(spark, sf):  # J5: per-day count compare via left join + verdict column
+    o = (
+        _t(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    l = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.countDistinct("l_orderkey").alias("shipped_orders"))
+    )
+    return o.join(l, "d", "left").select(
+        F.col("d").alias("event_date"),
+        "order_count",
+        F.coalesce("shipped_orders", F.lit(0)).alias("shipped_orders"),
+    )
+
+
+def _q_j6(spark, sf):  # J6: distributed full-outer join-compare (reference did
+    # this in driver RAM, transform_checker.py:103-185)
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("sv"),
+        F.lit(1).alias("s_mark"),
+    )
+    l = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sum("l_extendedprice").alias("tv"), F.lit(1).alias("t_mark"))
+    )
+    j = o.join(l, "k", "full_outer")
+    tol = 10000.0
+    return j.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum(F.when(F.col("t_mark").isNull(), 1).otherwise(0)).alias("missing_in_target"),
+        F.sum(F.when(F.col("s_mark").isNull(), 1).otherwise(0)).alias("missing_in_source"),
+        F.sum(
+            F.when(
+                F.col("s_mark").isNotNull()
+                & F.col("t_mark").isNotNull()
+                & (F.abs(F.col("sv") - F.col("tv")) > tol),
+                1,
+            ).otherwise(0)
+        ).alias("value_mismatch"),
+    )
+
+
+def _q_j7(spark, sf):  # J7: existence both directions via anti joins
+    s = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    t = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    mt = s.join(t, "k", "left_anti").agg(F.count(F.lit(1)).alias("missing_in_target"))
+    ms = t.join(s, "k", "left_anti").agg(F.count(F.lit(1)).alias("missing_in_source"))
+    return mt.crossJoin(ms)
+
+
+def _q_j8(spark, sf):  # J8/W1: window duplicate detail
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("cnt") > 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.first("cnt").alias("dup_count"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def _q_o1(spark, sf):  # O1: top-10 duplicate groups (TakeOrderedAndProject)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .filter(F.col("duplicate_count") > 1)
+        .orderBy(F.desc("duplicate_count"), "l_partkey", "l_suppkey")
+        .limit(10)
+    )
+
+
+def _q_u1(spark, sf):  # U1: union of per-table verdict frames
+    frames = []
+    for name in ("region", "nation", "customer"):
+        frames.append(
+            _t(spark, sf, name).agg(F.count(F.lit(1)).alias("row_count")).select(
+                F.lit(name).alias("table_name"), "row_count"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name")
+
+
+def _q_p14(spark, sf):  # P14/TS-3: hash-format check (length + hex charset)
+    c = _t(spark, sf, "customer").withColumn("name_hash", F.md5("c_name"))
+    bad = (F.length("name_hash") != 32) | F.col("name_hash").rlike("[^0-9a-fA-F]")
+    return c.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("violation_count"),
+    )
+
+
+def _q_scalar(spark, sf):  # §2.8 scalar-function surface in one projection
+    c = _t(spark, sf, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.trim(F.col("c_name")).alias("name_trim"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey")).alias("concat_key"),
+            F.md5("c_name").alias("name_md5"),
+            F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+            F.abs(F.col("c_acctbal")).alias("abs_bal"),
+            F.round(F.col("c_acctbal"), 1).alias("round_bal"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("seg"),
+        )
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+# ----- training-data operators over documents / embeddings ------------------
+
+def _q_dedup_exact(spark, sf):  # exact content dedup stats via md5 fingerprint
+    d = _t(spark, sf, "documents").withColumn("fp", TS.fingerprint(F.col("text")))
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fp").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("duplicate_docs"),
+    )
+
+
+def _q_tokens(spark, sf):  # token counting: whitespace + BPE-ish estimate
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.sum(F.size(_words())).alias("ws_tokens"),
+        F.sum(TS.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.round(F.avg(F.size(_words())), 4).alias("avg_doc_tokens"),
+    )
+
+
+def _q_quality(spark, sf):  # per-doc quality metrics (Gopher/C4 heuristics)
+    d = TS.with_text_stats(_t(spark, sf, "documents"))
+    return d.select(
+        "doc_id",
+        "word_count",
+        "char_count",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_ratio", 4).alias("symbol_ratio"),
+        F.round("stopword_fraction", 4).alias("stopword_fraction"),
+    ).orderBy("doc_id")
+
+
+def _q_langid(spark, sf):  # langid distribution (Arrow pandas UDF on Spark side)
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("lang_detected", detect_lang(F.col("text")))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_detected")
+    )
+
+
+def _q_sim_topk(spark, sf):  # exact cosine top-k vs the vec_id=0 embedding
+    from data_quality_framework_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(e, qvec, k=10)
+
+
+# ----- non-SQL-expressible (rows-only driver check) --------------------------
+
+def _q_minhash_pairs(spark, sf):
+    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf, "documents")
+    return minhash_candidate_pairs(
+        d, "doc_id", "text", k=16, bands=8, min_jaccard_est=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _q_simhash_pairs(spark, sf):
+    from data_quality_framework_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_emb_near_dup(spark, sf):
+    from data_quality_framework_spark.operators.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf, "embeddings"), min_cosine=0.95
+    ).orderBy("id_a", "id_b")
+
+
+def _q_sim_lsh(spark, sf):
+    from data_quality_framework_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(e, qvec, k=10)
+
+
+def _q_multimodal(spark, sf):
+    from data_quality_framework_spark.operators.multimodal import extract_image_features
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_image_features(d, "doc_id", "payload", dim=8).select(
+        "doc_id", "sha256", "n_bytes"
+    ).orderBy("doc_id")
+
+
+def _q_pipeline(spark, sf):
+    return entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_project_filter": _q_s1,
+        "s3_count_where": _q_s3,
+        "a2_count_compare": _q_a2,
+        "a3_count_distinct_days": _q_a3,
+        "a4_duplicate_groups": _q_a4,
+        "a6_duplicate_rate": _q_a6,
+        "a7_pk_uniqueness": _q_a7,
+        "a8_null_blank_profile": _q_a8,
+        "a9_range_check": _q_a9,
+        "a10_daily_summary": _q_a10,
+        "a11_sum_compare": _q_a11,
+        "a13_outlier_3sigma": _q_a13,
+        "a14_null_profile": _q_a14,
+        "a15_fk_profile": _q_a15,
+        "j1_fk_orphans": _q_j1,
+        "j2_anti_missing": _q_j2,
+        "j5_daily_count_compare": _q_j5,
+        "j6_join_compare": _q_j6,
+        "j7_existence": _q_j7,
+        "j8_window_dup_detail": _q_j8,
+        "o1_top_dup_groups": _q_o1,
+        "u1_union_counts": _q_u1,
+        "p14_hash_format": _q_p14,
+        "f_scalar_functions": _q_scalar,
+        "dedup_exact_stats": _q_dedup_exact,
+        "text_token_counts": _q_tokens,
+        "text_quality_profile": _q_quality,
+        "text_langid_distribution": _q_langid,
+        "sim_topk_bruteforce": _q_sim_topk,
+        # rows-only (no SQL oracle):
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup_pairs": _q_emb_near_dup,
+        "sim_topk_lsh": _q_sim_lsh,
+        "multimodal_image_features": _q_multimodal,
+        "wt_pipeline_summary": _q_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ==========================================================================
+# oracle SQL (DuckDB dialect where ANSI is insufficient)
+# ==========================================================================
+
+_MARKER_SQL = {
+    lang: rx.replace("'", "''") for lang, rx in LANG_MARKERS.items()
+}
+
+_LANGID_SCORES = ", ".join(
+    f"len(regexp_extract_all(lower(text), '{_MARKER_SQL[lang]}')) as s_{lang}"
+    for lang in sorted(LANG_MARKERS)
+)
+_LANGID_CASE = (
+    "case when greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 then 'und' "
+    + " ".join(
+        f"when s_{lang} = greatest(s_de, s_en, s_es, s_fr, s_zh) then '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + " end"
+)
+
+_WS_TOKENS = "len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))"
+_NONBLANK = "(text is not null and not regexp_matches(text, '^\\s*$'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_project_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
+        ),
+        "s3_count_where": (
+            "SELECT count(*) AS n_rows FROM lineitem WHERE l_returnflag = 'R'"
+        ),
+        "a2_count_compare": """
+            SELECT s.source_count, t.target_count,
+                   round(abs(s.source_count - t.target_count) * 1.0 / s.source_count, 6) AS diff_ratio,
+                   CASE WHEN abs(s.source_count - t.target_count) * 1.0 / s.source_count <= 0.01
+                        THEN 'PASS' ELSE 'FAIL' END AS status
+            FROM (SELECT count(*) AS source_count FROM orders) s,
+                 (SELECT count(DISTINCT l_orderkey) AS target_count FROM lineitem) t
+        """,
+        "a3_count_distinct_days": (
+            "SELECT count(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days FROM orders"
+        ),
+        "a4_duplicate_groups": """
+            SELECT count(*) AS dup_groups,
+                   coalesce(sum(cnt - 1), 0) AS dup_rows
+            FROM (SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
+                  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                  GROUP BY 1, 2 HAVING count(*) > 1)
+        """,
+        "a6_duplicate_rate": """
+            SELECT count(*) AS total_rows,
+                   count(*) - count(DISTINCT user_id) AS duplicate_values
+            FROM events
+        """,
+        "a7_pk_uniqueness": """
+            SELECT count(*) AS total_rows, count(DISTINCT o_orderkey) AS distinct_keys,
+                   count(*) = count(DISTINCT o_orderkey) AS is_unique
+            FROM orders
+        """,
+        "a8_null_blank_profile": f"""
+            SELECT count(*) AS total_rows,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS pure_null_count,
+                   sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '^\\s*$') THEN 1 ELSE 0 END) AS blank_count,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_null_count
+            FROM documents
+        """,
+        "a9_range_check": """
+            SELECT sum(CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violation_count,
+                   round(min(l_quantity), 2) AS actual_min,
+                   round(max(l_quantity), 2) AS actual_max
+            FROM lineitem WHERE l_quantity IS NOT NULL
+        """,
+        "a10_daily_summary": """
+            SELECT CAST(ts AS DATE) AS event_date,
+                   count(*) AS event_count,
+                   round(sum(value), 2) AS total_value,
+                   round(round(sum(value), 2) / count(*), 4) AS avg_value,
+                   round(max(value), 2) AS max_value,
+                   round(min(value), 2) AS min_value,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+                   count(DISTINCT user_id) AS unique_users
+            FROM events GROUP BY 1
+        """,
+        "a11_sum_compare": """
+            SELECT s.source_value, t.target_value,
+                   round(abs(s.source_value - t.target_value) / abs(s.source_value), 4) AS diff_ratio
+            FROM (SELECT round(sum(o_totalprice), 2) AS source_value FROM orders) s,
+                 (SELECT round(sum(l_extendedprice), 2) AS target_value FROM lineitem) t
+        """,
+        "a13_outlier_3sigma": """
+            WITH stats AS (SELECT avg(value) AS mean, stddev(value) AS sd FROM events WHERE value IS NOT NULL)
+            SELECT sum(CASE WHEN e.value < s.mean - 3 * s.sd OR e.value > s.mean + 3 * s.sd THEN 1 ELSE 0 END) AS outlier_count,
+                   round(any_value(s.mean), 2) AS mean_value,
+                   round(any_value(s.sd), 2) AS stddev_value
+            FROM events e, stats s WHERE e.value IS NOT NULL
+        """,
+        "a14_null_profile": """
+            SELECT count(*) AS total_rows,
+                   sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS name_nulls,
+                   sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS acctbal_nulls,
+                   sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS mktsegment_nulls
+            FROM customer
+        """,
+        "a15_fk_profile": """
+            SELECT p.total_rows, p.non_null_fk, p.distinct_fk, q.parent_count
+            FROM (SELECT count(*) AS total_rows, count(l_partkey) AS non_null_fk,
+                         count(DISTINCT l_partkey) AS distinct_fk FROM lineitem) p,
+                 (SELECT count(*) AS parent_count FROM part) q
+        """,
+        "j1_fk_orphans": """
+            SELECT count(*) AS orphan_count FROM events e
+            WHERE e.user_id IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        """,
+        "j2_anti_missing": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "j5_daily_count_compare": """
+            SELECT o.d AS event_date, o.order_count, coalesce(l.shipped_orders, 0) AS shipped_orders
+            FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS order_count FROM orders GROUP BY 1) o
+            LEFT JOIN (SELECT CAST(l_shipdate AS DATE) AS d, count(DISTINCT l_orderkey) AS shipped_orders
+                       FROM lineitem GROUP BY 1) l USING (d)
+        """,
+        "j6_join_compare": """
+            WITH s AS (SELECT o_orderkey AS k, o_totalprice AS sv, 1 AS s_mark FROM orders),
+                 t AS (SELECT l_orderkey AS k, sum(l_extendedprice) AS tv, 1 AS t_mark FROM lineitem GROUP BY 1)
+            SELECT count(*) AS total_keys,
+                   sum(CASE WHEN t.t_mark IS NULL THEN 1 ELSE 0 END) AS missing_in_target,
+                   sum(CASE WHEN s.s_mark IS NULL THEN 1 ELSE 0 END) AS missing_in_source,
+                   sum(CASE WHEN s.s_mark IS NOT NULL AND t.t_mark IS NOT NULL
+                             AND abs(s.sv - t.tv) > 10000.0 THEN 1 ELSE 0 END) AS value_mismatch
+            FROM s FULL OUTER JOIN t USING (k)
+        """,
+        "j7_existence": """
+            SELECT mt.missing_in_target, ms.missing_in_source
+            FROM (SELECT count(*) AS missing_in_target FROM
+                    (SELECT DISTINCT c_custkey AS k FROM customer) s
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = s.k)) mt,
+                 (SELECT count(*) AS missing_in_source FROM
+                    (SELECT DISTINCT o_custkey AS k FROM orders) t
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = t.k)) ms
+        """,
+        "j8_window_dup_detail": """
+            SELECT user_id, event_type, any_value(cnt) AS dup_count
+            FROM (SELECT user_id, event_type, count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+                  FROM events)
+            WHERE cnt > 1
+            GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
+        "o1_top_dup_groups": """
+            SELECT l_partkey, l_suppkey, count(*) AS duplicate_count
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+            ORDER BY duplicate_count DESC, l_partkey, l_suppkey LIMIT 10
+        """,
+        "u1_union_counts": """
+            SELECT 'customer' AS table_name, count(*) AS row_count FROM customer
+            UNION ALL SELECT 'nation', count(*) FROM nation
+            UNION ALL SELECT 'region', count(*) FROM region
+            ORDER BY table_name
+        """,
+        "p14_hash_format": """
+            SELECT count(*) AS total_rows,
+                   sum(CASE WHEN length(h) != 32 OR regexp_matches(h, '[^0-9a-fA-F]')
+                            THEN 1 ELSE 0 END) AS violation_count
+            FROM (SELECT md5(c_name) AS h FROM customer)
+        """,
+        "f_scalar_functions": """
+            SELECT c_custkey,
+                   trim(c_name) AS name_trim,
+                   length(c_name) AS name_len,
+                   substring(c_name, 1, 8) AS name_prefix,
+                   concat(c_mktsegment, '#', c_custkey) AS concat_key,
+                   md5(c_name) AS name_md5,
+                   sha256(c_name) AS name_sha256,
+                   abs(c_acctbal) AS abs_bal,
+                   round(c_acctbal, 1) AS round_bal,
+                   coalesce(c_mktsegment, 'NONE') AS seg
+            FROM customer ORDER BY c_custkey LIMIT 50
+        """,
+        "dedup_exact_stats": """
+            SELECT count(*) AS total_docs,
+                   count(DISTINCT md5(coalesce(text, ''))) AS distinct_texts,
+                   count(*) - count(DISTINCT md5(coalesce(text, ''))) AS duplicate_docs
+            FROM documents
+        """,
+        "text_token_counts": f"""
+            SELECT sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS ws_tokens,
+                   sum(CASE WHEN {_NONBLANK} THEN
+                       list_sum(list_transform(
+                           string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                           w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                       ELSE 0 END) AS bpe_tokens,
+                   round(avg(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END), 4) AS avg_doc_tokens
+            FROM documents
+        """,
+        "text_quality_profile": f"""
+            SELECT doc_id,
+                   CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS word_count,
+                   coalesce(length(text), 0) AS char_count,
+                   round(CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+                         THEN length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) * 1.0 / {_WS_TOKENS}
+                         ELSE 0.0 END, 4) AS mean_word_len,
+                   round(CASE WHEN coalesce(length(text), 0) > 0
+                         THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END, 4) AS symbol_ratio,
+                   round(CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                                              w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
+                         ELSE 0.0 END, 4) AS stopword_fraction
+            FROM documents ORDER BY doc_id
+        """,
+        "text_langid_distribution": f"""
+            SELECT {_LANGID_CASE} AS lang_detected, count(*) AS n_docs
+            FROM (SELECT {_LANGID_SCORES} FROM documents)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "sim_topk_bruteforce": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(
+                     list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   4) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Covers (a) representative operator queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and (b) the web-text
+quality-filter pipeline over a generated synthetic pages corpus
+($SPARK_GRAFT_PAGES rows, default 100k), reporting docs/sec alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES", "100000"))
+
+HEADLINE = [
+    "a4_duplicate_groups",
+    "a10_daily_summary",
+    "j1_fk_orphans",
+    "j6_join_compare",
+    "o1_top_dup_groups",
+    "text_quality_profile",
+    "text_langid_distribution",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from data_quality_framework_spark.session import get_spark
+    from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    spark = get_spark(app_name="dq-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qmap[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # pipeline throughput on synthetic pages
+    t0 = time.time()
+    pages = gen_pages(spark, PAGES_ROWS)
+    out = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=True)
+    kept = out.kept.count()
+    n_dec = out.decisions.count()
+    pipe_sec = round(time.time() - t0, 3)
+    timings["wt_pipeline_100k"] = pipe_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "pipeline_docs": PAGES_ROWS,
+                "pipeline_docs_per_sec": round(PAGES_ROWS / pipe_sec, 1),
+                "pipeline_kept": kept,
+                "pipeline_decisions": n_dec,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""data_quality_framework_spark — a from-scratch, PySpark-native web-text
+quality-filter and data-quality engine.
+
+Reimplements the capabilities of the reference ``jiminnote/data-quality-framework``
+(a Python client that string-templates SQL checks against MySQL) as an idiomatic
+Spark engine:
+
+* every validation rule compiles to Catalyst ``Column`` expressions
+  (``core.compiler``),
+* all row-local rules over one table fuse into a SINGLE aggregation pass
+  (``core.planner``) instead of the reference's 2-4 queries per rule,
+* verdict semantics (PASS / WARNING / FAIL / ERROR thresholds) are ported
+  exactly (``core.rules``; reference: src/checker/*.py),
+* on top of the reference's scope, a Common-Crawl-scale web-text pipeline:
+  language-ID + perplexity scoring (Arrow pandas UDFs), Gopher/C4 heuristic
+  rules, regex PII scrubbing, MinHash/SimHash dedup, ANN similarity search,
+  per-partition lineage and checkpoint/resume (``plans.pipeline``).
+
+Designed for 100 TB-scale inputs: single-pass fused aggregation, broadcast
+anti-joins for dimension checks, salted two-stage aggregation for skewed
+domains, no driver-side row collection anywhere in the hot path.
+"""
+
+__version__ = "0.1.0"
+
+from data_quality_framework_spark.core.rules import (  # noqa: F401
+    CheckResult,
+    CheckStatus,
+    Rule,
+)

@@ -1,0 +1,75 @@
+"""YAML rule/config loading with environment-variable substitution.
+
+API-parity with the reference's ConfigLoader (config_loader.py:28-117):
+``${VAR}`` placeholders resolve from the environment, rules filter on
+``enabled: true``, and per-family files (count_rules.yml, null_rules.yml, ...)
+load into a {check_family: [Rule, ...]} registry. YAML shape matches the
+reference's config/rules/*.yml so existing rule files port unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Any
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+from data_quality_framework_spark.core.rules import Rule
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+#: family key inside each YAML file -> default check_type applied to its rules
+FAMILY_CHECK_TYPES = {
+    "count_rules": "count",
+    "null_rules": "null",
+    "duplicate_rules": "duplicate",
+    "range_rules": None,       # per-rule check_type (range/date_range/fk/...)
+    "transform_rules": "transform",
+    "masking_rules": "masking",
+}
+
+
+def _substitute_env(value: Any) -> Any:
+    if isinstance(value, str):
+        def repl(m):
+            return os.environ.get(m.group(1), m.group(2) or m.group(0))
+        return _ENV_RE.sub(repl, value)
+    if isinstance(value, dict):
+        return {k: _substitute_env(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_substitute_env(v) for v in value]
+    return value
+
+
+def load_yaml(path: str | Path) -> dict:
+    if yaml is None:  # pragma: no cover
+        raise RuntimeError("pyyaml not available")
+    with open(path) as f:
+        return _substitute_env(yaml.safe_load(f) or {})
+
+
+def load_rules_file(path: str | Path) -> list[Rule]:
+    """Load one rule file; returns only enabled rules (config_loader.py:96-98)."""
+    data = load_yaml(path)
+    rules: list[Rule] = []
+    for family, items in data.items():
+        default_ct = FAMILY_CHECK_TYPES.get(family)
+        for d in items or []:
+            if not d.get("enabled", True):
+                continue
+            rules.append(Rule.from_dict(d, check_type=d.get("check_type") or default_ct))
+    return rules
+
+
+def load_all_rules(config_dir: str | Path) -> dict[str, list[Rule]]:
+    """Load every *_rules.yml under config_dir/rules (config_loader.py:100-117)."""
+    rules_dir = Path(config_dir) / "rules"
+    out: dict[str, list[Rule]] = {}
+    for path in sorted(rules_dir.glob("*_rules.yml")):
+        out[path.stem] = load_rules_file(path)
+    return out

@@ -1,0 +1,2 @@
+from data_quality_framework_spark.core.rules import CheckResult, CheckStatus, Rule  # noqa: F401
+from data_quality_framework_spark.core.planner import run_rules  # noqa: F401

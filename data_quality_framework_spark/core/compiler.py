@@ -1,0 +1,339 @@
+"""Rule -> Catalyst ``Column`` compiler.
+
+The reference builds f-string SQL per rule and ships it to MySQL (2-4 round
+trips per rule, e.g. ``null_checker.py:61-94``). Here every ROW-LOCAL rule
+compiles to a pair of boolean Columns:
+
+    scope     — which rows the rule judges (e.g. ``col IS NOT NULL``; the
+                reference's deliberate two-tier semantic, range_checker.py:132-134)
+    violation — true when a scoped row violates the rule
+
+plus optional extra aggregate expressions (observed min/max, TS-2 pure-null vs
+empty-string split). The planner then fuses ALL rules on a table into ONE
+aggregation pass — conditional aggregation ``SUM(CASE WHEN ...)`` is the core
+primitive, exactly the pattern the reference uses inside single checks
+(checks/check_masking.sql:8-70) but never across checks.
+
+Everything stays JVM-side / whole-stage-codegen:
+
+* TS-2 null-or-blank   -> ``col IS NULL OR trim(col) = ''``
+  (reference null_checker.py:58-72)
+* TS-3 fixed-position masking -> ``length() != n OR substring() != lit``
+  — the reference's own regex->substring optimization (masking_checker.py:50-57),
+  honored at compile time since Catalyst won't rewrite regexes.
+* ranges/enums/dates    -> plain comparison Columns.
+
+Non-row-local families (duplicate, foreign_key, count, transform,
+outlier_3sigma) are compiled by the planner with groupBy / broadcast anti-join
+strategies — see ``core.planner``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.core.rules import (
+    CheckStatus,
+    Rule,
+    null_verdict,
+    zero_violation_verdict,
+)
+
+#: rule families the single-pass fused aggregation can absorb
+ROW_LOCAL_TYPES = frozenset(
+    {
+        "null", "range", "positive", "date_range", "no_future", "enum",
+        "percentage", "date_order", "conditional_required", "masking",
+        "derived_range", "predicate",
+    }
+)
+
+
+@dataclass
+class CompiledRule:
+    """A row-local rule lowered to Catalyst expressions."""
+
+    rule: Rule
+    scope: Column                 # boolean: row is judged by this rule
+    violation: Column             # boolean: judged row violates (evaluated under scope)
+    extras: dict = field(default_factory=dict)        # name -> agg Column over full table
+    # verdict: (total, violations, extras_values) -> (status, details)
+    verdict: Callable[[int, int, dict], tuple[CheckStatus, dict]] = None
+
+    @property
+    def key(self) -> str:
+        return self.rule.rule_id
+
+
+def _null_or_blank(col: Column) -> Column:
+    """TS-2 semantics: NULL, empty, or whitespace-only counts as missing."""
+    return col.isNull() | (F.trim(col) == F.lit(""))
+
+
+def compile_rule(rule: Rule) -> CompiledRule:
+    if rule.check_type not in ROW_LOCAL_TYPES:
+        raise ValueError(
+            f"{rule.rule_id}: {rule.check_type} is not row-local; use the planner entry points"
+        )
+    return _COMPILERS[rule.check_type](rule)
+
+
+# --------------------------------------------------------------------------
+# per-family compilers
+# --------------------------------------------------------------------------
+
+def _compile_null(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+    include_empty = bool(rule.p("include_empty_string", False))
+    violation = _null_or_blank(col) if include_empty else col.isNull()
+    max_ratio = float(rule.p("max_null_ratio", 0.0))
+
+    extras = {}
+    if include_empty:
+        # detail split per reference null_checker.py:66-73
+        extras["pure_null_count"] = F.sum(F.when(col.isNull(), 1).otherwise(0))
+        extras["empty_string_count"] = F.sum(
+            F.when(col.isNotNull() & (F.trim(col) == F.lit("")), 1).otherwise(0)
+        )
+
+    def verdict(total: int, violations: int, ex: dict):
+        if total == 0:
+            return CheckStatus.WARNING, {"message": "empty table"}
+        ratio = violations / total
+        details = {
+            "max_null_ratio": max_ratio,
+            "actual_null_ratio": round(ratio, 6),
+            "include_empty_string": include_empty,
+            **ex,
+        }
+        return null_verdict(ratio, max_ratio), details
+
+    # null rules judge every row (scope = true)
+    return CompiledRule(rule, F.lit(True), violation, extras, verdict)
+
+
+def _bounded_violation(col: Column, lo, hi) -> Column:
+    conds = []
+    if lo is not None:
+        conds.append(col < F.lit(lo))
+    if hi is not None:
+        conds.append(col > F.lit(hi))
+    if not conds:
+        return F.lit(False)  # reference's `1=0` fallback (range_checker.py:142)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def _compile_range(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+    lo, hi = rule.p("min_value"), rule.p("max_value")
+    extras = {
+        f"actual_min": F.min(F.when(col.isNotNull(), col)),
+        f"actual_max": F.max(F.when(col.isNotNull(), col)),
+    }
+
+    def verdict(total, violations, ex):
+        details = {
+            "expected_min": lo,
+            "expected_max": hi,
+            "actual_min": str(ex.get("actual_min")),
+            "actual_max": str(ex.get("actual_max")),
+        }
+        return zero_violation_verdict(violations), details
+
+    return CompiledRule(rule, col.isNotNull(), _bounded_violation(col, lo, hi), extras, verdict)
+
+
+def _compile_positive(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"check": "positive"}
+
+    return CompiledRule(rule, col.isNotNull(), col <= F.lit(0), {}, verdict)
+
+
+def _compile_date_range(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+    lo, hi = rule.p("min_date"), rule.p("max_date")
+    conds = []
+    if lo:
+        conds.append(col < F.lit(lo).cast(col_type_for_date(rule)))
+    if hi:
+        conds.append(col > F.lit(hi).cast(col_type_for_date(rule)))
+    violation = F.lit(False)
+    for c in conds:
+        violation = violation | c
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"min_date": lo, "max_date": hi}
+
+    return CompiledRule(rule, col.isNotNull(), violation, {}, verdict)
+
+
+def col_type_for_date(rule: Rule) -> str:
+    # timestamp columns compare against timestamp literals, date against date
+    return rule.p("column_type", "timestamp")
+
+
+def _compile_no_future(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+    # Determinism: reference uses NOW() (range_checker.py:228); we allow a pinned
+    # run timestamp so repeated runs are reproducible (SURVEY §2.8 hazard note).
+    now = rule.p("run_ts")
+    now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"check": "no_future_date"}
+
+    return CompiledRule(rule, col.isNotNull(), col > now_col, {}, verdict)
+
+
+def _compile_enum(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+    values = list(rule.p("allowed_values", []))
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"allowed_values": values}
+
+    return CompiledRule(rule, col.isNotNull(), ~col.isin(values), {}, verdict)
+
+
+def _compile_percentage(rule: Rule) -> CompiledRule:
+    col = F.col(rule.column)
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"bounds": [0, 100]}
+
+    return CompiledRule(
+        rule, col.isNotNull(), (col < F.lit(0)) | (col > F.lit(100)), {}, verdict
+    )
+
+
+def _compile_date_order(rule: Rule) -> CompiledRule:
+    start = F.col(rule.p("start_column"))
+    end = F.col(rule.p("end_column"))
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {
+            "start_column": rule.p("start_column"),
+            "end_column": rule.p("end_column"),
+        }
+
+    return CompiledRule(
+        rule, start.isNotNull() & end.isNotNull(), start > end, {}, verdict
+    )
+
+
+def _compile_conditional_required(rule: Rule) -> CompiledRule:
+    cond_col = F.col(rule.p("condition_column"))
+    cond_val = rule.p("condition_value")
+    req = F.col(rule.column)
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {
+            "condition_column": rule.p("condition_column"),
+            "condition_value": cond_val,
+        }
+
+    return CompiledRule(rule, cond_col == F.lit(cond_val), req.isNull(), {}, verdict)
+
+
+def _compile_masking(rule: Rule) -> CompiledRule:
+    """TS-3 fixed-position mask verification, pure substring/length Columns.
+
+    masking_type: ssn | phone | hash | leak_check (masking_checker.py:34-45).
+    """
+    col = F.col(rule.column)
+    mtype = rule.p("masking_type", "ssn")
+
+    if mtype == "ssn":
+        exp_val = rule.p("expected_pattern_value", "*******")
+        exp_start = int(rule.p("expected_pattern_start", 8))
+        exp_len = int(rule.p("expected_length", 14))
+        violation = (F.length(col) != F.lit(exp_len)) | (
+            F.substring(col, exp_start, len(exp_val)) != F.lit(exp_val)
+        )
+        details = {"masking_type": "ssn", "expected_format": f"XXXXXX-{exp_val}"}
+    elif mtype == "phone":
+        exp_val = rule.p("expected_pattern_value", "****")
+        exp_start = int(rule.p("expected_pattern_start", 5))
+        violation = F.substring(col, exp_start, len(exp_val)) != F.lit(exp_val)
+        details = {"masking_type": "phone", "expected_format": f"010-{exp_val}-XXXX"}
+    elif mtype == "hash":
+        exp_len = int(rule.p("expected_length", 64))
+        violation = (F.length(col) != F.lit(exp_len)) | col.rlike("[^0-9a-fA-F]")
+        details = {"masking_type": "hash", "expected_hash_length": exp_len}
+    elif mtype == "leak_check":
+        violation = (F.substring(col, 8, 7) != F.lit("*******")) & (
+            F.length(col) == F.lit(14)
+        )
+        details = {"masking_type": "leak_check"}
+    else:
+        raise ValueError(f"{rule.rule_id}: unknown masking_type {mtype!r}")
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), details
+
+    return CompiledRule(rule, col.isNotNull(), violation, {}, verdict)
+
+
+def _compile_derived_range(rule: Rule) -> CompiledRule:
+    """Gopher/C4-style heuristic: a numeric range over a DERIVED metric column.
+
+    ``params["metric"]`` is a Column (or column name) already attached to the
+    DataFrame by ``functions.textstats.with_text_stats``; violation when the
+    metric leaves [min_value, max_value]. This is the web-text recast of the
+    reference's RangeChecker (SURVEY §7.0).
+    """
+    metric = rule.p("metric") or rule.column
+    col = F.col(metric) if isinstance(metric, str) else metric
+    lo, hi = rule.p("min_value"), rule.p("max_value")
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {
+            "metric": str(metric), "expected_min": lo, "expected_max": hi,
+        }
+
+    return CompiledRule(rule, col.isNotNull(), _bounded_violation(col, lo, hi), {}, verdict)
+
+
+def _compile_predicate(rule: Rule) -> CompiledRule:
+    """Arbitrary boolean predicate rule; violation when predicate true.
+
+    Keeps the reference's config-parity escape hatch (SQL-string WHERE clauses,
+    db_connector.py:146-148) via ``F.expr``.
+    """
+    pred = rule.p("predicate")
+    violation = F.expr(pred) if isinstance(pred, str) else pred
+    scope = rule.p("scope")
+    scope_col = (
+        F.lit(True) if scope is None else (F.expr(scope) if isinstance(scope, str) else scope)
+    )
+
+    def verdict(total, violations, ex):
+        return zero_violation_verdict(violations), {"predicate": str(pred)}
+
+    return CompiledRule(rule, scope_col, violation, {}, verdict)
+
+
+_COMPILERS = {
+    "null": _compile_null,
+    "range": _compile_range,
+    "positive": _compile_positive,
+    "date_range": _compile_date_range,
+    "no_future": _compile_no_future,
+    "enum": _compile_enum,
+    "percentage": _compile_percentage,
+    "date_order": _compile_date_order,
+    "conditional_required": _compile_conditional_required,
+    "masking": _compile_masking,
+    "derived_range": _compile_derived_range,
+    "predicate": _compile_predicate,
+}

@@ -1,0 +1,487 @@
+"""Single-pass rule planner / executor.
+
+The reference runs 2-4 sequential MySQL queries PER RULE (its NullChecker does
+count + null-count + detail: ``null_checker.py:47-94``; DuplicateChecker runs 4:
+``duplicate_checker.py:86-124``). At 100 TB each extra pass is another full
+scan, so the planner here fuses work aggressively:
+
+* ALL row-local rules over a table      -> ONE ``select().agg()`` job
+  (one scan, map-side partial aggregation, no shuffle beyond the final
+  single-row combine). Per-partition lineage uses the same expressions under
+  ``groupBy(spark_partition_id())`` — a shuffle of R×P tiny rows, not data.
+* duplicate rules                       -> one ``groupBy(keys)`` per distinct
+  key-set, counting groups and extra rows in the same aggregation
+  (reference needed 3 queries: duplicate_checker.py:86-124).
+* foreign-key rules                     -> ``left_anti`` join; parent side
+  wrapped in ``broadcast()`` when it is a dimension (reference: NOT EXISTS,
+  checks/check_foreign_key.sql:8-24).
+* count / transform rules               -> DataFrame-level compares; the
+  reference's client-side hash join over full result sets
+  (transform_checker.py:103-185 — its single biggest scale ceiling) becomes a
+  distributed ``full_outer`` join with mismatch flag columns.
+
+Verdicts stay driver-side over the (tiny) aggregated results, matching the
+reference's threshold arithmetic exactly (see ``core.rules``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_quality_framework_spark.core.compiler import (
+    ROW_LOCAL_TYPES,
+    CompiledRule,
+    compile_rule,
+)
+from data_quality_framework_spark.core.rules import (
+    CheckResult,
+    CheckStatus,
+    Rule,
+    aggregate_compare_verdict,
+    count_verdict,
+    make_result,
+    zero_violation_verdict,
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("rule_id", T.StringType()),
+        T.StructField("check_type", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("column_name", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("total_rows", T.LongType()),
+        T.StructField("violation_count", T.LongType()),
+        T.StructField("violation_ratio", T.DoubleType()),
+        T.StructField("details", T.StringType()),
+        T.StructField("executed_at", T.TimestampType()),
+        T.StructField("partition_id", T.IntegerType()),
+    ]
+)
+
+
+def results_to_df(spark: SparkSession, results: Sequence[CheckResult]) -> DataFrame:
+    """Lineage DataFrame mirroring dq_validation_results (init_schema.sql:128-143)."""
+    rows = []
+    for r in results:
+        d = r.to_row()
+        rows.append(
+            (
+                d["rule_id"], d["check_type"], d["description"], d["table_name"],
+                d["column_name"], d["status"], d["total_rows"], d["violation_count"],
+                float(d["violation_ratio"]), d["details"], r.executed_at,
+                d["partition_id"],
+            )
+        )
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# fused row-local pass
+# --------------------------------------------------------------------------
+
+def _agg_exprs(compiled: Sequence[CompiledRule]) -> list[Column]:
+    """One conditional-sum pair (+extras) per rule, aliased by rule index."""
+    exprs: list[Column] = []
+    for i, cr in enumerate(compiled):
+        scope = cr.scope
+        exprs.append(
+            F.sum(F.when(scope, 1).otherwise(0)).cast("long").alias(f"r{i}__total")
+        )
+        exprs.append(
+            F.sum(F.when(scope & cr.violation, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{i}__viol")
+        )
+        for name, agg in cr.extras.items():
+            exprs.append(agg.alias(f"r{i}__x__{name}"))
+    return exprs
+
+
+def run_row_local_rules(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    table_name: str = "",
+    per_partition: bool = False,
+) -> list[CheckResult]:
+    """Execute all row-local rules over ``df`` in ONE aggregation job.
+
+    With ``per_partition=True`` the same expressions additionally run under
+    ``groupBy(spark_partition_id())`` producing one CheckResult per
+    (rule x input partition) — the north rule's per-partition lineage — in a
+    second job over the same (usually cached) scan.
+    """
+    compiled = [compile_rule(r) for r in rules]
+    if not compiled:
+        return []
+    exprs = _agg_exprs(compiled)
+
+    results: list[CheckResult] = []
+    global_row = df.agg(*exprs).collect()[0].asDict()
+    results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
+
+    if per_partition:
+        part_rows = (
+            df.groupBy(F.spark_partition_id().alias("__pid"))
+            .agg(*exprs)
+            .collect()
+        )
+        pairs = [(row["__pid"], row.asDict()) for row in part_rows]
+        results.extend(_rows_to_results(compiled, pairs, table_name))
+    return results
+
+
+def _rows_to_results(
+    compiled: Sequence[CompiledRule],
+    rows: Sequence[tuple[int, Mapping]],
+    table_name: str,
+) -> list[CheckResult]:
+    out = []
+    for pid, row in rows:
+        for i, cr in enumerate(compiled):
+            total = int(row[f"r{i}__total"] or 0)
+            viol = int(row[f"r{i}__viol"] or 0)
+            extras = {
+                name: row[f"r{i}__x__{name}"] for name in cr.extras
+            }
+            status, details = cr.verdict(total, viol, extras)
+            res = make_result(
+                cr.rule, cr.rule.check_type, status,
+                total_rows=total, violation_count=viol,
+                details=details, partition_id=pid,
+            )
+            if table_name:
+                res.table_name = table_name
+            out.append(res)
+    return out
+
+
+# --------------------------------------------------------------------------
+# duplicate rules (groupBy-having; reference duplicate_checker.py:86-127)
+# --------------------------------------------------------------------------
+
+def run_duplicate_rule(
+    df: DataFrame, rule: Rule, table_name: str = "", sample_limit: int = 10
+) -> CheckResult:
+    cols = list(rule.columns or ([rule.column] if rule.column else []))
+    if not cols:
+        raise ValueError(f"{rule.rule_id}: duplicate rule needs columns")
+
+    not_null = F.lit(True)
+    for c in cols:
+        not_null = not_null & F.col(c).isNotNull()
+
+    total_rows = df.count()
+    groups = df.filter(not_null).groupBy(*cols).count().filter(F.col("count") > 1)
+    # groups + extra-row count in ONE aggregation (reference used 2 queries)
+    stats = groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("dup_rows"),
+    ).collect()[0]
+    dup_groups, dup_rows = int(stats["dup_groups"]), int(stats["dup_rows"])
+
+    samples = [
+        row.asDict()
+        for row in groups.orderBy(F.desc("count"), *cols).limit(sample_limit).collect()
+    ]
+
+    res = make_result(
+        rule, "duplicate", zero_violation_verdict(dup_rows),
+        total_rows=total_rows, violation_count=dup_rows,
+        details={
+            "columns": cols,
+            "duplicate_groups": dup_groups,
+            "duplicate_rows": dup_rows,
+            "sample_records": samples[:5],
+        },
+    )
+    if table_name:
+        res.table_name = table_name
+    return res
+
+
+# --------------------------------------------------------------------------
+# foreign-key rules (anti join; reference range_checker.py:246-288)
+# --------------------------------------------------------------------------
+
+def run_fk_rule(
+    child: DataFrame,
+    parent: DataFrame,
+    rule: Rule,
+    broadcast_parent: bool = True,
+) -> CheckResult:
+    fk = rule.column
+    pk = rule.p("parent_column", fk)
+    scoped = child.filter(F.col(fk).isNotNull())
+    total = scoped.count()
+    parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
+    if broadcast_parent:
+        parent_keys = F.broadcast(parent_keys)
+    orphans = scoped.join(parent_keys, on=fk, how="left_anti").count()
+    return make_result(
+        rule, "foreign_key", zero_violation_verdict(orphans),
+        total_rows=total, violation_count=orphans,
+        details={
+            "parent_table": rule.p("parent_table", ""),
+            "parent_column": pk,
+            "orphan_count": orphans,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# count rules (reference count_checker.py:38-94)
+# --------------------------------------------------------------------------
+
+def run_count_rule(
+    source: DataFrame, target: DataFrame, rule: Rule
+) -> CheckResult:
+    where = rule.p("where_clause")
+    src = source.filter(F.expr(where)) if where else source
+    tgt = target.filter(F.expr(where)) if where else target
+    # TS-1 chunked counting is obsolete: Spark counts are partition-parallel.
+    source_count, target_count = src.count(), tgt.count()
+    threshold = float(rule.p("threshold", 0.0))
+    status, diff_ratio = count_verdict(source_count, target_count, threshold)
+    return make_result(
+        rule, "count", status,
+        total_rows=source_count,
+        violation_count=abs(source_count - target_count),
+        details={
+            "source_table": rule.p("source_table", ""),
+            "target_table": rule.p("target_table", ""),
+            "source_count": source_count,
+            "target_count": target_count,
+            "diff_ratio": round(diff_ratio, 6),
+            "threshold": threshold,
+            "where_clause": where,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# transform rules (reference transform_checker.py) — distributed versions
+# --------------------------------------------------------------------------
+
+def run_aggregate_compare(
+    source_value: Optional[float], target_value: Optional[float], rule: Rule
+) -> CheckResult:
+    tolerance = float(rule.p("tolerance", 0.0))
+    status, diff = aggregate_compare_verdict(source_value, target_value, tolerance)
+    return make_result(
+        rule, "transform", status,
+        details={
+            "source_value": source_value,
+            "target_value": target_value,
+            "difference": diff,
+            "tolerance": tolerance,
+        },
+    )
+
+
+def run_join_compare(
+    source: DataFrame,
+    target: DataFrame,
+    rule: Rule,
+) -> CheckResult:
+    """Row-level source-vs-target compare via distributed full_outer join.
+
+    Replaces the reference's driver-side dict join (transform_checker.py:103-185
+    — all rows in client RAM). Mismatch taxonomy preserved: missing_in_target,
+    missing_in_source, value mismatch beyond tolerance, NULL-vs-value.
+    """
+    key = rule.p("join_key")
+    col = rule.p("compare_column")
+    tolerance = float(rule.p("tolerance", 0.0))
+
+    s = source.select(F.col(key).alias("k"), F.col(col).cast("double").alias("sv"))
+    t = target.select(F.col(key).alias("k"), F.col(col).cast("double").alias("tv"))
+    # presence judged by join-side marker, not value-null (a present key with a
+    # NULL value is a value-mismatch, not a missing key — transform_checker.py:144-152)
+    s2 = s.withColumn("s_mark", F.lit(1))
+    t2 = t.withColumn("t_mark", F.lit(1))
+    j = s2.join(t2, on="k", how="full_outer")
+
+    flags = j.select(
+        F.when(F.col("t_mark").isNull(), 1).otherwise(0).alias("missing_in_target"),
+        F.when(F.col("s_mark").isNull(), 1).otherwise(0).alias("missing_in_source"),
+        F.when(
+            F.col("s_mark").isNotNull()
+            & F.col("t_mark").isNotNull()
+            & (
+                (F.col("sv").isNull() != F.col("tv").isNull())
+                | (
+                    F.col("sv").isNotNull()
+                    & F.col("tv").isNotNull()
+                    & (F.abs(F.col("sv") - F.col("tv")) > F.lit(tolerance))
+                )
+            ),
+            1,
+        ).otherwise(0).alias("value_mismatch"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum("missing_in_target").alias("missing_in_target"),
+        F.sum("missing_in_source").alias("missing_in_source"),
+        F.sum("value_mismatch").alias("value_mismatch"),
+    ).collect()[0]
+
+    mismatch = int(agg["missing_in_target"] + agg["missing_in_source"] + agg["value_mismatch"])
+    samples = [
+        row.asDict()
+        for row in j.filter(
+            (F.col("s_mark").isNotNull() & F.col("t_mark").isNotNull())
+            & (F.abs(F.coalesce(F.col("sv"), F.lit(0.0)) - F.coalesce(F.col("tv"), F.lit(0.0))) > F.lit(tolerance))
+        )
+        .select("k", F.col("sv").alias("source"), F.col("tv").alias("target"))
+        .orderBy("k")
+        .limit(5)
+        .collect()
+    ]
+
+    return make_result(
+        rule, "transform", zero_violation_verdict(mismatch),
+        total_rows=int(agg["total_keys"]), violation_count=mismatch,
+        details={
+            "join_key": key,
+            "compare_column": col,
+            "missing_in_target": int(agg["missing_in_target"]),
+            "missing_in_source": int(agg["missing_in_source"]),
+            "value_mismatches_sample": samples,
+        },
+    )
+
+
+def run_existence_check(
+    source: DataFrame, target: DataFrame, rule: Rule
+) -> CheckResult:
+    """Source keys must all exist in target (reference transform_checker.py:187-229).
+
+    Distributed: two left_anti joins instead of Python set difference.
+    """
+    key = rule.p("join_key")
+    s = source.select(F.col(key).alias("k")).distinct()
+    t = target.select(F.col(key).alias("k")).distinct()
+    source_count = s.count()
+    target_count = t.count()
+    missing_in_target = s.join(t, "k", "left_anti").count()
+    missing_in_source = t.join(s, "k", "left_anti").count()
+    return make_result(
+        rule, "transform", zero_violation_verdict(missing_in_target),
+        total_rows=source_count, violation_count=missing_in_target,
+        details={
+            "source_count": source_count,
+            "target_count": target_count,
+            "missing_in_target": missing_in_target,
+            "missing_in_source": missing_in_source,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# 3-sigma outlier rule (reference checks/check_range.sql:113-131)
+# --------------------------------------------------------------------------
+
+def run_outlier_rule(df: DataFrame, rule: Rule) -> CheckResult:
+    col = F.col(rule.column)
+    scoped = df.filter(col.isNotNull())
+    stats = scoped.agg(
+        F.avg(col).alias("mean"),
+        F.stddev(col).alias("sd"),  # sample stddev, matches MySQL/DuckDB stddev_samp
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mean, sd, total = stats["mean"], stats["sd"], int(stats["n"])
+    if total == 0 or sd is None:
+        return make_result(rule, "range", CheckStatus.WARNING, details={"message": "insufficient rows"})
+    k = float(rule.p("sigma", 3.0))
+    lo, hi = mean - k * sd, mean + k * sd
+    violations = scoped.filter((col < F.lit(lo)) | (col > F.lit(hi))).count()
+    return make_result(
+        rule, "range", zero_violation_verdict(violations),
+        total_rows=total, violation_count=violations,
+        details={"mean": mean, "stddev": sd, "sigma": k, "low": lo, "high": hi},
+    )
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def run_rules(
+    tables: Mapping[str, DataFrame],
+    rules: Iterable[Rule],
+    per_partition: bool = False,
+) -> list[CheckResult]:
+    """Run a heterogeneous rule set over named tables.
+
+    Row-local rules are fused per table (one pass per table regardless of rule
+    count); the rest dispatch to their dedicated strategies. This is the
+    engine-level replacement for the reference's sequential per-checker loop
+    (main.py:117-152).
+    """
+    results: list[CheckResult] = []
+    row_local: dict[str, list[Rule]] = {}
+
+    for rule in rules:
+        if not rule.enabled:
+            continue
+        ct = rule.check_type
+        if ct in ROW_LOCAL_TYPES:
+            row_local.setdefault(rule.table, []).append(rule)
+        elif ct == "duplicate":
+            results.append(run_duplicate_rule(tables[rule.table], rule, rule.table))
+        elif ct == "foreign_key":
+            results.append(
+                run_fk_rule(tables[rule.table], tables[rule.p("parent_table")], rule)
+            )
+        elif ct == "count":
+            results.append(
+                run_count_rule(
+                    tables[rule.p("source_table")], tables[rule.p("target_table")], rule
+                )
+            )
+        elif ct == "outlier_3sigma":
+            results.append(run_outlier_rule(tables[rule.table], rule))
+        elif ct == "transform":
+            compare_type = rule.p("compare_type", "value")
+            src = tables[rule.p("source_table")]
+            tgt = tables[rule.p("target_table")]
+            if compare_type == "existence":
+                results.append(run_existence_check(src, tgt, rule))
+            elif rule.p("join_key"):
+                results.append(run_join_compare(src, tgt, rule))
+            else:
+                agg_col = rule.p("compare_column")
+                agg_fn = rule.p("agg", "sum")
+                sv = src.agg(getattr(F, agg_fn)(agg_col).cast("double").alias("v")).collect()[0]["v"]
+                tv = tgt.agg(getattr(F, agg_fn)(agg_col).cast("double").alias("v")).collect()[0]["v"]
+                results.append(run_aggregate_compare(sv, tv, rule))
+        else:  # pragma: no cover
+            raise ValueError(f"unhandled check_type {ct}")
+
+    for table, trules in row_local.items():
+        results.extend(
+            run_row_local_rules(tables[table], trules, table, per_partition=per_partition)
+        )
+    return results
+
+
+def summarize(results: Sequence[CheckResult]) -> dict:
+    """PASS/FAIL/WARNING/ERROR tallies (reference base_checker.py:137-152)."""
+    table_level = [r for r in results if r.partition_id == -1]
+    total = len(table_level)
+    count = lambda s: sum(1 for r in table_level if r.status == s)  # noqa: E731
+    passed = count(CheckStatus.PASS)
+    return {
+        "total_checks": total,
+        "passed": passed,
+        "failed": count(CheckStatus.FAIL),
+        "warnings": count(CheckStatus.WARNING),
+        "errors": count(CheckStatus.ERROR),
+        "pass_rate": round(passed / total * 100, 2) if total > 0 else 0,
+    }

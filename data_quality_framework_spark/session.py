@@ -1,0 +1,47 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Config rationale (tuned for local[32] testing, sized to survive 1000-executor
+clusters — see SURVEY §4):
+
+* AQE on: runtime coalescing of shuffle partitions + skew-join splitting; at
+  100 TB the static shuffle-partition number is always wrong for some stage.
+* Arrow enabled + bounded batch size: every pandas UDF ships 10k-row record
+  batches; unbounded batches OOM Python workers on long documents.
+* maxPartitionBytes 128m: parquet scan granularity — at 100 TB this yields
+  ~800k scan tasks, the right order for 32k cores.
+* shuffle.partitions default 32 locally; production submit overrides it, and
+  AQE coalesces down anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dq-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

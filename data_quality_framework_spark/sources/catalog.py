@@ -1,0 +1,51 @@
+"""Table catalog: readers/writers over the driver testdata and pipeline output.
+
+The reference's DBConnector (pooled MySQL client, db_connector.py) maps to the
+SparkSession itself; this module is the thin naming layer. Parquet is the
+storage format in the sandbox; ``format="iceberg"`` is the intended production
+catalog (snapshot metadata replaces the reference's information_schema probes,
+count_checker.py:105-110) — the writer API is format-agnostic so the swap is a
+config change, not a code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql() use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_results(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Results/lineage sink — append-mode history table mirroring
+    dq_validation_results (init_schema.sql:128-143)."""
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

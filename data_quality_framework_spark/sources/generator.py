@@ -1,0 +1,380 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` corpus + ground truth.
+
+Follows the reference's known-answer pattern (planted violations at exact
+counts, ``sql/init_data.sql:170-207``) scaled to the north rule's input shape
+``pages(url, warc_ts, html, text, lang)``.
+
+Every field is a PURE FUNCTION of the row id (seeded integer mixing, no RNG
+state), so generation is order- and partition-independent: the same id yields
+the same page on any executor at any parallelism — a hard requirement for the
+determinism and resume tests.
+
+Planted-violation budget per 10,000-id block (m = id mod 10000), FIXTURES.md §A:
+
+    m in [   0,  25)  empty text                      -> drop empty_text
+    m in [  25,  50)  whitespace-only text            -> drop empty_text
+    m in [  50, 350)  too short (5-40 words)          -> drop too_short
+    m in [ 350, 450)  high symbol ratio               -> drop high_symbol_ratio
+    m in [ 450, 550)  no stopwords                    -> drop low_stopword
+    m in [ 550, 750)  claimed lang != text lang       -> drop lang_mismatch
+    m in [ 750, 870)  PII (40 email/40 phone/40 ssn)  -> KEEP, text scrubbed
+    m in [ 870, 900)  warc_ts out of range (10 future)-> drop bad_timestamp
+    m in [ 900,1100)  clean docs that act as dup/near-dup sources -> keep
+    m in [1100,1200)  full-row duplicate of id-200 (same url)     -> collapses
+    m in [1200,1300)  same text as id-300, new url, ts+1h         -> drop exact_duplicate
+    m in [1300,1450)  near-duplicate of id-400 (one line replaced)-> drop near_duplicate
+    m in [1450,10000) clean                                        -> keep
+
+Companion ground truth (independent of the pipeline — labels come from the
+planted category, scrubbed text from construction, never from running the
+filter): ``gen_labels`` (url, keep, drop_reason) one row per distinct url, and
+``gen_scrubbed`` (url, text_scrubbed) built by inserting the MASKED token
+where the PII generator inserted the raw one.
+
+Domain skew: ~35% of pages land on one hot domain (exercises salting / AQE
+skew handling); the rest spread over 5,000 domains.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEED = 42
+BLOCK = 10000
+
+# window for valid crawl timestamps (epoch seconds, UTC)
+TS_BASE = 1704067200          # 2024-01-01
+TS_WINDOW = 31536000          # one year
+TS_OLD_BASE = 473385600       # 1985-01-01 (out of range)
+TS_FUTURE_BASE = 1906761600   # 2030-06    (future)
+
+#: pinned "now" for the no-future rule — determinism per SURVEY §2.8
+RUN_TS = "2026-08-16 00:00:00"
+
+DROP_REASONS = (
+    "empty_text",
+    "too_short",
+    "high_symbol_ratio",
+    "low_stopword",
+    "lang_mismatch",
+    "high_perplexity",
+    "bad_timestamp",
+    "exact_duplicate",
+    "near_duplicate",
+)
+
+LANGS = ("de", "en", "es", "fr", "zh")
+
+# Generator stopwords: strict subsets of functions.scoring.LANG_MARKERS and of
+# functions.textstats.STOPWORDS (asserted in tests) so detection and the
+# stopword_fraction heuristic are exact on clean docs.
+GEN_STOP = {
+    "en": "the of and to that it for with was by".split(),
+    "de": "der die das und nicht ein eine mit für auf".split(),
+    "es": "de que los las una por con para un es".split(),
+    "fr": "le les des du et est pour dans ne pas".split(),
+    "zh": "的 是 了 在 和 有 我 他 这 中".split(),
+}
+
+# Content vocabulary: never equal to any language's marker token (tested).
+GEN_CONTENT = {
+    "en": (
+        "market system people world water energy report science history music "
+        "garden window mountain river village doctor teacher student library bridge "
+        "forest island weather journey morning evening silver copper engine harbor "
+        "valley meadow lantern compass granite thunder blossom orchard pebble willow "
+        "saddle hammer anchor barrel candle ribbon"
+    ).split(),
+    "de": (
+        "markt menschen wasser energie bericht wissenschaft geschichte musik garten "
+        "fenster berg fluss dorf arzt lehrer schüler bibliothek brücke wald insel "
+        "wetter reise morgen abend silber kupfer motor hafen tal wiese laterne "
+        "kompass granit donner blüte obstgarten kiesel weide sattel hammer anker fass"
+    ).split(),
+    "es": (
+        "mercado sistema gente mundo agua energía informe ciencia historia música "
+        "jardín ventana montaña río pueblo médico maestro estudiante biblioteca puente "
+        "bosque isla clima viaje mañana tarde plata cobre motor puerto valle pradera "
+        "linterna brújula granito trueno flor huerto guijarro sauce silla martillo ancla"
+    ).split(),
+    "fr": (
+        "marché système gens monde eau énergie rapport science histoire musique "
+        "jardin fenêtre montagne rivière village médecin professeur étudiant "
+        "bibliothèque pont forêt île météo voyage matin soir argent cuivre moteur "
+        "port vallée prairie lanterne boussole granit tonnerre fleur verger caillou "
+        "saule selle marteau ancre tonneau"
+    ).split(),
+    "zh": (
+        "我们 他们 这个 中国 人们 时间 可以 工作 问题 世界 历史 音乐 科学 报告 能源 "
+        "市场 系统 水源 花园 窗户 高山 河流 村庄 医生 老师 学生 图书 桥梁 森林 海岛 "
+        "天气 旅行 早晨 傍晚 白银 铜矿 发动 港口 山谷 草地"
+    ).split(),
+}
+
+HOT_DOMAIN = "big-portal.example.com"
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("keep", T.BooleanType(), False),
+        T.StructField("drop_reason", T.StringType(), True),
+    ]
+)
+
+SCRUBBED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text_scrubbed", T.StringType(), True),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# deterministic mixing (splitmix64 finalizer — public-domain constant set)
+# --------------------------------------------------------------------------
+
+_M = (1 << 64) - 1
+
+
+def _mix(*parts: int) -> int:
+    h = (SEED * 0x9E3779B97F4A7C15) & _M
+    for p in parts:
+        h = (h + (p & _M)) & _M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & _M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & _M
+        h ^= h >> 31
+    return h
+
+
+def _pick(seq, *salt: int) -> str:
+    return seq[_mix(*salt) % len(seq)]
+
+
+# --------------------------------------------------------------------------
+# per-id document builder (pure function of id)
+# --------------------------------------------------------------------------
+
+def _lang_for(doc_id: int) -> str:
+    return LANGS[_mix(doc_id, 1) % len(LANGS)]
+
+
+def _base_words(doc_id: int, lang: str, n_words: int, with_stops: bool = True) -> list[str]:
+    stops, content = GEN_STOP[lang], GEN_CONTENT[lang]
+    words = []
+    for i in range(n_words):
+        if with_stops and i % 3 == 1:
+            words.append(_pick(stops, doc_id, 100 + i))
+        elif _mix(doc_id, 400 + i) % 2 == 0:
+            # hyphen compound: squares the effective content vocabulary so the
+            # shingle space is ~10^7 and UNRELATED docs share ~0 shingles —
+            # keeps MinHash-LSH false-candidate rates negligible (the tiny-vocab
+            # failure mode is baseline shingle Jaccard ~0.15 between clean docs).
+            words.append(
+                _pick(content, doc_id, 200 + i) + "-" + _pick(content, doc_id, 300 + i)
+            )
+        else:
+            words.append(_pick(content, doc_id, 200 + i))
+    return words
+
+
+def _lines_from_words(words: list[str], per_line: int = 12) -> list[str]:
+    return [" ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)]
+
+
+def _clean_text(doc_id: int, lang: str) -> str:
+    n = 60 + _mix(doc_id, 2) % 121
+    return "\n".join(_lines_from_words(_base_words(doc_id, lang, n)))
+
+
+def _url_for(doc_id: int, lang: str) -> str:
+    if _mix(doc_id, 3) % 100 < 35:
+        domain = HOT_DOMAIN
+    else:
+        domain = f"site-{_mix(doc_id, 4) % 5000}.example.org"
+    return f"https://{domain}/{lang}/article-{doc_id}"
+
+
+def _ts_for(doc_id: int) -> int:
+    return TS_BASE + _mix(doc_id, 5) % TS_WINDOW
+
+
+def _pii_token(doc_id: int, kind: int) -> tuple[str, str]:
+    """(raw token, masked token) — masked built INDEPENDENTLY of the scrubber."""
+    if kind == 0:
+        return f"user{doc_id}@example.com", "<EMAIL>"
+    if kind == 1:
+        mid = 1000 + _mix(doc_id, 6) % 9000
+        tail = 1000 + _mix(doc_id, 7) % 9000
+        return f"010-{mid}-{tail}", f"010-****-{tail}"
+    yy = 50 + _mix(doc_id, 8) % 50
+    mm = 1 + _mix(doc_id, 9) % 12
+    dd = 1 + _mix(doc_id, 10) % 28
+    tail = 1000000 + _mix(doc_id, 11) % 9000000
+    return f"{yy:02d}{mm:02d}{dd:02d}-{tail}", f"{yy:02d}{mm:02d}{dd:02d}-*******"
+
+
+def doc_for_id(doc_id: int) -> dict:
+    """Full ground-truth record for one id: page fields + label + scrubbed text."""
+    m = doc_id % BLOCK
+    lang = _lang_for(doc_id)
+    url = _url_for(doc_id, lang)
+    ts = _ts_for(doc_id)
+    keep, reason = True, None
+    text: str
+
+    if m < 25:
+        text, keep, reason = "", False, "empty_text"
+    elif m < 50:
+        text, keep, reason = "  \t  ", False, "empty_text"
+    elif m < 350:
+        n = 5 + _mix(doc_id, 12) % 36
+        text = " ".join(_base_words(doc_id, lang, n))
+        keep, reason = False, "too_short"
+    elif m < 450:
+        words = _base_words(doc_id, lang, 80 + _mix(doc_id, 13) % 60)
+        sym = ("#####", ".....", "#*#*#")
+        words = [
+            _pick(sym, doc_id, 300 + i) if i % 3 == 0 else w
+            for i, w in enumerate(words)
+        ]
+        text = "\n".join(_lines_from_words(words))
+        keep, reason = False, "high_symbol_ratio"
+    elif m < 550:
+        n = 70 + _mix(doc_id, 14) % 80
+        text = "\n".join(_lines_from_words(_base_words(doc_id, lang, n, with_stops=False)))
+        keep, reason = False, "low_stopword"
+    elif m < 750:
+        true_lang = _lang_for(doc_id)
+        claimed = LANGS[(LANGS.index(true_lang) + 1 + _mix(doc_id, 15) % (len(LANGS) - 1)) % len(LANGS)]
+        text = _clean_text(doc_id, true_lang)
+        lang = claimed
+        keep, reason = False, "lang_mismatch"
+    elif m < 870:
+        kind = (m - 750) // 40  # 0 email / 1 phone / 2 ssn
+        words = _base_words(doc_id, lang, 60 + _mix(doc_id, 16) % 80)
+        raw, masked = _pii_token(doc_id, kind)
+        pos = 1 + _mix(doc_id, 17) % (len(words) - 1)
+        raw_words = words[:pos] + [raw] + words[pos:]
+        masked_words = words[:pos] + [masked] + words[pos:]
+        text = "\n".join(_lines_from_words(raw_words))
+        scrubbed = "\n".join(_lines_from_words(masked_words))
+        return {
+            "doc_id": doc_id, "url": url, "ts": ts, "text": text, "lang": lang,
+            "keep": True, "drop_reason": None, "text_scrubbed": scrubbed,
+        }
+    elif m < 900:
+        text = _clean_text(doc_id, lang)
+        if m >= 890:
+            ts = TS_FUTURE_BASE + _mix(doc_id, 18) % 1000000
+        else:
+            ts = TS_OLD_BASE + _mix(doc_id, 19) % 1000000
+        keep, reason = False, "bad_timestamp"
+    elif m < 1100:
+        text = _clean_text(doc_id, lang)  # dup/near-dup source; clean keep
+    elif m < 1200:
+        # full-row duplicate (same url!) of id-200
+        base = doc_id - 200
+        return {**doc_for_id(base), "doc_id": doc_id}
+    elif m < 1300:
+        base = doc_id - 300
+        base_doc = doc_for_id(base)
+        text = base_doc["text"]
+        lang = base_doc["lang"]
+        ts = base_doc["ts"] + 3600
+        keep, reason = False, "exact_duplicate"
+    elif m < 1450:
+        # near-duplicate: the source text plus one fresh trailing line (footer
+        # variation) -> true shingle Jaccard ~0.9, safely above the LSH
+        # detection threshold while unrelated docs sit near 0.
+        base = doc_id - 400
+        base_doc = doc_for_id(base)
+        fresh = " ".join(_base_words(doc_id, base_doc["lang"], 6))
+        text = base_doc["text"] + "\n" + fresh
+        lang = base_doc["lang"]
+        ts = base_doc["ts"] + 7200
+        keep, reason = False, "near_duplicate"
+    else:
+        text = _clean_text(doc_id, lang)
+
+    return {
+        "doc_id": doc_id, "url": url, "ts": ts, "text": text, "lang": lang,
+        "keep": keep, "drop_reason": reason, "text_scrubbed": text,
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark materialization (mapInPandas over spark.range — distributed, seeded)
+# --------------------------------------------------------------------------
+
+def _range(spark: SparkSession, n_rows: int, partitions: int | None = None):
+    if n_rows % BLOCK != 0:
+        raise ValueError(f"n_rows must be a multiple of {BLOCK} (got {n_rows})")
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n_rows, numPartitions=parts)
+
+
+def gen_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [doc_for_id(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in recs],
+                    "warc_ts": pd.to_datetime([r["ts"] for r in recs], unit="s"),
+                    "html": [
+                        b"<html><body>" + r["text"].encode("utf-8") + b"</body></html>"
+                        for r in recs
+                    ],
+                    "text": [r["text"] for r in recs],
+                    "lang": [r["lang"] for r in recs],
+                }
+            )
+
+    return _range(spark, n_rows, partitions).mapInPandas(build, PAGES_SCHEMA)
+
+
+def gen_labels(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [doc_for_id(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in recs],
+                    "keep": [r["keep"] for r in recs],
+                    "drop_reason": [r["drop_reason"] for r in recs],
+                }
+            )
+
+    # full-row duplicates produce identical label rows -> distinct = per-url labels
+    return _range(spark, n_rows, partitions).mapInPandas(build, LABELS_SCHEMA).distinct()
+
+
+def gen_scrubbed(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [doc_for_id(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in recs],
+                    "text_scrubbed": [r["text_scrubbed"] for r in recs],
+                }
+            )
+
+    return _range(spark, n_rows, partitions).mapInPandas(build, SCRUBBED_SCHEMA).distinct()

@@ -1,0 +1,79 @@
+"""Structured Streaming variant of the quality filter.
+
+The reference is strictly batch (daily cron, setup_crontab.sh:44-47); the
+north rule only needs resumable batch. This module provides the incremental
+path as Structured Streaming with ``Trigger.AvailableNow``: process whatever
+new files landed, checkpoint offsets, exit — the streaming-native equivalent
+of the manifest-based resume in ``plans.checkpoint``, with exactly-once file
+tracking for free.
+
+Scope: the stateless subset of the pipeline (heuristic flags, langid/ppl
+scoring, scrub, decision column). Dedup needs cross-batch state and stays in
+the batch path (at 10^12 docs you dedup against a persisted signature store,
+not stream state).
+
+Also included: a windowed+watermarked metrics stream (per 10-minute crawl
+window violation counts) exercising event-time aggregation with late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.plans.pipeline import FilterConfig, _with_flags
+from data_quality_framework_spark.functions.scoring import with_scores
+from data_quality_framework_spark.functions.scrub import scrub_text
+from data_quality_framework_spark.functions.textstats import with_text_stats
+from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def streaming_decisions(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> DataFrame:
+    """Stateless per-doc decision stream (no dedup — see module doc)."""
+    df = with_text_stats(pages)
+    df = with_scores(df)
+    df = _with_flags(df, cfg)
+    any_flag = F.lit(False)
+    for f in ("f_empty", "f_short", "f_symbol", "f_lowstop", "f_langmismatch", "f_ppl", "f_badts"):
+        any_flag = any_flag | F.coalesce(F.col(f), F.lit(True))
+    return df.withColumn("keep", ~any_flag).select(
+        "url", "warc_ts", "lang", "keep",
+        scrub_text(F.col("text")).alias("text_scrubbed"),
+    )
+
+
+def streaming_metrics(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> DataFrame:
+    """Event-time windowed violation metrics with a late-data watermark."""
+    df = with_text_stats(pages).withWatermark("warc_ts", "1 hour")
+    return df.groupBy(F.window("warc_ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("is_blank_text"), 1).otherwise(0)).alias("blank_docs"),
+        F.sum(F.when(F.col("word_count") < cfg.min_words, 1).otherwise(0)).alias("short_docs"),
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: FilterConfig = FilterConfig(),
+) -> None:
+    """One incremental pass over new files, then stop (cron-friendly)."""
+    decisions = streaming_decisions(stream_pages(spark, input_dir), cfg)
+    q = (
+        decisions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

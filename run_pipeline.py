@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""spark-submit entry for the web-text quality-filter pipeline.
+
+    spark-submit --py-files dq_spark.zip run_pipeline.py \
+        --input <pages parquet dir | synth:<n_rows>> \
+        --output <dir> [--resume] [--buckets 16] [--report-dir reports/]
+
+Writes: kept docs (scrubbed) per url-hash bucket (idempotent overwrite),
+decisions, lineage parquet (per-partition records), CSV+HTML reports.
+Re-running with --resume skips buckets recorded in the output manifest —
+the north rule's checkpoint-resume path.
+
+Build the --py-files artifact with:  python run_pipeline.py --make-zip
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip(path: str = "dq_spark.zip") -> str:
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "data_quality_framework_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="synth:100000",
+                    help="pages parquet dir, or synth:<n_rows>")
+    ap.add_argument("--output", default="out/pipeline")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--report-dir", default="reports")
+    ap.add_argument("--make-zip", action="store_true")
+    args = ap.parse_args()
+
+    if args.make_zip:
+        print(make_zip())
+        return
+
+    from pyspark.sql import SparkSession
+
+    from data_quality_framework_spark.core.planner import results_to_df
+    from data_quality_framework_spark.plans.checkpoint import Checkpoint, run_with_checkpoint
+    from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+    from data_quality_framework_spark.reporters import exit_code, write_csv, write_html
+    from data_quality_framework_spark.core.planner import summarize
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    # Under spark-submit the session comes preconfigured from the CLI; the
+    # builder here only fills in defaults for bare `python run_pipeline.py`.
+    spark = SparkSession.builder.appName("dq-quality-filter").getOrCreate()
+
+    if args.input.startswith("synth:"):
+        pages = gen_pages(spark, int(args.input.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.input)
+
+    cfg = FilterConfig()
+    t0 = time.time()
+
+    if args.resume:
+        ckpt = Checkpoint(out_dir=os.path.join(args.output, "kept"), n_buckets=args.buckets)
+
+        def process(bucket_df):
+            return run_pipeline(spark, bucket_df, cfg, per_partition_lineage=False).kept
+
+        ran = run_with_checkpoint(spark, pages, ckpt, process)
+        print(f"resume mode: processed buckets {ran}")
+        return
+
+    out = run_pipeline(spark, pages, cfg, per_partition_lineage=True)
+    out.kept.write.mode("overwrite").parquet(os.path.join(args.output, "kept"))
+    out.decisions.write.mode("overwrite").parquet(os.path.join(args.output, "decisions"))
+    results_to_df(spark, out.results).write.mode("append").parquet(
+        os.path.join(args.output, "lineage")
+    )
+    elapsed = time.time() - t0
+    n = out.decisions.count()
+    summary = summarize(out.results)
+    csv_path = write_csv(out.results, summary, args.report_dir)
+    html_path = write_html(out.results, summary, args.report_dir)
+    print(
+        f"docs={n} elapsed={elapsed:.1f}s docs_per_sec={n / elapsed:.0f} "
+        f"summary={summary} reports=({csv_path}, {html_path})"
+    )
+    sys.exit(exit_code(out.results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_quality_framework_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="dq-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="session")
+def pages_10k(spark):
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    return gen_pages(spark, 10000).persist()
+
+
+@pytest.fixture(scope="session")
+def labels_10k(spark):
+    from data_quality_framework_spark.sources.generator import gen_labels
+
+    return gen_labels(spark, 10000).persist()

@@ -1,0 +1,167 @@
+"""Unit tests: scrub byte-exactness, textstats, scoring UDFs, hashing."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.scrub import (
+    duckdb_scrub_sql,
+    has_pii,
+    phone_mask_applied,
+    scrub_text,
+    sha256_format_ok,
+    ssn_mask_applied,
+)
+from data_quality_framework_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    with_text_stats,
+)
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_scrub_patterns(spark):
+    cases = [
+        ("call 010-1234-5678 now", "call 010-****-5678 now"),
+        ("id 901010-1234567 leaked", "id 901010-******* leaked"),
+        ("mail user7@example.com please", "mail <EMAIL> please"),
+        ("multi 010-123-4567 and 800101-9999999 and a.b@c.de end",
+         "multi 010-****-4567 and 800101-******* and <EMAIL> end"),
+        ("clean text stays identical", "clean text stays identical"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    out = df.withColumn("s", scrub_text(F.col("text")))
+    bad = out.filter(F.col("s") != F.col("expected")).collect()
+    assert not bad, bad
+
+
+def test_scrub_duckdb_parity(spark):
+    """Same scrub chain, two regex engines (Java vs RE2) — byte-identical."""
+    import duckdb
+
+    texts = [
+        "call 010-1234-5678 now",
+        "id 901010-1234567 leaked",
+        "mail user7@example.com please",
+        "edge 123456-1234567x (not a clean boundary still scrubbed prefix)",
+        "two mails a@b.co c@d.org and phone 011-999-0000",
+        "clean",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_out = [r["s"] for r in df.withColumn("s", scrub_text(F.col("text"))).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(f"select {duckdb_scrub_sql('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_out == duck_out
+
+
+def test_pii_detection(spark):
+    df = spark.createDataFrame(
+        [("a@b.com",), ("010-1234-5678",), ("901010-1234567",), ("clean",)],
+        "text string",
+    )
+    assert df.filter(has_pii(F.col("text"))).count() == 3
+
+
+def test_mask_verification_predicates(spark):
+    df = spark.createDataFrame(
+        [
+            ("900101-*******", "010-****-5678", "a" * 64),
+            ("900101-1234567", "010-1234-5678", "xyz"),
+        ],
+        "ssn string, phone string, h string",
+    )
+    row_ok, row_bad = df.collect()
+    ok = df.select(
+        ssn_mask_applied(F.col("ssn")).alias("s"),
+        phone_mask_applied(F.col("phone")).alias("p"),
+        sha256_format_ok(F.col("h")).alias("h"),
+    ).collect()
+    assert tuple(ok[0]) == (True, True, True)
+    assert tuple(ok[1]) == (False, False, False)
+
+
+def test_text_stats_values(spark):
+    df = _one(spark, "the quick fox\nthe quick fox\n# # # ...")
+    row = with_text_stats(df).collect()[0]
+    assert row["word_count"] == 10
+    assert row["line_count"] == 3
+    assert abs(row["dup_line_fraction"] - 1 / 3) < 1e-9
+    assert row["is_blank_text"] is False
+    # 3 '#' + 3 '.' symbol chars
+    assert row["symbol_ratio"] > 0
+
+    blank = with_text_stats(_one(spark, "  \t ")).collect()[0]
+    assert blank["is_blank_text"] is True
+    assert blank["word_count"] == 0
+    assert blank["stopword_fraction"] == 0.0
+
+
+def test_bpe_ish_tokens(spark):
+    df = _one(spark, "abcd abcdefgh xy")
+    n = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    assert n == 1 + 2 + 1
+
+
+def test_fingerprint_matches_md5(spark):
+    import hashlib
+
+    df = _one(spark, "hello wörld")
+    fp = df.select(fingerprint(F.col("text")).alias("f")).collect()[0]["f"]
+    assert fp == hashlib.md5("hello wörld".encode()).hexdigest()
+
+
+def test_langid_and_perplexity(spark):
+    from data_quality_framework_spark.functions.scoring import with_scores
+
+    df = spark.createDataFrame(
+        [
+            ("en", "the market of the world and the people to go with it was here"),
+            ("de", "der markt und die menschen mit der zeit für das dorf auf der wiese"),
+            ("es", "el mercado de la gente que vive en un pueblo es por la montaña"),
+            ("fr", "le marché et les gens du village est pour dans la vallée ne pas"),
+            ("zh", "的 市场 是 了 在 人们 和 有 我 他 这 中"),
+            ("und", "zzz qqq vvv kkk"),
+        ],
+        "truth string, text string",
+    )
+    rows = with_scores(df).collect()
+    for r in rows:
+        assert r["lang_detected"] == r["truth"], (r["truth"], r["lang_detected"])
+    en_ppl = [r["ppl"] for r in rows if r["truth"] == "en"][0]
+    assert 5 < en_ppl < 100
+    gibberish = spark.createDataFrame([("@@@@ ~~~~ ^^^^ ||||",)], "text string")
+    g_ppl = with_scores(gibberish).collect()[0]["ppl"]
+    assert g_ppl > 1000
+
+
+def test_minhash_estimates_jaccard(spark):
+    from data_quality_framework_spark.functions.hashing import minhash_signature, shingles
+
+    a = "w" + " w".join(str(i) for i in range(100))
+    b_words = a.split()
+    b_words[:10] = [f"x{i}" for i in range(10)]  # ~10% changed
+    df = spark.createDataFrame([("a", a), ("b", " ".join(b_words))], "id string, text string")
+    sig = {
+        r["id"]: r["s"]
+        for r in df.select("id", minhash_signature(shingles(F.col("text"), 3), 64).alias("s")).collect()
+    }
+    est = sum(x == y for x, y in zip(sig["a"], sig["b"])) / 64
+    # true jaccard ~ (89-2)/(101+12) ~ 0.78; 64 components -> est within ~0.15
+    assert 0.55 < est < 0.95, est
+
+
+def test_simhash_hamming(spark):
+    from data_quality_framework_spark.operators.dedup import simhash_pairs
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5)]
+    rows.append((2, rows[0][1] + " tail"))
+    rows.append((3, "completely different content about spark engines and parquet files " * 5))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}

@@ -1,0 +1,80 @@
+"""Generator invariants: exact planted budgets, determinism, vocab hygiene."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.scoring import LANG_MARKERS
+from data_quality_framework_spark.functions.textstats import STOPWORDS
+from data_quality_framework_spark.sources.generator import (
+    GEN_CONTENT,
+    GEN_STOP,
+    doc_for_id,
+    gen_labels,
+)
+
+
+def test_vocab_hygiene():
+    """Generator stopwords must be detectable; content words must not collide
+    with ANY language's marker regex (else langid becomes ambiguous)."""
+    for lang, stops in GEN_STOP.items():
+        if lang == "zh":
+            for w in stops:
+                assert re.search(LANG_MARKERS["zh"], w), w
+        else:
+            for w in stops:
+                assert re.search(LANG_MARKERS[lang], w), (lang, w)
+        for w in stops:
+            assert w in STOPWORDS, (lang, w)
+    for lang, words in GEN_CONTENT.items():
+        for other, rx in LANG_MARKERS.items():
+            if other == "zh" and lang != "zh":
+                continue
+            for w in words:
+                if other == "zh" and lang == "zh":
+                    continue  # zh content may share marker chars (still zh)
+                assert not re.search(rx, w), (lang, other, w)
+
+
+def test_doc_for_id_deterministic():
+    a = doc_for_id(123456)
+    b = doc_for_id(123456)
+    assert a == b
+
+
+def test_planted_budget_counts(labels_10k):
+    counts = {
+        r["drop_reason"]: r["n"]
+        for r in labels_10k.groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["empty_text"] == 50
+    assert counts["too_short"] == 300
+    assert counts["high_symbol_ratio"] == 100
+    assert counts["low_stopword"] == 100
+    assert counts["lang_mismatch"] == 200
+    assert counts["bad_timestamp"] == 30
+    assert counts["exact_duplicate"] == 100
+    assert counts["near_duplicate"] == 150
+    # keeps: one label row per distinct url; 100 full-row dups collapsed
+    assert counts[None] == 10000 - 100 - (50 + 300 + 100 + 100 + 200 + 30 + 100 + 150)
+
+
+def test_pages_shape_and_dup_structure(pages_10k):
+    assert pages_10k.columns == ["url", "warc_ts", "html", "text", "lang"]
+    n = pages_10k.count()
+    n_urls = pages_10k.select("url").distinct().count()
+    assert n == 10000
+    assert n_urls == 9900  # 100 full-row url duplicates
+
+    # domain skew: hot domain ~35%
+    hot = pages_10k.filter(F.col("url").contains("big-portal")).count()
+    assert 0.30 < hot / n < 0.40
+
+
+def test_generation_partition_independent(spark):
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    a = gen_pages(spark, 10000, partitions=4)
+    b = gen_pages(spark, 10000, partitions=17)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

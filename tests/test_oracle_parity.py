@@ -1,0 +1,76 @@
+"""Mimics the driver's correctness gate: every queries() entry with an
+oracle_sql() runs on Spark AND DuckDB at sf0.001; row-count, schema (column
+names) and order-insensitive values must agree."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:19]
+    if isinstance(v, (int, float)):
+        return v
+    return str(v)
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        tuple(_norm(row[i]) for i in order) for row in rows
+    )
+    return sorted(c for c in cols), out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = _duck(ORACLES[name])
+
+    sc, sr = _normalize(s_cols, s_rows)
+    dc, dr = _normalize(d_cols, d_rows)
+    assert sc == dc, (name, sc, dc)
+    assert len(sr) == len(dr), (name, len(sr), len(dr))
+    mismatches = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+    assert not mismatches, (name, [(sr[i], dr[i]) for i in mismatches[:3]])
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        if name == "wt_pipeline_summary":
+            continue  # covered by test_pipeline.py (expensive)
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name

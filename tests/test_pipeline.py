@@ -1,0 +1,109 @@
+"""End-to-end quality-filter pipeline: keep/drop F1 vs independent labels,
+byte-identical scrubbed text, per-partition lineage, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+from data_quality_framework_spark.sources.generator import gen_scrubbed
+
+
+@pytest.fixture(scope="module")
+def output(spark, pages_10k):
+    return run_pipeline(spark, pages_10k, FilterConfig())
+
+
+def test_decisions_one_row_per_url(output, pages_10k):
+    n_urls = pages_10k.select("url").distinct().count()
+    assert output.decisions.count() == n_urls
+    assert output.decisions.select("url").distinct().count() == n_urls
+
+
+def test_keep_drop_f1(output, labels_10k):
+    j = output.decisions.select("url", F.col("keep").alias("pred")).join(
+        labels_10k.select("url", F.col("keep").alias("truth")), "url", "inner"
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("truth"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["n"] == 9900
+    precision = agg["tp"] / max(agg["tp"] + agg["fp"], 1)
+    recall = agg["tp"] / max(agg["tp"] + agg["fn"], 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, (f1, agg.asDict())
+
+
+def test_drop_reasons_match_labels(output, labels_10k):
+    """Reason-level agreement (stricter than F1): each dropped url's reason
+    must equal the planted one, allowing only near-dup probabilistic misses."""
+    j = output.decisions.join(
+        labels_10k.select("url", F.col("drop_reason").alias("truth_reason")), "url"
+    )
+    disagree = j.filter(
+        ~(
+            (F.col("drop_reason").eqNullSafe(F.col("truth_reason")))
+        )
+    )
+    n_bad = disagree.count()
+    # tolerate only MinHash misses on the 150 near-dups (detection p~0.999)
+    assert n_bad <= 3, disagree.limit(10).collect()
+
+
+def test_scrubbed_text_byte_identical(output, spark):
+    """North-rule invariant: scrubbed text per url must be byte-identical to
+    the independently constructed expectation."""
+    expected = gen_scrubbed(spark, 10000)
+    j = output.kept.select("url", "text_scrubbed").join(
+        expected.withColumnsRenamed({"text_scrubbed": "expected"}), "url", "inner"
+    )
+    total = j.count()
+    mismatch = j.filter(
+        F.encode("text_scrubbed", "UTF-8") != F.encode("expected", "UTF-8")
+    )
+    assert total == output.kept.count()
+    assert mismatch.count() == 0, mismatch.select("url").limit(5).collect()
+
+
+def test_no_pii_in_kept_output(output):
+    from data_quality_framework_spark.functions.scrub import has_pii
+
+    leaks = output.kept.filter(has_pii(F.col("text_scrubbed"))).count()
+    assert leaks == 0
+
+
+def test_lineage_per_partition(output):
+    table_level = [r for r in output.results if r.partition_id == -1]
+    part_level = [r for r in output.results if r.partition_id >= 0]
+    assert len(table_level) == 7  # one per heuristic rule
+    assert len(part_level) >= 7  # at least one partition
+    # violation counts per rule sum across partitions to the table-level count
+    by_rule = {}
+    for r in part_level:
+        by_rule[r.rule_id] = by_rule.get(r.rule_id, 0) + r.violation_count
+    for r in table_level:
+        assert by_rule[r.rule_id] == r.violation_count, r.rule_id
+    # planted budget shows up in lineage. Flags are INDEPENDENT (precedence
+    # only orders drop_reason): the 50 blank docs also trip word_count<50 and
+    # stopword_fraction<0.06, so those rules count them too.
+    counts = {r.rule_id: r.violation_count for r in table_level}
+    assert counts["WT-NULL-001"] == 50
+    assert counts["WT-RNG-001"] == 300 + 50
+    assert counts["WT-RNG-002"] == 100
+    assert counts["WT-RNG-003"] == 100 + 50
+    assert counts["WT-TS-001"] == 30
+
+
+def test_pipeline_deterministic_across_parallelism(spark):
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    out_a = run_pipeline(spark, gen_pages(spark, 10000, partitions=3),
+                         per_partition_lineage=False)
+    out_b = run_pipeline(spark, gen_pages(spark, 10000, partitions=23),
+                         per_partition_lineage=False)
+    a = out_a.decisions.select("url", "keep", "drop_reason")
+    b = out_b.decisions.select("url", "keep", "drop_reason")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -1,0 +1,308 @@
+"""Rule-engine parity with the reference's checker semantics.
+
+Fixture mirrors the reference's SQLite test fixture (tests/test_checkers.py:44-137):
+hand-planted violations with exact expected counts/statuses per rule family.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.core.planner import (
+    run_count_rule,
+    run_duplicate_rule,
+    run_fk_rule,
+    run_join_compare,
+    run_existence_check,
+    run_outlier_rule,
+    run_row_local_rules,
+    run_rules,
+    summarize,
+    results_to_df,
+)
+from data_quality_framework_spark.core.rules import CheckStatus, Rule
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    customers = spark.createDataFrame(
+        [
+            (1, "kim", "010-1234-5678", "900101-1234567", "kim@x.com"),
+            (2, "lee", None, "900102-1234567", "lee@x.com"),       # NULL phone
+            (3, "park", "", "900103-1234567", None),               # empty phone, NULL email
+            (4, "choi", "010-9999-8888", "900104-1234567", "choi@x.com"),
+            (5, "jung", "010-5555-4444", "900105-1234567", "jung@x.com"),
+        ],
+        "customer_id int, customer_name string, phone_number string, resident_number string, email string",
+    )
+    merchants = spark.createDataFrame(
+        [(1, "m1"), (2, "m2"), (3, "m3")], "merchant_id int, merchant_name string"
+    )
+    base_ts = dt.datetime(2024, 3, 1, 10, 0, 0)
+    tx_rows = [
+        (1, 1, 1, base_ts, 100.0, "approved"),
+        (2, 2, 2, base_ts, 200.0, "approved"),
+        (3, 3, 3, base_ts, 300.0, "rejected"),
+        (4, 4, 1, base_ts, 400.0, "approved"),
+        (5, 5, 2, base_ts, None, "approved"),                      # NULL amount
+        (6, 1, 999, base_ts, 600.0, "approved"),                   # FK orphan
+        (7, 2, 2, base_ts, -50.0, "approved"),                     # negative amount
+        (8, 1, 1, base_ts, 100.0, "approved"),                     # dup of (1,...) composite
+    ]
+    transactions = spark.createDataFrame(
+        tx_rows,
+        "transaction_id long, customer_id int, merchant_id int, "
+        "transaction_date timestamp, transaction_amount double, approval_status string",
+    )
+    # target missing transaction 8 (count mismatch)
+    tgt_transactions = transactions.filter(F.col("transaction_id") != 8)
+    tgt_customers = spark.createDataFrame(
+        [
+            (1, "a" * 64, "010-****-5678", "900101-*******"),
+            (2, "b" * 64, "010-****-1111", "900102-*******"),
+            (3, "c" * 64, "010-****-2222", "900103-1234567"),     # unmasked ssn
+            (4, "d" * 64, "010-3333-4444", "900104-*******"),     # unmasked phone
+            (5, "not-a-hash!", "010-****-5555", "900105-*******"),  # bad hash
+        ],
+        "customer_id int, customer_name_hash string, phone_number string, resident_number string",
+    )
+    return {
+        "src_customers": customers,
+        "src_merchants": merchants,
+        "src_card_transactions": transactions,
+        "tgt_card_transactions": tgt_transactions,
+        "tgt_customers": tgt_customers,
+    }
+
+
+def test_null_rule_ts2_blank(spark, tables):
+    # NULL-002 analog: phone NULL check with include_empty_string -> 2 violations
+    # (reference tests/test_checkers.py:320-337 asserts violation_count == 2)
+    rule = Rule(
+        rule_id="NULL-002", check_type="null", table="src_customers",
+        column="phone_number",
+        params={"max_null_ratio": 0.05, "include_empty_string": True},
+    )
+    [res] = run_row_local_rules(tables["src_customers"], [rule])
+    assert res.violation_count == 2
+    assert res.details["pure_null_count"] == 1
+    assert res.details["empty_string_count"] == 1
+    # 2/5 = 0.4 > 2*0.05 -> FAIL
+    assert res.status == CheckStatus.FAIL
+
+
+def test_null_verdict_warning_band(spark, tables):
+    # ratio 0.2 with max 0.15 -> WARNING (<= 2x max), per null_checker.py:96-102
+    rule = Rule(
+        rule_id="NULL-W", check_type="null", table="src_customers", column="email",
+        params={"max_null_ratio": 0.15},
+    )
+    [res] = run_row_local_rules(tables["src_customers"], [rule])
+    assert res.violation_count == 1
+    assert res.status == CheckStatus.WARNING
+
+
+def test_count_rule_tolerance(spark, tables):
+    # 8 vs 7 rows: diff_ratio 0.125 <= 0.2 -> PASS (reference :277-291 pattern)
+    rule = Rule(
+        rule_id="CNT-001", check_type="count",
+        params={"source_table": "src_card_transactions",
+                "target_table": "tgt_card_transactions", "threshold": 0.2},
+    )
+    res = run_count_rule(
+        tables["src_card_transactions"], tables["tgt_card_transactions"], rule
+    )
+    assert res.status == CheckStatus.PASS
+    assert res.details["source_count"] == 8
+    assert res.details["target_count"] == 7
+    res2 = run_count_rule(
+        tables["src_card_transactions"], tables["tgt_card_transactions"],
+        Rule(rule_id="CNT-002", check_type="count",
+             params={"source_table": "s", "target_table": "t", "threshold": 0.0}),
+    )
+    assert res2.status == CheckStatus.FAIL
+
+
+def test_count_rule_where_clause(spark, tables):
+    rule = Rule(
+        rule_id="CNT-004", check_type="count",
+        params={"source_table": "s", "target_table": "t", "threshold": 0.0,
+                "where_clause": "approval_status = 'approved'"},
+    )
+    res = run_count_rule(
+        tables["src_card_transactions"], tables["tgt_card_transactions"], rule
+    )
+    assert res.details["source_count"] == 7
+    assert res.details["target_count"] == 6
+
+
+def test_duplicate_rule(spark, tables):
+    rule = Rule(
+        rule_id="DUP-002", check_type="duplicate", table="src_card_transactions",
+        columns=("customer_id", "merchant_id", "transaction_date", "transaction_amount"),
+    )
+    res = run_duplicate_rule(tables["src_card_transactions"], rule)
+    assert res.details["duplicate_groups"] == 1
+    assert res.details["duplicate_rows"] == 1   # SUM(cnt-1)
+    assert res.status == CheckStatus.FAIL
+    assert res.total_rows == 8
+
+
+def test_duplicate_ignores_null_keys(spark, tables):
+    rule = Rule(
+        rule_id="DUP-N", check_type="duplicate", table="src_card_transactions",
+        columns=("transaction_amount",),
+    )
+    res = run_duplicate_rule(tables["src_card_transactions"], rule)
+    # amounts: 100 appears twice (rows 1, 8); NULL excluded from keys
+    assert res.details["duplicate_groups"] == 1
+    assert res.details["duplicate_rows"] == 1
+
+
+def test_range_rules_fused(spark, tables):
+    rules = [
+        Rule(rule_id="RNG-001", check_type="positive", table="t",
+             column="transaction_amount"),
+        Rule(rule_id="RNG-002", check_type="range", table="t",
+             column="transaction_amount",
+             params={"min_value": 0, "max_value": 500}),
+        Rule(rule_id="RNG-003", check_type="date_range", table="t",
+             column="transaction_date",
+             params={"min_date": "2024-01-01", "max_date": "2024-12-31"}),
+        Rule(rule_id="RNG-004", check_type="no_future", table="t",
+             column="transaction_date", params={"run_ts": "2026-08-16 00:00:00"}),
+        Rule(rule_id="ENUM-001", check_type="enum", table="t",
+             column="approval_status",
+             params={"allowed_values": ["approved", "rejected"]}),
+    ]
+    results = {r.rule_id: r for r in run_row_local_rules(
+        tables["src_card_transactions"], rules
+    )}
+    assert results["RNG-001"].violation_count == 1   # -50
+    assert results["RNG-001"].total_rows == 7        # scoped to NOT NULL
+    assert results["RNG-002"].violation_count == 2   # -50 and 600
+    assert results["RNG-003"].violation_count == 0
+    assert results["RNG-004"].violation_count == 0
+    assert results["ENUM-001"].violation_count == 0
+    assert results["RNG-002"].details["actual_min"] == "-50.0"
+
+
+def test_masking_rules(spark, tables):
+    rules = [
+        Rule(rule_id="MASK-001", check_type="masking", table="tgt_customers",
+             column="resident_number", params={"masking_type": "ssn"}),
+        Rule(rule_id="MASK-002", check_type="masking", table="tgt_customers",
+             column="phone_number", params={"masking_type": "phone"}),
+        Rule(rule_id="MASK-003", check_type="masking", table="tgt_customers",
+             column="customer_name_hash", params={"masking_type": "hash"}),
+        Rule(rule_id="MASK-004", check_type="masking", table="tgt_customers",
+             column="resident_number", params={"masking_type": "leak_check"}),
+    ]
+    res = {r.rule_id: r for r in run_row_local_rules(tables["tgt_customers"], rules)}
+    assert res["MASK-001"].violation_count == 1  # unmasked ssn row 3
+    assert res["MASK-002"].violation_count == 1  # unmasked phone row 4
+    assert res["MASK-003"].violation_count == 1  # bad hash row 5
+    assert res["MASK-004"].violation_count == 1  # raw ssn leak row 3
+    assert all(r.status == CheckStatus.FAIL for r in res.values())
+
+
+def test_fk_rule_anti_join(spark, tables):
+    rule = Rule(
+        rule_id="FK-001", check_type="foreign_key", table="src_card_transactions",
+        column="merchant_id",
+        params={"parent_table": "src_merchants", "parent_column": "merchant_id"},
+    )
+    res = run_fk_rule(
+        tables["src_card_transactions"], tables["src_merchants"], rule
+    )
+    assert res.violation_count == 1  # merchant_id=999
+    assert res.status == CheckStatus.FAIL
+
+
+def test_join_compare_distributed(spark, tables):
+    rule = Rule(
+        rule_id="TRF-002", check_type="transform",
+        params={"source_table": "s", "target_table": "t",
+                "join_key": "transaction_id", "compare_column": "transaction_amount",
+                "tolerance": 0.0},
+    )
+    res = run_join_compare(
+        tables["src_card_transactions"], tables["tgt_card_transactions"], rule
+    )
+    assert res.details["missing_in_target"] == 1  # tx 8
+    assert res.details["missing_in_source"] == 0
+    assert res.violation_count == 1
+    assert res.total_rows == 8
+
+
+def test_existence_check(spark, tables):
+    rule = Rule(
+        rule_id="TRF-004", check_type="transform",
+        params={"source_table": "s", "target_table": "t",
+                "compare_type": "existence", "join_key": "transaction_id"},
+    )
+    res = run_existence_check(
+        tables["src_card_transactions"], tables["tgt_card_transactions"], rule
+    )
+    assert res.violation_count == 1
+    assert res.details["missing_in_source"] == 0
+
+
+def test_aggregate_compare_semantics():
+    from data_quality_framework_spark.core.rules import aggregate_compare_verdict
+
+    assert aggregate_compare_verdict(None, 5.0, 0.0)[0] == CheckStatus.WARNING
+    assert aggregate_compare_verdict(0.0, 0.0, 0.0)[0] == CheckStatus.PASS
+    assert aggregate_compare_verdict(0.0, 1.0, 0.0)[0] == CheckStatus.FAIL
+    assert aggregate_compare_verdict(100.0, 101.0, 0.02)[0] == CheckStatus.PASS
+    assert aggregate_compare_verdict(100.0, 103.0, 0.02)[0] == CheckStatus.FAIL
+
+
+def test_orchestrator_and_lineage(spark, tables):
+    rules = [
+        Rule(rule_id="NULL-003", check_type="null", table="src_card_transactions",
+             column="transaction_amount", params={"max_null_ratio": 0.0}),
+        Rule(rule_id="RNG-001", check_type="positive", table="src_card_transactions",
+             column="transaction_amount"),
+        Rule(rule_id="DUP-001", check_type="duplicate", table="src_card_transactions",
+             columns=("transaction_id",)),
+        Rule(rule_id="FK-001", check_type="foreign_key", table="src_card_transactions",
+             column="merchant_id",
+             params={"parent_table": "src_merchants", "parent_column": "merchant_id"}),
+        Rule(rule_id="CNT-001", check_type="count",
+             params={"source_table": "src_card_transactions",
+                     "target_table": "tgt_card_transactions", "threshold": 0.2}),
+    ]
+    results = run_rules(tables, rules, per_partition=True)
+    table_level = [r for r in results if r.partition_id == -1]
+    assert len(table_level) == 5
+    summary = summarize(results)
+    assert summary["total_checks"] == 5
+    assert summary["passed"] + summary["failed"] + summary["warnings"] == 5
+
+    ldf = results_to_df(spark, results)
+    assert ldf.count() == len(results)
+    assert "violation_ratio" in ldf.columns
+
+
+def test_outlier_rule(spark):
+    import random
+
+    rows = [(i, 100.0 + (i % 10)) for i in range(100)] + [(100, 10000.0)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    rule = Rule(rule_id="OUT-001", check_type="outlier_3sigma", table="t", column="v")
+    res = run_outlier_rule(df, rule)
+    assert res.violation_count == 1
+
+
+def test_rule_from_dict_reference_yaml_shape():
+    d = {
+        "rule_id": "MASK-001", "description": "ssn mask", "table": "tgt_customers",
+        "column": "resident_number", "masking_type": "ssn",
+        "expected_pattern_start": 8, "expected_pattern_value": "*******",
+        "expected_length": 14, "enabled": True,
+    }
+    r = Rule.from_dict(d)
+    assert r.check_type == "masking"
+    assert r.p("expected_pattern_start") == 8
