@@ -82,15 +82,33 @@ def minhash_candidate_pairs(
     boilerplate-heavy buckets; capped buckets are still represented by their
     first ``bucket_cap`` members.
     """
-    rows = k // bands
     # persist the (tiny) signature table: Catalyst collapses projections, so
     # without a materialization barrier each of the `bands` slice expressions
     # re-evaluates the full shingle+hash pipeline (8x scan cost measured).
     # At production scale this is the standard "signature table" materialization.
-    sigs = df.select(
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n).persist()
+    return candidate_pairs_from_sigs(sigs, k, bands, min_jaccard_est, bucket_cap)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig) signature table — the artifact to materialize/checkpoint."""
+    return df.select(
         F.col(id_col).alias("id"),
         minhash_signature(shingles(F.col(text_col), shingle_n), k).alias("sig"),
-    ).persist()
+    )
+
+
+def candidate_pairs_from_sigs(
+    sigs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_est: float = 0.5,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """LSH band join over a precomputed (id, sig) signature table."""
+    rows = k // bands
     exploded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band")
     )

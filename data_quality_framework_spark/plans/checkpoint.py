@@ -1,15 +1,31 @@
-"""Resumable checkpointing: bucket manifest + idempotent per-bucket writes.
+"""Resumable, EXACT pipeline checkpointing in three phases.
 
 North rule: "resumable from checkpoint with per-partition lineage + metrics".
-In production this is Iceberg snapshot/partition metadata; the sandbox
-equivalent is a JSON manifest of completed url-hash buckets plus
-overwrite-by-bucket parquet writes (same idempotency contract: a bucket is
-either fully written and recorded, or re-done from scratch — task-level
-atomicity comes from Spark's file committer).
+A naive per-bucket pipeline is NOT exact: dedup is a global operator, so
+bucket-local dedup misses cross-bucket content duplicates (measured: +33 kept
+docs per 10k). The production-realistic shape — and what this module
+implements — materializes the per-doc metadata first, dedups globally over
+the (small) metadata table, then writes outputs per bucket:
 
-The bucket function is ``pmod(xxhash64(url), n_buckets)`` — stable across
-runs, partitionings and cluster sizes, so a resumed job processes exactly the
-buckets the interrupted run did not record.
+  Phase A (per url-hash bucket, resumable): scan pages, compute flags +
+          content fingerprint + MinHash signature for heuristic survivors,
+          write a META table per bucket. This is the expensive 80%
+          (text stats + Arrow-UDF scoring) — restart loses at most one bucket.
+  Phase B (global, atomic): exact-dup losers (window over content_md5) +
+          near-dup losers (LSH over signatures) across ALL buckets' metadata.
+          Metadata is ~100 bytes/doc — at 10^12 docs this is a ~100 TB scan
+          problem reduced to ~100 GB of signatures, which is why production
+          dedup always materializes a signature table.
+  Phase C (per bucket, resumable): re-scan the bucket's pages, join the
+          (broadcast-able) loser set + bucket metadata, emit decisions and
+          scrubbed kept docs.
+
+Same-url full duplicates collapse inside Phase A (url-hash bucketing routes
+equal urls to the same bucket by construction).
+
+Manifests are JSON files updated atomically (tmp + rename); bucket outputs are
+overwrite-mode so a re-run of a half-written bucket is idempotent. In
+production these become Iceberg snapshot commits; the contract is identical.
 """
 
 from __future__ import annotations
@@ -18,8 +34,21 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from data_quality_framework_spark.plans.pipeline import (
+    FilterConfig,
+    compute_enriched,
+    drop_reason_expr,
+)
+from data_quality_framework_spark.functions.scrub import scrub_text
+
+META_COLS = [
+    "url", "sort_key", "content_md5", "f_any_heuristic",
+    "f_empty", "f_short", "f_symbol", "f_lowstop", "f_langmismatch", "f_ppl", "f_badts",
+    "word_count", "lang_detected", "ppl", "sig",
+]
 
 
 @dataclass
@@ -27,68 +56,156 @@ class Checkpoint:
     out_dir: str
     n_buckets: int = 16
 
-    @property
-    def manifest_path(self) -> str:
-        return os.path.join(self.out_dir, "_manifest.json")
+    def _manifest(self, phase: str) -> str:
+        return os.path.join(self.out_dir, f"_manifest_{phase}.json")
 
-    def done_buckets(self) -> set[int]:
-        if not os.path.exists(self.manifest_path):
+    def done(self, phase: str) -> set[int]:
+        path = self._manifest(phase)
+        if not os.path.exists(path):
             return set()
-        with open(self.manifest_path) as f:
+        with open(path) as f:
             m = json.load(f)
         if m.get("n_buckets") != self.n_buckets:
             raise ValueError(
-                f"manifest bucket count {m.get('n_buckets')} != configured {self.n_buckets}"
+                f"{phase} manifest bucket count {m.get('n_buckets')} != {self.n_buckets}"
             )
         return set(m.get("done", []))
 
-    def mark_done(self, bucket: int) -> None:
-        done = self.done_buckets() | {bucket}
+    def mark(self, phase: str, bucket: int) -> None:
+        done = self.done(phase) | {bucket}
         os.makedirs(self.out_dir, exist_ok=True)
-        tmp = self.manifest_path + ".tmp"
+        tmp = self._manifest(phase) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"n_buckets": self.n_buckets, "done": sorted(done)}, f)
-        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+        os.replace(tmp, self._manifest(phase))  # atomic on POSIX
+
+    # legacy helpers used by older tests/callers
+    @property
+    def manifest_path(self) -> str:
+        return self._manifest("output")
+
+    def done_buckets(self) -> set[int]:
+        return self.done("output")
+
+    def mark_done(self, bucket: int) -> None:
+        self.mark("output", bucket)
 
 
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
 
-def run_with_checkpoint(
+def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    from data_quality_framework_spark.functions.hashing import minhash_signature, shingles
+
+    enriched = compute_enriched(bucket_pages, cfg)
+    # collapse same-url full duplicates (equal url -> same bucket)
+    w_url = Window.partitionBy("url").orderBy("sort_key")
+    docs = enriched.withColumn("__rn", F.row_number().over(w_url)).filter(
+        F.col("__rn") == 1
+    )
+    sig = F.when(
+        ~F.col("f_any_heuristic"),
+        minhash_signature(shingles(F.col("text"), cfg.shingle_n), cfg.minhash_k),
+    )
+    return docs.withColumn("sig", sig).select(*META_COLS)
+
+
+def _phase_b_losers(spark: SparkSession, meta: DataFrame, cfg: FilterConfig) -> DataFrame:
+    from data_quality_framework_spark.operators.dedup import candidate_pairs_from_sigs
+
+    survivors = meta.filter(~F.col("f_any_heuristic"))
+    w_md5 = Window.partitionBy("content_md5").orderBy("sort_key")
+    ranked = survivors.withColumn("__rn", F.row_number().over(w_md5))
+    exact_losers = ranked.filter(F.col("__rn") != 1).select(
+        "url", F.lit("exact_duplicate").alias("loss_kind")
+    )
+    canon = ranked.filter(F.col("__rn") == 1)
+    sigs = canon.select(F.col("sort_key").alias("id"), "sig", "url")
+    pairs = candidate_pairs_from_sigs(
+        sigs.select("id", "sig"),
+        k=cfg.minhash_k, bands=cfg.minhash_bands,
+        min_jaccard_est=cfg.min_jaccard_est, bucket_cap=cfg.lsh_bucket_cap,
+    )
+    near_losers = (
+        pairs.select(F.col("id_b").alias("id")).distinct()
+        .join(sigs, "id")
+        .select("url", F.lit("near_duplicate").alias("loss_kind"))
+    )
+    return exact_losers.unionByName(near_losers)
+
+
+def resumable_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     ckpt: Checkpoint,
-    process_bucket,
-    buckets_per_batch: int = 4,
-) -> list[int]:
-    """Process url-hash buckets not yet in the manifest; returns buckets run.
+    cfg: FilterConfig = FilterConfig(),
+) -> dict:
+    """Run (or resume) the full pipeline with exact one-shot semantics.
 
-    ``process_bucket(bucket_df) -> DataFrame`` produces the rows to write for
-    that bucket; output lands under ``out_dir/bucket=<i>/`` with
-    mode=overwrite so a re-run of a half-written bucket is idempotent.
+    Returns {"phase_a": [buckets run], "phase_b": bool, "phase_c": [...]}.
     """
-    done = ckpt.done_buckets()
-    todo = [b for b in range(ckpt.n_buckets) if b not in done]
-    ran = []
+    meta_dir = os.path.join(ckpt.out_dir, "meta")
+    losers_path = os.path.join(ckpt.out_dir, "losers")
+    ran = {"phase_a": [], "phase_b": False, "phase_c": []}
+
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
-    for i in range(0, len(todo), buckets_per_batch):
-        batch = todo[i : i + buckets_per_batch]
-        subset = tagged.filter(F.col("__bucket").isin(batch)).drop("__bucket")
-        out = process_bucket(subset)
-        for b in batch:
-            path = os.path.join(ckpt.out_dir, f"bucket={b}")
-            out_b = out.withColumn("__bucket", bucket_col(ckpt.n_buckets)).filter(
-                F.col("__bucket") == b
-            ).drop("__bucket")
-            out_b.write.mode("overwrite").parquet(path)
-            ckpt.mark_done(b)
-            ran.append(b)
+
+    # ---- Phase A: per-bucket metadata -------------------------------------
+    for b in range(ckpt.n_buckets):
+        if b in ckpt.done("meta"):
+            continue
+        bucket_pages = tagged.filter(F.col("__bucket") == b).drop("__bucket")
+        meta = _phase_a_meta(spark, bucket_pages, cfg)
+        meta.write.mode("overwrite").parquet(os.path.join(meta_dir, f"bucket={b}"))
+        ckpt.mark("meta", b)
+        ran["phase_a"].append(b)
+
+    # ---- Phase B: global dedup over metadata (atomic) ---------------------
+    if not os.path.exists(os.path.join(losers_path, "_SUCCESS")):
+        meta = spark.read.parquet(*[
+            os.path.join(meta_dir, f"bucket={b}") for b in range(ckpt.n_buckets)
+        ])
+        _phase_b_losers(spark, meta, cfg).write.mode("overwrite").parquet(losers_path)
+        ran["phase_b"] = True
+
+    losers = spark.read.parquet(losers_path)
+
+    # ---- Phase C: per-bucket decisions + scrubbed output -------------------
+    for b in range(ckpt.n_buckets):
+        if b in ckpt.done("output"):
+            continue
+        meta_b = spark.read.parquet(os.path.join(meta_dir, f"bucket={b}"))
+        meta_b = meta_b.join(losers, "url", "left")
+        decisions = meta_b.select(
+            "url",
+            (~F.col("f_any_heuristic") & F.col("loss_kind").isNull()).alias("keep"),
+            F.when(F.col("f_any_heuristic"), drop_reason_expr(cfg))
+            .otherwise(F.col("loss_kind"))
+            .alias("drop_reason"),
+            "word_count", "lang_detected", "ppl",
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(ckpt.out_dir, "decisions", f"bucket={b}")
+        )
+        kept_urls = decisions.filter(F.col("keep")).select("url")
+        bucket_pages = tagged.filter(F.col("__bucket") == b).drop("__bucket")
+        kept = (
+            bucket_pages.join(kept_urls, "url")
+            .dropDuplicates(["url"])  # same-url full dups are identical rows
+            .withColumn("text_scrubbed", scrub_text(F.col("text")))
+            .select("url", "warc_ts", "lang", "text_scrubbed")
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(ckpt.out_dir, "kept", f"bucket={b}")
+        )
+        ckpt.mark("output", b)
+        ran["phase_c"].append(b)
     return ran
 
 
-def read_checkpointed(spark: SparkSession, ckpt: Checkpoint) -> DataFrame:
-    paths = [
-        os.path.join(ckpt.out_dir, f"bucket={b}") for b in sorted(ckpt.done_buckets())
-    ]
-    return spark.read.parquet(*paths)
+def read_output(spark: SparkSession, ckpt: Checkpoint, what: str = "kept") -> DataFrame:
+    return spark.read.parquet(*[
+        os.path.join(ckpt.out_dir, what, f"bucket={b}")
+        for b in sorted(ckpt.done("output"))
+    ])

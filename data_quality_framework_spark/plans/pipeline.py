@@ -135,17 +135,11 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
     return df.withColumns(flags)
 
 
-def run_pipeline(
-    spark: SparkSession,
-    pages: DataFrame,
-    cfg: FilterConfig = FilterConfig(),
-    per_partition_lineage: bool = True,
-) -> PipelineOutput:
-    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
-
+def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """One wide pass: sort_key + content fingerprint + text stats + Arrow-UDF
+    scores + per-rule violation flags + f_any_heuristic. This is the
+    scan-side 80% of the pipeline; dedup and decisions build on it."""
     rules = _flag_rules(cfg)
-    flag_cols = [f for f, _, _ in rules]
-
     base = (
         pages.withColumn(
             "sort_key",
@@ -156,11 +150,30 @@ def run_pipeline(
     base = with_text_stats(base)
     base = with_scores(base)
     base = _with_flags(base, cfg)
-
     any_flag = F.lit(False)
-    for f in flag_cols:
+    for f, _, _ in rules:
         any_flag = any_flag | F.coalesce(F.col(f), F.lit(True))
-    base = base.withColumn("f_any_heuristic", any_flag)
+    return base.withColumn("f_any_heuristic", any_flag)
+
+
+def drop_reason_expr(cfg: FilterConfig):
+    """Heuristic drop_reason by fixed precedence over the flag columns."""
+    reason = F.lit(None).cast("string")
+    for fcol, rname, _ in reversed(_flag_rules(cfg)):
+        reason = F.when(F.col(fcol), F.lit(rname)).otherwise(reason)
+    return reason
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: FilterConfig = FilterConfig(),
+    per_partition_lineage: bool = True,
+) -> PipelineOutput:
+    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
+
+    rules = _flag_rules(cfg)
+    base = compute_enriched(pages, cfg)
 
     # One wide pass feeds heuristics lineage AND dedup; cache to avoid
     # recomputing the Arrow-UDF scoring for the 3 downstream jobs.
@@ -191,12 +204,8 @@ def run_pipeline(
 
     # --- decision assembly ---------------------------------------------------
     dropped_heur = docs.filter(F.col("f_any_heuristic"))
-    reason = F.lit(None).cast("string")
-    for fcol, rname, _ in reversed(rules):
-        reason = F.when(F.col(fcol), F.lit(rname)).otherwise(reason)
-
     heur_decisions = dropped_heur.select(
-        "url", F.lit(False).alias("keep"), reason.alias("drop_reason"),
+        "url", F.lit(False).alias("keep"), drop_reason_expr(cfg).alias("drop_reason"),
         "word_count", "lang_detected", "ppl",
     )
     surv_decisions = survivors.select(

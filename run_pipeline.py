@@ -54,7 +54,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from data_quality_framework_spark.core.planner import results_to_df
-    from data_quality_framework_spark.plans.checkpoint import Checkpoint, run_with_checkpoint
+    from data_quality_framework_spark.plans.checkpoint import Checkpoint, resumable_pipeline
     from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
     from data_quality_framework_spark.reporters import exit_code, write_csv, write_html
     from data_quality_framework_spark.core.planner import summarize
@@ -73,13 +73,9 @@ def main() -> None:
     t0 = time.time()
 
     if args.resume:
-        ckpt = Checkpoint(out_dir=os.path.join(args.output, "kept"), n_buckets=args.buckets)
-
-        def process(bucket_df):
-            return run_pipeline(spark, bucket_df, cfg, per_partition_lineage=False).kept
-
-        ran = run_with_checkpoint(spark, pages, ckpt, process)
-        print(f"resume mode: processed buckets {ran}")
+        ckpt = Checkpoint(out_dir=args.output, n_buckets=args.buckets)
+        ran = resumable_pipeline(spark, pages, ckpt, cfg)
+        print(f"resume mode: {ran}")
         return
 
     out = run_pipeline(spark, pages, cfg, per_partition_lineage=True)

@@ -1,0 +1,70 @@
+"""3-phase resumable pipeline: exact parity with one-shot, idempotent resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.plans.checkpoint import (
+    Checkpoint,
+    read_output,
+    resumable_pipeline,
+)
+from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def out_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ckpt"))
+
+
+def test_resumable_matches_one_shot(spark, pages_10k, out_dir):
+    ckpt = Checkpoint(out_dir=os.path.join(out_dir, "a"), n_buckets=4)
+    ran = resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
+    assert ran["phase_a"] == [0, 1, 2, 3]
+    assert ran["phase_b"] is True
+    assert ran["phase_c"] == [0, 1, 2, 3]
+
+    one_shot = run_pipeline(spark, pages_10k, FilterConfig(), per_partition_lineage=False)
+
+    ck_dec = read_output(spark, ckpt, "decisions").select("url", "keep", "drop_reason")
+    os_dec = one_shot.decisions.select("url", "keep", "drop_reason")
+    assert ck_dec.count() == os_dec.count()
+    assert ck_dec.exceptAll(os_dec).count() == 0
+    assert os_dec.exceptAll(ck_dec).count() == 0
+
+    # kept text byte-identical to one-shot output
+    ck_kept = read_output(spark, ckpt, "kept").select("url", "text_scrubbed")
+    os_kept = one_shot.kept.select("url", "text_scrubbed")
+    assert ck_kept.exceptAll(os_kept).count() == 0
+    assert os_kept.exceptAll(ck_kept).count() == 0
+
+    # second invocation: everything already done -> no work
+    ran2 = resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
+    assert ran2 == {"phase_a": [], "phase_b": False, "phase_c": []}
+
+
+def test_resume_after_partial_failure(spark, pages_10k, out_dir):
+    ckpt = Checkpoint(out_dir=os.path.join(out_dir, "b"), n_buckets=4)
+    resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
+    before = read_output(spark, ckpt, "kept")
+    n_before = before.count()
+
+    # simulate a crash that lost output bucket 2 and meta bucket 3
+    mpath = os.path.join(ckpt.out_dir, "_manifest_output.json")
+    m = json.load(open(mpath))
+    m["done"] = [0, 1, 3]
+    json.dump(m, open(mpath, "w"))
+    mpath_a = os.path.join(ckpt.out_dir, "_manifest_meta.json")
+    ma = json.load(open(mpath_a))
+    ma["done"] = [0, 1, 2]
+    json.dump(ma, open(mpath_a, "w"))
+    shutil.rmtree(os.path.join(ckpt.out_dir, "losers"))
+
+    ran = resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
+    assert ran["phase_a"] == [3]
+    assert ran["phase_b"] is True
+    assert ran["phase_c"] == [2]
+    assert read_output(spark, ckpt, "kept").count() == n_before
