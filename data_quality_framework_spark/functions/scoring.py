@@ -92,36 +92,83 @@ def lang_confidence(texts: pd.Series) -> pd.Series:
     return pd.Series(conf, dtype="float64")
 
 
+# 128-entry log-prob lookup table for ASCII codepoints; everything else floors.
+_LOGP_TABLE = np.full(128, _FLOOR_LOGP, dtype="float64")
+for _c, _lp in _LETTER_LOGP.items():
+    _LOGP_TABLE[ord(_c)] = _lp
+    _LOGP_TABLE[ord(_c.upper())] = _lp
+_LOGP_TABLE[ord(" ")] = _SPACE_LOGP
+
+
+def _ppl_vec(texts: pd.Series) -> np.ndarray:
+    """Vectorized char-unigram perplexity: one UTF-32 decode of the whole
+    batch, table lookup, segment sums via add.reduceat — no per-char or
+    per-letter Python passes (the 27x str.count variant anti-scaled)."""
+    s = texts.fillna("")
+    lengths = s.str.len().to_numpy(dtype="int64")
+    total = int(lengths.sum())
+    out = np.zeros(len(s), dtype="float64")
+    if total == 0:
+        out[:] = np.inf
+        return out
+    codes = np.frombuffer("".join(s.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    logp = np.where(codes < 128, _LOGP_TABLE[np.minimum(codes, 127)], _FLOOR_LOGP)
+    starts = np.zeros(len(s), dtype="int64")
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    # reduceat needs strictly valid start offsets; empty rows handled after
+    sums = np.add.reduceat(logp, np.minimum(starts, total - 1))
+    sums[~nonempty] = 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(nonempty, np.exp(-sums / np.maximum(lengths, 1)), np.inf)
+    return out
+
+
 @pandas_udf(T.DoubleType())
 def perplexity(texts: pd.Series) -> pd.Series:
     """Character-unigram perplexity under the fixed English LM (see module doc)."""
-    s = texts.fillna("").str.lower()
-    lengths = s.str.len().to_numpy(dtype="float64")
-    logp_sum = np.zeros(len(s), dtype="float64")
-    counted = np.zeros(len(s), dtype="float64")
-    for ch, lp in _LETTER_LOGP.items():
-        n = s.str.count(ch).to_numpy(dtype="float64")
-        logp_sum += n * lp
-        counted += n
-    n_space = s.str.count(" ").to_numpy(dtype="float64")
-    logp_sum += n_space * _SPACE_LOGP
-    counted += n_space
-    other = np.maximum(lengths - counted, 0.0)
-    logp_sum += other * _FLOOR_LOGP
-    with np.errstate(divide="ignore", invalid="ignore"):
-        mean_nll = np.where(lengths > 0, -logp_sum / np.maximum(lengths, 1.0), 0.0)
-    ppl = np.exp(mean_nll)
-    ppl[lengths == 0] = float("inf")
-    return pd.Series(ppl, dtype="float64")
+    return pd.Series(_ppl_vec(texts), dtype="float64")
+
+
+_SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("lang_detected", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_SCORES_SCHEMA)
+def score_text(texts: pd.Series) -> pd.DataFrame:
+    """langid + confidence + perplexity in ONE Arrow round trip.
+
+    Three separate pandas UDF columns ship the text column to Python three
+    times and pay three worker spin-ups per task — measured 2-3x slower than
+    JVM work at local[32]. One struct-returning UDF amortizes all of it.
+    """
+    scores = _score_frame(texts)
+    scores = scores[sorted(scores.columns)]
+    best = scores.idxmax(axis=1)
+    total = scores.sum(axis=1)
+    mx = scores.max(axis=1)
+    best[mx <= 0] = UNKNOWN_LANG
+    conf = np.where(total > 0, mx / total.clip(lower=1), 0.0)
+    return pd.DataFrame(
+        {
+            "lang_detected": best,
+            "lang_conf": conf.astype("float64"),
+            "ppl": _ppl_vec(texts),
+        }
+    )
 
 
 def with_scores(df, text_col: str = "text"):
-    """Attach lang_detected / lang_confidence / ppl columns (2 Arrow UDF stages)."""
-    text = F.col(text_col)
-    return df.withColumns(
-        {
-            "lang_detected": detect_lang(text),
-            "lang_conf": lang_confidence(text),
-            "ppl": perplexity(text),
-        }
+    """Attach lang_detected / lang_conf / ppl via a single Arrow UDF stage."""
+    scored = df.withColumn("__scores", score_text(F.col(text_col)))
+    return (
+        scored.withColumn("lang_detected", F.col("__scores.lang_detected"))
+        .withColumn("lang_conf", F.col("__scores.lang_conf"))
+        .withColumn("ppl", F.col("__scores.ppl"))
+        .drop("__scores")
     )

@@ -54,17 +54,34 @@ def is_blank(text: Column) -> Column:
     return text.isNull() | text.rlike(r"^\s*$")
 
 
+def _stop_token_count(words: Column) -> Column:
+    """Tokens whose lower() is in STOPWORDS (repeats counted).
+
+    The membership array MUST be a literal: any composite subexpression placed
+    inside a higher-order-function lambda is re-evaluated PER ELEMENT (no
+    let-binding in Catalyst) — an array_intersect "optimization" there turned
+    O(tokens x 87) into O(tokens^2 x 87), 12x slower end-to-end.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+
+
 def with_text_stats(
     df: DataFrame,
     text_col: str = "text",
     keep_words: bool = False,
+    full: bool = True,
 ) -> DataFrame:
-    """Attach all metric columns in one projection (single codegen stage)."""
+    """Attach metric columns in one projection.
+
+    ``full=False`` computes only the metrics the quality-filter rules consume
+    (word_count, char_count, mean_word_len, symbol_ratio, stopword_fraction,
+    is_blank_text) — the per-token/per-line extras (alpha fraction, bullet /
+    ellipsis / dup-line ratios) are interpreted higher-order functions whose
+    allocations dominate the scan at high parallelism.
+    """
     text = F.col(text_col)
     words = words_col(text)
-    lines = F.when(is_blank(text), F.array().cast("array<string>")).otherwise(
-        F.split(text, r"\n")
-    )
 
     wc = F.size(words)
     cc = F.coalesce(F.length(text), F.lit(0))
@@ -73,37 +90,47 @@ def with_text_stats(
         F.coalesce(text, F.lit(""))
     ) - F.length(F.regexp_replace(F.coalesce(text, F.lit("")), r"[#*…]|\.{3}", ""))
 
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    stop_hits = F.size(F.array_intersect(words, stop_arr))  # distinct-hit variant
-    # exact token-level fraction (counts repeats) via higher-order filter:
-    stop_tokens = F.size(
-        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
-    )
-    alpha_tokens = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ɏ一-鿿]")))
+    cols = {
+        "word_count": wc.cast("int"),
+        "char_count": cc.cast("int"),
+        "mean_word_len": F.when(wc > 0, nonspace.cast("double") / wc).otherwise(F.lit(0.0)),
+        "symbol_ratio": F.when(cc > 0, symbols.cast("double") / cc).otherwise(F.lit(0.0)),
+        "stopword_fraction": F.when(
+            wc > 0, _stop_token_count(words).cast("double") / wc
+        ).otherwise(F.lit(0.0)),
+        "is_blank_text": is_blank(text),
+    }
 
-    lc = F.size(lines)
-    distinct_lines = F.size(F.array_distinct(lines))
-    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
-    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    if full:
+        lines = F.when(is_blank(text), F.array().cast("array<string>")).otherwise(
+            F.split(text, r"\n")
+        )
+        lc = F.size(lines)
+        distinct_lines = F.size(F.array_distinct(lines))
+        bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+        alpha_tokens = F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ɏ一-鿿]")))
+        cols.update(
+            {
+                "distinct_stopword_hits": F.size(F.array_intersect(words, stop_arr)).cast("int"),
+                "alpha_word_fraction": F.when(
+                    wc > 0, alpha_tokens.cast("double") / wc
+                ).otherwise(F.lit(0.0)),
+                "line_count": lc.cast("int"),
+                "dup_line_fraction": F.when(
+                    lc > 0, (lc - distinct_lines).cast("double") / lc
+                ).otherwise(F.lit(0.0)),
+                "bullet_line_fraction": F.when(
+                    lc > 0, bullet_lines.cast("double") / lc
+                ).otherwise(F.lit(0.0)),
+                "ellipsis_line_fraction": F.when(
+                    lc > 0, ellipsis_lines.cast("double") / lc
+                ).otherwise(F.lit(0.0)),
+            }
+        )
 
-    out = df.withColumns(
-        {
-            "word_count": wc.cast("int"),
-            "char_count": cc.cast("int"),
-            "mean_word_len": F.when(wc > 0, nonspace.cast("double") / wc).otherwise(F.lit(0.0)),
-            "symbol_ratio": F.when(cc > 0, symbols.cast("double") / cc).otherwise(F.lit(0.0)),
-            "stopword_fraction": F.when(wc > 0, stop_tokens.cast("double") / wc).otherwise(F.lit(0.0)),
-            "distinct_stopword_hits": stop_hits.cast("int"),
-            "alpha_word_fraction": F.when(wc > 0, alpha_tokens.cast("double") / wc).otherwise(F.lit(0.0)),
-            "line_count": lc.cast("int"),
-            "dup_line_fraction": F.when(
-                lc > 0, (lc - distinct_lines).cast("double") / lc
-            ).otherwise(F.lit(0.0)),
-            "bullet_line_fraction": F.when(lc > 0, bullet_lines.cast("double") / lc).otherwise(F.lit(0.0)),
-            "ellipsis_line_fraction": F.when(lc > 0, ellipsis_lines.cast("double") / lc).otherwise(F.lit(0.0)),
-            "is_blank_text": is_blank(text),
-        }
-    )
+    out = df.withColumns(cols)
     if keep_words:
         out = out.withColumn("__words", words)
     return out

@@ -141,13 +141,14 @@ def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     scan-side 80% of the pipeline; dedup and decisions build on it."""
     rules = _flag_rules(cfg)
     base = (
-        pages.withColumn(
+        pages.drop("html")  # unused downstream; never cache raw page bytes
+        .withColumn(
             "sort_key",
             F.concat(F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col("url")),
         )
         .withColumn("content_md5", fingerprint(F.col("text")))
     )
-    base = with_text_stats(base)
+    base = with_text_stats(base, full=False)
     base = with_scores(base)
     base = _with_flags(base, cfg)
     any_flag = F.lit(False)

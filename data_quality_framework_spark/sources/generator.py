@@ -167,6 +167,43 @@ def _pick(seq, *salt: int) -> str:
     return seq[_mix(*salt) % len(seq)]
 
 
+# numpy-vectorized tail of _mix: same splitmix64 rounds, wrapping uint64 ops.
+# Word generation is the generator's hot loop (~2.6 ms/doc pure-Python); the
+# vectorized path produces BIT-IDENTICAL output (asserted in tests).
+import numpy as _np
+
+_C1 = _np.uint64(0xBF58476D1CE4E5B9)
+_C2 = _np.uint64(0x94D049BB133111EB)
+
+
+def _mix_head(doc_id: int) -> int:
+    return _mix(doc_id)
+
+
+def _mix_tail_vec(h1: int, salts: "_np.ndarray") -> "_np.ndarray":
+    with _np.errstate(over="ignore"):
+        h = _np.uint64(h1) + salts.astype(_np.uint64)
+        h ^= h >> _np.uint64(30)
+        h *= _C1
+        h ^= h >> _np.uint64(27)
+        h *= _C2
+        h ^= h >> _np.uint64(31)
+    return h
+
+
+_VOCAB_NP: dict[tuple[str, str], "_np.ndarray"] = {}
+
+
+def _np_vocab(kind: str, lang: str) -> "_np.ndarray":
+    key = (kind, lang)
+    arr = _VOCAB_NP.get(key)
+    if arr is None:
+        src = GEN_STOP[lang] if kind == "stop" else GEN_CONTENT[lang]
+        arr = _np.array(src, dtype=object)
+        _VOCAB_NP[key] = arr
+    return arr
+
+
 # --------------------------------------------------------------------------
 # per-id document builder (pure function of id)
 # --------------------------------------------------------------------------
@@ -176,22 +213,32 @@ def _lang_for(doc_id: int) -> str:
 
 
 def _base_words(doc_id: int, lang: str, n_words: int, with_stops: bool = True) -> list[str]:
-    stops, content = GEN_STOP[lang], GEN_CONTENT[lang]
-    words = []
-    for i in range(n_words):
-        if with_stops and i % 3 == 1:
-            words.append(_pick(stops, doc_id, 100 + i))
-        elif _mix(doc_id, 400 + i) % 2 == 0:
-            # hyphen compound: squares the effective content vocabulary so the
-            # shingle space is ~10^7 and UNRELATED docs share ~0 shingles —
-            # keeps MinHash-LSH false-candidate rates negligible (the tiny-vocab
-            # failure mode is baseline shingle Jaccard ~0.15 between clean docs).
-            words.append(
-                _pick(content, doc_id, 200 + i) + "-" + _pick(content, doc_id, 300 + i)
-            )
-        else:
-            words.append(_pick(content, doc_id, 200 + i))
-    return words
+    """Vectorized word synthesis; semantics (per position i):
+
+    * with_stops and i%3==1        -> stopword pick (salt 100+i)
+    * elif mix(doc_id,400+i)%2==0  -> hyphen compound (salts 200+i, 300+i);
+      compounds square the effective content vocabulary so the shingle space
+      is ~10^7 and UNRELATED docs share ~0 shingles — keeps MinHash-LSH
+      false-candidate rates negligible (the tiny-vocab failure mode is
+      baseline shingle Jaccard ~0.15 between clean docs)
+    * else                         -> single content pick (salt 200+i)
+    """
+    content = _np_vocab("content", lang)
+    stops = _np_vocab("stop", lang)
+    i = _np.arange(n_words, dtype=_np.uint64)
+    h1 = _mix_head(doc_id)
+    hc = _mix_tail_vec(h1, _np.uint64(200) + i) % _np.uint64(len(content))
+    words = content[hc.astype(_np.int64)].copy()
+    comp_mask = (_mix_tail_vec(h1, _np.uint64(400) + i) % _np.uint64(2)) == 0
+    if comp_mask.any():
+        hc2 = _mix_tail_vec(h1, _np.uint64(300) + i) % _np.uint64(len(content))
+        second = content[hc2.astype(_np.int64)]
+        words[comp_mask] = words[comp_mask] + "-" + second[comp_mask]
+    if with_stops:
+        stop_mask = (_np.arange(n_words) % 3) == 1
+        hs = _mix_tail_vec(h1, _np.uint64(100) + i) % _np.uint64(len(stops))
+        words[stop_mask] = stops[hs.astype(_np.int64)][stop_mask]
+    return words.tolist()
 
 
 def _lines_from_words(words: list[str], per_line: int = 12) -> list[str]:

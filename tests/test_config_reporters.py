@@ -1,0 +1,72 @@
+"""Config loading (reference YAML shape + env substitution) and reporters."""
+
+import os
+
+from data_quality_framework_spark.config import load_rules_file, load_yaml
+from data_quality_framework_spark.core.rules import CheckResult, CheckStatus
+from data_quality_framework_spark.reporters import exit_code, write_csv, write_html
+
+
+def test_yaml_rules_reference_shape(tmp_path):
+    p = tmp_path / "null_rules.yml"
+    p.write_text(
+        """
+null_rules:
+  - rule_id: "NULL-001"
+    description: "name null check"
+    table: "src_customers"
+    column: "customer_name"
+    max_null_ratio: 0.0
+    include_empty_string: true
+    enabled: true
+  - rule_id: "NULL-009"
+    description: "disabled"
+    table: "t"
+    column: "c"
+    enabled: false
+"""
+    )
+    rules = load_rules_file(p)
+    assert len(rules) == 1  # enabled-filtered, config_loader.py:96-98 parity
+    r = rules[0]
+    assert r.check_type == "null"
+    assert r.p("include_empty_string") is True
+
+
+def test_env_substitution(tmp_path, monkeypatch):
+    monkeypatch.setenv("DQ_HOST", "myhost")
+    p = tmp_path / "db.yml"
+    p.write_text("host: ${DQ_HOST}\nport: ${DQ_PORT:-3306}\n")
+    cfg = load_yaml(p)
+    assert cfg["host"] == "myhost"
+    assert cfg["port"] == "3306"
+
+
+def _results():
+    return [
+        CheckResult(rule_id="R1", check_type="null", status=CheckStatus.PASS,
+                    total_rows=10, violation_count=0),
+        CheckResult(rule_id="R2", check_type="range", status=CheckStatus.FAIL,
+                    total_rows=10, violation_count=3, violation_ratio=0.3),
+        CheckResult(rule_id="R2", check_type="range", status=CheckStatus.FAIL,
+                    total_rows=5, violation_count=2, partition_id=0),
+    ]
+
+
+def test_csv_and_html_reports(tmp_path):
+    results = _results()
+    summary = {"total_checks": 2, "passed": 1, "failed": 1, "pass_rate": 50.0}
+    csv_path = write_csv(results, summary, str(tmp_path))
+    html_path = write_html(results, summary, str(tmp_path))
+    csv_text = open(csv_path).read()
+    assert "R1" in csv_text and "FAIL" in csv_text and "# pass_rate: 50.0" in csv_text
+    html_text = open(html_path).read()
+    assert "R2" in html_text and "PASS" in html_text
+    # partition rows excluded from the dashboard: 2 table-level rows only
+    assert html_text.count("<tr class=") == 2
+
+
+def test_exit_code_semantics():
+    assert exit_code(_results()) == 1
+    ok = [CheckResult(rule_id="R", check_type="null", status=CheckStatus.WARNING)]
+    assert exit_code(ok) == 0  # WARNING does not fail the run (main.py:219-228)

@@ -42,6 +42,26 @@ def test_doc_for_id_deterministic():
     assert a == b
 
 
+def test_doc_for_id_pinned_hashes():
+    """Generator output is a frozen contract (labels/scrubbed text derive from
+    it); any change to the mixing or vocab invalidates planted-budget tuning."""
+    import hashlib, json
+
+    pinned = {
+        0: "deefd315e03e8ec0c2886bb8e0e866c7",
+        100: "391f32ac87050d35d6097e95e2bb02be",
+        500: "6000c458088ef181c343e0876fbbc50b",
+        950: "3a33a7695349aa71e1b689d058b94d7b",
+        1350: "204d94cf62731274fa732997b1137553",
+        19999: "f2a840c7a20b8ecf0b159d1c0a28bf40",
+    }
+    for i, expect in pinned.items():
+        got = hashlib.md5(
+            json.dumps(doc_for_id(i), sort_keys=True, default=str).encode()
+        ).hexdigest()
+        assert got == expect, i
+
+
 def test_planted_budget_counts(labels_10k):
     counts = {
         r["drop_reason"]: r["n"]
