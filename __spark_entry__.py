@@ -296,6 +296,20 @@ def _q_j6(spark, sf):  # J6: distributed full-outer join-compare (reference did
     )
 
 
+def _q_j9(spark, sf):  # J9: plain inner join + group (ETL-transform analog)
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_j7(spark, sf):  # J7: existence both directions via anti joins
     s = _t(spark, sf, "customer").select(F.col("c_custkey").alias("k")).distinct()
     t = _t(spark, sf, "orders").select(F.col("o_custkey").alias("k")).distinct()
@@ -493,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_daily_count_compare": _q_j5,
         "j6_join_compare": _q_j6,
         "j7_existence": _q_j7,
+        "j9_inner_join": _q_j9,
         "j8_window_dup_detail": _q_j8,
         "o1_top_dup_groups": _q_o1,
         "u1_union_counts": _q_u1,
@@ -650,6 +665,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN s.s_mark IS NOT NULL AND t.t_mark IS NOT NULL
                              AND abs(s.sv - t.tv) > 10000.0 THEN 1 ELSE 0 END) AS value_mismatch
             FROM s FULL OUTER JOIN t USING (k)
+        """,
+        "j9_inner_join": """
+            SELECT c.c_mktsegment, count(*) AS order_count,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "j7_existence": """
             SELECT mt.missing_in_target, ms.missing_in_source

@@ -50,6 +50,11 @@ def run_at(cpus: int, n_docs: int, input_path: str) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.driver.memory=16g",
+        # scan-split sizing: default 128m bin-packs the ~660MB/1M-doc input
+        # into ~6 tasks, capping BOTH legs at 6-way scan parallelism (measured
+        # efficiency 0.32). 16m yields ~40 splits — full waves on 8 and 32
+        # cores alike. At 100TB the same lever is Iceberg's split size.
+        "--conf", "spark.sql.files.maxPartitionBytes=16777216",
         "--py-files", os.path.join(ROOT, "dq_spark.zip"),
         os.path.join(ROOT, "run_pipeline.py"),
         "--input", input_path,

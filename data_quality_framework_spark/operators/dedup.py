@@ -93,10 +93,31 @@ def minhash_candidate_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig) signature table — the artifact to materialize/checkpoint."""
-    return df.select(
+    """(id, sig) signature table — the artifact to materialize/checkpoint.
+
+    Explode-then-aggregate formulation: one row per shingle, then
+    ``groupBy(id).agg(min((a_i*h+b_i) mod p), ...)`` — a whole-stage-codegen
+    hash aggregate with map-side partial aggregation, so the shuffle carries
+    one partial row per doc, not per shingle. The expression-level
+    ``minhash_signature`` (fold over HOF arrays) allocates ~shingles x k
+    objects per doc in interpreted mode and COLLAPSES under GC at scale
+    (measured 133s/1M docs at 8 cores, 161s at 32 — anti-scaling); this
+    version is pure primitive codegen.
+    """
+    from data_quality_framework_spark.functions.hashing import MINHASH_PRIME, _minhash_coeffs
+
+    p = F.lit(MINHASH_PRIME)
+    coeffs = _minhash_coeffs(k)
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), k).alias("sig"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select("id", F.pmod(F.xxhash64("sh"), p).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return exploded.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
 
 

@@ -96,7 +96,7 @@ def bucket_col(n_buckets: int):
 
 
 def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfig) -> DataFrame:
-    from data_quality_framework_spark.functions.hashing import minhash_signature, shingles
+    from data_quality_framework_spark.operators.dedup import minhash_signatures
 
     enriched = compute_enriched(bucket_pages, cfg)
     # collapse same-url full duplicates (equal url -> same bucket)
@@ -104,11 +104,12 @@ def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfi
     docs = enriched.withColumn("__rn", F.row_number().over(w_url)).filter(
         F.col("__rn") == 1
     )
-    sig = F.when(
-        ~F.col("f_any_heuristic"),
-        minhash_signature(shingles(F.col("text"), cfg.shingle_n), cfg.minhash_k),
-    )
-    return docs.withColumn("sig", sig).select(*META_COLS)
+    sigs = minhash_signatures(
+        docs.filter(~F.col("f_any_heuristic")), "sort_key", "text",
+        k=cfg.minhash_k, shingle_n=cfg.shingle_n,
+    ).withColumnRenamed("id", "sort_key")
+    docs = docs.join(sigs, "sort_key", "left")
+    return docs.select(*META_COLS)
 
 
 def _phase_b_losers(spark: SparkSession, meta: DataFrame, cfg: FilterConfig) -> DataFrame:

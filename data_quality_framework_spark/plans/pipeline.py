@@ -177,17 +177,45 @@ def run_pipeline(
     base = compute_enriched(pages, cfg)
 
     # One wide pass feeds heuristics lineage AND dedup; cache to avoid
-    # recomputing the Arrow-UDF scoring for the 3 downstream jobs.
+    # recomputing the Arrow-UDF scoring for the downstream jobs.
     base = base.persist()
 
+    # Dedup principle: SHUFFLE METADATA, NOT DATA. Window functions over
+    # url/md5 would shuffle the full text payload twice (~GBs); instead a
+    # narrow (key, sort_key) aggregation finds each duplicate group's
+    # canonical, and only the (small) dup-group verdicts broadcast-join back
+    # onto the cached rows. If a pathological corpus makes the dup set huge,
+    # AQE demotes the broadcast to a shuffle join — correctness unaffected.
+
     # --- url-level collapse (full-row duplicates share the url) -------------
-    w_url = Window.partitionBy("url").orderBy("sort_key")
-    docs = base.withColumn("__rn", F.row_number().over(w_url)).filter(F.col("__rn") == 1).drop("__rn")
+    url_dups = (
+        base.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("sort_key").alias("__url_canon"))
+        .filter(F.col("__n") > 1)
+        .select("url", "__url_canon")
+    )
+    docs = base.join(F.broadcast(url_dups), "url", "left")
+    docs = docs.filter(
+        F.col("__url_canon").isNull() | (F.col("sort_key") == F.col("__url_canon"))
+    )
+    # full-row duplicates share the sort_key too -> both survive the filter;
+    # collapse ONLY that tiny subset (rows are identical, any pick is exact)
+    dup_part = docs.filter(F.col("__url_canon").isNotNull()).dropDuplicates(["url"])
+    docs = docs.filter(F.col("__url_canon").isNull()).unionByName(dup_part).drop("__url_canon")
 
     # --- exact content dedup among heuristic survivors ----------------------
     survivors = docs.filter(~F.col("f_any_heuristic"))
-    w_md5 = Window.partitionBy("content_md5").orderBy("sort_key")
-    survivors = survivors.withColumn("f_exact_dup", F.row_number().over(w_md5) != 1)
+    md5_dups = (
+        survivors.groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("sort_key").alias("__md5_canon"))
+        .filter(F.col("__n") > 1)
+        .select("content_md5", "__md5_canon")
+    )
+    survivors = survivors.join(F.broadcast(md5_dups), "content_md5", "left")
+    survivors = survivors.withColumn(
+        "f_exact_dup",
+        F.col("__md5_canon").isNotNull() & (F.col("sort_key") != F.col("__md5_canon")),
+    ).drop("__md5_canon")
 
     # --- near-dup (MinHash-LSH) among exact-canonical survivors -------------
     canon = survivors.filter(~F.col("f_exact_dup"))
@@ -198,7 +226,9 @@ def run_pipeline(
         bucket_cap=cfg.lsh_bucket_cap,
     )
     losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
-    survivors = survivors.join(losers.withColumn("f_near_dup", F.lit(True)), "sort_key", "left")
+    survivors = survivors.join(
+        F.broadcast(losers.withColumn("f_near_dup", F.lit(True))), "sort_key", "left"
+    )
     survivors = survivors.withColumn(
         "f_near_dup", F.coalesce(F.col("f_near_dup") & ~F.col("f_exact_dup"), F.lit(False))
     )
