@@ -115,6 +115,7 @@ class PipelineOutput:
     decisions: DataFrame          # url, keep, drop_reason, metrics...
     kept: DataFrame               # url, warc_ts, lang, text_scrubbed
     results: list[CheckResult] = field(default_factory=list)
+    annotated: Optional[DataFrame] = None  # superset df: write once, derive views
 
 
 def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -233,31 +234,45 @@ def run_pipeline(
         "f_near_dup", F.coalesce(F.col("f_near_dup") & ~F.col("f_exact_dup"), F.lit(False))
     )
 
-    # --- decision assembly ---------------------------------------------------
-    dropped_heur = docs.filter(F.col("f_any_heuristic"))
-    heur_decisions = dropped_heur.select(
-        "url", F.lit(False).alias("keep"), drop_reason_expr(cfg).alias("drop_reason"),
-        "word_count", "lang_detected", "ppl",
+    # --- decision assembly: ONE unified plan -----------------------------
+    # decisions and kept are projections of a single `annotated` DataFrame so
+    # a caller can materialize the whole pipeline with ONE write and derive
+    # every view from the stored result (run_pipeline.py does exactly that;
+    # three independent actions re-executed the dedup DAG three times).
+    out_cols = [
+        "url", "warc_ts", "lang", "lang_detected", "ppl", "word_count",
+        "keep", "drop_reason", "text_scrubbed",
+    ]
+    dropped_heur = (
+        docs.filter(F.col("f_any_heuristic"))
+        .withColumn("keep", F.lit(False))
+        .withColumn("drop_reason", drop_reason_expr(cfg))
     )
-    surv_decisions = survivors.select(
-        "url",
-        (~F.col("f_exact_dup") & ~F.col("f_near_dup")).alias("keep"),
-        F.when(F.col("f_exact_dup"), "exact_duplicate")
-        .when(F.col("f_near_dup"), "near_duplicate")
-        .otherwise(F.lit(None))
-        .alias("drop_reason"),
-        "word_count", "lang_detected", "ppl",
+    surv = (
+        survivors.withColumn("keep", ~F.col("f_exact_dup") & ~F.col("f_near_dup"))
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("f_exact_dup"), "exact_duplicate")
+            .when(F.col("f_near_dup"), "near_duplicate")
+            .otherwise(F.lit(None)),
+        )
     )
-    decisions = heur_decisions.unionByName(surv_decisions)
-
-    kept = (
-        survivors.filter(~F.col("f_exact_dup") & ~F.col("f_near_dup"))
-        .withColumn("text_scrubbed", scrub_text(F.col("text")))
-        .select("url", "warc_ts", "lang", "lang_detected", "ppl", "text_scrubbed")
+    scrubbed = F.when(F.col("keep"), scrub_text(F.col("text")))  # scrub kept docs only
+    annotated = (
+        dropped_heur.withColumn("text_scrubbed", scrubbed).select(*out_cols)
+        .unionByName(surv.withColumn("text_scrubbed", scrubbed).select(*out_cols))
+    )
+    decisions = annotated.select(
+        "url", "keep", "drop_reason", "word_count", "lang_detected", "ppl"
+    )
+    kept = annotated.filter(F.col("keep")).select(
+        "url", "warc_ts", "lang", "lang_detected", "ppl", "text_scrubbed"
     )
 
     results = _lineage(base, rules, per_partition_lineage)
-    return PipelineOutput(decisions=decisions, kept=kept, results=results)
+    return PipelineOutput(
+        decisions=decisions, kept=kept, results=results, annotated=annotated
+    )
 
 
 def _lineage(
@@ -292,6 +307,28 @@ def _lineage(
         for row in base.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs).collect():
             results.extend(to_results(row, int(row["__pid"])))
     return results
+
+
+def dedup_lineage(annotated: DataFrame) -> list[CheckResult]:
+    """Table-level CheckResults for the two dedup rules, derived from the
+    materialized annotated output (one cheap aggregation over parquet)."""
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("drop_reason") == "exact_duplicate", 1).otherwise(0)).alias("exact"),
+        F.sum(F.when(F.col("drop_reason") == "near_duplicate", 1).otherwise(0)).alias("near"),
+    ).collect()[0]
+    total = int(row["total"])
+    out = []
+    for rule, viol in ((DEDUP_RULES[0], int(row["exact"])), (DEDUP_RULES[1], int(row["near"]))):
+        out.append(
+            make_result(
+                rule, "duplicate",
+                CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+                total_rows=total, violation_count=viol,
+                details={"columns": list(rule.columns)},
+            )
+        )
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Operator-level tests: dedup variants, ANN similarity, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_stats,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from data_quality_framework_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_topk_join,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    rows = [
+        (1, base),
+        (2, base),                          # exact dup of 1
+        (3, base + " extra trailing words"),  # near dup of 1
+        (4, "completely different content about distributed query engines " * 8),
+        (5, "yet another unrelated document mentioning parquet and arrow " * 8),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_canonical(spark, docs):
+    out = exact_dedup(docs, "doc_id")
+    canon = {r["doc_id"]: r["is_canonical"] for r in out.collect()}
+    assert canon == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_exact_dup_stats(spark, docs):
+    row = exact_dup_stats(docs, ["text"]).collect()[0]
+    assert row["dup_groups"] == 1
+    assert row["dup_rows"] == 1
+
+
+def test_minhash_pairs_find_near_dup(spark, docs):
+    pairs = minhash_candidate_pairs(docs, "doc_id", k=16, bands=8, min_jaccard_est=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got      # exact dup -> est 1.0
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert not any({4, 5} & {a, b} for a, b in got if (a, b) != (4, 5))
+
+
+def test_ngram_jaccard_exact_verification(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, min_jaccard=0.5, k=16, bands=8)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0
+    near = rows.get((1, 3)) or rows.get((2, 3))
+    assert near is not None and 0.5 < near < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64).astype("float32")
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(64).astype("float32")
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in (base + 0.01 * rng.standard_normal(64).astype("float32"))]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+    top = brute_force_topk(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] == 1.0
+    assert top[1]["vec_id"] == 101 and top[1]["cosine"] > 0.99
+
+
+def test_lsh_topk_finds_true_neighbor(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+    top = lsh_topk(vectors, q, k=3, planes=8, multiprobe_bits=1)
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids and ids[0] == 100
+    # identical-direction near-dup shares the bucket -> must be found
+    assert 101 in ids
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = embedding_near_dup_pairs(vectors, min_cosine=0.95, planes=8, dim=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert len(got) <= 3  # random vectors in 64-d almost never hit 0.95
+
+
+def test_pairwise_topk_join(spark, vectors):
+    out = pairwise_topk_join(
+        vectors.filter(F.col("vec_id").isin(100, 101)), vectors, k=2, planes=6
+    )
+    by_query = {}
+    for r in out.collect():
+        by_query.setdefault(r["query_id"], []).append(r["corpus_id"])
+    assert 101 in by_query.get(100, [])
+    assert 100 in by_query.get(101, [])
+
+
+def test_multimodal_feature_stub(spark, docs):
+    from data_quality_framework_spark.operators.multimodal import (
+        extract_image_features,
+        frame_sample_plan,
+    )
+
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_image_features(media, "doc_id", "payload", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload -> same feature (docs 1 and 2 share text)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["feature"] == by_id[2]["feature"]
+    assert by_id[1]["sha256"] == by_id[2]["sha256"]
+
+    vids = spark.createDataFrame([(1, 3500), (2, 0)], "doc_id long, duration_ms long")
+    plan = frame_sample_plan(vids, every_ms=1000)
+    per_doc = {r["doc_id"]: [] for r in plan.collect()}
+    for r in plan.collect():
+        per_doc[r["doc_id"]].append(r["frame_ts_ms"])
+    assert sorted(per_doc[1]) == [0, 1000, 2000, 3000]
+    assert sorted(per_doc[2]) == [0]
