@@ -45,6 +45,11 @@ def main() -> None:
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
 
+    # untimed warm-up: JIT + python-worker spawn are ~tens of seconds of
+    # scale-independent cost on a cold JVM (0% of a production-sized job)
+    run_pipeline(spark, gen_pages(spark, 10000), FilterConfig(),
+                 per_partition_lineage=False).decisions.count()
+
     for name in HEADLINE:
         t0 = time.time()
         df = qmap[name](spark, SF_DIR)
