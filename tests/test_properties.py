@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis): scrub invariants, verdict laws,
+tokenization parity, minhash estimator bounds.
+
+Spark-backed properties batch all generated examples into ONE DataFrame per
+test (a Spark job per hypothesis example would be minutes per test)."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from data_quality_framework_spark.core.rules import (
+    CheckStatus,
+    aggregate_compare_verdict,
+    count_verdict,
+    null_verdict,
+)
+
+# --------------------------------------------------------------------------
+# pure-python verdict laws (fast, many examples)
+# --------------------------------------------------------------------------
+
+ratios = st.floats(min_value=0.0, max_value=1.0, allow_nan=False)
+
+
+@given(ratios, ratios)
+def test_null_verdict_monotone(null_ratio, max_ratio):
+    status = null_verdict(null_ratio, max_ratio)
+    if null_ratio <= max_ratio:
+        assert status == CheckStatus.PASS
+    elif null_ratio <= 2 * max_ratio:
+        assert status == CheckStatus.WARNING
+    else:
+        assert status == CheckStatus.FAIL
+
+
+@given(st.integers(0, 10**9), st.integers(0, 10**9), ratios)
+def test_count_verdict_properties(src, tgt, threshold):
+    status, ratio = count_verdict(src, tgt, threshold)
+    assert ratio >= 0.0
+    assert (status == CheckStatus.PASS) == (ratio <= threshold)
+    if src == tgt:
+        assert status == CheckStatus.PASS
+    if src == 0 and tgt > 0:
+        assert ratio == 1.0
+
+
+@given(
+    st.one_of(st.none(), st.floats(-1e9, 1e9, allow_nan=False)),
+    st.one_of(st.none(), st.floats(-1e9, 1e9, allow_nan=False)),
+    ratios,
+)
+def test_aggregate_compare_total(src, tgt, tol):
+    status, _ = aggregate_compare_verdict(src, tgt, tol)
+    if src is None or tgt is None:
+        assert status == CheckStatus.WARNING
+    else:
+        assert status in (CheckStatus.PASS, CheckStatus.FAIL)
+
+
+# --------------------------------------------------------------------------
+# Spark-backed properties (one job per test, examples batched)
+# --------------------------------------------------------------------------
+
+# printable-ish text incl. whitespace and PII-adjacent fragments
+text_st = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Nd", "Zs", "Po", "Pd"),
+        include_characters=" \t\n@.-",
+    ),
+    max_size=300,
+)
+
+PII_RES = [
+    re.compile(r"[0-9]{6}-[0-9]{7}"),
+    re.compile(r"01[0-9]-[0-9]{3,4}-[0-9]{4}"),
+    re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(text_st, min_size=40, max_size=40))
+def test_scrub_invariants(spark, texts):
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.functions.scrub import scrub_text
+
+    texts = texts + [
+        "ssn 901010-1234567 phone 010-1234-5678 mail a.b@c.de",
+        "double 010-111-2222 010-333-4444",
+        "nested-ish 123456-1234567890 tail digits",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        scrub_text(F.col("text")).alias("once"),
+        scrub_text(scrub_text(F.col("text"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        # idempotence: scrubbing twice changes nothing
+        assert r["once"] == r["twice"], r["text"]
+        # no raw SSN/phone patterns survive (email replacement <EMAIL> is clean)
+        assert not PII_RES[0].search(r["once"]), r["text"]
+        assert not PII_RES[1].search(r["once"]), r["text"]
+        # PII-free text is byte-identical
+        if not any(p.search(r["text"] or "") for p in PII_RES):
+            assert r["once"] == r["text"]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(text_st, min_size=40, max_size=40))
+def test_word_count_matches_python(spark, texts):
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.functions.textstats import words_col
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", F.size(words_col(F.col("text"))).alias("n")).collect()
+    ascii_ws = re.compile(r"[^ \t\n\x0b\f\r]+")
+    for r in rows:
+        # Java \s is ASCII; compare against the same ASCII-whitespace tokenizer
+        expected = len(ascii_ws.findall(r["text"] or ""))
+        assert r["n"] == expected, repr(r["text"])
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=10, max_size=10, unique=True))
+def test_minhash_estimator_bounds(spark, seeds):
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.operators.dedup import minhash_signatures
+
+    rows = []
+    for s in seeds:
+        words = [f"tok{(s * 31 + i) % 9973}" for i in range(60)]
+        rows.append((f"id{s}", " ".join(words)))
+    rows.append(("dup_a", rows[0][1]))
+    df = spark.createDataFrame(rows, "id string, text string")
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df, "id").collect()}
+    est = lambda a, b: sum(x == y for x, y in zip(sigs[a], sigs[b])) / 16  # noqa: E731
+    # identical docs estimate 1.0
+    assert est("dup_a", f"id{seeds[0]}") == 1.0
+    # all estimates within [0, 1]
+    ids = list(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            assert 0.0 <= est(ids[i], ids[j]) <= 1.0
