@@ -332,6 +332,47 @@ def _q_j8(spark, sf):  # J8/W1: window duplicate detail
     )
 
 
+def _q_s2(spark, sf):  # S2: scalar query (execute_scalar analog)
+    return _t(spark, sf, "orders").agg(
+        F.round(F.max("o_totalprice"), 2).alias("max_price")
+    )
+
+
+def _q_a17(spark, sf):  # beyond-reference: rollup summary (grouping sets)
+    e = _t(spark, sf, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_w2(spark, sf):  # beyond-reference: ranking + lag analytics windows
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("event_rank", F.row_number().over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("event_rank") <= 3)
+        .select(
+            "user_id", "event_id", "event_rank",
+            F.round("value", 2).alias("value"),
+            F.round(F.coalesce(F.col("prev_value"), F.lit(0.0)), 2).alias("prev_value"),
+        )
+        .orderBy("user_id", "event_rank")
+    )
+
+
 def _q_o1(spark, sf):  # O1: top-10 duplicate groups (TakeOrderedAndProject)
     li = _t(spark, sf, "lineitem")
     return (
@@ -489,7 +530,10 @@ def _q_pipeline(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
+        "s2_scalar": _q_s2,
         "s3_count_where": _q_s3,
+        "a17_rollup_summary": _q_a17,
+        "w2_ranking_lag": _q_w2,
         "a2_count_compare": _q_a2,
         "a3_count_distinct_days": _q_a3,
         "a4_duplicate_groups": _q_a4,
@@ -558,9 +602,30 @@ def oracle_sql() -> dict[str, str]:
         "s1_project_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
         ),
+        "s2_scalar": (
+            "SELECT round(max(o_totalprice), 2) AS max_price FROM orders"
+        ),
         "s3_count_where": (
             "SELECT count(*) AS n_rows FROM lineitem WHERE l_returnflag = 'R'"
         ),
+        "a17_rollup_summary": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY ROLLUP (event_type)
+            ORDER BY 1
+        """,
+        "w2_ranking_lag": """
+            SELECT user_id, event_id, event_rank,
+                   round(value, 2) AS value,
+                   round(coalesce(prev_value, 0.0), 2) AS prev_value
+            FROM (SELECT user_id, event_id, value,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank,
+                         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+                  FROM events)
+            WHERE event_rank <= 3
+            ORDER BY user_id, event_rank
+        """,
         "a2_count_compare": """
             SELECT s.source_count, t.target_count,
                    round(abs(s.source_count - t.target_count) * 1.0 / s.source_count, 6) AS diff_ratio,

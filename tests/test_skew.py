@@ -1,0 +1,25 @@
+"""Salted two-stage aggregation over the skewed domain key (north rule)."""
+
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.plans.pipeline import domain_profile
+
+
+def test_domain_profile_matches_naive_groupby(spark, pages_10k):
+    salted = domain_profile(pages_10k, salt_buckets=16)
+    naive = (
+        pages_10k.select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"),
+             F.sum("chars").cast("long").alias("chars"))
+    )
+    assert salted.exceptAll(naive).count() == 0
+    assert naive.exceptAll(salted).count() == 0
+
+    # the hot domain really is skewed (salting has something to do)
+    hot = salted.orderBy(F.desc("docs")).first()
+    assert hot["domain"] == "big-portal.example.com"
+    assert hot["docs"] > 3000
