@@ -637,9 +637,13 @@ def oracle_sql() -> dict[str, str]:
         "a3_count_distinct_days": (
             "SELECT count(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days FROM orders"
         ),
+        # NOTE (r2): every integer SUM below is CAST(... AS BIGINT) — DuckDB
+        # types SUM(int) as HUGEINT (int128) while Spark returns BIGINT, and
+        # the driver's value-hash is type-sensitive (9 value-identical queries
+        # hashed red in r1 for this reason alone).
         "a4_duplicate_groups": """
             SELECT count(*) AS dup_groups,
-                   coalesce(sum(cnt - 1), 0) AS dup_rows
+                   CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS dup_rows
             FROM (SELECT l_partkey, l_suppkey, count(*) AS cnt FROM lineitem
                   WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
                   GROUP BY 1, 2 HAVING count(*) > 1)
@@ -656,13 +660,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a8_null_blank_profile": f"""
             SELECT count(*) AS total_rows,
-                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS pure_null_count,
-                   sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '^\\s*$') THEN 1 ELSE 0 END) AS blank_count,
-                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_null_count
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pure_null_count,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '^\\s*$') THEN 1 ELSE 0 END) AS BIGINT) AS blank_count,
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_null_count
             FROM documents
         """,
         "a9_range_check": """
-            SELECT sum(CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END) AS violation_count,
+            SELECT CAST(sum(CASE WHEN l_quantity < 5 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS violation_count,
                    round(min(l_quantity), 2) AS actual_min,
                    round(max(l_quantity), 2) AS actual_max
             FROM lineitem WHERE l_quantity IS NOT NULL
@@ -674,8 +678,8 @@ def oracle_sql() -> dict[str, str]:
                    round(round(sum(value), 2) / count(*), 4) AS avg_value,
                    round(max(value), 2) AS max_value,
                    round(min(value), 2) AS min_value,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
                    count(DISTINCT user_id) AS unique_users
             FROM events GROUP BY 1
         """,
@@ -687,16 +691,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a13_outlier_3sigma": """
             WITH stats AS (SELECT avg(value) AS mean, stddev(value) AS sd FROM events WHERE value IS NOT NULL)
-            SELECT sum(CASE WHEN e.value < s.mean - 3 * s.sd OR e.value > s.mean + 3 * s.sd THEN 1 ELSE 0 END) AS outlier_count,
+            SELECT CAST(sum(CASE WHEN e.value < s.mean - 3 * s.sd OR e.value > s.mean + 3 * s.sd THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
                    round(any_value(s.mean), 2) AS mean_value,
                    round(any_value(s.sd), 2) AS stddev_value
             FROM events e, stats s WHERE e.value IS NOT NULL
         """,
         "a14_null_profile": """
             SELECT count(*) AS total_rows,
-                   sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS name_nulls,
-                   sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS acctbal_nulls,
-                   sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS mktsegment_nulls
+                   CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS name_nulls,
+                   CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS acctbal_nulls,
+                   CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS mktsegment_nulls
             FROM customer
         """,
         "a15_fk_profile": """
@@ -725,10 +729,10 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (SELECT o_orderkey AS k, o_totalprice AS sv, 1 AS s_mark FROM orders),
                  t AS (SELECT l_orderkey AS k, sum(l_extendedprice) AS tv, 1 AS t_mark FROM lineitem GROUP BY 1)
             SELECT count(*) AS total_keys,
-                   sum(CASE WHEN t.t_mark IS NULL THEN 1 ELSE 0 END) AS missing_in_target,
-                   sum(CASE WHEN s.s_mark IS NULL THEN 1 ELSE 0 END) AS missing_in_source,
-                   sum(CASE WHEN s.s_mark IS NOT NULL AND t.t_mark IS NOT NULL
-                             AND abs(s.sv - t.tv) > 10000.0 THEN 1 ELSE 0 END) AS value_mismatch
+                   CAST(sum(CASE WHEN t.t_mark IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_target,
+                   CAST(sum(CASE WHEN s.s_mark IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_in_source,
+                   CAST(sum(CASE WHEN s.s_mark IS NOT NULL AND t.t_mark IS NOT NULL
+                             AND abs(s.sv - t.tv) > 10000.0 THEN 1 ELSE 0 END) AS BIGINT) AS value_mismatch
             FROM s FULL OUTER JOIN t USING (k)
         """,
         "j9_inner_join": """
@@ -767,8 +771,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "p14_hash_format": """
             SELECT count(*) AS total_rows,
-                   sum(CASE WHEN length(h) != 32 OR regexp_matches(h, '[^0-9a-fA-F]')
-                            THEN 1 ELSE 0 END) AS violation_count
+                   CAST(sum(CASE WHEN length(h) != 32 OR regexp_matches(h, '[^0-9a-fA-F]')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS violation_count
             FROM (SELECT md5(c_name) AS h FROM customer)
         """,
         "f_scalar_functions": """
@@ -791,12 +795,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_token_counts": f"""
-            SELECT sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS ws_tokens,
-                   sum(CASE WHEN {_NONBLANK} THEN
+            SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,
+                   CAST(sum(CASE WHEN {_NONBLANK} THEN
                        list_sum(list_transform(
                            string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
-                       ELSE 0 END) AS bpe_tokens,
+                       ELSE 0 END) AS BIGINT) AS bpe_tokens,
                    round(avg(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END), 4) AS avg_doc_tokens
             FROM documents
         """,

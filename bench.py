@@ -47,8 +47,10 @@ def main() -> None:
 
     # untimed warm-up: JIT + python-worker spawn are ~tens of seconds of
     # scale-independent cost on a cold JVM (0% of a production-sized job)
-    run_pipeline(spark, gen_pages(spark, 10000), FilterConfig(),
-                 per_partition_lineage=False).decisions.count()
+    warm = run_pipeline(spark, gen_pages(spark, 10000), FilterConfig(),
+                        per_partition_lineage=False)
+    warm.decisions.count()
+    warm.unpersist()
 
     for name in HEADLINE:
         t0 = time.time()
@@ -62,6 +64,7 @@ def main() -> None:
     out = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=True)
     kept = out.kept.count()
     n_dec = out.decisions.count()
+    out.unpersist()
     pipe_sec = round(time.time() - t0, 3)
     timings["wt_pipeline_100k"] = pipe_sec
 

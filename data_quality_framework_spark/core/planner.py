@@ -108,6 +108,7 @@ def run_row_local_rules(
     rules: Sequence[Rule],
     table_name: str = "",
     per_partition: bool = False,
+    sample_limit: int = 5,
 ) -> list[CheckResult]:
     """Execute all row-local rules over ``df`` in ONE aggregation job.
 
@@ -115,6 +116,13 @@ def run_row_local_rules(
     ``groupBy(spark_partition_id())`` producing one CheckResult per
     (rule x input partition) — the north rule's per-partition lineage — in a
     second job over the same (usually cached) scan.
+
+    Rules with violations additionally attach up to ``sample_limit`` violating
+    rows to ``details.sample_records`` (reference detail lists LIMIT 5:
+    checks/check_null.sql:55-61, check_range.sql:58-66, check_masking.sql:84-95).
+    Only FAILING rules pay this extra pass, and the limit is pushed into the
+    plan (CollectLimit — no full scan result materializes). ``sample_limit=0``
+    disables sampling.
     """
     compiled = [compile_rule(r) for r in rules]
     if not compiled:
@@ -125,6 +133,13 @@ def run_row_local_rules(
     global_row = df.agg(*exprs).collect()[0].asDict()
     results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
 
+    if sample_limit > 0:
+        for cr, res in zip(compiled, results):
+            if res.violation_count > 0:
+                res.details["sample_records"] = _violation_samples(
+                    df, cr, sample_limit
+                )
+
     if per_partition:
         part_rows = (
             df.groupBy(F.spark_partition_id().alias("__pid"))
@@ -134,6 +149,23 @@ def run_row_local_rules(
         pairs = [(row["__pid"], row.asDict()) for row in part_rows]
         results.extend(_rows_to_results(compiled, pairs, table_name))
     return results
+
+
+def _violation_samples(df: DataFrame, cr: CompiledRule, limit: int) -> list[dict]:
+    """First ``limit`` violating rows for a compiled rule.
+
+    Projects ``params.sample_columns`` if given, else the rule's own column(s)
+    — never the full row (a documents table would drag megabyte texts into
+    the driver and the lineage JSON).
+    """
+    rule = cr.rule
+    cols = list(rule.p("sample_columns") or rule.columns
+                or ([rule.column] if rule.column else []))
+    cols = [c for c in cols if c in df.columns]
+    filtered = df.filter(cr.scope & cr.violation)
+    if cols:
+        filtered = filtered.select(*cols)
+    return [r.asDict() for r in filtered.limit(limit).collect()]
 
 
 def _rows_to_results(
@@ -215,20 +247,44 @@ def run_fk_rule(
     rule: Rule,
     broadcast_parent: bool = True,
 ) -> CheckResult:
-    fk = rule.column
-    pk = rule.p("parent_column", fk)
-    scoped = child.filter(F.col(fk).isNotNull())
+    """FK orphan check — single OR composite key (reference single-column
+    checks/check_foreign_key.sql:8-24; composite :42-56).
+
+    ``columns``/``column`` name the child FK column(s); ``parent_columns``/
+    ``parent_column`` the parent side (defaults: same names). Scope follows
+    the reference's NOT NULL pre-filter: a row is judged only when EVERY FK
+    component is present (SQL composite template requires all parts non-null).
+    """
+    fks = list(rule.columns or ([rule.column] if rule.column else []))
+    if not fks:
+        raise ValueError(f"{rule.rule_id}: foreign_key rule needs column(s)")
+    pks = list(rule.p("parent_columns") or [])
+    if not pks:
+        single = rule.p("parent_column")
+        pks = [single] * len(fks) if single and len(fks) == 1 else list(fks)
+    if len(pks) != len(fks):
+        raise ValueError(f"{rule.rule_id}: parent_columns arity != columns arity")
+
+    not_null = F.lit(True)
+    for c in fks:
+        not_null = not_null & F.col(c).isNotNull()
+    scoped = child.filter(not_null)
     total = scoped.count()
-    parent_keys = parent.select(F.col(pk).alias(fk)).distinct()
+    parent_keys = parent.select(
+        *[F.col(pk).alias(fk) for fk, pk in zip(fks, pks)]
+    ).distinct()
     if broadcast_parent:
+        # dimension-table assumption; pass broadcast_parent=False for
+        # large-large FK checks and let AQE pick the strategy
         parent_keys = F.broadcast(parent_keys)
-    orphans = scoped.join(parent_keys, on=fk, how="left_anti").count()
+    orphans = scoped.join(parent_keys, on=fks, how="left_anti").count()
     return make_result(
         rule, "foreign_key", zero_violation_verdict(orphans),
         total_rows=total, violation_count=orphans,
         details={
             "parent_table": rule.p("parent_table", ""),
-            "parent_column": pk,
+            "columns": fks,
+            "parent_columns": pks,
             "orphan_count": orphans,
         },
     )
@@ -363,14 +419,18 @@ def run_existence_check(
     """Source keys must all exist in target (reference transform_checker.py:187-229).
 
     Distributed: two left_anti joins instead of Python set difference.
+    ``join_key`` may be a string or a list (composite existence).
     """
-    key = rule.p("join_key")
-    s = source.select(F.col(key).alias("k")).distinct()
-    t = target.select(F.col(key).alias("k")).distinct()
+    key = rule.p("join_keys") or rule.p("join_key")
+    keys = [key] if isinstance(key, str) else list(key)
+    sel = [F.col(k).alias(f"k{i}") for i, k in enumerate(keys)]
+    kcols = [f"k{i}" for i in range(len(keys))]
+    s = source.select(*sel).distinct()
+    t = target.select(*sel).distinct()
     source_count = s.count()
     target_count = t.count()
-    missing_in_target = s.join(t, "k", "left_anti").count()
-    missing_in_source = t.join(s, "k", "left_anti").count()
+    missing_in_target = s.join(t, kcols, "left_anti").count()
+    missing_in_source = t.join(s, kcols, "left_anti").count()
     return make_result(
         rule, "transform", zero_violation_verdict(missing_in_target),
         total_rows=source_count, violation_count=missing_in_target,

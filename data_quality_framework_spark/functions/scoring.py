@@ -116,9 +116,15 @@ def _ppl_vec(texts: pd.Series) -> np.ndarray:
     starts = np.zeros(len(s), dtype="int64")
     np.cumsum(lengths[:-1], out=starts[1:])
     nonempty = lengths > 0
-    # reduceat needs strictly valid start offsets; empty rows handled after
-    sums = np.add.reduceat(logp, np.minimum(starts, total - 1))
-    sums[~nonempty] = 0.0
+    # reduceat over ONLY the nonempty rows' start offsets: every index is then
+    # strictly valid and strictly increasing, so each segment sums exactly its
+    # own chars. (The earlier np.minimum clamp truncated the row BEFORE a
+    # trailing empty text, making ppl depend on Arrow batch composition; a
+    # cumsum-difference formulation would reintroduce the same dependence
+    # through float cancellation against the batch prefix.)
+    sums = np.zeros(len(s), dtype="float64")
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(logp, starts[nonempty])
     with np.errstate(divide="ignore", invalid="ignore"):
         out = np.where(nonempty, np.exp(-sums / np.maximum(lengths, 1)), np.inf)
     return out

@@ -1,0 +1,177 @@
+"""CLI batch entry point — parity with the reference's primary entry
+``python -m src.main`` (/root/reference/src/main.py:46-77,219-228).
+
+    python -m data_quality_framework_spark.main \
+        --env development --checks count,null,duplicate,range,transform,masking \
+        --report all --config-dir config --data-dir /root/testdata/sf0.01
+
+Mapping from the reference:
+* ``--env`` selected a MySQL connection profile (config_loader.py:40-73);
+  here it selects a Spark conf profile from ``<config-dir>/environments.yml``
+  (env-var substituted the same way) — master, shuffle partitions, arbitrary
+  ``spark.*`` keys. Missing file -> sane local defaults.
+* ``--checks`` filters rule FAMILIES in the reference's order
+  (main.py:117-152): count,null,duplicate,range,transform,masking.
+* ``--report all|html|csv|none`` -> reporters.write_csv/write_html.
+* exit codes (main.py:219-228): 0 ok, 1 any FAIL, 2 data-source/connection
+  error, 3 unexpected error.
+* tables resolve to parquet under ``--data-dir`` (``<table>.parquet``) — the
+  Iceberg-catalog analog for this sandbox; swap ``_load_tables`` for
+  ``spark.table`` under a real catalog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s [%(levelname)s] %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    handlers=[logging.StreamHandler(sys.stdout)],
+)
+log = logging.getLogger("dq.main")
+
+#: family execution order — reference main.py:117-152
+FAMILIES = ("count", "null", "duplicate", "range", "transform", "masking")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Spark data-quality validation runner")
+    p.add_argument("--env", default="development",
+                   help="Spark conf profile from <config-dir>/environments.yml")
+    p.add_argument("--checks", default="all",
+                   help="comma-separated families, e.g. count,null (default: all)")
+    p.add_argument("--report", default="all", choices=["all", "html", "csv", "none"])
+    p.add_argument("--config-dir", default="config",
+                   help="directory holding rules/*.yml (+ optional environments.yml)")
+    p.add_argument("--data-dir", required=True,
+                   help="directory of <table>.parquet files referenced by rules")
+    p.add_argument("--report-dir", default="reports")
+    p.add_argument("--results-table", default=None,
+                   help="optional parquet path for the append-mode lineage history "
+                        "table (dq_validation_results analog)")
+    p.add_argument("--per-partition", action="store_true",
+                   help="emit per-(rule x partition) lineage rows")
+    return p.parse_args(argv)
+
+
+def load_env_profile(config_dir: str, env: str) -> dict:
+    """Spark conf per env — the reference's load_db_config analog
+    (config_loader.py:40-73), same ${VAR} substitution via config.load_yaml."""
+    from data_quality_framework_spark.config import load_yaml
+
+    path = Path(config_dir) / "environments.yml"
+    profile = {"master": "local[*]", "conf": {"spark.sql.shuffle.partitions": "32"}}
+    if path.exists():
+        envs = load_yaml(path)
+        if env not in envs:
+            raise KeyError(f"env {env!r} not in {path} (have {sorted(envs)})")
+        e = envs[env] or {}
+        profile["master"] = e.get("master", profile["master"])
+        profile["conf"].update({str(k): str(v) for k, v in (e.get("conf") or {}).items()})
+    return profile
+
+
+def _rule_families(checks: str) -> list[str]:
+    if checks == "all":
+        return list(FAMILIES)
+    wanted = [c.strip() for c in checks.split(",") if c.strip()]
+    unknown = set(wanted) - set(FAMILIES)
+    if unknown:
+        raise ValueError(f"unknown check families {sorted(unknown)}; valid: {FAMILIES}")
+    return [f for f in FAMILIES if f in wanted]
+
+
+def _referenced_tables(rules) -> set[str]:
+    names = set()
+    for r in rules:
+        for n in (r.table, r.p("parent_table"), r.p("source_table"), r.p("target_table")):
+            if n:
+                names.add(n)
+    return names
+
+
+def _table_paths(data_dir: str, names: set[str]) -> dict[str, str]:
+    """Resolve and validate table paths BEFORE a session exists, so a missing
+    data source exits 2 without paying JVM startup (reference: connection
+    failure precedes any query)."""
+    paths = {}
+    for n in sorted(names):
+        path = Path(data_dir) / f"{n}.parquet"
+        if not path.exists():
+            raise FileNotFoundError(f"table {n!r}: {path} does not exist")
+        paths[n] = str(path)
+    return paths
+
+
+def run_validation(args, spark=None) -> tuple[list, dict]:
+    """Config -> rules -> tables -> fused checks -> reports.
+
+    ``spark``: inject an existing session (tests); created-and-stopped from
+    the env profile otherwise."""
+    from data_quality_framework_spark.config import load_all_rules
+    from data_quality_framework_spark.core.planner import (
+        results_to_df,
+        run_rules,
+        summarize,
+    )
+    from data_quality_framework_spark.reporters import write_csv, write_html
+    from data_quality_framework_spark.session import get_spark
+
+    t0 = time.time()
+    families = _rule_families(args.checks)
+    all_rules = load_all_rules(args.config_dir)
+    selected = []
+    for fam in families:
+        selected.extend(all_rules.get(f"{fam}_rules", []))
+    log.info("env=%s families=%s rules=%d", args.env, families, len(selected))
+    if not selected:
+        raise ValueError(f"no enabled rules for families {families} under "
+                         f"{args.config_dir}/rules")
+
+    paths = _table_paths(args.data_dir, _referenced_tables(selected))
+
+    owns_session = spark is None
+    if owns_session:
+        profile = load_env_profile(args.config_dir, args.env)
+        spark = get_spark(app_name=f"dq-validate-{args.env}", master=profile["master"],
+                          extra_conf=profile["conf"])
+    try:
+        tables = {n: spark.read.parquet(p) for n, p in paths.items()}
+        results = run_rules(tables, selected, per_partition=args.per_partition)
+        summary = summarize(results)
+        log.info("summary=%s elapsed=%.1fs", summary, time.time() - t0)
+
+        if args.results_table:
+            results_to_df(spark, results).write.mode("append").parquet(args.results_table)
+        if args.report in ("all", "csv"):
+            log.info("csv: %s", write_csv(results, summary, args.report_dir))
+        if args.report in ("all", "html"):
+            log.info("html: %s", write_html(results, summary, args.report_dir))
+        return results, summary
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    try:
+        results, summary = run_validation(args)
+    except (FileNotFoundError, ConnectionError) as e:
+        # reference exit code 2: could not reach the data source (main.py:223-225)
+        log.error("data-source error: %s", e)
+        return 2
+    except Exception as e:  # noqa: BLE001 — reference exit code 3 (main.py:226-228)
+        log.error("unexpected error: %s", e, exc_info=True)
+        return 3
+    return 1 if summary["failed"] > 0 else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

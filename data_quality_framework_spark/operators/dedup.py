@@ -81,13 +81,25 @@ def minhash_candidate_pairs(
     bucket (ordered by id, deterministic) to bound quadratic work on
     boilerplate-heavy buckets; capped buckets are still represented by their
     first ``bucket_cap`` members.
+
+    Persist lifecycle: the signature table must be materialized (Catalyst
+    projection collapse otherwise re-evaluates the full shingle+hash pipeline
+    once per band — 8x scan cost measured), so this convenience wrapper runs
+    EAGERLY: it persists signatures, materializes the (dup-tail-sized) pair
+    set, then unpersists the signatures before returning. The returned frame
+    is persisted; callers looping over many tables should ``.unpersist()`` it
+    when done, or use ``minhash_signatures`` + ``candidate_pairs_from_sigs``
+    and own the lifecycle themselves.
     """
-    # persist the (tiny) signature table: Catalyst collapses projections, so
-    # without a materialization barrier each of the `bands` slice expressions
-    # re-evaluates the full shingle+hash pipeline (8x scan cost measured).
-    # At production scale this is the standard "signature table" materialization.
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n).persist()
-    return candidate_pairs_from_sigs(sigs, k, bands, min_jaccard_est, bucket_cap)
+    try:
+        pairs = candidate_pairs_from_sigs(
+            sigs, k, bands, min_jaccard_est, bucket_cap
+        ).persist()
+        pairs.count()  # materialize pairs while sigs are still cached
+    finally:
+        sigs.unpersist()
+    return pairs
 
 
 def minhash_signatures(

@@ -41,8 +41,10 @@ from data_quality_framework_spark.plans.pipeline import (
     FilterConfig,
     compute_enriched,
     drop_reason_expr,
+    sort_key_expr,
 )
 from data_quality_framework_spark.functions.scrub import scrub_text
+from data_quality_framework_spark.functions.textstats import fingerprint
 
 META_COLS = [
     "url", "sort_key", "content_md5", "f_any_heuristic",
@@ -99,8 +101,10 @@ def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfi
     from data_quality_framework_spark.operators.dedup import minhash_signatures
 
     enriched = compute_enriched(bucket_pages, cfg)
-    # collapse same-url full duplicates (equal url -> same bucket)
-    w_url = Window.partitionBy("url").orderBy("sort_key")
+    # collapse same-url duplicates (equal url -> same bucket); content_md5
+    # tiebreak matches the batch path's min(struct(sort_key, content_md5)) so
+    # same-url same-ts recrawls resolve to the SAME canonical row everywhere
+    w_url = Window.partitionBy("url").orderBy("sort_key", "content_md5")
     docs = enriched.withColumn("__rn", F.row_number().over(w_url)).filter(
         F.col("__rn") == 1
     )
@@ -178,9 +182,10 @@ def resumable_pipeline(
             continue
         meta_b = spark.read.parquet(os.path.join(meta_dir, f"bucket={b}"))
         meta_b = meta_b.join(losers, "url", "left")
+        keep_expr = ~F.col("f_any_heuristic") & F.col("loss_kind").isNull()
         decisions = meta_b.select(
             "url",
-            (~F.col("f_any_heuristic") & F.col("loss_kind").isNull()).alias("keep"),
+            keep_expr.alias("keep"),
             F.when(F.col("f_any_heuristic"), drop_reason_expr(cfg))
             .otherwise(F.col("loss_kind"))
             .alias("drop_reason"),
@@ -189,11 +194,17 @@ def resumable_pipeline(
         decisions.write.mode("overwrite").parquet(
             os.path.join(ckpt.out_dir, "decisions", f"bucket={b}")
         )
-        kept_urls = decisions.filter(F.col("keep")).select("url")
+        # Re-select the EXACT row Phase A canonicalized (not an arbitrary
+        # same-url row): join back on the canonical (url, sort_key,
+        # content_md5) from the meta table, so the emitted/scrubbed text is
+        # precisely the row that was quality-checked and deduped.
+        kept_keys = meta_b.filter(keep_expr).select("url", "sort_key", "content_md5")
         bucket_pages = tagged.filter(F.col("__bucket") == b).drop("__bucket")
         kept = (
-            bucket_pages.join(kept_urls, "url")
-            .dropDuplicates(["url"])  # same-url full dups are identical rows
+            bucket_pages.withColumn("sort_key", sort_key_expr())
+            .withColumn("content_md5", fingerprint(F.col("text")))
+            .join(kept_keys, ["url", "sort_key", "content_md5"])
+            .dropDuplicates(["url"])  # residual ties are byte-identical rows
             .withColumn("text_scrubbed", scrub_text(F.col("text")))
             .select("url", "warc_ts", "lang", "text_scrubbed")
         )

@@ -116,6 +116,15 @@ class PipelineOutput:
     kept: DataFrame               # url, warc_ts, lang, text_scrubbed
     results: list[CheckResult] = field(default_factory=list)
     annotated: Optional[DataFrame] = None  # superset df: write once, derive views
+    persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release cached blocks (enriched base + LSH pair set). Call after
+        the outputs are materialized; repeated pipeline runs in one session
+        (bench loops, multi-table jobs) leak executor storage otherwise."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -133,7 +142,19 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
         | (F.col("warc_ts") > F.lit(cfg.max_ts).cast("timestamp"))
         | (F.col("warc_ts") > F.lit(cfg.run_ts).cast("timestamp")),
     }
+    # NULL flag (e.g. null lang making f_langmismatch NULL) = violation, made
+    # definite HERE so f_any_heuristic and drop_reason_expr see the same
+    # boolean — previously a null-flag row got keep=false with NULL reason.
+    flags = {name: F.coalesce(expr, F.lit(True)) for name, expr in flags.items()}
     return df.withColumns(flags)
+
+
+def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
+    """Deterministic dedup ordering key — shared by the batch pipeline and
+    every checkpoint phase so canonical-row selection is identical."""
+    return F.concat(
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col(url_col)
+    )
 
 
 def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -143,10 +164,7 @@ def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     rules = _flag_rules(cfg)
     base = (
         pages.drop("html")  # unused downstream; never cache raw page bytes
-        .withColumn(
-            "sort_key",
-            F.concat(F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col("url")),
-        )
+        .withColumn("sort_key", sort_key_expr())
         .withColumn("content_md5", fingerprint(F.col("text")))
     )
     base = with_text_stats(base, full=False)
@@ -154,7 +172,7 @@ def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     base = _with_flags(base, cfg)
     any_flag = F.lit(False)
     for f, _, _ in rules:
-        any_flag = any_flag | F.coalesce(F.col(f), F.lit(True))
+        any_flag = any_flag | F.col(f)  # flags are null-safe (_with_flags)
     return base.withColumn("f_any_heuristic", any_flag)
 
 
@@ -172,7 +190,10 @@ def run_pipeline(
     cfg: FilterConfig = FilterConfig(),
     per_partition_lineage: bool = True,
 ) -> PipelineOutput:
-    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
+    from data_quality_framework_spark.operators.dedup import (
+        candidate_pairs_from_sigs,
+        minhash_signatures,
+    )
 
     rules = _flag_rules(cfg)
     base = compute_enriched(pages, cfg)
@@ -184,23 +205,36 @@ def run_pipeline(
     # Dedup principle: SHUFFLE METADATA, NOT DATA. Window functions over
     # url/md5 would shuffle the full text payload twice (~GBs); instead a
     # narrow (key, sort_key) aggregation finds each duplicate group's
-    # canonical, and only the (small) dup-group verdicts broadcast-join back
-    # onto the cached rows. If a pathological corpus makes the dup set huge,
-    # AQE demotes the broadcast to a shuffle join — correctness unaffected.
+    # canonical, and only the dup-group verdicts join back onto the cached
+    # rows. The dup sets are DATA-DEPENDENT (real web corpora run 20-40%
+    # duplicates, i.e. O(corpus) rows), so these joins carry NO broadcast
+    # hint: an explicit hint bypasses autoBroadcastJoinThreshold and AQE will
+    # NOT demote it — it would OOM the driver at scale. Hint-free, AQE still
+    # picks a broadcast join at runtime whenever the set is genuinely small.
 
     # --- url-level collapse (full-row duplicates share the url) -------------
     url_dups = (
         base.groupBy("url")
-        .agg(F.count(F.lit(1)).alias("__n"), F.min("sort_key").alias("__url_canon"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # canonical = min (sort_key, content_md5): the md5 tiebreak makes
+            # same-url same-ts rows with DIFFERING text (recrawls) resolve
+            # deterministically — and identically to checkpoint Phase A.
+            F.min(F.struct("sort_key", "content_md5")).alias("__url_canon"),
+        )
         .filter(F.col("__n") > 1)
         .select("url", "__url_canon")
     )
-    docs = base.join(F.broadcast(url_dups), "url", "left")
+    docs = base.join(url_dups, "url", "left")
     docs = docs.filter(
-        F.col("__url_canon").isNull() | (F.col("sort_key") == F.col("__url_canon"))
+        F.col("__url_canon").isNull()
+        | (
+            (F.col("sort_key") == F.col("__url_canon.sort_key"))
+            & (F.col("content_md5") == F.col("__url_canon.content_md5"))
+        )
     )
-    # full-row duplicates share the sort_key too -> both survive the filter;
-    # collapse ONLY that tiny subset (rows are identical, any pick is exact)
+    # full-row duplicates share (sort_key, content_md5) too -> both survive
+    # the filter; collapse ONLY that identical-row subset (any pick is exact)
     dup_part = docs.filter(F.col("__url_canon").isNotNull()).dropDuplicates(["url"])
     docs = docs.filter(F.col("__url_canon").isNull()).unionByName(dup_part).drop("__url_canon")
 
@@ -212,7 +246,7 @@ def run_pipeline(
         .filter(F.col("__n") > 1)
         .select("content_md5", "__md5_canon")
     )
-    survivors = survivors.join(F.broadcast(md5_dups), "content_md5", "left")
+    survivors = survivors.join(md5_dups, "content_md5", "left")
     survivors = survivors.withColumn(
         "f_exact_dup",
         F.col("__md5_canon").isNotNull() & (F.col("sort_key") != F.col("__md5_canon")),
@@ -220,15 +254,24 @@ def run_pipeline(
 
     # --- near-dup (MinHash-LSH) among exact-canonical survivors -------------
     canon = survivors.filter(~F.col("f_exact_dup"))
-    pairs = minhash_candidate_pairs(
+    # signature table persisted only for the duration of pair materialization;
+    # the (dup-tail-sized) pair set stays cached and is released by
+    # PipelineOutput.unpersist() once the caller has written its outputs.
+    sigs = minhash_signatures(
         canon, id_col="sort_key", text_col="text",
-        k=cfg.minhash_k, bands=cfg.minhash_bands,
-        shingle_n=cfg.shingle_n, min_jaccard_est=cfg.min_jaccard_est,
-        bucket_cap=cfg.lsh_bucket_cap,
-    )
+        k=cfg.minhash_k, shingle_n=cfg.shingle_n,
+    ).persist()
+    try:
+        pairs = candidate_pairs_from_sigs(
+            sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
+            min_jaccard_est=cfg.min_jaccard_est, bucket_cap=cfg.lsh_bucket_cap,
+        ).persist()
+        pairs.count()
+    finally:
+        sigs.unpersist()
     losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
     survivors = survivors.join(
-        F.broadcast(losers.withColumn("f_near_dup", F.lit(True))), "sort_key", "left"
+        losers.withColumn("f_near_dup", F.lit(True)), "sort_key", "left"
     )
     survivors = survivors.withColumn(
         "f_near_dup", F.coalesce(F.col("f_near_dup") & ~F.col("f_exact_dup"), F.lit(False))
@@ -271,7 +314,8 @@ def run_pipeline(
 
     results = _lineage(base, rules, per_partition_lineage)
     return PipelineOutput(
-        decisions=decisions, kept=kept, results=results, annotated=annotated
+        decisions=decisions, kept=kept, results=results, annotated=annotated,
+        persisted=[base, pairs],
     )
 
 
@@ -301,11 +345,18 @@ def _lineage(
         return out
 
     results = []
-    global_row = base.agg(*exprs).collect()[0]
-    results.extend(to_results(global_row, -1))
     if per_partition:
-        for row in base.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs).collect():
+        # ONE job: the global row is the column-wise sum of the per-partition
+        # rows, derived driver-side (R x P tiny rows) instead of a second
+        # aggregation over the cached base.
+        part_rows = base.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs).collect()
+        cols = ["__total"] + [fcol for fcol, _, _ in rules]
+        totals = {c: sum(int(r[c] or 0) for r in part_rows) for c in cols}
+        results.extend(to_results(totals, -1))
+        for row in part_rows:
             results.extend(to_results(row, int(row["__pid"])))
+    else:
+        results.extend(to_results(base.agg(*exprs).collect()[0], -1))
     return results
 
 

@@ -82,6 +82,7 @@ def main() -> None:
         wout.annotated.write.mode("overwrite").parquet(
             os.path.join(args.output, "_warmup")
         )
+        wout.unpersist()
 
     t0 = time.time()
 
@@ -100,6 +101,7 @@ def main() -> None:
     #   kept:      SELECT ... FROM annotated WHERE keep
     ann_path = os.path.join(args.output, "annotated")
     out.annotated.write.mode("overwrite").parquet(ann_path)
+    out.unpersist()
     ann = spark.read.parquet(ann_path)
     from data_quality_framework_spark.plans.pipeline import dedup_lineage
 

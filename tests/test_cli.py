@@ -1,0 +1,273 @@
+"""End-to-end CLI validation: YAML rules -> tables -> fused checks -> reports
+-> exit codes, mirroring the reference's entry-point contract
+(/root/reference/src/main.py:46-77,219-228 and tests/test_checkers.py:221-249).
+
+Fixture tables plant EXACT violation budgets (the reference's known-answer
+pattern, sql/init_data.sql:170-207) so every rule's count is asserted."""
+
+import os
+import subprocess
+import sys
+from datetime import date, datetime
+
+import pytest
+
+from data_quality_framework_spark.main import main, parse_args, run_validation
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RULES = {
+    "count_rules.yml": """
+count_rules:
+  - rule_id: "CNT-FAIL"
+    description: "customers src vs tgt exact"
+    source_table: "src_customers"
+    target_table: "tgt_customers"
+    threshold: 0.0
+    enabled: true
+  - rule_id: "CNT-PASS"
+    description: "customers src vs tgt within 20%"
+    source_table: "src_customers"
+    target_table: "tgt_customers"
+    threshold: 0.2
+    enabled: true
+  - rule_id: "CNT-OFF"
+    description: "disabled rule must not run"
+    source_table: "src_customers"
+    target_table: "tgt_customers"
+    threshold: 0.0
+    enabled: false
+""",
+    "null_rules.yml": """
+null_rules:
+  - rule_id: "NULL-NAME"
+    description: "name non-blank (TS-2)"
+    table: "src_customers"
+    column: "customer_name"
+    max_null_ratio: 0.0
+    include_empty_string: true
+    enabled: true
+  - rule_id: "NULL-AMT"
+    description: "amount null ratio under 10%"
+    table: "src_transactions"
+    column: "transaction_amount"
+    max_null_ratio: 0.1
+    include_empty_string: false
+    enabled: true
+""",
+    "duplicate_rules.yml": """
+duplicate_rules:
+  - rule_id: "DUP-TXN"
+    description: "transaction_id unique"
+    table: "src_transactions"
+    columns: ["transaction_id"]
+    enabled: true
+""",
+    "range_rules.yml": """
+range_rules:
+  - rule_id: "RNG-POS"
+    check_type: "positive"
+    description: "amount positive"
+    table: "src_transactions"
+    column: "transaction_amount"
+    enabled: true
+  - rule_id: "FK-MERCH"
+    check_type: "foreign_key"
+    description: "merchant exists"
+    table: "src_transactions"
+    column: "merchant_id"
+    parent_table: "merchants"
+    parent_column: "merchant_id"
+    enabled: true
+""",
+    "transform_rules.yml": """
+transform_rules:
+  - rule_id: "TRF-EXIST"
+    description: "txn keys present in target"
+    source_table: "src_transactions"
+    target_table: "tgt_transactions"
+    compare_type: "existence"
+    join_key: "transaction_id"
+    enabled: true
+  - rule_id: "TRF-JOIN"
+    description: "amounts match per key"
+    source_table: "src_transactions"
+    target_table: "tgt_transactions"
+    join_key: "transaction_id"
+    compare_column: "transaction_amount"
+    tolerance: 0.0
+    enabled: true
+""",
+    "masking_rules.yml": """
+masking_rules:
+  - rule_id: "MSK-SSN"
+    masking_type: "ssn"
+    description: "ssn masked"
+    table: "src_customers"
+    column: "ssn"
+    enabled: true
+  - rule_id: "MSK-PHONE"
+    masking_type: "phone"
+    description: "phone masked"
+    table: "src_customers"
+    column: "phone_number"
+    enabled: true
+""",
+}
+
+ENVIRONMENTS = """
+test:
+  master: "local[4]"
+  conf:
+    spark.sql.shuffle.partitions: "4"
+"""
+
+
+def _write_config(cfg_dir):
+    rules_dir = cfg_dir / "rules"
+    rules_dir.mkdir(parents=True)
+    for name, body in RULES.items():
+        (rules_dir / name).write_text(body)
+    (cfg_dir / "environments.yml").write_text(ENVIRONMENTS)
+
+
+def _write_tables(spark, data_dir):
+    """Planted budget: 1 NULL name + 1 blank name, 1 unmasked ssn, 1 leaked
+    phone, 1 duplicate txn id, 1 negative amount, 1 NULL amount, 1 FK orphan,
+    1 txn missing in target, 1 amount mismatch, 1 customer missing in tgt."""
+    customers = [
+        (i,
+         None if i == 3 else ("  " if i == 4 else f"cust_{i}"),
+         "010-1234-5678" if i == 5 else "010-****-5678",
+         "123456-1234567" if i == 6 else "123456-*******",
+         date(2024, 1, i))
+        for i in range(1, 11)
+    ]
+    cust_df = spark.createDataFrame(
+        customers,
+        "customer_id int, customer_name string, phone_number string, ssn string, signup_date date",
+    )
+    cust_df.write.parquet(str(data_dir / "src_customers.parquet"))
+    cust_df.filter("customer_id != 10").write.parquet(str(data_dir / "tgt_customers.parquet"))
+
+    txns = []
+    for i in range(1, 21):
+        amount = -50.0 if i == 7 else (None if i == 8 else 100.0 + i)
+        merchant = 999 if i == 9 else (i % 5) + 1
+        txns.append((i, amount, merchant, datetime(2024, 2, 1, 12, 0, i)))
+    txns.append((20, 120.0, 1, datetime(2024, 2, 1, 12, 0, 20)))  # dup id 20
+    txn_df = spark.createDataFrame(
+        txns,
+        "transaction_id int, transaction_amount double, merchant_id int, transaction_date timestamp",
+    )
+    txn_df.write.parquet(str(data_dir / "src_transactions.parquet"))
+    tgt = [
+        (i, (a + 10.0) if i == 12 else a, m, d)
+        for (i, a, m, d) in txns[:20]  # drops the dup row
+        if i != 15                      # 15 missing in target
+    ]
+    spark.createDataFrame(
+        tgt,
+        "transaction_id int, transaction_amount double, merchant_id int, transaction_date timestamp",
+    ).write.parquet(str(data_dir / "tgt_transactions.parquet"))
+
+    spark.createDataFrame(
+        [(i, f"merchant_{i}") for i in range(1, 6)],
+        "merchant_id int, merchant_name string",
+    ).write.parquet(str(data_dir / "merchants.parquet"))
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    cfg, data, rep = root / "config", root / "data", root / "reports"
+    _write_config(cfg)
+    _write_tables(spark, data)
+    return {"cfg": str(cfg), "data": str(data), "rep": str(rep)}
+
+
+@pytest.fixture(scope="module")
+def validation(spark, cli_env):
+    args = parse_args([
+        "--env", "test", "--config-dir", cli_env["cfg"], "--data-dir",
+        cli_env["data"], "--report-dir", cli_env["rep"], "--report", "all",
+    ])
+    results, summary = run_validation(args, spark=spark)
+    return {r.rule_id: r for r in results}, summary
+
+
+def test_statuses_and_counts(validation):
+    by_id, _ = validation
+    assert "CNT-OFF" not in by_id  # disabled rules don't run
+    s = {rid: r.status.value for rid, r in by_id.items()}
+    assert s["CNT-FAIL"] == "FAIL" and by_id["CNT-FAIL"].details["diff_ratio"] == 0.1
+    assert s["CNT-PASS"] == "PASS"
+    assert s["NULL-NAME"] == "FAIL" and by_id["NULL-NAME"].violation_count == 2
+    assert by_id["NULL-NAME"].details["pure_null_count"] == 1
+    assert by_id["NULL-NAME"].details["empty_string_count"] == 1
+    assert s["NULL-AMT"] == "PASS" and by_id["NULL-AMT"].violation_count == 1
+    assert s["DUP-TXN"] == "FAIL" and by_id["DUP-TXN"].violation_count == 1
+    assert s["RNG-POS"] == "FAIL" and by_id["RNG-POS"].violation_count == 1
+    assert s["FK-MERCH"] == "FAIL" and by_id["FK-MERCH"].violation_count == 1
+    assert s["MSK-SSN"] == "FAIL" and by_id["MSK-SSN"].violation_count == 1
+    assert s["MSK-PHONE"] == "FAIL" and by_id["MSK-PHONE"].violation_count == 1
+    assert s["TRF-EXIST"] == "FAIL"
+    assert by_id["TRF-EXIST"].details["missing_in_target"] == 1
+    assert s["TRF-JOIN"] == "FAIL"
+    assert by_id["TRF-JOIN"].details["missing_in_target"] == 1
+    assert len(by_id["TRF-JOIN"].details["value_mismatches_sample"]) == 1
+
+
+def test_summary_and_reports(validation, cli_env):
+    by_id, summary = validation
+    assert summary["total_checks"] == len(by_id)
+    assert summary["failed"] == 9
+    assert summary["passed"] == 2
+    files = os.listdir(cli_env["rep"])
+    assert any(f.endswith(".csv") for f in files)
+    assert any(f.endswith(".html") for f in files)
+    csv_file = next(f for f in files if f.endswith(".csv"))
+    body = open(os.path.join(cli_env["rep"], csv_file)).read()
+    assert "CNT-FAIL" in body and "FAIL" in body and "# pass_rate" in body
+
+
+def test_checks_filter(spark, cli_env):
+    args = parse_args([
+        "--env", "test", "--checks", "null,masking", "--config-dir",
+        cli_env["cfg"], "--data-dir", cli_env["data"], "--report-dir",
+        cli_env["rep"], "--report", "none",
+    ])
+    results, summary = run_validation(args, spark=spark)
+    assert {r.check_type for r in results} == {"null", "masking"}
+    assert summary["total_checks"] == 4
+
+
+def test_exit_code_2_missing_data(cli_env, tmp_path):
+    rc = main([
+        "--env", "test", "--config-dir", cli_env["cfg"],
+        "--data-dir", str(tmp_path / "nope"), "--report", "none",
+    ])
+    assert rc == 2
+
+
+def test_exit_code_3_bad_family(cli_env):
+    rc = main([
+        "--env", "test", "--checks", "bogus", "--config-dir", cli_env["cfg"],
+        "--data-dir", cli_env["data"], "--report", "none",
+    ])
+    assert rc == 3
+
+
+def test_cli_subprocess_exit_1(cli_env):
+    """Full command-line launch (fresh JVM): FAILing rules -> exit code 1,
+    reports written — the reference's `python -m src.main` contract."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "data_quality_framework_spark.main",
+         "--env", "test", "--checks", "null,duplicate",
+         "--config-dir", cli_env["cfg"], "--data-dir", cli_env["data"],
+         "--report-dir", cli_env["rep"], "--report", "csv"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "summary=" in proc.stdout

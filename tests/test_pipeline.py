@@ -96,6 +96,57 @@ def test_lineage_per_partition(output):
     assert counts["WT-TS-001"] == 30
 
 
+def test_no_forced_broadcast_hints(output):
+    """The dup/loser sets are data-dependent (20-40% of a real corpus), so the
+    dedup verdict joins must carry NO explicit broadcast hint — an explicit
+    hint bypasses autoBroadcastJoinThreshold and AQE will not demote it
+    (driver OOM at scale). AQE may still CHOOSE broadcast at runtime when the
+    set is genuinely small; we assert only that the choice is left to it."""
+    plan = output.decisions._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "explicit join hint found in dedup plan"
+    assert "UnresolvedHint" not in plan
+
+
+def test_high_dup_corpus(spark):
+    """Adversarial corpus with ~33% exact-content duplicates (real Common
+    Crawl runs 20-40%): the dup set is O(corpus) and must flow through the
+    hint-free joins correctly — every clone of a kept doc drops as
+    exact_duplicate, every clone of a heuristically-dropped doc drops for the
+    same heuristic reason."""
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    pages = gen_pages(spark, 10000, partitions=8)
+    # deterministic ~50% subset (limit() may re-pick rows across jobs)
+    clones = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?clone=1"))
+    )
+    union = pages.unionByName(clones)
+    n_urls = union.select("url").distinct().count()
+    assert n_urls > 12000  # ~50% clone rate on 9900 distinct urls
+    out = run_pipeline(spark, union, FilterConfig(), per_partition_lineage=False)
+    dec = out.decisions.persist()
+    base_out = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=False)
+    base_kept = {r["url"] for r in base_out.decisions.filter("keep").select("url").collect()}
+
+    assert dec.count() == n_urls  # one decision per url
+    # clones of kept originals: kept originals keep, clones drop as exact dups
+    clone_rows = dec.filter(F.col("url").endswith("?clone=1")).collect()
+    for r in clone_rows:
+        orig = r["url"].removesuffix("?clone=1")
+        if orig in base_kept:
+            assert not r["keep"] and r["drop_reason"] in (
+                "exact_duplicate", "near_duplicate"
+            ), r
+    # originals keep exactly what the clone-free run kept (dedup keeps the
+    # min-sort_key member of each content group; originals sort before clones
+    # only when ts equal — so compare the union of kept TEXTS instead)
+    kept_n = dec.filter("keep").count()
+    assert kept_n == len(base_kept), (kept_n, len(base_kept))
+    dec.unpersist()
+    out.unpersist()
+    base_out.unpersist()
+
+
 def test_pipeline_deterministic_across_parallelism(spark):
     from data_quality_framework_spark.sources.generator import gen_pages
 

@@ -220,6 +220,73 @@ def test_fk_rule_anti_join(spark, tables):
     assert res.status == CheckStatus.FAIL
 
 
+def test_fk_rule_composite_key(spark, tables):
+    """J3: multi-column FK anti-join (checks/check_foreign_key.sql:42-56).
+    Parent = (customer_id, merchant_id) pairs present in the target txns;
+    child rows 6 (999 orphan merchant) and 8's pair exist, so plant a parent
+    set that misses (2, 2)."""
+    parent = spark.createDataFrame(
+        [(1, 1), (3, 3), (4, 1), (5, 2), (1, 999)],
+        "cust int, merch int",
+    )
+    rule = Rule(
+        rule_id="FK-COMP", check_type="foreign_key", table="src_card_transactions",
+        columns=("customer_id", "merchant_id"),
+        params={"parent_table": "p", "parent_columns": ["cust", "merch"]},
+    )
+    res = run_fk_rule(tables["src_card_transactions"], parent, rule)
+    # rows (2,2) and (7: 2,2) violate -> 2 orphan rows; all others present
+    assert res.violation_count == 2
+    assert res.total_rows == 8
+    assert res.details["columns"] == ["customer_id", "merchant_id"]
+    assert res.status == CheckStatus.FAIL
+
+
+def test_existence_check_composite(spark, tables):
+    rule = Rule(
+        rule_id="TRF-COMP", check_type="transform",
+        params={"source_table": "s", "target_table": "t",
+                "compare_type": "existence",
+                "join_keys": ["customer_id", "merchant_id"]},
+    )
+    res = run_existence_check(
+        tables["src_card_transactions"], tables["tgt_card_transactions"], rule
+    )
+    # distinct (cust, merch) pairs: rows 7/8 repeat (2,2)/(1,1) -> 6 distinct;
+    # tgt drops only row 8 (a repeat) -> same pair set both ways
+    assert res.details["missing_in_target"] == 0
+    assert res.details["missing_in_source"] == 0
+    assert res.details["source_count"] == 6
+
+
+def test_violation_samples_attached(spark, tables):
+    """Reference detail lists (check_null.sql:55-61, check_range.sql:58-66,
+    check_masking.sql:84-95): failing row-local rules carry sample rows."""
+    rules = [
+        Rule(rule_id="NULL-S", check_type="null", table="src_customers",
+             column="phone_number",
+             params={"max_null_ratio": 0.0, "include_empty_string": True,
+                     "sample_columns": ["customer_id", "phone_number"]}),
+        Rule(rule_id="RNG-S", check_type="positive", table="src_customers",
+             column="customer_id"),   # passes -> no samples key
+    ]
+    res = {r.rule_id: r for r in run_row_local_rules(tables["src_customers"], rules)}
+    samples = res["NULL-S"].details["sample_records"]
+    assert len(samples) == 2
+    assert {s["customer_id"] for s in samples} == {2, 3}
+    assert all(set(s) == {"customer_id", "phone_number"} for s in samples)
+    assert "sample_records" not in res["RNG-S"].details
+
+
+def test_violation_samples_respect_limit(spark, tables):
+    rule = Rule(rule_id="MASK-S", check_type="masking", table="tgt_customers",
+                column="resident_number", params={"masking_type": "ssn"})
+    [res] = run_row_local_rules(tables["tgt_customers"], [rule], sample_limit=1)
+    assert len(res.details["sample_records"]) == 1
+    [res0] = run_row_local_rules(tables["tgt_customers"], [rule], sample_limit=0)
+    assert "sample_records" not in res0.details
+
+
 def test_join_compare_distributed(spark, tables):
     rule = Rule(
         rule_id="TRF-002", check_type="transform",
