@@ -6,9 +6,12 @@ Each ``queries()`` key is an operator family from SURVEY.md §2 (reference
 views. Column names and rounding are aligned on both sides so the driver's
 order-insensitive value-hash matches.
 
-Operators whose semantics are not SQL-expressible (MinHash/SimHash LSH pairs,
-hyperplane-LSH ANN, Arrow-UDF feature extraction, the full generator-backed
-web-text pipeline) have queries() entries only -> driver records rows-only.
+Since r2 the LSH family is oracle-backed too: MinHash-LSH pairs verify against
+exact n-gram Jaccard, SimHash pairs against exact hamming over md5-derived
+simhashes (LSH banding is provably complete for hamming < bands), embedding
+near-dups against brute-force cosine over planted clones, and LSH top-k
+against a SQL replication of the probing itself (seeded hyperplane matrix as
+literals). Only the generator-backed web-text pipeline stays rows-only.
 """
 
 from __future__ import annotations
@@ -250,6 +253,25 @@ def _q_j2(spark, sf):  # J2: anti join detail — customers with no orders
     )
 
 
+def _q_j3(spark, sf):  # J3: composite-key FK anti join (check_foreign_key.sql:42-56)
+    # parent = (partkey, suppkey) pairs seen on line numbers 1-2; orphans are
+    # pairs appearing only deeper in an order — a composite-key referential
+    # check with a derived dimension (core.planner.run_fk_rule semantics)
+    li = _t(spark, sf, "lineitem")
+    parent = (
+        li.filter(F.col("l_linenumber") <= 2)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    child = li.filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    return (
+        child.join(parent, ["l_partkey", "l_suppkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_count"))
+    )
+
+
 def _q_j5(spark, sf):  # J5: per-day count compare via left join + verdict column
     o = (
         _t(spark, sf, "orders")
@@ -477,31 +499,55 @@ def _q_sim_topk(spark, sf):  # exact cosine top-k vs the vec_id=0 embedding
     return brute_force_topk(e, qvec, k=10)
 
 
-# ----- non-SQL-expressible (rows-only driver check) --------------------------
+# ----- LSH family: oracle-backed via exact ground truth (r2) -----------------
+# Each LSH operator's output is verifiable because (a) the final filter is an
+# EXACT verification (n-gram Jaccard / hamming / cosine — all reproducible in
+# DuckDB), and (b) the LSH candidate stage provably or empirically reaches
+# recall 1 on this data (simhash banding is exact for hamming < bands by
+# pigeonhole; minhash s-curve at the 0.9+ planted pairs has miss prob ~1e-6;
+# embedding clones share buckets deterministically).
 
 def _q_minhash_pairs(spark, sf):
-    from data_quality_framework_spark.operators.dedup import minhash_candidate_pairs
+    # MinHash-LSH candidates -> EXACT 3-gram Jaccard verification >= 0.5
+    from data_quality_framework_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    return minhash_candidate_pairs(
-        d, "doc_id", "text", k=16, bands=8, min_jaccard_est=0.5
-    ).orderBy("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.5, k=16, bands=8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_simhash_pairs(spark, sf):
     from data_quality_framework_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    return (
+        simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text", max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
     )
+
+
+def _emb_augmented(spark, sf):
+    """embeddings + deterministic planted near-dups: exact clones of vec_id<20
+    re-keyed to id+10000 (the natural corpus has no pair above cosine 0.52, so
+    near-dup detection would be vacuously 0-rows without planting)."""
+    e = _t(spark, sf, "embeddings")
+    clones = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10000)
+    )
+    return e.unionByName(clones)
 
 
 def _q_emb_near_dup(spark, sf):
     from data_quality_framework_spark.operators.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        _t(spark, sf, "embeddings"), min_cosine=0.95
-    ).orderBy("id_a", "id_b")
+    return (
+        embedding_near_dup_pairs(_emb_augmented(spark, sf), min_cosine=0.95)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_sim_lsh(spark, sf):
@@ -548,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_fk_profile": _q_a15,
         "j1_fk_orphans": _q_j1,
         "j2_anti_missing": _q_j2,
+        "j3_composite_fk": _q_j3,
         "j5_daily_count_compare": _q_j5,
         "j6_join_compare": _q_j6,
         "j7_existence": _q_j7,
@@ -562,12 +609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_profile": _q_quality,
         "text_langid_distribution": _q_langid,
         "sim_topk_bruteforce": _q_sim_topk,
-        # rows-only (no SQL oracle):
+        # LSH family — oracle-backed since r2 (exact ground truth in DuckDB):
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "sim_topk_lsh": _q_sim_lsh,
         "multimodal_image_features": _q_multimodal,
+        # rows-only (generator-backed pipeline; no SQL oracle):
         "wt_pipeline_summary": _q_pipeline,
     }
 
@@ -595,6 +643,80 @@ _LANGID_CASE = (
 
 _WS_TOKENS = "len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))"
 _NONBLANK = "(text is not null and not regexp_matches(text, '^\\s*$'))"
+
+# ----- LSH-family oracle building blocks -------------------------------------
+
+#: word-3-gram shingle SETS per doc, mirroring functions.hashing.shingles():
+#: <3 words (or blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim)
+_SHINGLE_SETS = r"""
+shing AS (
+ SELECT doc_id,
+  list_distinct(
+   CASE WHEN text IS NULL OR regexp_matches(text, '^\s*$') OR
+         len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) < 3
+        THEN [trim(coalesce(text, ''))]
+   ELSE (SELECT list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t))
+   END) AS sh
+ FROM documents)
+"""
+
+#: per-doc 64-bit SimHash, identical to functions.hashing._simhash_batch:
+#: token hash = first 8 md5 bytes big-endian; bit i set iff 2*ones_i > n_tokens
+def _simhash_oracle_bits() -> str:
+    terms = [
+        f"(CASE WHEN 2 * sum(CAST((h >> {i}) & 1 AS BIGINT)) > count(*) "
+        f"THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    ]
+    return " + ".join(terms)
+
+
+_SIMHASH_DOCS = rf"""
+tok AS (
+ SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS t
+ FROM documents WHERE {_NONBLANK}),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
+sh0 AS (SELECT doc_id, {_simhash_oracle_bits()} AS simhash FROM th GROUP BY doc_id),
+simdocs AS (
+ SELECT d.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+ FROM documents d LEFT JOIN sh0 s USING (doc_id))
+"""
+
+def _lsh_probe_sql() -> str:
+    """Replicates ``operators.similarity.lsh_topk`` bucket probing in pure SQL.
+
+    The hyperplane matrix H is a seeded constant (default_rng(42), dim=64,
+    planes=8) — identical on the Spark side — so its values embed as float
+    literals and the per-row signature is 8 sign bits of v @ H. Multi-probe
+    (hamming <= 1 between row signature and query signature) is expressed as
+    ``bit_count(xor(sig_e, sig_q)) <= 1``. Sign safety: the minimum |dot|
+    margin across all 500x8 projections at sf0.01 is 3.4e-4, ~9 orders above
+    any summation-order error, so SQL sequential sums and numpy BLAS sums
+    agree on every sign (verified exhaustively)."""
+    import numpy as np
+
+    H = np.random.default_rng(42).standard_normal((64, 8))
+
+    def dot(j: int) -> str:
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {H[i, j]!r}" for i in range(64)
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {dot(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+    )
+
+
+#: exact cosine between two double-list columns (same shape as the green
+#: sim_topk_bruteforce oracle — proven float-parity with the Spark expression)
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -719,6 +841,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             ORDER BY c_custkey
         """,
+        "j3_composite_fk": """
+            SELECT count(*) AS orphan_count
+            FROM lineitem c
+            WHERE c.l_partkey IS NOT NULL AND c.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM lineitem p
+                              WHERE p.l_linenumber <= 2
+                                AND p.l_partkey = c.l_partkey
+                                AND p.l_suppkey = c.l_suppkey)
+        """,
         "j5_daily_count_compare": """
             SELECT o.d AS event_date, o.order_count, coalesce(l.shipped_orders, 0) AS shipped_orders
             FROM (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS order_count FROM orders GROUP BY 1) o
@@ -825,16 +956,67 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {_LANGID_SCORES} FROM documents)
             GROUP BY 1 ORDER BY 1
         """,
-        "sim_topk_bruteforce": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-            SELECT e.vec_id,
-                   round(
-                     list_sum(list_transform(list_zip(e.embedding, q.qe),
-                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-                      * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-                   4) AS cosine
-            FROM embeddings e, q
+        "sim_topk_bruteforce": _TOPK_COSINE_SQL,
+        # LSH top-k oracle REPLICATES the probing (signature + multi-probe +
+        # exact re-rank) rather than comparing against exhaustive top-k: on
+        # this corpus embeddings are near-random (max cosine to the query is
+        # 0.37), so approximate retrieval legitimately differs from exact —
+        # the oracle instead pins the retrieval set and the re-rank exactly.
+        "sim_topk_lsh": f"""
+            WITH sigs AS (SELECT vec_id, embedding, {_lsh_probe_sql()} AS sig
+                          FROM embeddings),
+                 q AS (SELECT embedding AS qe, sig AS qsig FROM sigs WHERE vec_id = 0)
+            SELECT s.vec_id,
+                   round({_cosine_sql('s.embedding', 'q.qe')}, 4) AS cosine
+            FROM sigs s, q
+            WHERE bit_count(xor(CAST(s.sig AS BIGINT), CAST(q.qsig AS BIGINT))) <= 1
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "dedup_minhash_pairs": f"""
+            WITH {_SHINGLE_SETS},
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+            cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+                     FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+            SELECT ia AS id_a, ib AS id_b,
+                   round(len(list_intersect(x.sh, y.sh)) * 1.0
+                         / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+            FROM cand JOIN shing x ON x.doc_id = ia JOIN shing y ON y.doc_id = ib
+            WHERE len(list_intersect(x.sh, y.sh)) * 1.0
+                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH {_SIMHASH_DOCS}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM simdocs a JOIN simdocs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "emb_near_dup_pairs": f"""
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cosine_sql('a.embedding', 'b.embedding')}, 4) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.95
+            ORDER BY id_a, id_b
+        """,
+        "multimodal_image_features": """
+            SELECT doc_id,
+                   sha256(coalesce(text, '')) AS sha256,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id
+        """,
     }
+
+
+_TOPK_COSINE_SQL = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_cosine_sql('e.embedding', 'q.qe')}, 4) AS cosine
+    FROM embeddings e, q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+"""

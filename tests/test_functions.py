@@ -165,3 +165,39 @@ def test_simhash_hamming(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_simhash_batch_matches_per_token_reference():
+    """The batch-vectorized simhash must be bit-identical to the naive
+    per-token formulation (the r1 implementation) on edge cases: empties,
+    nulls, whitespace-only, ties, unicode, repeated tokens, batch position."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_framework_spark.functions.hashing import _simhash_batch
+
+    def reference(text):
+        toks = ("" if text is None else text).split()
+        if not toks:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            votes += bits * 2 - 1
+        packed = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                packed |= np.uint64(1) << np.uint64(i)
+        return int(packed.view(np.int64))
+
+    texts = [
+        "the quick brown fox", "", None, "   \t  ", "fox fox fox fox",
+        "único açaí 北京 tokens", "a", "a b", "the quick brown fox",
+        "x " * 500, None,
+    ]
+    got = _simhash_batch(pd.Series(texts, dtype=object))
+    want = [reference(t) for t in texts]
+    assert list(got) == want

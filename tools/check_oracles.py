@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's CORRECTNESS gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row counts, dtypes
+and (column-name-sorted, row-sorted) values exactly.
+
+Usage: python tools/check_oracles.py [query ...]   (default: all with oracles)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from data_quality_framework_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qmap, omap = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        sql = omap.get(name)
+        if sql is None:
+            print(f"{name:32s} NO_ORACLE (rows={fn(spark, SF_DIR).count()})")
+            continue
+        try:
+            s = norm(fn(spark, SF_DIR).toPandas())
+            o = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"{name:32s} ERROR {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(s) != len(o):
+            problems.append(f"rows {len(s)} vs {len(o)}")
+        if list(s.columns) != list(o.columns):
+            problems.append(f"cols {list(s.columns)} vs {list(o.columns)}")
+        else:
+            for c in s.columns:
+                if str(s[c].dtype) != str(o[c].dtype):
+                    problems.append(f"dtype[{c}] {s[c].dtype} vs {o[c].dtype}")
+            if not problems:
+                try:
+                    pd.testing.assert_frame_equal(s, o, check_exact=True)
+                except AssertionError as e:
+                    problems.append("values: " + str(e).split("\n")[1][:120])
+        if problems:
+            failures += 1
+            print(f"{name:32s} MISMATCH  " + "; ".join(problems))
+        else:
+            print(f"{name:32s} OK rows={len(s)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
