@@ -130,8 +130,20 @@ def run_row_local_rules(
     exprs = _agg_exprs(compiled)
 
     results: list[CheckResult] = []
-    global_row = df.agg(*exprs).collect()[0].asDict()
-    results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
+    if per_partition:
+        # ONE aggregation job: table-level counts are the column-wise sums of
+        # the per-partition rows (R x P tiny rows, summed driver-side); the
+        # non-additive extras (min/max) fold with their own combiners.
+        part_rows = (
+            df.groupBy(F.spark_partition_id().alias("__pid"))
+            .agg(*exprs)
+            .collect()
+        )
+        global_row = _fold_partition_rows(compiled, [r.asDict() for r in part_rows])
+        results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
+    else:
+        global_row = df.agg(*exprs).collect()[0].asDict()
+        results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
 
     if sample_limit > 0:
         for cr, res in zip(compiled, results):
@@ -141,14 +153,34 @@ def run_row_local_rules(
                 )
 
     if per_partition:
-        part_rows = (
-            df.groupBy(F.spark_partition_id().alias("__pid"))
-            .agg(*exprs)
-            .collect()
-        )
         pairs = [(row["__pid"], row.asDict()) for row in part_rows]
         results.extend(_rows_to_results(compiled, pairs, table_name))
     return results
+
+
+def _fold_partition_rows(
+    compiled: Sequence[CompiledRule], rows: Sequence[Mapping]
+) -> dict:
+    """Combine per-partition aggregation rows into the table-level row.
+
+    Counts add; ``actual_min``/``actual_max`` extras fold with min/max; any
+    other extra falls back to sum (all current extras are counts)."""
+    out: dict = {}
+    for i, cr in enumerate(compiled):
+        for key in (f"r{i}__total", f"r{i}__viol"):
+            out[key] = sum(int(r[key] or 0) for r in rows)
+        for name in cr.extras:
+            key = f"r{i}__x__{name}"
+            vals = [r[key] for r in rows if r[key] is not None]
+            if not vals:
+                out[key] = None
+            elif name.endswith("min"):
+                out[key] = min(vals)
+            elif name.endswith("max"):
+                out[key] = max(vals)
+            else:
+                out[key] = sum(vals)
+    return out
 
 
 def _violation_samples(df: DataFrame, cr: CompiledRule, limit: int) -> list[dict]:

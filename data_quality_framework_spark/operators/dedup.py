@@ -170,18 +170,84 @@ def minhash_dedup(
     id_col: str,
     text_col: str = "text",
     keep_col: str = "is_canonical_near",
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Greedy near-dup suppression: a doc survives unless a SMALLER id is
-    near-identical to it. Single connected-component hop (survivor = local
-    minimum), which matches common one-pass web dedup practice; full
-    transitive closure would need iterative joins (round 2+ if needed).
+    """Near-dup suppression over MinHash-LSH candidate pairs.
+
+    ``transitive=False`` (default): greedy single hop — a doc survives unless
+    a SMALLER id is near-identical to it; matches common one-pass web dedup
+    practice. ``transitive=True``: full connected components — exactly one
+    survivor (the min id) per near-dup CLUSTER, catching chains A~B~C where
+    A and C are not direct candidates (see ``near_dup_components``).
     """
     pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comps = near_dup_components(pairs)
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # materialize the (tiny) loser set eagerly so the cached pair table can be
+    # released NOW instead of leaking until the caller's action
+    losers = losers.localCheckpoint()
+    pairs.unpersist()
     # loser set is tiny relative to the corpus (dup tail) -> AQE will pick a
     # broadcast anti-join at runtime; no manual hint needed since size is data-dependent.
     return df.join(losers, on=id_col, how="left_anti").withColumn(keep_col, F.lit(True))
+
+
+def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the candidate-pair graph as (id, component).
+
+    Iterative min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converges in O(max component
+    diameter) rounds (near-dup clusters are shallow — boilerplate families,
+    recrawl chains). The graph is the dup TAIL, orders of magnitude smaller
+    than the corpus, so each round is a small self-join — the standard
+    large-scale CC recipe (e.g. GraphFrames' label propagation) without the
+    library dependency.
+
+    Each round materializes and truncates lineage (localCheckpoint) so the
+    plan does not grow exponentially with iterations.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels
 
 
 def ngram_jaccard_pairs(

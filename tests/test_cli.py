@@ -242,6 +242,28 @@ def test_checks_filter(spark, cli_env):
     assert summary["total_checks"] == 4
 
 
+def test_env_profile_substitution(tmp_path, monkeypatch):
+    """environments.yml profiles resolve ${VAR:-default} like the reference's
+    db-config loader (config_loader.py:58-72)."""
+    from data_quality_framework_spark.main import load_env_profile
+
+    (tmp_path / "environments.yml").write_text(
+        "prod:\n  master: \"${TEST_SPARK_MASTER:-local[2]}\"\n"
+        "  conf:\n    spark.sql.shuffle.partitions: \"${TEST_SHUF:-7}\"\n"
+    )
+    p = load_env_profile(str(tmp_path), "prod")
+    assert p["master"] == "local[2]"
+    assert p["conf"]["spark.sql.shuffle.partitions"] == "7"
+    monkeypatch.setenv("TEST_SPARK_MASTER", "local[5]")
+    p = load_env_profile(str(tmp_path), "prod")
+    assert p["master"] == "local[5]"
+    with pytest.raises(KeyError):
+        load_env_profile(str(tmp_path), "nope")
+    # missing file -> defaults
+    p = load_env_profile(str(tmp_path / "none"), "anything")
+    assert p["master"].startswith("local")
+
+
 def test_exit_code_2_missing_data(cli_env, tmp_path):
     rc = main([
         "--env", "test", "--config-dir", cli_env["cfg"],

@@ -140,6 +140,32 @@ def test_langid_and_perplexity(spark):
     assert g_ppl > 1000
 
 
+def test_ppl_independent_of_batch_composition():
+    """Regression (r1 ADVICE): a trailing empty/null text in the Arrow batch
+    truncated the PRECEDING document's segment (clamped reduceat offsets), so
+    the same doc scored different ppl depending on batch composition —
+    breaking determinism/resume-exactness and flipping f_ppl near threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_framework_spark.functions.scoring import _ppl_vec
+
+    doc = "the quick brown fox jumps over the lazy dog"
+    alone = _ppl_vec(pd.Series([doc]))[0]
+    for batch in (
+        [doc, ""],                    # the original failure shape
+        [doc, None],
+        ["", doc],
+        [None, "other text here", doc, "", None],
+        [doc] * 3 + [""] * 2,
+    ):
+        got = _ppl_vec(pd.Series(batch, dtype=object))
+        idx = batch.index(doc)
+        assert got[idx] == alone, (batch, got[idx], alone)
+    empties = _ppl_vec(pd.Series(["", None], dtype=object))
+    assert np.isinf(empties).all()
+
+
 def test_minhash_estimates_jaccard(spark):
     from data_quality_framework_spark.functions.hashing import minhash_signature, shingles
 

@@ -50,6 +50,36 @@ def test_minhash_pairs_find_near_dup(spark, docs):
     assert not any({4, 5} & {a, b} for a, b in got if (a, b) != (4, 5))
 
 
+def test_near_dup_components(spark):
+    """Connected components over candidate pairs: chains collapse to one
+    survivor per cluster even when endpoints are not direct candidates."""
+    from data_quality_framework_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_minhash_dedup_transitive_vs_greedy(spark, docs):
+    """Greedy keeps a doc with no smaller DIRECT near-dup; transitive keeps
+    exactly one per cluster. On this corpus cluster {1,2,3} chains through
+    the exact pair (1,2) and near pair (.,3)."""
+    from data_quality_framework_spark.operators.dedup import minhash_dedup
+
+    greedy = {r["doc_id"] for r in
+              minhash_dedup(docs, "doc_id", k=16, bands=8,
+                            min_jaccard_est=0.5).collect()}
+    trans = {r["doc_id"] for r in
+             minhash_dedup(docs, "doc_id", k=16, bands=8,
+                           min_jaccard_est=0.5, transitive=True).collect()}
+    assert trans == {1, 4, 5}
+    assert trans <= greedy  # closure never keeps more than greedy
+
+
 def test_ngram_jaccard_exact_verification(spark, docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, min_jaccard=0.5, k=16, bands=8)
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

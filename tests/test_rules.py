@@ -278,6 +278,28 @@ def test_violation_samples_attached(spark, tables):
     assert "sample_records" not in res["RNG-S"].details
 
 
+def test_per_partition_fold_matches_global(spark, tables):
+    """per_partition=True derives the table-level row by folding partition
+    rows (one aggregation job); it must equal the dedicated global agg."""
+    rules = [
+        Rule(rule_id="NULL-G", check_type="null", table="t",
+             column="phone_number",
+             params={"max_null_ratio": 0.05, "include_empty_string": True}),
+        Rule(rule_id="RNG-G", check_type="range", table="t",
+             column="customer_id",
+             params={"min_value": 2, "max_value": 4}),
+    ]
+    df = tables["src_customers"].repartition(3)
+    flat = {r.rule_id: r for r in run_row_local_rules(df, rules, sample_limit=0)}
+    folded = {r.rule_id: r for r in run_row_local_rules(
+        df, rules, per_partition=True, sample_limit=0) if r.partition_id == -1}
+    for rid in flat:
+        a, b = flat[rid], folded[rid]
+        assert (a.total_rows, a.violation_count, a.status) == (
+            b.total_rows, b.violation_count, b.status), rid
+        assert a.details == b.details, rid
+
+
 def test_violation_samples_respect_limit(spark, tables):
     rule = Rule(rule_id="MASK-S", check_type="masking", table="tgt_customers",
                 column="resident_number", params={"masking_type": "ssn"})

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Adversarial high-duplication bench: >=30% exact-dup corpus at ~1M docs.
+
+Real Common-Crawl snapshots run 20-40% duplicates, which makes the dup/loser
+sets O(corpus) — exactly the case where r1's forced broadcast() hints would
+have OOM'd the driver. This bench (a) builds a ~1.05M-doc corpus with ~33%
+exact-content duplicates (clones under distinct urls), (b) runs the full
+pipeline via spark-submit, (c) samples the JVM's VmRSS throughout (local mode:
+driver and executors share one JVM, so a driver-side broadcast blowup shows
+here), and (d) checks the kept set equals the clone-free run's kept count.
+
+Usage: python tools/bench_highdup.py [base_docs] -> one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import threading
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+BASE_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 700_000
+
+
+def materialize(n: int) -> tuple[str, int, int]:
+    path = os.path.join(ROOT, ".cache", f"highdup_{n}.parquet")
+    meta = path + ".meta.json"
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(meta):
+        m = json.load(open(meta))
+        return path, m["total"], m["clones"]
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.session import get_spark
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    spark = get_spark(app_name="highdup-gen", master="local[32]", shuffle_partitions=32)
+    pages = gen_pages(spark, n)
+    clones = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?clone=1"))
+    )
+    corpus = pages.unionByName(clones)
+    corpus.write.mode("overwrite").parquet(path)
+    total = corpus.count()
+    n_clones = total - n
+    spark.stop()
+    json.dump({"total": total, "clones": n_clones}, open(meta, "w"))
+    return path, total, n_clones
+
+
+def rss_sampler(stop: threading.Event, peak: dict) -> None:
+    while not stop.is_set():
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if b"java" not in cmd or b"spark" not in cmd.lower():
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            mb = int(line.split()[1]) // 1024
+                            peak["mb"] = max(peak.get("mb", 0), mb)
+            except OSError:
+                continue
+        time.sleep(2)
+
+
+def main() -> None:
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_pipeline.py"), "--make-zip"],
+        check=True, cwd=ROOT, capture_output=True,
+    )
+    path, total, clones = materialize(BASE_DOCS)
+    out_dir = os.path.join(ROOT, ".cache", "highdup_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stop, peak = threading.Event(), {}
+    t = threading.Thread(target=rss_sampler, args=(stop, peak), daemon=True)
+    t.start()
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[32]",
+            "--conf", "spark.sql.shuffle.partitions=32",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=16g",
+            "--conf", "spark.sql.files.maxPartitionBytes=16777216",
+            "--py-files", os.path.join(ROOT, "dq_spark.zip"),
+            os.path.join(ROOT, "run_pipeline.py"),
+            "--input", path, "--output", out_dir,
+            "--report-dir", os.path.join(out_dir, "reports"),
+            "--warmup", "20000",
+        ],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+    elapsed = time.time() - t0
+    stop.set()
+    t.join(timeout=5)
+    m = re.search(r"docs=(\d+) elapsed=([\d.]+)s docs_per_sec=(\d+)",
+                  proc.stdout + proc.stderr)
+    if not m:
+        sys.stderr.write(proc.stdout[-1500:] + proc.stderr[-1500:])
+        raise SystemExit("pipeline run failed")
+
+    import duckdb
+
+    kept = duckdb.sql(
+        f"SELECT count(*) FROM '{out_dir}/annotated/*.parquet' WHERE keep"
+    ).fetchone()[0]
+    exact_dups = duckdb.sql(
+        f"SELECT count(*) FROM '{out_dir}/annotated/*.parquet' "
+        "WHERE drop_reason = 'exact_duplicate'"
+    ).fetchone()[0]
+    print(json.dumps({
+        "corpus_docs": total,
+        "clone_docs": clones,
+        "dup_rate": round(clones / total, 3),
+        "decision_docs": int(m.group(1)),
+        "steady_state_docs_per_sec": int(m.group(3)),
+        "wall_elapsed_sec": round(elapsed, 1),
+        "kept": kept,
+        "dropped_exact_duplicate": exact_dups,
+        "peak_jvm_rss_mb": peak.get("mb"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
