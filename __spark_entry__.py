@@ -558,6 +558,38 @@ def _q_sim_lsh(spark, sf):
     return lsh_topk(e, qvec, k=10)
 
 
+def _q_line_dedup(spark, sf):
+    """Cross-corpus line dedup (Gopher boilerplate removal). The documents
+    table is single-line, so boilerplate is PLANTED in-query (same pattern as
+    the embedding clones): a nav header on every doc + a copyright footer on
+    even doc_ids; the operator must strip exactly those and keep each doc's
+    own (unique) line byte-intact."""
+    from data_quality_framework_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV home about contact login"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("COPYRIGHT 2024 example.org")),
+        ).alias("text"),
+    )
+    out = line_dedup(m, id_col="doc_id", min_docs=5)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text_clean").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+def _q_sim_ivf(spark, sf):
+    from data_quality_framework_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(e, qvec, k=10, nprobe=4, n_cells=16)
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -605,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_hash_format": _q_p14,
         "f_scalar_functions": _q_scalar,
         "dedup_exact_stats": _q_dedup_exact,
+        "text_line_dedup": _q_line_dedup,
         "text_token_counts": _q_tokens,
         "text_quality_profile": _q_quality,
         "text_langid_distribution": _q_langid,
@@ -614,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "sim_topk_lsh": _q_sim_lsh,
+        "sim_topk_ivf": _q_sim_ivf,
         "multimodal_image_features": _q_multimodal,
         # rows-only (generator-backed pipeline; no SQL oracle):
         "wt_pipeline_summary": _q_pipeline,
@@ -707,6 +741,26 @@ def _lsh_probe_sql() -> str:
     return " + ".join(
         f"(CASE WHEN {dot(j)} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
     )
+
+
+def _ivf_dots_sql(n_cells: int = 16) -> str:
+    """Centroid dot-product list replicating ``similarity.ivf_topk``'s coarse
+    quantizer in SQL: same seeded centroid constants embedded as literals.
+    Cell = first-argmax (``list_position(d, list_max(d)) - 1`` = numpy
+    argmax); probe set = the query row's top-nprobe cells via
+    ``list_grade_up``. Sign safety: min top1-top2 assignment gap is 8e-5 at
+    sf0.01 (4.5e-4 at sf0.001) and the query's nprobe boundary gap is 1e-2 —
+    orders above any summation-order noise."""
+    from data_quality_framework_spark.operators.similarity import ivf_centroids
+
+    C = ivf_centroids(64, n_cells, 7)
+
+    def dot(j: int) -> str:
+        return " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {C[j, i]!r}" for i in range(64)
+        )
+
+    return "[" + ", ".join(dot(j) for j in range(n_cells)) + "]"
 
 
 #: exact cosine between two double-list columns (same shape as the green
@@ -925,6 +979,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT md5(coalesce(text, ''))) AS duplicate_docs
             FROM documents
         """,
+        "text_line_dedup": """
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10), 'NAV home about contact login', text,
+                                        CASE WHEN doc_id % 2 = 0
+                                             THEN 'COPYRIGHT 2024 example.org' END) AS mtext
+                       FROM documents WHERE text IS NOT NULL),
+                 l AS (SELECT doc_id, unnest(string_split(mtext, chr(10))) AS line FROM m),
+                 bp AS (SELECT md5(line) AS h FROM l
+                        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+                 bpl AS (SELECT coalesce(list(h), []) AS hs FROM bp)
+            SELECT doc_id,
+                   CAST(len(string_split(mtext, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(string_split(mtext, chr(10)),
+                                        ln -> list_contains(hs, md5(ln)))) AS BIGINT) AS n_removed,
+                   md5(array_to_string(list_filter(string_split(mtext, chr(10)),
+                                                   ln -> NOT list_contains(hs, md5(ln))),
+                                       chr(10))) AS clean_md5
+            FROM m, bpl ORDER BY doc_id
+        """,
         "text_token_counts": f"""
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,
                    CAST(sum(CASE WHEN {_NONBLANK} THEN
@@ -970,6 +1043,19 @@ def oracle_sql() -> dict[str, str]:
                    round({_cosine_sql('s.embedding', 'q.qe')}, 4) AS cosine
             FROM sigs s, q
             WHERE bit_count(xor(CAST(s.sig AS BIGINT), CAST(q.qsig AS BIGINT))) <= 1
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "sim_topk_ivf": f"""
+            WITH d AS (SELECT vec_id, embedding, {_ivf_dots_sql(16)} AS d FROM embeddings),
+                 cells AS (SELECT vec_id, embedding,
+                                  list_position(d, list_max(d)) - 1 AS cell FROM d),
+                 q AS (SELECT embedding AS qe,
+                              list_slice(list_grade_up(d), 13, 16) AS probes
+                       FROM d WHERE vec_id = 0)
+            SELECT c.vec_id,
+                   round({_cosine_sql('c.embedding', 'q.qe')}, 4) AS cosine
+            FROM cells c, q
+            WHERE list_contains(q.probes, c.cell + 1)
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "dedup_minhash_pairs": f"""

@@ -284,6 +284,64 @@ def ngram_jaccard_pairs(
     return out
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-corpus line-level dedup (Gopher-style boilerplate removal).
+
+    A line appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, copyright footers) and is removed from every
+    document. Returns (id, n_lines, n_removed, text_clean) for non-null-text
+    docs; line order is preserved exactly (posexplode + ordered reassembly).
+
+    Scale shape: one shuffle on md5(line) (uniform key) to count distinct
+    docs per line — map-side partial aggregation keeps it metadata-sized —
+    plus one shuffle on the doc id to reassemble. The boilerplate set joins
+    hint-free (its size is data-dependent; AQE broadcasts when small).
+    Within-doc duplicate-line stats are the separate, shuffle-free
+    ``textstats.dup_line_fraction``.
+    """
+    lines = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+
+    boilerplate = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh")
+    )
+    tagged = lines.join(
+        boilerplate.withColumn("__bp", F.lit(True)), "lh", "left"
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bp").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

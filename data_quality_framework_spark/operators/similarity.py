@@ -8,16 +8,21 @@
   query, scan restricted to matching buckets (multi-probe over 1-bit flips),
   exact cosine re-rank inside the bucket. At 100 TB the bucket column is a
   partition/bucketing key so the probe prunes files instead of scanning them.
-* ``ivf_topk`` — IVF-style: k-means-free variant using seeded random centroid
-  ids from hyperplane signs (coarse quantizer); kept simple for round 1.
+* ``ivf_topk`` — IVF-style: deterministic seeded-centroid coarse quantizer;
+  scan only the ``nprobe`` cells nearest the query, exact re-rank inside. At
+  scale the cell id is a partition/bucket column -> file-level pruning.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from data_quality_framework_spark.functions.hashing import hyperplane_signature
 
@@ -79,8 +84,6 @@ def lsh_topk(
     ``multiprobe_bits=1`` also probes all buckets at hamming distance 1 from
     the query signature (standard multi-probe LSH), trading recall for scans.
     """
-    import numpy as np
-
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((dim, planes))
@@ -93,6 +96,59 @@ def lsh_topk(
     sig_udf = hyperplane_signature(dim, planes, seed)
     bucketed = df.withColumn("__bucket", sig_udf(F.col(vec_col)))
     cand = bucketed.filter(F.col("__bucket").isin(list(probes)))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
+
+
+def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7):
+    """Deterministic coarse-quantizer centroids: seeded unit gaussians.
+
+    K-means-free IVF — at 100 TB you train centroids once on a sample and
+    ship them as literals; here they are a pure function of the seed so every
+    executor (and the SQL oracle) reconstructs them identically."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_cells, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7):
+    """pandas_udf: array<float> -> int cell id = argmax centroid dot product
+    (first max on ties, matching numpy and the SQL oracle's list_position)."""
+    C = ivf_centroids(dim, n_cells, seed)
+
+    @pandas_udf(T.IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return _cell
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to ``n_cells`` cells, scan only the
+    ``nprobe`` cells nearest the query, exact cosine re-rank inside them.
+
+    At scale the cell id is a partition/bucketing column, so probing prunes
+    ~(1 - nprobe/n_cells) of the files before any row is read. nprobe =
+    n_cells degrades gracefully to exact brute force."""
+    dim = len(query_vec)
+    C = ivf_centroids(dim, n_cells, seed)
+    qd = C @ np.asarray(query_vec, dtype=float)
+    probe_cells = [int(c) for c in np.argsort(-qd, kind="stable")[:nprobe]]
+
+    cell_udf = ivf_cell_udf(dim, n_cells, seed)
+    cand = df.withColumn("__cell", cell_udf(F.col(vec_col))).filter(
+        F.col("__cell").isin(probe_cells)
+    )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 

@@ -36,6 +36,54 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-agnostic reader: parquet / csv / json (/ iceberg in production).
+
+    CSV and JSON REQUIRE an explicit schema at scale: schema inference is a
+    full extra pass over the data (`inferSchema` reads everything once before
+    the real scan) and silently widens types between files. Supplying
+    ``schema`` keeps the read single-pass and the types stable.
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(
+            f"{fmt} source needs an explicit schema (inference = extra full pass)"
+        )
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed bucketed table (Spark bucketing = Hive-compatible).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle on either side (and without a sort when also
+    ``sortBy``-ed) — the co-located join strategy for repeated large-large
+    joins such as pages x per-domain dimensions at 100 TB. The Iceberg analog
+    is a ``bucket(N, col)`` partition transform + storage-partitioned joins.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_results(
     df: DataFrame,
     path: str,

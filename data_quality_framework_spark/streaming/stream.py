@@ -60,6 +60,57 @@ def streaming_metrics(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> D
     )
 
 
+def streaming_url_dedup(pages: DataFrame) -> DataFrame:
+    """Custom stateful operator: cross-micro-batch first-seen URL dedup via
+    ``applyInPandasWithState``.
+
+    Emits each url's canonical row (min ``warc_ts``, then min content md5 —
+    the batch pipeline's sort_key ordering) the FIRST time the url is seen;
+    every later occurrence, in the same or any subsequent micro-batch, is
+    suppressed by a 1-int GroupState per url. This is the streaming analog of
+    the batch url-collapse — state is O(distinct keys), Arrow-batched, no
+    per-row Python objects beyond the canonical picks.
+
+    Scale note: per-key state lives in the state store (RocksDB in prod);
+    at web scale you bound it with a watermark-based state TTL (recrawls of
+    a url arrive within a crawl window) — kept NoTimeout here because the
+    sandbox corpus is a single crawl.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "url string, warc_ts timestamp, lang string, text string"
+    state_schema = "emitted int"
+
+    def first_seen(key, pdfs, state: GroupState):
+        already = state.exists
+        best = None
+        for pdf in pdfs:
+            if already or len(pdf) == 0:
+                continue
+            pdf = pdf.assign(
+                __md5=pdf["text"].fillna("").map(
+                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                )
+            ).sort_values(["warc_ts", "__md5"], kind="stable")
+            head = pdf.head(1)
+            if best is None or (
+                (head["warc_ts"].iloc[0], head["__md5"].iloc[0])
+                < (best["warc_ts"].iloc[0], best["__md5"].iloc[0])
+            ):
+                best = head
+        if not already:
+            state.update((1,))
+            if best is not None:
+                yield best[["url", "warc_ts", "lang", "text"]]
+
+    return pages.select("url", "warc_ts", "lang", "text").groupBy("url").applyInPandasWithState(
+        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     input_dir: str,

@@ -1,0 +1,64 @@
+"""Source formats (csv/json with explicit schemas) and bucketed co-located
+joins (shuffle-free large-large join strategy)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.sources.catalog import read_source, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.0), (3, None, 30.25)],
+        "id int, name string, amount double",
+    )
+
+
+def test_read_csv_with_schema(spark, sample, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("csv") / "t.csv")
+    sample.write.option("header", "true").csv(p)
+    back = read_source(spark, p, "csv", schema="id int, name string, amount double")
+    assert back.count() == 3
+    assert dict(back.dtypes) == {"id": "int", "name": "string", "amount": "double"}
+    assert back.filter("id = 2").head()["amount"] == 20.0
+
+
+def test_read_json_with_schema(spark, sample, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("json") / "t.json")
+    sample.write.json(p)
+    back = read_source(spark, p, "json", schema="id int, name string, amount double")
+    assert back.count() == 3
+    assert back.filter("name is null").head()["id"] == 3
+
+
+def test_csv_without_schema_rejected(spark):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, "/nope", "csv")
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed on the join key with equal bucket counts -> the
+    sort-merge join reads bucket-aligned files directly: NO Exchange on
+    either side of the join (the 100 TB co-located-join strategy)."""
+    left = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    write_bucketed(left, "bkt_left", ("k",), n_buckets=8, sort_cols=("k",))
+    write_bucketed(right, "bkt_right", ("k",), n_buckets=8, sort_cols=("k",))
+    try:
+        j = (
+            spark.table("bkt_left")
+            .hint("merge")  # force SMJ so the assertion targets the shuffle,
+            .join(spark.table("bkt_right"), "k")  # not broadcast selection
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -50,6 +50,29 @@ def test_minhash_pairs_find_near_dup(spark, docs):
     assert not any({4, 5} & {a, b} for a, b in got if (a, b) != (4, 5))
 
 
+def test_line_dedup_boilerplate_removal(spark):
+    """Lines in >= min_docs distinct docs are stripped everywhere; unique
+    lines survive byte-intact in original order; within-doc repeats of a
+    NON-boilerplate line are kept (only cross-corpus repetition counts)."""
+    from data_quality_framework_spark.operators.dedup import line_dedup
+
+    header, footer = "NAV HOME", "(c) footer"
+    rows = [
+        (1, f"{header}\nunique one\nunique two\n{footer}"),
+        (2, f"{header}\nother content\n{footer}"),
+        (3, f"{header}\nmore text\n{footer}"),
+        (4, f"{header}\nrepeat me\nrepeat me\n{footer}"),  # in-doc repeat kept
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+    assert set(out) == {1, 2, 3, 4}  # null-text doc out of scope
+    assert out[1]["text_clean"] == "unique one\nunique two"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[4]["text_clean"] == "repeat me\nrepeat me"
+    assert out[2]["text_clean"] == "other content"
+
+
 def test_near_dup_components(spark):
     """Connected components over candidate pairs: chains collapse to one
     survivor per cluster even when endpoints are not direct candidates."""
@@ -117,6 +140,22 @@ def test_lsh_topk_finds_true_neighbor(spark, vectors):
     assert ids and ids[0] == 100
     # identical-direction near-dup shares the bucket -> must be found
     assert 101 in ids
+
+
+def test_ivf_topk(spark, vectors):
+    from data_quality_framework_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+    # identical-direction vectors land in the same cell -> top-1 guaranteed
+    top = ivf_topk(vectors, q, k=3, nprobe=2, n_cells=8).collect()
+    assert top[0]["vec_id"] == 100 and top[0]["cosine"] == 1.0
+    assert 101 in [r["vec_id"] for r in top]
+    # nprobe == n_cells degrades to exact brute force
+    exact = brute_force_topk(vectors, q, k=5).collect()
+    full = ivf_topk(vectors, q, k=5, nprobe=8, n_cells=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
 
 
 def test_embedding_near_dup(spark, vectors):

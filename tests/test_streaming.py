@@ -38,6 +38,59 @@ def test_available_now_incremental(spark, tmp_path):
     assert out.filter(has_pii(F.col("text_scrubbed"))).count() == 0
 
 
+def test_streaming_url_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup holds state ACROSS micro-batches:
+    a url recrawled in a later batch is suppressed, and the emitted row is the
+    canonical (min warc_ts) one from its first-seen batch."""
+    import datetime as dt
+
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import streaming_url_dedup
+
+    input_dir = str(tmp_path / "sin")
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def rows(*specs):
+        return [(u, ts + dt.timedelta(minutes=m), None, t, "en") for u, m, t in specs]
+
+    batch1 = spark.createDataFrame(
+        rows(("http://a/1", 5, "alpha"), ("http://b/1", 2, "bravo"),
+             ("http://b/1", 1, "bravo-early")),
+        PAGES_SCHEMA,
+    )
+    batch2 = spark.createDataFrame(
+        rows(("http://b/1", 0, "bravo-later-batch"), ("http://c/1", 3, "charlie")),
+        PAGES_SCHEMA,
+    )
+    # two files -> maxFilesPerTrigger=1 forces TWO micro-batches, so the
+    # b-url suppression in batch 2 exercises persisted GroupState
+    batch1.coalesce(1).write.mode("append").parquet(input_dir)
+    batch2.coalesce(1).write.mode("append").parquet(input_dir)
+
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        streaming_url_dedup(src)
+        .writeStream.format("memory")
+        .queryName("url_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["url"]: r for r in spark.sql("select * from url_dedup_test").collect()}
+    assert set(got) == {"http://a/1", "http://b/1", "http://c/1"}
+    # batch-internal canonical pick: min warc_ts among b's two batch-1 rows
+    assert got["http://b/1"]["text"] in ("bravo-early", "bravo-later-batch")
+    # parquet file ordering decides which file is batch 1; whichever came
+    # first, the duplicate later occurrence must NOT overwrite it: exactly
+    # one b row total
+    assert len(got) == 3
+
+
 def test_streaming_metrics_window(spark, tmp_path):
     from data_quality_framework_spark.streaming.stream import streaming_metrics, stream_pages
 
