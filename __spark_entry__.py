@@ -558,6 +558,17 @@ def _q_sim_lsh(spark, sf):
     return lsh_topk(e, qvec, k=10)
 
 
+def _q_fingerprint_overlap(spark, sf):
+    # rolling-hash document fingerprinting: 0-mod-p sampled 5-gram hashes,
+    # pairs sharing >= 2 sampled fingerprints (partial-overlap detection)
+    from data_quality_framework_spark.operators.dedup import fingerprint_overlap_pairs
+
+    d = _t(spark, sf, "documents")
+    return fingerprint_overlap_pairs(
+        d, "doc_id", "text", k=5, mod=8, min_shared=2
+    ).orderBy("id_a", "id_b")
+
+
 def _q_line_dedup(spark, sf):
     """Cross-corpus line dedup (Gopher boilerplate removal). The documents
     table is single-line, so boilerplate is PLANTED in-query (same pattern as
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_hash_format": _q_p14,
         "f_scalar_functions": _q_scalar,
         "dedup_exact_stats": _q_dedup_exact,
+        "text_fingerprint_overlap": _q_fingerprint_overlap,
         "text_line_dedup": _q_line_dedup,
         "text_token_counts": _q_tokens,
         "text_quality_profile": _q_quality,
@@ -680,21 +692,26 @@ _NONBLANK = "(text is not null and not regexp_matches(text, '^\\s*$'))"
 
 # ----- LSH-family oracle building blocks -------------------------------------
 
-#: word-3-gram shingle SETS per doc, mirroring functions.hashing.shingles():
-#: <3 words (or blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim)
-_SHINGLE_SETS = r"""
+def _shingle_sets_sql(n: int) -> str:
+    """word-n-gram shingle SETS per doc, mirroring functions.hashing.shingles():
+    <n words (or blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim)."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return rf"""
 shing AS (
  SELECT doc_id,
   list_distinct(
    CASE WHEN text IS NULL OR regexp_matches(text, '^\s*$') OR
-         len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) < 3
+         len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) < {n}
         THEN [trim(coalesce(text, ''))]
-   ELSE (SELECT list_transform(range(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}),
+                               i -> {joined})
          FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t))
    END) AS sh
  FROM documents)
 """
+
+
+_SHINGLE_SETS = _shingle_sets_sql(3)
 
 #: per-doc 64-bit SimHash, identical to functions.hashing._simhash_batch:
 #: token hash = first 8 md5 bytes big-endian; bit i set iff 2*ones_i > n_tokens
@@ -978,6 +995,19 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(coalesce(text, ''))) AS distinct_texts,
                    count(*) - count(DISTINCT md5(coalesce(text, ''))) AS duplicate_docs
             FROM documents
+        """,
+        "text_fingerprint_overlap": f"""
+            WITH {_shingle_sets_sql(5)},
+            fps AS (SELECT doc_id,
+                           unnest(list_distinct(list_filter(
+                               list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)),
+                               h -> h % 8 = 0))) AS fp
+                    FROM shing)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fingerprints
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY id_a, id_b
         """,
         "text_line_dedup": """
             WITH m AS (SELECT doc_id,

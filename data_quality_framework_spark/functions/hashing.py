@@ -96,6 +96,31 @@ def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
     )
 
 
+def kgram_hashes(text: Column, k: int = 5) -> Column:
+    """array<long> of 60-bit hashes over word k-gram shingles.
+
+    Hash = first 15 hex chars of md5 (60 bits, fits signed 64) so a DuckDB
+    oracle reproduces every value: ``CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT)``. Pure JVM expressions (md5 + conv), one pass per shingle.
+    """
+    return F.transform(
+        shingles(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def sampled_fingerprints(hashes: Column, mod: int = 8) -> Column:
+    """0-mod-p sampled fingerprint SET (winnowing-style document fingerprint).
+
+    Keeping only hashes ≡ 0 (mod p) deterministically samples ~1/p of each
+    document's k-grams — the classic rolling-hash fingerprinting scheme
+    (Broder / Manber / MOSS family): two documents sharing a text chunk of
+    >= k+p words share a sampled fingerprint with high probability, so
+    PARTIAL overlap/containment is detectable where whole-doc MinHash is not.
+    """
+    return F.array_distinct(F.filter(hashes, lambda h: h % mod == F.lit(0)))
+
+
 def band_keys(signature: Column, bands: int, rows: int) -> Column:
     """array<long> of band bucket keys: hash of each contiguous signature slice.
 

@@ -342,6 +342,44 @@ def line_dedup(
     )
 
 
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    mod: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap/containment detection via sampled k-gram fingerprints.
+
+    Whole-doc MinHash misses a page that EMBEDS another page (jaccard of the
+    union is low); shared sampled fingerprints count overlapping CHUNKS
+    directly. Pipeline: k-gram hashes -> 0-mod-p sample (~1/p of shingles) ->
+    explode -> self-join on fingerprint -> pairs with >= min_shared common
+    fingerprints. Shuffle carries (fingerprint, id) pairs — ~1/p of the
+    shingle count, uniform hash keys; k=5 makes cross-doc accidental
+    collisions negligible, so no bucket cap is needed.
+    """
+    from data_quality_framework_spark.functions.hashing import (
+        kgram_hashes,
+        sampled_fingerprints,
+    )
+
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(sampled_fingerprints(kgram_hashes(F.col(text_col), k), mod)).alias("fp"),
+    )
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

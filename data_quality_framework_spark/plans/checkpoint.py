@@ -45,6 +45,7 @@ from data_quality_framework_spark.plans.pipeline import (
 )
 from data_quality_framework_spark.functions.scrub import scrub_text
 from data_quality_framework_spark.functions.textstats import fingerprint
+from data_quality_framework_spark.core.planner import results_to_df
 
 META_COLS = [
     "url", "sort_key", "content_md5", "f_any_heuristic",
@@ -211,9 +212,61 @@ def resumable_pipeline(
         kept.write.mode("overwrite").parquet(
             os.path.join(ckpt.out_dir, "kept", f"bucket={b}")
         )
+        # per-bucket lineage (north rule: resumable WITH per-partition
+        # lineage + metrics): one CheckResult per rule per bucket, derived
+        # from the already-materialized meta flags + dedup loss kinds —
+        # idempotent overwrite like the other bucket outputs.
+        results_to_df(spark, _bucket_lineage(meta_b, cfg, b)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ckpt.out_dir, "lineage", f"bucket={b}"))
         ckpt.mark("output", b)
         ran["phase_c"].append(b)
     return ran
+
+
+def _bucket_lineage(meta_b: DataFrame, cfg: FilterConfig, bucket: int) -> list:
+    """CheckResults for one bucket: heuristic rules from the meta flag
+    columns + the two dedup rules from loss_kind — ONE aggregation job."""
+    from data_quality_framework_spark.core.rules import (
+        CheckStatus,
+        make_result,
+        null_verdict,
+    )
+    from data_quality_framework_spark.plans.pipeline import DEDUP_RULES, _flag_rules
+
+    rules = _flag_rules(cfg)
+    exprs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for fcol, _, _ in rules:
+        exprs.append(F.sum(F.when(F.col(fcol), 1).otherwise(0)).cast("long").alias(fcol))
+    for kind, alias in (("exact_duplicate", "__exact"), ("near_duplicate", "__near")):
+        exprs.append(
+            F.sum(F.when(F.col("loss_kind") == kind, 1).otherwise(0))
+            .cast("long").alias(alias)
+        )
+    row = meta_b.agg(*exprs).collect()[0]
+    total = int(row["__total"])
+    out = []
+    for fcol, _, rule in rules:
+        viol = int(row[fcol] or 0)
+        if rule.check_type == "null":  # same verdict bands as pipeline._lineage
+            status = (
+                null_verdict(viol / total, float(rule.p("max_null_ratio", 0.0)))
+                if total else CheckStatus.WARNING
+            )
+        else:
+            status = CheckStatus.PASS if viol == 0 else CheckStatus.FAIL
+        out.append(make_result(
+            rule, rule.check_type, status,
+            total_rows=total, violation_count=viol, partition_id=bucket,
+        ))
+    for rule, alias in zip(DEDUP_RULES, ("__exact", "__near")):
+        viol = int(row[alias] or 0)
+        out.append(make_result(
+            rule, "duplicate",
+            CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+            total_rows=total, violation_count=viol, partition_id=bucket,
+        ))
+    return out
 
 
 def read_output(spark: SparkSession, ckpt: Checkpoint, what: str = "kept") -> DataFrame:

@@ -45,6 +45,20 @@ def test_resumable_matches_one_shot(spark, pages_10k, out_dir):
     ran2 = resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
     assert ran2 == {"phase_a": [], "phase_b": False, "phase_c": []}
 
+    # per-bucket lineage (north rule): every rule reported per bucket, and
+    # per-rule violation counts sum across buckets to the one-shot's
+    # table-level lineage
+    lin = read_output(spark, ckpt, "lineage")
+    assert lin.select("partition_id").distinct().count() == 4
+    ck_counts = {
+        r["rule_id"]: r["v"]
+        for r in lin.groupBy("rule_id").agg(F.sum("violation_count").alias("v")).collect()
+    }
+    for res in one_shot.results:
+        if res.partition_id == -1 and res.rule_id in ck_counts:
+            assert ck_counts[res.rule_id] == res.violation_count, res.rule_id
+    assert "WT-DUP-001" in ck_counts and "WT-DUP-002" in ck_counts
+
 
 def test_resume_after_partial_failure(spark, pages_10k, out_dir):
     ckpt = Checkpoint(out_dir=os.path.join(out_dir, "b"), n_buckets=4)

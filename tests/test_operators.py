@@ -50,6 +50,37 @@ def test_minhash_pairs_find_near_dup(spark, docs):
     assert not any({4, 5} & {a, b} for a, b in got if (a, b) != (4, 5))
 
 
+def test_fingerprint_overlap_detects_containment(spark):
+    """A document EMBEDDED in a larger one has low whole-doc jaccard (union
+    dominated by the host doc) but shares its chunk fingerprints — the case
+    rolling-hash fingerprinting exists for."""
+    from data_quality_framework_spark.operators.dedup import fingerprint_overlap_pairs
+
+    core = " ".join(f"core{i}" for i in range(120))
+    extra = " ".join(f"extra{i}" for i in range(240))
+    rows = [
+        (1, core),
+        (2, core + " " + extra),                 # contains doc 1 verbatim
+        (3, " ".join(f"other{i}" for i in range(120))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fingerprints"]
+             for r in fingerprint_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # whole-doc jaccard of the containment pair is low (~1/3) — minhash at a
+    # 0.5 threshold would miss it
+    from data_quality_framework_spark.functions.hashing import shingles
+
+    j = (
+        df.filter("doc_id = 1").select(F.array_distinct(shingles(F.col("text"), 5)).alias("a"))
+        .crossJoin(df.filter("doc_id = 2").select(F.array_distinct(shingles(F.col("text"), 5)).alias("b")))
+        .select((F.size(F.array_intersect("a", "b")) / F.size(F.array_union("a", "b"))).alias("j"))
+        .head()["j"]
+    )
+    assert j < 0.5
+
+
 def test_line_dedup_boilerplate_removal(spark):
     """Lines in >= min_docs distinct docs are stripped everywhere; unique
     lines survive byte-intact in original order; within-doc repeats of a
