@@ -481,6 +481,16 @@ def _q_quality(spark, sf):  # per-doc quality metrics (Gopher/C4 heuristics)
     ).orderBy("doc_id")
 
 
+def _q_quality_topk(spark, sf):
+    # DCLM-style composite quality score, top-20 docs (TakeOrderedAndProject)
+    d = TS.with_text_stats(_t(spark, sf, "documents"), full=False)
+    return (
+        d.select("doc_id", F.round(TS.quality_score(), 6).alias("quality"))
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(20)
+    )
+
+
 def _q_langid(spark, sf):  # langid distribution (Arrow pandas UDF on Spark side)
     d = _t(spark, sf, "documents")
     return (
@@ -652,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": _q_line_dedup,
         "text_token_counts": _q_tokens,
         "text_quality_profile": _q_quality,
+        "text_quality_topk": _q_quality_topk,
         "text_langid_distribution": _q_langid,
         "sim_topk_bruteforce": _q_sim_topk,
         # LSH family — oracle-backed since r2 (exact ground truth in DuckDB):
@@ -1053,6 +1064,19 @@ def oracle_sql() -> dict[str, str]:
                                               w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
                          ELSE 0.0 END, 4) AS stopword_fraction
             FROM documents ORDER BY doc_id
+        """,
+        "text_quality_topk": f"""
+            SELECT doc_id,
+                   round(2.0 * (CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                                              w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
+                         ELSE 0.0 END)
+                       + least(CAST((CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS DOUBLE), 500.0) / 500.0
+                       - 5.0 * (CASE WHEN coalesce(length(text), 0) > 0
+                         THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END), 6) AS quality
+            FROM documents
+            ORDER BY quality DESC, doc_id LIMIT 20
         """,
         "text_langid_distribution": f"""
             SELECT {_LANGID_CASE} AS lang_detected, count(*) AS n_docs

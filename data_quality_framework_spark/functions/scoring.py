@@ -15,6 +15,10 @@ self-contained, deterministic, pure-Python-free-in-the-hot-path stand-ins:
   knowledge). ppl = exp(-mean log p(char)); out-of-alphabet chars get a
   floor probability, so symbol-heavy gibberish scores high perplexity.
   Vectorized: 27 ``Series.str.count`` passes per batch, no row loops.
+* ``perplexity_bigram`` — KenLM-style TRAINED n-gram model: char-bigram
+  counts over an embedded public-domain seed text, add-one smoothing,
+  boundary-safe batch scoring. Swap the table for a real KenLM binary in
+  production; the Arrow plumbing is identical.
 
 Both UDFs are ``pandas_udf`` (Series -> Series) so Spark ships Arrow record
 batches; at 1000-executor scale the only cost is one Python worker pipe per
@@ -134,6 +138,92 @@ def _ppl_vec(texts: pd.Series) -> np.ndarray:
 def perplexity(texts: pd.Series) -> pd.Series:
     """Character-unigram perplexity under the fixed English LM (see module doc)."""
     return pd.Series(_ppl_vec(texts), dtype="float64")
+
+
+# --------------------------------------------------------------------------
+# KenLM-style n-gram LM: char-bigram model TRAINED on an embedded seed text
+# --------------------------------------------------------------------------
+
+#: Public-domain English training text (UDHR Article 1 + common pangrams) —
+#: the KenLM workflow in miniature: count n-grams on a corpus, smooth, score.
+#: In production the table is replaced by a real KenLM binary over a large
+#: corpus; the scoring machinery below (class mapping, boundary-safe segment
+#: sums) is exactly what that swap reuses.
+_BIGRAM_TRAIN_TEXT = (
+    "All human beings are born free and equal in dignity and rights. They are "
+    "endowed with reason and conscience and should act towards one another in "
+    "a spirit of brotherhood. The quick brown fox jumps over the lazy dog. "
+    "Pack my box with five dozen liquor jugs. How vexingly quick daft zebras "
+    "jump. Sphinx of black quartz judge my vow. The five boxing wizards jump "
+    "quickly. A wizard's job is to vex chumps quickly in fog."
+)
+
+_N_CLASSES = 28  # a-z, space, other
+
+
+def _char_classes(codes: "np.ndarray") -> "np.ndarray":
+    """Map unicode codepoints to 28 classes: a-z -> 0-25, space 26, other 27."""
+    cls = np.full(codes.shape, 27, dtype=np.int64)
+    lower = (codes >= ord("a")) & (codes <= ord("z"))
+    upper = (codes >= ord("A")) & (codes <= ord("Z"))
+    cls[lower] = codes[lower] - ord("a")
+    cls[upper] = codes[upper] - ord("A")
+    cls[codes == ord(" ")] = 26
+    return cls
+
+
+def _train_bigram_logp() -> "np.ndarray":
+    """(28*28,) add-one-smoothed log p(c_i | c_{i-1}) from the seed text."""
+    codes = np.frombuffer(_BIGRAM_TRAIN_TEXT.encode("utf-32-le"), dtype=np.uint32)
+    cls = _char_classes(codes.astype(np.int64))
+    counts = np.zeros((_N_CLASSES, _N_CLASSES), dtype=np.float64)
+    np.add.at(counts, (cls[:-1], cls[1:]), 1.0)
+    probs = (counts + 1.0) / (counts.sum(axis=1, keepdims=True) + _N_CLASSES)
+    return np.log(probs).reshape(-1)
+
+
+_BIGRAM_LOGP = _train_bigram_logp()
+
+
+def _ppl_bigram_vec(texts: pd.Series) -> np.ndarray:
+    """Vectorized char-bigram perplexity: exp(-mean log p(c_i | c_{i-1})).
+
+    Same batch machinery as ``_ppl_vec`` (one UTF-32 decode, reduceat segment
+    sums) with one extra subtlety: the pair array spans the whole batch, so
+    the pair that CROSSES each document boundary is zeroed before the segment
+    sums — otherwise doc d's score would leak doc d+1's first character.
+    Docs with < 2 chars score inf (no bigram evidence).
+    """
+    s = texts.fillna("")
+    lengths = s.str.len().to_numpy(dtype="int64")
+    total = int(lengths.sum())
+    out = np.full(len(s), np.inf, dtype="float64")
+    if total < 2:
+        return out
+    codes = np.frombuffer("".join(s.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    cls = _char_classes(codes.astype(np.int64))
+    pair_logp = _BIGRAM_LOGP[cls[:-1] * _N_CLASSES + cls[1:]]
+
+    starts = np.zeros(len(s), dtype="int64")
+    np.cumsum(lengths[:-1], out=starts[1:])
+    crossing = starts[1:] - 1
+    pair_logp[crossing[(crossing >= 0) & (crossing < total - 1)]] = 0.0
+
+    scorable = (lengths >= 2) & (starts <= total - 2)
+    sums = np.zeros(len(s), dtype="float64")
+    if scorable.any():
+        sums[scorable] = np.add.reduceat(pair_logp, starts[scorable])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(
+            scorable, np.exp(-sums / np.maximum(lengths - 1, 1)), np.inf
+        )
+    return out
+
+
+@pandas_udf(T.DoubleType())
+def perplexity_bigram(texts: pd.Series) -> pd.Series:
+    """KenLM-style char-bigram perplexity (trained table, see module doc)."""
+    return pd.Series(_ppl_bigram_vec(texts), dtype="float64")
 
 
 _SCORES_SCHEMA = T.StructType(

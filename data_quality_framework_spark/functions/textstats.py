@@ -136,6 +136,22 @@ def with_text_stats(
     return out
 
 
+def quality_score() -> Column:
+    """Scalar document-quality score (higher = better), DCLM-style: a
+    deterministic blend of the heuristic metrics. Requires the
+    ``with_text_stats`` columns. The fixed linear form keeps it a pure
+    Column expression (and SQL-oracle-reproducible); swap the weights for a
+    trained fastText/logreg scorer in production — the plumbing (one scan,
+    one projection, orderBy/limit top-k) is identical.
+    """
+    wc_norm = F.least(F.col("word_count").cast("double"), F.lit(500.0)) / F.lit(500.0)
+    return (
+        F.lit(2.0) * F.col("stopword_fraction")
+        + wc_norm
+        - F.lit(5.0) * F.col("symbol_ratio")
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count — cheap proxy used for docs/sec accounting."""
     return F.size(words_col(text))

@@ -140,6 +140,42 @@ def test_langid_and_perplexity(spark):
     assert g_ppl > 1000
 
 
+def test_bigram_perplexity():
+    """KenLM-style trained char-bigram LM: English text scores far lower than
+    gibberish; per-doc scores are independent of batch composition (boundary
+    pairs zeroed); <2-char docs have no bigram evidence -> inf."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_framework_spark.functions.scoring import _ppl_bigram_vec
+
+    en = "the quick brown fox jumps over the lazy dog and runs away"
+    gib = "zqxj wvkq jxqz qzxv kjqw xqzj"
+    sym = "@@@@ #### $$$$ %%%% ^^^^"
+    batch = pd.Series([en, gib, sym, "", "a", None], dtype=object)
+    got = _ppl_bigram_vec(batch)
+    assert got[0] < 15 < got[1], (got[0], got[1])
+    assert got[2] > got[0]
+    assert np.isinf(got[3]) and np.isinf(got[4]) and np.isinf(got[5])
+    # batch-composition independence (incl. boundary-crossing pairs)
+    alone = _ppl_bigram_vec(pd.Series([en]))[0]
+    assert got[0] == alone
+    shuffled = _ppl_bigram_vec(pd.Series([gib, "", en, "x"], dtype=object))
+    assert shuffled[2] == alone
+
+
+def test_bigram_perplexity_udf(spark):
+    from data_quality_framework_spark.functions.scoring import perplexity_bigram
+
+    df = spark.createDataFrame(
+        [("the people of the world and the things they do",),
+         ("xqzj vkwq zzzz qqqq",)],
+        "text string",
+    )
+    rows = df.select(perplexity_bigram(F.col("text")).alias("p")).collect()
+    assert rows[0]["p"] < rows[1]["p"]
+
+
 def test_ppl_independent_of_batch_composition():
     """Regression (r1 ADVICE): a trailing empty/null text in the Arrow batch
     truncated the PRECEDING document's segment (clamped reduceat offsets), so

@@ -104,6 +104,43 @@ def test_line_dedup_boilerplate_removal(spark):
     assert out[2]["text_clean"] == "other content"
 
 
+def test_line_dedup_identity_when_no_boilerplate(spark):
+    """min_docs above the corpus size -> nothing is boilerplate -> text_clean
+    is byte-identical to the input (round-trip safety of the reassembly)."""
+    from data_quality_framework_spark.operators.dedup import line_dedup
+
+    rows = [(1, "a\nb\nc"), (2, "x\n\ny \n"), (3, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=99).collect()}
+    for i, text in rows:
+        assert out[i]["text_clean"] == text, (i, repr(out[i]["text_clean"]))
+        assert out[i]["n_removed"] == 0
+
+
+def test_pipeline_composes_with_line_dedup(spark):
+    """RefinedWeb-style composition: strip cross-corpus boilerplate lines
+    FIRST, then run the quality-filter pipeline on the cleaned text — the
+    operators chain without glue code and kept output carries no boilerplate."""
+    from data_quality_framework_spark.operators.dedup import line_dedup
+    from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    pages = gen_pages(spark, 10000, partitions=4).filter(F.col("text").isNotNull())
+    noisy = pages.withColumn(
+        "text", F.concat_ws("\n", F.lit("COOKIE BANNER accept all cookies"), F.col("text"))
+    )
+    cleaned = (
+        line_dedup(noisy.withColumnRenamed("url", "doc_id"), id_col="doc_id", min_docs=5)
+        .select(F.col("doc_id").alias("url"), F.col("text_clean").alias("text"))
+        .join(noisy.select("url", "warc_ts", "html", "lang"), "url")
+    )
+    out = run_pipeline(spark, cleaned, FilterConfig(), per_partition_lineage=False)
+    kept = out.kept.filter(F.col("text_scrubbed").contains("COOKIE BANNER")).count()
+    assert kept == 0
+    assert out.kept.count() > 7000  # pipeline still keeps the real docs
+    out.unpersist()
+
+
 def test_near_dup_components(spark):
     """Connected components over candidate pairs: chains collapse to one
     survivor per cluster even when endpoints are not direct candidates."""
