@@ -46,30 +46,37 @@ def _pin(cores: int) -> list[str]:
     return ["taskset", "-c", f"0-{cores - 1}"] if _HAVE_TASKSET else []
 
 
-_BURN_CODE = (
-    "import hashlib\n"
-    "h = b'x' * 64\n"
-    "for _ in range(2_000_000):\n"
-    "    h = hashlib.sha256(h).digest()\n"
-)
+def _pin_affinity(cores: int) -> None:
+    os.sched_setaffinity(0, range(cores))
+
+
+def _burn(n: int) -> int:
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
 
 
 def cpu_ceiling_probe() -> dict:
     """Per-process sha256 throughput with P processes PINNED to cpus 0..P-1.
 
     This is the hardware-achievable parallel capacity of the exact cpuset each
-    job leg runs on; (probe[P] * P) / (probe[Q] * Q) bounds any Q->P speedup."""
+    job leg runs on; (probe[P] * P) / (probe[Q] * Q) bounds any Q->P speedup.
+
+    Workers are PRE-SPAWNED (multiprocessing.Pool with a sched_setaffinity
+    initializer) and warmed before the timed map, so neither interpreter
+    startup nor sequential spawn latency leaks into the timing — spawning
+    inside the window biased high-P legs in either direction (r2 review)."""
+    import multiprocessing as mp
+
     out = {}
     for procs in sorted({1, SMALL, LARGE, 32}):
-        # warm-up round (scheduler placement, turbo)
-        for _ in range(2):
-            ps = [
-                subprocess.Popen(_pin(procs) + [sys.executable, "-c", _BURN_CODE])
-                for _ in range(procs)
-            ]
+        with mp.Pool(procs, initializer=_pin_affinity, initargs=(procs,)) as p:
+            p.map(_burn, [10_000] * procs)  # warm-up: placement + turbo
             t0 = time.time()
-            if any(p.wait() for p in ps):
-                raise RuntimeError("probe process failed")
+            p.map(_burn, [2_000_000] * procs)
             elapsed = time.time() - t0
         out[procs] = round(2_000_000 / elapsed / 1e6, 2)
     return out

@@ -194,9 +194,11 @@ def _violation_samples(df: DataFrame, cr: CompiledRule, limit: int) -> list[dict
     cols = list(rule.p("sample_columns") or rule.columns
                 or ([rule.column] if rule.column else []))
     cols = [c for c in cols if c in df.columns]
-    filtered = df.filter(cr.scope & cr.violation)
-    if cols:
-        filtered = filtered.select(*cols)
+    if not cols:
+        # never fall back to full rows: a documents table would drag megabyte
+        # payloads into the driver and the lineage JSON; no projection = no samples
+        return []
+    filtered = df.filter(cr.scope & cr.violation).select(*cols)
     return [r.asDict() for r in filtered.limit(limit).collect()]
 
 
@@ -290,10 +292,18 @@ def run_fk_rule(
     fks = list(rule.columns or ([rule.column] if rule.column else []))
     if not fks:
         raise ValueError(f"{rule.rule_id}: foreign_key rule needs column(s)")
-    pks = list(rule.p("parent_columns") or [])
+    raw_pks = rule.p("parent_columns")
+    if isinstance(raw_pks, str):  # YAML scalar: 'cust' would iterate to chars
+        raw_pks = [raw_pks]
+    pks = list(raw_pks or [])
     if not pks:
         single = rule.p("parent_column")
-        pks = [single] * len(fks) if single and len(fks) == 1 else list(fks)
+        if single and len(fks) > 1:
+            raise ValueError(
+                f"{rule.rule_id}: composite FK ({fks}) needs 'parent_columns' "
+                f"(list), got singular parent_column={single!r}"
+            )
+        pks = [single] if single else list(fks)
     if len(pks) != len(fks):
         raise ValueError(f"{rule.rule_id}: parent_columns arity != columns arity")
 

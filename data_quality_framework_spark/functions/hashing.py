@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+import re
+
 from data_quality_framework_spark.functions.textstats import words_col
+
+#: Java/RE2 '\s' equivalent — ASCII only, unlike Python's unicode-aware \s
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -165,8 +170,14 @@ def _simhash_batch(texts: pd.Series) -> np.ndarray:
     """
     import hashlib
 
-    s = texts.fillna("")
-    token_lists = s.str.split()  # whitespace runs, like str.split()
+    # Tokenize on ASCII whitespace EXACTLY like Spark words_col / the DuckDB
+    # oracle (Java and RE2 '\s' = [ \t\n\x0b\f\r]); Python str.split() would
+    # also split on Unicode spaces (U+00A0, U+3000, ...) and silently diverge
+    # on real web text.
+    s = texts.fillna("").str.replace(
+        r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", "", regex=True
+    )
+    token_lists = s.map(lambda t: _ASCII_WS_RE.split(t) if t else [])
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(s))
     out = np.zeros(len(s), dtype=np.uint64)
     total = int(counts.sum())

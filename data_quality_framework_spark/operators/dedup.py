@@ -246,6 +246,13 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        und.unpersist()
+        raise RuntimeError(
+            f"near_dup_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter; returning "
+            "partial components would silently keep extra survivors"
+        )
     und.unpersist()
     return labels
 
@@ -262,6 +269,10 @@ def ngram_jaccard_pairs(
 
     Verification stage for minhash estimates: re-joins candidate ids to their
     shingle sets and computes |A∩B| / |A∪B| with JVM array ops.
+
+    Eager like ``minhash_candidate_pairs`` (which it consumes): the verified
+    pair set is materialized (localCheckpoint) so the candidate cache can be
+    released HERE instead of leaking a persisted table per invocation.
     """
     cands = minhash_candidate_pairs(
         df, id_col, text_col, shingle_n=n, min_jaccard_est=0.0, **lsh_kwargs
@@ -280,7 +291,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard", "jaccard_est")
+        .localCheckpoint()  # materialize verified pairs (dup-tail-sized)
     )
+    cands.unpersist()
     return out
 
 
@@ -386,22 +399,30 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
-    bucket_cap: int = 64,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash, banded hamming LSH, exact
-    hamming verification (<= max_hamming). Guaranteed complete for
-    max_hamming < bands by pigeonhole."""
+    hamming verification (<= max_hamming).
+
+    Completeness: guaranteed for max_hamming < bands by pigeonhole — but ONLY
+    when ``bucket_cap`` is None (the default). A cap bounds the quadratic
+    blowup of giant band buckets (boilerplate corpora) at the cost of
+    dropping pairs past the cap: it is the SCALE knob, opt-in, and any capped
+    run is approximate. (r2: the default was previously capped at 64, which
+    silently broke the completeness claim — 12 true pairs lost at sf0.1
+    where one 16-bit band value is shared by 291 docs.)"""
     hashed = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
     exploded = hashed.select(
         "id", "sh", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
     )
-    ranked = exploded.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
-    ).filter(F.col("rn") <= bucket_cap)
-    a = ranked.select("band", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = ranked.select("band", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if bucket_cap is not None:
+        exploded = exploded.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
+        ).filter(F.col("rn") <= bucket_cap).drop("rn")
+    a = exploded.select("band", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = exploded.select("band", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, "band")
         .filter(F.col("id_a") < F.col("id_b"))

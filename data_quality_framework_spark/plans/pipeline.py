@@ -151,9 +151,22 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
 
 def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
     """Deterministic dedup ordering key — shared by the batch pipeline and
-    every checkpoint phase so canonical-row selection is identical."""
+    every checkpoint phase so canonical-row selection is identical.
+
+    NULL-safe: a null warc_ts (in-contract — f_badts flags it, the row still
+    gets a decision) maps to a sentinel that sorts LAST, never to a NULL key.
+    A NULL key would poison min(struct(...)) canonical selection and make the
+    url-collapse equality filter drop the whole url group; sorting the
+    sentinel last means a VALID recrawl of the same url wins the canonical
+    pick (the pre-r2 min()-skips-nulls behavior), while a url with only
+    null-ts rows still gets a decision (dropped as bad_timestamp)."""
     return F.concat(
-        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss"), F.lit("|"), F.col(url_col)
+        F.coalesce(
+            F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 23:59:59"),
+        ),
+        F.lit("|"),
+        F.col(url_col),
     )
 
 

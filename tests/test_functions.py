@@ -240,8 +240,13 @@ def test_simhash_batch_matches_per_token_reference():
 
     from data_quality_framework_spark.functions.hashing import _simhash_batch
 
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")  # ASCII \s — Java/RE2 semantics
+
     def reference(text):
-        toks = ("" if text is None else text).split()
+        t = ws.sub(" ", "" if text is None else text).strip(" ")
+        toks = t.split(" ") if t else []
         if not toks:
             return 0
         votes = np.zeros(64, dtype=np.int64)
@@ -259,7 +264,14 @@ def test_simhash_batch_matches_per_token_reference():
         "the quick brown fox", "", None, "   \t  ", "fox fox fox fox",
         "único açaí 北京 tokens", "a", "a b", "the quick brown fox",
         "x " * 500, None,
+        # Unicode whitespace (U+00A0, U+3000) is NOT a separator — Java/RE2
+        # '\s' is ASCII-only, and the DuckDB oracle + Spark words_col agree;
+        # Python str.split() would diverge here
+        "left right", "cjk　space",
     ]
     got = _simhash_batch(pd.Series(texts, dtype=object))
     want = [reference(t) for t in texts]
     assert list(got) == want
+    one_token = _simhash_batch(pd.Series(["left right"]))
+    two_token = _simhash_batch(pd.Series(["left right"]))
+    assert one_token[0] != two_token[0]

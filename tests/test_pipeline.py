@@ -147,6 +147,36 @@ def test_high_dup_corpus(spark):
     base_out.unpersist()
 
 
+def test_null_warc_ts_url_still_decided(spark):
+    """Regression (r2 review): a dup-url group whose row has NULL warc_ts must
+    not vanish from decisions (NULL sort_key poisoned the min(struct) pick).
+    The valid recrawl wins the canonical pick; a url with ONLY null-ts rows
+    drops as bad_timestamp but still gets its decision row."""
+    import datetime as dt
+
+    good_text = ("the of and to in a is that it for on with as was at by "
+                 "an be this have from or one had word but what some we " * 3)
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        ("http://dup/x", None, None, good_text, "en"),       # null ts recrawl
+        ("http://dup/x", ts, None, good_text, "en"),         # valid recrawl
+        ("http://onlybad/y", None, None, good_text, "en"),   # only null ts
+        ("http://ok/z", ts, None, good_text, "en"),
+    ]
+    # nullable warc_ts (generator's PAGES_SCHEMA forbids null, real ingestion
+    # schemas don't — the pipeline contract handles it via f_badts)
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=False)
+    dec = {r["url"]: r for r in out.decisions.collect()}
+    assert set(dec) == {"http://dup/x", "http://onlybad/y", "http://ok/z"}
+    assert dec["http://dup/x"]["drop_reason"] != "bad_timestamp"  # valid row won
+    assert dec["http://onlybad/y"]["keep"] is False
+    assert dec["http://onlybad/y"]["drop_reason"] == "bad_timestamp"
+    out.unpersist()
+
+
 def test_pipeline_deterministic_across_parallelism(spark):
     from data_quality_framework_spark.sources.generator import gen_pages
 

@@ -242,6 +242,26 @@ def test_fk_rule_composite_key(spark, tables):
     assert res.status == CheckStatus.FAIL
 
 
+def test_fk_rule_param_validation(spark, tables):
+    """Misconfigured composite FK rules fail loudly, not with wrong joins:
+    singular parent_column on a composite key, and a YAML-scalar
+    parent_columns string must not iterate into characters."""
+    with pytest.raises(ValueError, match="parent_columns"):
+        run_fk_rule(
+            tables["src_card_transactions"], tables["src_merchants"],
+            Rule(rule_id="FK-BAD", check_type="foreign_key", table="t",
+                 columns=("customer_id", "merchant_id"),
+                 params={"parent_column": "id"}),
+        )
+    # string parent_columns coerces to a one-element list (not chars)
+    res = run_fk_rule(
+        tables["src_card_transactions"], tables["src_merchants"],
+        Rule(rule_id="FK-STR", check_type="foreign_key", table="t",
+             column="merchant_id", params={"parent_columns": "merchant_id"}),
+    )
+    assert res.violation_count == 1
+
+
 def test_existence_check_composite(spark, tables):
     rule = Rule(
         rule_id="TRF-COMP", check_type="transform",
