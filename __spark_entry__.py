@@ -698,8 +698,14 @@ _LANGID_CASE = (
     + " end"
 )
 
-_WS_TOKENS = "len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))"
-_NONBLANK = "(text is not null and not regexp_matches(text, '^\\s*$'))"
+# Java's \s = [ \t\n\x0B\f\r]; DuckDB's RE2 \s EXCLUDES \x0b (vertical tab).
+# Spark expressions use Java regexes, so every oracle whitespace class must be
+# this explicit superset — bare \s in an oracle silently diverges on \x0b.
+_WS = r"[\s\x0b]"
+_WS_TOKENS = (
+    f"len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'))"
+)
+_NONBLANK = f"(text is not null and not regexp_matches(text, '^{_WS}*$'))"
 
 # ----- LSH-family oracle building blocks -------------------------------------
 
@@ -711,12 +717,12 @@ def _shingle_sets_sql(n: int) -> str:
 shing AS (
  SELECT doc_id,
   list_distinct(
-   CASE WHEN text IS NULL OR regexp_matches(text, '^\s*$') OR
-         len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) < {n}
+   CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
+         len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
         THEN [trim(coalesce(text, ''))]
    ELSE (SELECT list_transform(range(1, len(t) - {n - 2}),
                                i -> {joined})
-         FROM (SELECT string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t))
+         FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
    END) AS sh
  FROM documents)
 """
@@ -737,7 +743,7 @@ def _simhash_oracle_bits() -> str:
 
 _SIMHASH_DOCS = rf"""
 tok AS (
- SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS t
+ SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) AS t
  FROM documents WHERE {_NONBLANK}),
 th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS h FROM tok),
 sh0 AS (SELECT doc_id, {_simhash_oracle_bits()} AS simhash FROM th GROUP BY doc_id),
@@ -865,7 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "a8_null_blank_profile": f"""
             SELECT count(*) AS total_rows,
                    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pure_null_count,
-                   CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '^\\s*$') THEN 1 ELSE 0 END) AS BIGINT) AS blank_count,
+                   CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(text, '^{_WS}*$') THEN 1 ELSE 0 END) AS BIGINT) AS blank_count,
                    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_null_count
             FROM documents
         """,
@@ -1043,7 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,
                    CAST(sum(CASE WHEN {_NONBLANK} THEN
                        list_sum(list_transform(
-                           string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                           string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
                            w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
                        ELSE 0 END) AS BIGINT) AS bpe_tokens,
                    round(avg(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END), 4) AS avg_doc_tokens
@@ -1054,13 +1060,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS word_count,
                    coalesce(length(text), 0) AS char_count,
                    round(CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
-                         THEN length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) * 1.0 / {_WS_TOKENS}
+                         THEN length(regexp_replace(coalesce(text, ''), '{_WS}', '', 'g')) * 1.0 / {_WS_TOKENS}
                          ELSE 0.0 END, 4) AS mean_word_len,
                    round(CASE WHEN coalesce(length(text), 0) > 0
                          THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
                          ELSE 0.0 END, 4) AS symbol_ratio,
                    round(CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
-                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
                                               w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
                          ELSE 0.0 END, 4) AS stopword_fraction
             FROM documents ORDER BY doc_id
@@ -1068,7 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_topk": f"""
             SELECT doc_id,
                    round(2.0 * (CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
-                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
                                               w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
                          ELSE 0.0 END)
                        + least(CAST((CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS DOUBLE), 500.0) / 500.0

@@ -47,7 +47,8 @@ def _pin(cores: int) -> list[str]:
 
 
 def _pin_affinity(cores: int) -> None:
-    os.sched_setaffinity(0, range(cores))
+    if hasattr(os, "sched_setaffinity"):  # Linux; degrade to unpinned elsewhere
+        os.sched_setaffinity(0, range(cores))
 
 
 def _burn(n: int) -> int:
@@ -74,7 +75,9 @@ def cpu_ceiling_probe() -> dict:
     out = {}
     for procs in sorted({1, SMALL, LARGE, 32}):
         with mp.Pool(procs, initializer=_pin_affinity, initargs=(procs,)) as p:
-            p.map(_burn, [10_000] * procs)  # warm-up: placement + turbo
+            # warm-up must be long enough to ramp cpufreq/turbo and settle
+            # placement (~hundreds of ms per worker, not single-digit ms)
+            p.map(_burn, [400_000] * procs)
             t0 = time.time()
             p.map(_burn, [2_000_000] * procs)
             elapsed = time.time() - t0
@@ -199,7 +202,8 @@ like-for-like; on a dedicated cluster the ceiling factor is absent.
         "## Correctness companions\n\n"
         "- keep/drop F1 vs independent generator labels: >= 0.99 (tests/test_pipeline.py)\n"
         "- scrubbed text byte-identity per url: exact\n"
-        "- 30 operator queries match the DuckDB oracle (CORRECTNESS_r*.json)\n"
+        "- all oracle-backed driver queries match DuckDB (CORRECTNESS_r*.json;\n"
+        "  tools/check_oracles.py reproduces the gate locally)\n"
     )
     prior = ""
     if os.path.exists(path):

@@ -191,8 +191,10 @@ def _violation_samples(df: DataFrame, cr: CompiledRule, limit: int) -> list[dict
     the driver and the lineage JSON).
     """
     rule = cr.rule
-    cols = list(rule.p("sample_columns") or rule.columns
-                or ([rule.column] if rule.column else []))
+    raw = rule.p("sample_columns")
+    if isinstance(raw, str):  # YAML scalar: 'url' must not iterate to chars
+        raw = [raw]
+    cols = list(raw or rule.columns or ([rule.column] if rule.column else []))
     cols = [c for c in cols if c in df.columns]
     if not cols:
         # never fall back to full rows: a documents table would drag megabyte

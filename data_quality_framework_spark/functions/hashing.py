@@ -24,7 +24,9 @@ import re
 
 from data_quality_framework_spark.functions.textstats import words_col
 
-#: Java/RE2 '\s' equivalent — ASCII only, unlike Python's unicode-aware \s
+#: Java '\s' = [ \t\n\x0B\f\r] — ASCII only, unlike Python's unicode-aware \s.
+#: NB: RE2 (DuckDB) '\s' EXCLUDES \x0b, so the DuckDB oracles spell this set
+#: out as the explicit class [\s\x0b] instead of using bare \s.
 _ASCII_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
@@ -170,10 +172,10 @@ def _simhash_batch(texts: pd.Series) -> np.ndarray:
     """
     import hashlib
 
-    # Tokenize on ASCII whitespace EXACTLY like Spark words_col / the DuckDB
-    # oracle (Java and RE2 '\s' = [ \t\n\x0b\f\r]); Python str.split() would
-    # also split on Unicode spaces (U+00A0, U+3000, ...) and silently diverge
-    # on real web text.
+    # Tokenize on ASCII whitespace EXACTLY like Spark words_col (Java '\s' =
+    # [ \t\n\x0b\f\r]) and the DuckDB oracle (explicit [\s\x0b] class — RE2's
+    # bare \s lacks \x0b); Python str.split() would also split on Unicode
+    # spaces (U+00A0, U+3000, ...) and silently diverge on real web text.
     s = texts.fillna("").str.replace(
         r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", "", regex=True
     )

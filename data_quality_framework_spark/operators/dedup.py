@@ -212,6 +212,8 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Each round materializes and truncates lineage (localCheckpoint) so the
     plan does not grow exponentially with iterations.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -277,23 +279,25 @@ def ngram_jaccard_pairs(
     cands = minhash_candidate_pairs(
         df, id_col, text_col, shingle_n=n, min_jaccard_est=0.0, **lsh_kwargs
     )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    )
-    out = (
-        cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+    try:
+        sets = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard", "jaccard_est")
-        .localCheckpoint()  # materialize verified pairs (dup-tail-sized)
-    )
-    cands.unpersist()
+        out = (
+            cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard", "jaccard_est")
+            .localCheckpoint()  # materialize verified pairs (dup-tail-sized)
+        )
+    finally:
+        cands.unpersist()
     return out
 
 

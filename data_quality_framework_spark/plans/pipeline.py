@@ -166,7 +166,9 @@ def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
             F.lit("9999-12-31 23:59:59"),
         ),
         F.lit("|"),
-        F.col(url_col),
+        F.coalesce(F.col(url_col), F.lit("")),  # total null-safety: a NULL
+        # url (out of contract but possible in raw ingestion) must not
+        # produce a NULL key either
     )
 
 

@@ -242,7 +242,7 @@ def test_simhash_batch_matches_per_token_reference():
 
     import re
 
-    ws = re.compile(r"[ \t\n\r\f\x0b]+")  # ASCII \s — Java/RE2 semantics
+    ws = re.compile(r"[ \t\n\r\f\x0b]+")  # Java \s (oracle uses [\s\x0b])
 
     def reference(text):
         t = ws.sub(" ", "" if text is None else text).strip(" ")
@@ -264,8 +264,8 @@ def test_simhash_batch_matches_per_token_reference():
         "the quick brown fox", "", None, "   \t  ", "fox fox fox fox",
         "único açaí 北京 tokens", "a", "a b", "the quick brown fox",
         "x " * 500, None,
-        # Unicode whitespace (U+00A0, U+3000) is NOT a separator — Java/RE2
-        # '\s' is ASCII-only, and the DuckDB oracle + Spark words_col agree;
+        # Unicode whitespace (U+00A0, U+3000) is NOT a separator — Java '\s'
+        # is ASCII-only and the DuckDB oracle's [\s\x0b] class agrees;
         # Python str.split() would diverge here
         "left right", "cjk　space",
     ]
