@@ -383,7 +383,7 @@ def _q_w2(spark, sf):  # beyond-reference: ranking + lag analytics windows
     e = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        e.withColumn("event_rank", F.row_number().over(w))
+        e.withColumn("event_rank", F.row_number().over(w).cast("long"))
         .withColumn("prev_value", F.lag("value").over(w))
         .filter(F.col("event_rank") <= 3)
         .select(
@@ -435,7 +435,7 @@ def _q_scalar(spark, sf):  # §2.8 scalar-function surface in one projection
         c.select(
             "c_custkey",
             F.trim(F.col("c_name")).alias("name_trim"),
-            F.length("c_name").alias("name_len"),
+            F.length("c_name").cast("long").alias("name_len"),
             F.substring("c_name", 1, 8).alias("name_prefix"),
             F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey")).alias("concat_key"),
             F.md5("c_name").alias("name_md5"),
@@ -473,8 +473,8 @@ def _q_quality(spark, sf):  # per-doc quality metrics (Gopher/C4 heuristics)
     d = TS.with_text_stats(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
-        "word_count",
-        "char_count",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("char_count").cast("long").alias("char_count"),
         F.round("mean_word_len", 4).alias("mean_word_len"),
         F.round("symbol_ratio", 4).alias("symbol_ratio"),
         F.round("stopword_fraction", 4).alias("stopword_fraction"),
