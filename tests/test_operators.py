@@ -226,6 +226,45 @@ def test_ivf_topk(spark, vectors):
     ]
 
 
+def test_ann_index_pruning(spark, vectors, tmp_path):
+    """The serving path: bucket/cell are storage PARTITION columns, the probe
+    becomes a PartitionFilter, results identical to the scan-side variants."""
+    from data_quality_framework_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        lsh_probes,
+        lsh_topk_indexed,
+    )
+
+    path = str(tmp_path / "ann_index")
+    build_ann_index(vectors, path, planes=8, n_cells=8)
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+
+    # identical results to the scan-side variants
+    idx_lsh = lsh_topk_indexed(spark, path, q, k=3, planes=8, multiprobe_bits=1)
+    scan_lsh = lsh_topk(vectors, q, k=3, planes=8, multiprobe_bits=1)
+    assert [tuple(r) for r in idx_lsh.collect()] == [tuple(r) for r in scan_lsh.collect()]
+    idx_ivf = ivf_topk_indexed(spark, path, q, k=3, nprobe=2, n_cells=8)
+    scan_ivf = ivf_topk(vectors, q, k=3, nprobe=2, n_cells=8)
+    assert [tuple(r) for r in idx_ivf.collect()] == [tuple(r) for r in scan_ivf.collect()]
+
+    # probing is PARTITION pruning: the filter reaches the scan as a
+    # PartitionFilter (no UDF at query time) and unprobed files are never read
+    plan = idx_lsh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # the on-disk layout is one directory per bucket; the probe set covers a
+    # strict subset of them, so the PartitionFilter above skips whole dirs
+    import os
+
+    bucket_dirs = {d for d in os.listdir(path) if d.startswith("bucket=")}
+    probes = set(lsh_probes(q, planes=8, seed=42, multiprobe_bits=1))
+    probed_dirs = {d for d in bucket_dirs if int(d.split("=")[1]) in probes}
+    assert 0 < len(probed_dirs) < len(bucket_dirs)
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, min_cosine=0.95, planes=8, dim=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
