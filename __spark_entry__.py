@@ -11,7 +11,12 @@ exact n-gram Jaccard, SimHash pairs against exact hamming over md5-derived
 simhashes (LSH banding is provably complete for hamming < bands), embedding
 near-dups against brute-force cosine over planted clones, and LSH top-k
 against a SQL replication of the probing itself (seeded hyperplane matrix as
-literals). Only the generator-backed web-text pipeline stays rows-only.
+literals). Since r3 the web-text pipeline summary is oracle-backed too: it
+runs over pages DERIVED from the documents table (planted url/exact/near
+duplicates, md5-family minhash) and DuckDB recomputes every stage — flags,
+langid, perplexity, url collapse, exact dedup, LSH near-dup — so no query is
+rows-only anymore. The generator-based pipeline with independent planted
+labels (the F1 gate) remains entry() + tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -645,8 +650,114 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+# --- wt_pipeline_summary: oracle-backed pipeline over derived pages ---------
+#
+# The pages frame is DERIVED from the documents table by pure expressions that
+# DuckDB mirrors exactly (urls/epochs from doc_id, planted url/exact/near
+# duplicates), so the oracle can recompute the ENTIRE pipeline — heuristic
+# flags, marker langid, char-unigram perplexity, url collapse, md5 exact
+# dedup, and MinHash-LSH near-dup — from first principles. The minhash family
+# runs with hash_fn="md5_60" (DuckDB-reproducible) and an effectively
+# unbounded bucket_cap (exact LSH semantics). max_ppl=20.0 sits mid-corpus
+# (105/500 detected-en docs above it at sf0.01; min |ppl-20| margin 6.5e-3 vs
+# cross-engine float noise ~2e-15 — verified) so the perplexity rule is
+# genuinely exercised. The generator-based pipeline with INDEPENDENT planted
+# labels (the F1 gate) remains entry() + tests/test_pipeline.py.
+
+_WT_URL = "https://docs.example.org/"
+_WT_TS0 = 1704067200          # 2024-01-01 00:00:00 UTC, one doc per hour
+_WT_TS_BAD = 1906761600       # 2030-06 (future -> bad_timestamp)
+_WT_MAX_PPL = 20.0
+
+#: constant paragraphs for the planted classes — verified to PASS every
+#: heuristic (wc>=51, stopword fraction ~0.5, zero symbols, strict-argmax
+#: en langid, unigram ppl 15.9-16.4 vs the 20.0 ceiling), so the class label
+#: below is each planted row's deterministic fate. Apostrophe-free on purpose
+#: (they embed as SQL string literals).
+_WT_PARA_A = (
+    "the quick growth of the market was seen in the report and it was clear "
+    "that the demand for energy and water is rising on every continent as people "
+    "move to the cities and the supply of raw material is limited by the cost of "
+    "transport and the speed of change"
+)
+_WT_PARA_B = (
+    "people who work in the library said that the history of music is long and "
+    "that it was written by many hands over the years and the story of the art "
+    "is told in the books that line the walls of the great hall near the river "
+    "and the bridge that leads to the old town square"
+)
+_WT_SYMBOLS = "#" * 80   # appended to PARA_A -> symbol_ratio ~0.17 > 0.10
+
+#: planted classes by doc_id % 40 (the base row for EVERY doc_id also ships):
+#:   1 -> same-url recrawl (url collapse, +0 decision rows)
+#:   2 -> '-src' + '-copy', shared constant text  -> one canonical,
+#:        the rest exact_duplicate
+#:   3 -> '-near', PARA_B + unique ' zz<id>' tail -> one survivor,
+#:        the rest near_duplicate (MinHash-LSH)
+#:   4 -> '-blank', empty text                    -> empty_text
+#:   5 -> '-symbol', PARA_A + '#'*80              -> high_symbol_ratio
+#:   6 -> '-badts', clean PARA_A, future epoch    -> bad_timestamp
+#: plus doc_id % 97 == 0 base rows get a future epoch (mostly masked by
+#: earlier flags — precedence is part of what the oracle checks).
+
+
+def _wt_docs_pages(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    good = F.lit(_WT_TS0) + F.col("doc_id") * 3600
+    epoch = F.when(
+        F.col("doc_id") % 97 == 0, F.lit(_WT_TS_BAD) + F.col("doc_id")
+    ).otherwise(good)
+    url = F.concat(F.lit(_WT_URL), F.col("doc_id").cast("string"))
+    null_html = F.lit(None).cast("binary")
+
+    def planted(mod, suffix, ts_expr, text_expr, lang_expr):
+        return d.filter(F.col("doc_id") % 40 == mod).select(
+            F.concat(url, F.lit(suffix)).alias("url"),
+            F.timestamp_seconds(ts_expr).alias("warc_ts"),
+            null_html.alias("html"),
+            text_expr.alias("text"),
+            lang_expr.alias("lang"),
+        )
+
+    base = d.select(
+        url.alias("url"), F.timestamp_seconds(epoch).alias("warc_ts"),
+        null_html.alias("html"), "text", "lang",
+    )
+    en = F.lit("en")
+    parts = [
+        base,
+        planted(1, "", epoch + 60, F.col("text"), F.col("lang")),
+        planted(2, "-src", good + 60, F.lit(_WT_PARA_A), en),
+        planted(2, "-copy", good + 120, F.lit(_WT_PARA_A), en),
+        planted(
+            3, "-near", good + 60,
+            F.concat(F.lit(_WT_PARA_B + " zz"), F.col("doc_id").cast("string")), en,
+        ),
+        planted(4, "-blank", good + 60, F.lit(""), en),
+        planted(5, "-symbol", good + 60, F.lit(_WT_PARA_A + " " + _WT_SYMBOLS), en),
+        planted(6, "-badts", F.lit(_WT_TS_BAD) + F.col("doc_id"), F.lit(_WT_PARA_A), en),
+    ]
+    pages = parts[0]
+    for p in parts[1:]:
+        pages = pages.unionByName(p)
+    return pages
+
+
 def _q_pipeline(spark, sf):
-    return entry(spark)
+    from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
+
+    cfg = FilterConfig(
+        max_ppl=_WT_MAX_PPL, minhash_hash="md5_60", lsh_bucket_cap=1_000_000
+    )
+    out = run_pipeline(spark, _wt_docs_pages(spark, sf), cfg, per_partition_lineage=False)
+    summary = (
+        out.decisions.groupBy("keep", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep", "drop_reason")
+    )
+    rows = summary.collect()          # materialize, then release pipeline caches
+    out.unpersist()
+    return spark.createDataFrame(rows, summary.schema)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -695,7 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _q_sim_lsh,
         "sim_topk_ivf": _q_sim_ivf,
         "multimodal_image_features": _q_multimodal,
-        # rows-only (generator-backed pipeline; no SQL oracle):
+        # oracle-backed since r3: the full pipeline over documents-derived
+        # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
     }
 
@@ -818,6 +930,186 @@ def _ivf_dots_sql(n_cells: int = 16) -> str:
         )
 
     return "[" + ", ".join(dot(j) for j in range(n_cells)) + "]"
+
+
+# ----- wt_pipeline_summary oracle: full pipeline recomputed in DuckDB --------
+
+def _ppl_unigram_sql(text: str = "text") -> str:
+    """Char-unigram perplexity identical to ``scoring._ppl_vec``: every
+    letter (both cases) and space scores its table log-prob, every other char
+    the floor; ppl = exp(-mean logp). Counting form: char occurrences via
+    length-of-replace, so the per-doc sum is count*logp — verified to match
+    the reduceat formulation to 1.7e-15 relative across the corpus."""
+    from data_quality_framework_spark.functions.scoring import (
+        _FLOOR_LOGP,
+        _LETTER_LOGP,
+        _SPACE_LOGP,
+    )
+
+    t = f"coalesce({text},'')"
+    L = f"length({t})"
+
+    def cnt(ch: str) -> str:
+        return f"(length({t}) - length(replace({t}, '{ch}', '')))"
+
+    chars = [(c, lp) for c, lp in _LETTER_LOGP.items()]
+    chars += [(c.upper(), lp) for c, lp in _LETTER_LOGP.items()]
+    chars.append((" ", _SPACE_LOGP))
+    counted = " + ".join(cnt(c) for c, _ in chars)
+    logp = " + ".join(f"{cnt(c)} * ({lp!r})" for c, lp in chars)
+    return (
+        f"CASE WHEN {L} > 0 THEN exp(-(({logp}) + ({L} - ({counted})) * ({_FLOOR_LOGP!r})) / {L}) "
+        f"ELSE 1e308 END"
+    )
+
+
+def _shingle_list_expr(n: int = 3) -> str:
+    """Shingle SET expression over a ``text`` column (usable inside any CTE),
+    mirroring ``functions.hashing.shingles``: word n-grams; <n words (or
+    blank/null) -> [trim(text)]."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return rf"""list_distinct(
+   CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
+         len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
+        THEN [trim(coalesce(text, ''))]
+   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}), i -> {joined})
+         FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
+   END)"""
+
+
+def _wt_pipeline_oracle_sql() -> str:
+    """DuckDB recomputation of the FULL quality-filter pipeline over the same
+    derived pages as ``_wt_docs_pages`` (semantics mirror plans/pipeline.py
+    stage by stage; the reference's check semantics live in checks/*.sql).
+
+    sort_key equivalence: the pipeline orders rows by ``date_format(ts) ||
+    '|' || url``; with a fixed-width zero-padded ts prefix that string order
+    is exactly (epoch, url) tuple order, so every window below orders by
+    (ts_epoch, url) instead of reconstructing the string."""
+    import datetime as _dt
+
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+    from data_quality_framework_spark.sources.generator import RUN_TS
+
+    def ep(s: str) -> int:
+        return int(
+            _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+        )
+
+    min_ts, max_ts, run_ts = ep("2023-01-01 00:00:00"), ep("2026-12-31 23:59:59"), ep(RUN_TS)
+    P = MINHASH_PRIME
+    coeffs = _minhash_coeffs(16)
+
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in coeffs
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 17)
+    )
+    band_or = " OR ".join(
+        f"(a.sig[{2 * b + 1}] = b.sig[{2 * b + 1}] AND a.sig[{2 * b + 2}] = b.sig[{2 * b + 2}])"
+        for b in range(8)
+    )
+    swf = (
+        f"CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0 "
+        f"THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'), "
+        f"w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS} ELSE 0.0 END"
+    )
+    symr = (
+        "CASE WHEN coalesce(length(text), 0) > 0 "
+        "THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{3}', '', 'g'))) * 1.0 / length(text) "
+        "ELSE 0.0 END"
+    )
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN doc_id % 97 = 0 THEN {_WT_TS_BAD} + doc_id
+              ELSE {_WT_TS0} + doc_id * 3600 END AS ep0
+  FROM documents),
+pages AS (
+  SELECT '{_WT_URL}' || doc_id AS url, ep0 AS ts_epoch, text, lang FROM docs
+  UNION ALL SELECT '{_WT_URL}' || doc_id, ep0 + 60, text, lang
+            FROM docs WHERE doc_id % 40 = 1
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-src', {_WT_TS0} + doc_id * 3600 + 60,
+                   '{_WT_PARA_A}', 'en' FROM docs WHERE doc_id % 40 = 2
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-copy', {_WT_TS0} + doc_id * 3600 + 120,
+                   '{_WT_PARA_A}', 'en' FROM docs WHERE doc_id % 40 = 2
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-near', {_WT_TS0} + doc_id * 3600 + 60,
+                   '{_WT_PARA_B} zz' || doc_id, 'en' FROM docs WHERE doc_id % 40 = 3
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-blank', {_WT_TS0} + doc_id * 3600 + 60,
+                   '', 'en' FROM docs WHERE doc_id % 40 = 4
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-symbol', {_WT_TS0} + doc_id * 3600 + 60,
+                   '{_WT_PARA_A} {_WT_SYMBOLS}', 'en' FROM docs WHERE doc_id % 40 = 5
+  UNION ALL SELECT '{_WT_URL}' || doc_id || '-badts', {_WT_TS_BAD} + doc_id,
+                   '{_WT_PARA_A}', 'en' FROM docs WHERE doc_id % 40 = 6),
+scr AS (SELECT *, {_LANGID_SCORES} FROM pages),
+enr AS (
+  SELECT url, ts_epoch, text, lang,
+         md5(coalesce(text, '')) AS content_md5,
+         CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS wc,
+         {symr} AS symr,
+         {swf} AS swf,
+         {_LANGID_CASE} AS lang_det,
+         {_ppl_unigram_sql('text')} AS ppl,
+         (text IS NULL OR regexp_matches(text, '^{_WS}*$')) AS f_empty
+  FROM scr),
+fl AS (
+  SELECT url, ts_epoch, text, content_md5, f_empty,
+         (wc < 50 OR wc > 100000)                     AS f_short,
+         (symr > 0.10)                                AS f_symbol,
+         (swf < 0.06)                                 AS f_lowstop,
+         coalesce(lang_det != lang, TRUE)             AS f_langmismatch,
+         (lang_det = 'en' AND ppl > {_WT_MAX_PPL!r})  AS f_ppl,
+         (ts_epoch < {min_ts} OR ts_epoch > {max_ts} OR ts_epoch > {run_ts}) AS f_badts
+  FROM enr),
+fl2 AS (
+  SELECT *, (f_empty OR f_short OR f_symbol OR f_lowstop OR f_langmismatch
+             OR f_ppl OR f_badts) AS f_any
+  FROM fl),
+coll AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts_epoch, content_md5) AS urn
+    FROM fl2) WHERE urn = 1),
+md5r AS (
+  SELECT *, row_number() OVER (PARTITION BY content_md5, f_any ORDER BY ts_epoch, url) AS mrn
+  FROM coll),
+canon AS (SELECT url, ts_epoch, text FROM md5r WHERE NOT f_any AND mrn = 1),
+shg AS (SELECT url, ts_epoch, {_shingle_list_expr(3)} AS sh FROM canon),
+hl AS (SELECT url, ts_epoch,
+              list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P}) AS h
+       FROM shg),
+sg AS (SELECT url, ts_epoch, [{sig_terms}] AS sig FROM hl),
+losers AS (
+  SELECT DISTINCT b.url
+  FROM sg a JOIN sg b
+    ON (a.ts_epoch < b.ts_epoch OR (a.ts_epoch = b.ts_epoch AND a.url < b.url))
+  WHERE ({band_or}) AND ({matches}) * 1.0 / 16 >= 0.6),
+dec AS (
+  SELECT c.url,
+    CASE WHEN c.f_any THEN FALSE
+         WHEN c.mrn > 1 THEN FALSE
+         WHEN l.url IS NOT NULL THEN FALSE
+         ELSE TRUE END AS keep,
+    CASE WHEN c.f_empty THEN 'empty_text'
+         WHEN c.f_short THEN 'too_short'
+         WHEN c.f_symbol THEN 'high_symbol_ratio'
+         WHEN c.f_lowstop THEN 'low_stopword'
+         WHEN c.f_langmismatch THEN 'lang_mismatch'
+         WHEN c.f_ppl THEN 'high_perplexity'
+         WHEN c.f_badts THEN 'bad_timestamp'
+         WHEN c.mrn > 1 THEN 'exact_duplicate'
+         WHEN l.url IS NOT NULL THEN 'near_duplicate'
+         END AS drop_reason
+  FROM md5r c LEFT JOIN losers l ON c.url = l.url)
+SELECT keep, drop_reason, count(*) AS n_docs
+FROM dec GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 #: exact cosine between two double-list columns (same shape as the green
@@ -1094,16 +1386,20 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 4) AS stopword_fraction
             FROM documents ORDER BY doc_id
         """,
+        # weights interpolated from textstats.QUALITY_WEIGHTS (fitted on
+        # generator labels, tools/fit_quality_weights.py) — term order matches
+        # the Spark expression exactly so the float arithmetic is bit-identical
         "text_quality_topk": f"""
             SELECT doc_id,
-                   round(2.0 * (CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+                   round(({TS.QUALITY_WEIGHTS["stopword_fraction"]!r}) * (CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
                          THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
                                               w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
                          ELSE 0.0 END)
-                       + least(CAST((CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS DOUBLE), 500.0) / 500.0
-                       - 5.0 * (CASE WHEN coalesce(length(text), 0) > 0
+                       + ({TS.QUALITY_WEIGHTS["wc_norm"]!r}) * (least(CAST((CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS DOUBLE), 500.0) / 500.0)
+                       + ({TS.QUALITY_WEIGHTS["symbol_ratio"]!r}) * (CASE WHEN coalesce(length(text), 0) > 0
                          THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
-                         ELSE 0.0 END), 6) AS quality
+                         ELSE 0.0 END)
+                       + ({TS.QUALITY_WEIGHTS["bias"]!r}), 6) AS quality
             FROM documents
             ORDER BY quality DESC, doc_id LIMIT 20
         """,
@@ -1179,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
         """,
+        "wt_pipeline_summary": _wt_pipeline_oracle_sql(),
     }
 
 

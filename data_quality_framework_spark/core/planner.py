@@ -146,11 +146,15 @@ def run_row_local_rules(
         results.extend(_rows_to_results(compiled, [(-1, global_row)], table_name))
 
     if sample_limit > 0:
-        for cr, res in zip(compiled, results):
-            if res.violation_count > 0:
-                res.details["sample_records"] = _violation_samples(
-                    df, cr, sample_limit
-                )
+        failing = [
+            (i, cr)
+            for i, (cr, res) in enumerate(zip(compiled, results))
+            if res.violation_count > 0
+        ]
+        samples = _violation_samples_all(df, failing, sample_limit)
+        for i, _ in failing:
+            if i in samples:
+                results[i].details["sample_records"] = samples[i]
 
     if per_partition:
         pairs = [(row["__pid"], row.asDict()) for row in part_rows]
@@ -183,25 +187,71 @@ def _fold_partition_rows(
     return out
 
 
-def _violation_samples(df: DataFrame, cr: CompiledRule, limit: int) -> list[dict]:
-    """First ``limit`` violating rows for a compiled rule.
-
-    Projects ``params.sample_columns`` if given, else the rule's own column(s)
-    — never the full row (a documents table would drag megabyte texts into
-    the driver and the lineage JSON).
-    """
+def _sample_cols(cr: CompiledRule, df: DataFrame) -> list[str]:
+    """Columns to project for a rule's violation samples: ``params.
+    sample_columns`` if given, else the rule's own column(s) — never the full
+    row (a documents table would drag megabyte texts into the driver and the
+    lineage JSON). No resolvable projection -> no samples."""
     rule = cr.rule
     raw = rule.p("sample_columns")
     if isinstance(raw, str):  # YAML scalar: 'url' must not iterate to chars
         raw = [raw]
     cols = list(raw or rule.columns or ([rule.column] if rule.column else []))
-    cols = [c for c in cols if c in df.columns]
-    if not cols:
-        # never fall back to full rows: a documents table would drag megabyte
-        # payloads into the driver and the lineage JSON; no projection = no samples
-        return []
-    filtered = df.filter(cr.scope & cr.violation).select(*cols)
-    return [r.asDict() for r in filtered.limit(limit).collect()]
+    return [c for c in cols if c in df.columns]
+
+
+def _violation_samples_all(
+    df: DataFrame, failing: Sequence[tuple[int, CompiledRule]], limit: int
+) -> dict[int, list[dict]]:
+    """Up to ``limit`` violating rows for EVERY failing rule in ONE job.
+
+    Each rule contributes a CollectLimit-pushed branch (filter + projection +
+    limit) tagged with its rule index; the branches union and collect once —
+    one Spark job total instead of one per failing rule (r2 verdict #7).
+    Heterogeneous projections are normalized via ``to_json`` (nulls kept) and
+    decoded driver-side.
+
+    AQE is disabled for THIS query only: with AQE on, every branch's
+    GlobalLimit exchange materializes as its own stage-job (jobs grow with
+    rule count again); without it the whole union is one job with
+    (branches+1) pipelined stages — and the query is all LocalLimit(limit)
+    branches shuffling <= limit rows per partition, so AQE has nothing to
+    optimize here anyway.
+    """
+    import json
+
+    parts = []
+    for i, cr in failing:
+        cols = _sample_cols(cr, df)
+        if not cols:
+            continue
+        parts.append(
+            df.filter(cr.scope & cr.violation)
+            .select(
+                F.lit(i).alias("__rule"),
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                ).alias("__rec"),
+            )
+            .limit(limit)
+        )
+    if not parts:
+        return {}
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = union.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    out: dict[int, list[dict]] = {}
+    for row in rows:
+        out.setdefault(row["__rule"], []).append(json.loads(row["__rec"]))
+    return out
 
 
 def _rows_to_results(

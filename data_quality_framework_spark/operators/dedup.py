@@ -103,7 +103,12 @@ def minhash_candidate_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig) signature table — the artifact to materialize/checkpoint.
 
@@ -115,15 +120,27 @@ def minhash_signatures(
     objects per doc in interpreted mode and COLLAPSES under GC at scale
     (measured 133s/1M docs at 8 cores, 161s at 32 — anti-scaling); this
     version is pure primitive codegen.
+
+    ``hash_fn`` selects the base shingle hash: ``"xxhash64"`` (default — the
+    fast production path) or ``"md5_60"`` (first 15 md5 hex chars as a 60-bit
+    int), which a SQL engine reproduces exactly
+    (``('0x' || substr(md5(s),1,15))::BIGINT``) — used where an external
+    oracle must recompute the signatures bit-for-bit. Both stay pure JVM.
     """
     from data_quality_framework_spark.functions.hashing import MINHASH_PRIME, _minhash_coeffs
 
     p = F.lit(MINHASH_PRIME)
     coeffs = _minhash_coeffs(k)
+    if hash_fn == "xxhash64":
+        base_hash = F.xxhash64("sh")
+    elif hash_fn == "md5_60":
+        base_hash = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_60)")
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select("id", F.pmod(F.xxhash64("sh"), p).alias("h"))
+    ).select("id", F.pmod(base_hash, p).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -414,7 +431,14 @@ def simhash_pairs(
     dropping pairs past the cap: it is the SCALE knob, opt-in, and any capped
     run is approximate. (r2: the default was previously capped at 64, which
     silently broke the completeness claim — 12 true pairs lost at sf0.1
-    where one 16-bit band value is shared by 291 docs.)"""
+    where one 16-bit band value is shared by 291 docs.)
+
+    Operating a capped run at scale: pair it with ``simhash_overflow_stats``
+    (same df, same knobs) — it reports, per band, exactly how many rows and
+    candidate pairs the cap dropped, so an approximate run is QUANTIFIED
+    instead of silently lossy. Rule of thumb: default exact; at web scale set
+    ``bucket_cap`` and alert on the overflow metric (a sustained non-zero
+    ``dropped_candidate_pairs`` means band width/count need retuning)."""
     hashed = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
@@ -434,6 +458,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_overflow_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Recall accounting for a CAPPED ``simhash_pairs`` run: per band, how
+    much the cap dropped.
+
+    Returns one row per band index with:
+
+    * ``n_buckets``            distinct band-bucket values in that band
+    * ``n_overflow_buckets``   buckets larger than ``bucket_cap``
+    * ``max_bucket``           largest bucket (the boilerplate hot spot)
+    * ``dropped_rows``         sum over overflowing buckets of (n - cap)
+    * ``dropped_candidate_pairs``  sum of C(n,2) - C(cap,2) — the exact
+      number of candidate comparisons the cap skipped in that band (an upper
+      bound on true pairs lost there; a pair is only lost overall if EVERY
+      band it shares overflowed past it)
+
+    Cost shape: the same scan+explode as ``simhash_pairs`` followed by a
+    count aggregation — the shuffle carries (band, count) partials only,
+    never pairs, so the accounting is safe to run exactly where the uncapped
+    join is not.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    exploded = hashed.select(
+        "id", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
+    )
+    cap = F.lit(bucket_cap)
+    per_bucket = exploded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > cap
+    pairs_of = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # noqa: E731
+    return (
+        per_bucket.groupBy(
+            F.shiftrightunsigned(F.col("band"), 32).cast("int").alias("band_no")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_overflow_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.coalesce(F.sum(F.when(over, F.col("n") - cap)), F.lit(0))
+            .cast("long").alias("dropped_rows"),
+            F.coalesce(
+                F.sum(F.when(over, pairs_of(F.col("n")) - pairs_of(cap))), F.lit(0)
+            ).cast("long").alias("dropped_candidate_pairs"),
+        )
+        .orderBy("band_no")
     )
 
 

@@ -111,7 +111,7 @@ def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfi
     )
     sigs = minhash_signatures(
         docs.filter(~F.col("f_any_heuristic")), "sort_key", "text",
-        k=cfg.minhash_k, shingle_n=cfg.shingle_n,
+        k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).withColumnRenamed("id", "sort_key")
     docs = docs.join(sigs, "sort_key", "left")
     return docs.select(*META_COLS)

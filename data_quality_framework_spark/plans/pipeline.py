@@ -60,6 +60,7 @@ class FilterConfig:
     min_jaccard_est: float = 0.6
     shingle_n: int = 3
     lsh_bucket_cap: int = 64
+    minhash_hash: str = "xxhash64"     # "md5_60" -> SQL-oracle-reproducible sigs
 
 
 #: (flag column, drop_reason, rule metadata) — precedence = list order; must
@@ -274,7 +275,7 @@ def run_pipeline(
     # PipelineOutput.unpersist() once the caller has written its outputs.
     sigs = minhash_signatures(
         canon, id_col="sort_key", text_col="text",
-        k=cfg.minhash_k, shingle_n=cfg.shingle_n,
+        k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).persist()
     try:
         pairs = candidate_pairs_from_sigs(

@@ -44,45 +44,142 @@ def write_csv(results: Sequence[CheckResult], summary: dict, report_dir: str) ->
 _HTML_TMPL = """<!doctype html><html><head><meta charset="utf-8">
 <title>DQ validation report</title>
 <style>
-body{{font-family:sans-serif;margin:2em}} table{{border-collapse:collapse;width:100%}}
-th,td{{border:1px solid #ccc;padding:4px 8px;font-size:13px}}
+body{{font-family:sans-serif;margin:2em;color:#202124}}
+table{{border-collapse:collapse;width:100%;margin-bottom:1.5em}}
+th,td{{border:1px solid #ccc;padding:4px 8px;font-size:13px;text-align:left}}
 .PASS{{background:#e6f4ea}} .FAIL{{background:#fce8e6}}
 .WARNING{{background:#fef7e0}} .ERROR{{background:#f3e8fd}}
+.cards{{display:flex;gap:12px;margin:1em 0}}
+.card{{border:1px solid #ddd;border-radius:6px;padding:10px 18px;text-align:center}}
+.card b{{display:block;font-size:22px}}
+.bar{{display:flex;height:22px;border-radius:4px;overflow:hidden;margin:0.5em 0 1.5em;
+      font-size:12px;color:#fff;text-align:center}}
+.bar div{{line-height:22px;white-space:nowrap;overflow:hidden}}
+.seg-pass{{background:#188038}} .seg-fail{{background:#d93025}} .seg-warn{{background:#f9ab00}}
+section h2{{border-bottom:2px solid #eee;padding-bottom:4px;margin-top:1.5em}}
+details.samples{{font-size:12px}} details.samples table{{margin:4px 0 0}}
 </style></head><body>
 <h1>Data quality validation report</h1>
-<p>generated {now} · checks {total_checks} · pass rate {pass_rate}%</p>
-<table><tr><th>rule</th><th>type</th><th>table</th><th>column</th><th>status</th>
-<th>total</th><th>violations</th><th>ratio</th><th>details</th></tr>
-{rows}
-</table></body></html>"""
+<p>generated {now} &middot; checks {total_checks} &middot; pass rate {pass_rate}%</p>
+<div class="cards">{cards}</div>
+<div class="bar">{bar}</div>
+{sections}
+</body></html>"""
+
+#: section order/titles per check type (reference html_reporter.py:304-372
+#: groups results into per-check-type sections with their own detail tables)
+_TYPE_TITLES = {
+    "count": "Row-count checks",
+    "null": "Null / blank checks",
+    "duplicate": "Duplicate checks",
+    "range": "Range checks",
+    "derived_range": "Derived-metric range checks",
+    "foreign_key": "Foreign-key checks",
+    "transform": "Transform / compare checks",
+    "masking": "Masking / PII checks",
+}
+
+
+def _sample_table(details: dict) -> str:
+    """Nested table for details.sample_records (reference detail lists)."""
+    samples = details.get("sample_records") or []
+    if not samples:
+        return ""
+    cols = sorted({k for s in samples for k in s})
+    head = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{html.escape(str(s.get(c, '')))}</td>" for c in cols) + "</tr>"
+        for s in samples
+    )
+    return (
+        f"<details class='samples'><summary>{len(samples)} sample rows</summary>"
+        f"<table><tr>{head}</tr>{body}</table></details>"
+    )
+
+
+def _progress_bar(summary: dict) -> str:
+    total = summary.get("total_checks", 0) or 0
+    if total == 0:
+        return "<div class='seg-pass' style='width:100%'>no checks</div>"
+    segs = []
+    for key, cls, label in (
+        ("passed", "seg-pass", "PASS"),
+        ("failed", "seg-fail", "FAIL"),
+        ("warnings", "seg-warn", "WARN"),
+    ):
+        n = summary.get(key, 0) or 0
+        if n:
+            pct = round(n / total * 100, 1)
+            segs.append(
+                f"<div class='{cls}' style='width:{pct}%'>{label} {pct}%</div>"
+            )
+    return "".join(segs)
 
 
 def write_html(results: Sequence[CheckResult], summary: dict, report_dir: str) -> str:
+    """Styled single-file dashboard: summary cards + pass/fail progress bar +
+    one SECTION PER CHECK TYPE, each with its own results table and nested
+    sample-record details (structural parity with the reference's sectioned
+    reporter, html_reporter.py:216-372). Table-level rows only; per-partition
+    lineage lives in the results table."""
     os.makedirs(report_dir, exist_ok=True)
     path = os.path.join(
         report_dir, f"validation_{datetime.now().strftime('%Y%m%d_%H%M%S')}.html"
     )
-    rows = []
+
+    cards = "".join(
+        f"<div class='card'><b>{summary.get(k, 0)}</b>{label}</div>"
+        for k, label in (
+            ("total_checks", "checks"), ("passed", "passed"), ("failed", "failed"),
+            ("warnings", "warnings"), ("errors", "errors"),
+        )
+    )
+
+    by_type: dict[str, list] = {}
     for r in results:
         if r.partition_id != -1:
-            continue  # dashboard shows table-level rows; partitions live in the results table
-        d = r.to_dict()
-        rows.append(
-            f"<tr class='{d['status']}'><td>{html.escape(d['rule_id'])}</td>"
-            f"<td>{html.escape(d['check_type'])}</td>"
-            f"<td>{html.escape(str(d['table_name']))}</td>"
-            f"<td>{html.escape(str(d['column_name']))}</td>"
-            f"<td>{d['status']}</td><td>{d['total_rows']}</td>"
-            f"<td>{d['violation_count']}</td><td>{d['violation_ratio']}</td>"
-            f"<td><code>{html.escape(json.dumps(d['details'], default=str)[:200])}</code></td></tr>"
+            continue
+        by_type.setdefault(r.check_type, []).append(r.to_dict())
+
+    order = [t for t in _TYPE_TITLES if t in by_type] + sorted(
+        t for t in by_type if t not in _TYPE_TITLES
+    )
+    sections = []
+    for ctype in order:
+        items = by_type[ctype]
+        title = _TYPE_TITLES.get(ctype, f"Other ({ctype})")
+        rows = []
+        for d in items:
+            details_json = json.dumps(
+                {k: v for k, v in d["details"].items() if k != "sample_records"},
+                default=str, sort_keys=True,
+            )
+            rows.append(
+                f"<tr class='{d['status']}'><td>{html.escape(d['rule_id'])}</td>"
+                f"<td>{html.escape(str(d['description']))}</td>"
+                f"<td>{html.escape(str(d['table_name']))}</td>"
+                f"<td>{html.escape(str(d['column_name']))}</td>"
+                f"<td>{d['status']}</td><td>{d['total_rows']}</td>"
+                f"<td>{d['violation_count']}</td><td>{d['violation_ratio']}</td>"
+                f"<td><code>{html.escape(details_json[:200])}</code>"
+                f"{_sample_table(d['details'])}</td></tr>"
+            )
+        sections.append(
+            f"<section><h2>{html.escape(title)} ({len(items)})</h2>"
+            "<table><tr><th>rule</th><th>description</th><th>table</th><th>column</th>"
+            "<th>status</th><th>total</th><th>violations</th><th>ratio</th>"
+            f"<th>details</th></tr>{''.join(rows)}</table></section>"
         )
+
     with open(path, "w") as f:
         f.write(
             _HTML_TMPL.format(
                 now=datetime.now().isoformat(timespec="seconds"),
-                total_checks=summary.get("total_checks", len(rows)),
+                total_checks=summary.get("total_checks", 0),
                 pass_rate=summary.get("pass_rate", ""),
-                rows="\n".join(rows),
+                cards=cards,
+                bar=_progress_bar(summary),
+                sections="\n".join(sections),
             )
         )
     return path

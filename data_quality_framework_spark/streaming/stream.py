@@ -60,7 +60,7 @@ def streaming_metrics(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> D
     )
 
 
-def streaming_url_dedup(pages: DataFrame) -> DataFrame:
+def streaming_url_dedup(pages: DataFrame, ttl_seconds: float | None = None) -> DataFrame:
     """Custom stateful operator: cross-micro-batch first-seen URL dedup via
     ``applyInPandasWithState``.
 
@@ -71,10 +71,21 @@ def streaming_url_dedup(pages: DataFrame) -> DataFrame:
     the batch url-collapse — state is O(distinct keys), Arrow-batched, no
     per-row Python objects beyond the canonical picks.
 
-    Scale note: per-key state lives in the state store (RocksDB in prod);
-    at web scale you bound it with a watermark-based state TTL (recrawls of
-    a url arrive within a crawl window) — kept NoTimeout here because the
-    sandbox corpus is a single crawl.
+    ``ttl_seconds`` is the crawl-window state TTL (processing-time timeout):
+    a url idle for longer than the TTL has its state EXPIRED, so a later
+    recrawl re-emits — and, crucially, state stays O(urls seen within one
+    crawl window) instead of O(all urls ever seen). Every sighting re-arms
+    the timeout (idle-based expiry). ``None`` keeps state forever — only
+    sane for bounded corpora (tests, single-crawl backfills); at web scale
+    pass the crawl cadence (e.g. 30 days). Per-key state lives in the state
+    store (RocksDB in prod); the timeout sweep is the store's own bookkeeping,
+    not a scan.
+
+    Trigger contract: TTL requires a CONTINUOUS trigger (processingTime) —
+    Spark services processing-time timers by running zero-data micro-batches,
+    so ``Trigger.AvailableNow`` would never terminate while timers are
+    pending (measured: the query spins empty batches forever). The
+    ``run_available_now`` entry point is the stateless path and unaffected.
     """
     import hashlib
 
@@ -83,8 +94,18 @@ def streaming_url_dedup(pages: DataFrame) -> DataFrame:
 
     out_schema = "url string, warc_ts timestamp, lang string, text string"
     state_schema = "emitted int"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def first_seen(key, pdfs, state: GroupState):
+        if ttl_seconds is not None and state.hasTimedOut:
+            # idle past the crawl window: drop state; the next sighting of
+            # this url is a NEW crawl and re-emits
+            state.remove()
+            return
         already = state.exists
         best = None
         for pdf in pdfs:
@@ -101,13 +122,15 @@ def streaming_url_dedup(pages: DataFrame) -> DataFrame:
                 < (best["warc_ts"].iloc[0], best["__md5"].iloc[0])
             ):
                 best = head
-        if not already:
-            state.update((1,))
-            if best is not None:
-                yield best[["url", "warc_ts", "lang", "text"]]
+        state.update((1,))
+        if ttl_seconds is not None:
+            # (re)arm on every sighting — idle-based expiry
+            state.setTimeoutDuration(int(ttl_seconds * 1000))
+        if not already and best is not None:
+            yield best[["url", "warc_ts", "lang", "text"]]
 
     return pages.select("url", "warc_ts", "lang", "text").groupBy("url").applyInPandasWithState(
-        first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        first_seen, out_schema, state_schema, "append", timeout_conf
     )
 
 

@@ -66,6 +66,30 @@ def test_csv_and_html_reports(tmp_path):
     assert html_text.count("<tr class=") == 2
 
 
+def test_html_report_sections(tmp_path):
+    """r3 parity with the reference's sectioned dashboard (html_reporter.py:
+    304-372): one section per check type, summary cards, progress bar, and
+    nested sample-record detail tables."""
+    results = _results()
+    results[1].details["sample_records"] = [
+        {"customer_id": 2, "amount": None},
+        {"customer_id": 7, "amount": -1},
+    ]
+    summary = {"total_checks": 2, "passed": 1, "failed": 1,
+               "warnings": 0, "errors": 0, "pass_rate": 50.0}
+    html_text = open(write_html(results, summary, str(tmp_path))).read()
+
+    # per-check-type sections with counts
+    assert "<h2>Null / blank checks (1)</h2>" in html_text
+    assert "<h2>Range checks (1)</h2>" in html_text
+    # summary cards + progress bar segments
+    assert html_text.count("<div class='card'>") == 5
+    assert "seg-pass" in html_text and "seg-fail" in html_text
+    # nested sample table with the violating rows
+    assert "2 sample rows" in html_text
+    assert "<th>customer_id</th>" in html_text and "<td>7</td>" in html_text
+
+
 def test_exit_code_semantics():
     assert exit_code(_results()) == 1
     ok = [CheckResult(rule_id="R", check_type="null", status=CheckStatus.WARNING)]

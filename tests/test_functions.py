@@ -275,3 +275,35 @@ def test_simhash_batch_matches_per_token_reference():
     one_token = _simhash_batch(pd.Series(["left right"]))
     two_token = _simhash_batch(pd.Series(["left right"]))
     assert one_token[0] != two_token[0]
+
+
+def test_quality_weights_fitted_f1():
+    """r3: QUALITY_WEIGHTS are FITTED on generator labels (tools/
+    fit_quality_weights.py), not hand-picked. Evaluate the embedded constants
+    against the planted text-quality ground truth: the linear logit must
+    separate the four text-quality drop classes from clean text at F1>=0.99."""
+    import numpy as np
+
+    from data_quality_framework_spark.functions.textstats import QUALITY_WEIGHTS
+    from data_quality_framework_spark.sources.generator import doc_for_id
+    from tools.fit_quality_weights import features_and_label
+
+    feats, labels = [], []
+    for i in range(10000):
+        f, y = features_and_label(doc_for_id(i))
+        feats.append(f)
+        labels.append(y)
+    X = np.asarray(feats)
+    y = np.asarray(labels)
+    w = np.array([
+        QUALITY_WEIGHTS["stopword_fraction"],
+        QUALITY_WEIGHTS["wc_norm"],
+        QUALITY_WEIGHTS["symbol_ratio"],
+    ])
+    pred = (X @ w + QUALITY_WEIGHTS["bias"]) > 0
+    tp = int((pred & (y == 1)).sum())
+    fp = int((pred & (y == 0)).sum())
+    fn = int((~pred & (y == 1)).sum())
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.99, (f1, prec, rec)

@@ -226,6 +226,68 @@ def test_ivf_topk(spark, vectors):
     ]
 
 
+def test_simhash_capped_boilerplate_stress(spark):
+    """Boilerplate hot spot (r3): ONE band value shared by 10^4 identical docs.
+    Uncapped, that band bucket alone is a ~5x10^7-pair join; the capped run
+    stays bounded, and ``simhash_overflow_stats`` reports EXACTLY how many
+    rows/candidate pairs the cap dropped, so the run's recall is measured,
+    not guessed."""
+    import time
+
+    from data_quality_framework_spark.operators.dedup import (
+        simhash_overflow_stats,
+        simhash_pairs,
+    )
+
+    n_hot, n_bg, cap, bands = 10_000, 1_000, 64, 4
+    hot = spark.range(n_hot).select(
+        "id",
+        F.lit(
+            "COOKIE BANNER accept all cookies to continue reading this site"
+        ).alias("text"),
+    )
+    # background docs: 8 pseudo-random tokens each -> near-random simhashes,
+    # no systematic band collisions with the clique or each other
+    bg_words = [
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{k}"))), 1, 8
+        )
+        for k in range(8)
+    ]
+    bg = spark.range(n_hot, n_hot + n_bg).select(
+        "id", F.concat_ws(" ", *bg_words).alias("text")
+    )
+    docs = hot.unionByName(bg)
+
+    t0 = time.monotonic()
+    pairs = simhash_pairs(docs, "id", bands=bands, max_hamming=3, bucket_cap=cap)
+    clique_found = pairs.filter(
+        (F.col("id_a") < n_hot) & (F.col("id_b") < n_hot)
+    ).count()
+    elapsed = time.monotonic() - t0
+
+    true_clique = n_hot * (n_hot - 1) // 2            # identical text: all true pairs
+    found_cap = cap * (cap - 1) // 2                  # same first-`cap` ids in every band
+    assert clique_found == found_cap
+    recall = clique_found / true_clique
+    assert recall < 0.001                              # honest: the cap DID drop recall
+    assert elapsed < 120, f"capped run not bounded: {elapsed:.1f}s"
+
+    stats = {
+        r["band_no"]: r
+        for r in simhash_overflow_stats(
+            docs, "id", bands=bands, bucket_cap=cap
+        ).collect()
+    }
+    assert set(stats) == set(range(bands))
+    for r in stats.values():
+        # the only overflowing bucket per band is the boilerplate clique
+        assert r["n_overflow_buckets"] == 1
+        assert r["max_bucket"] == n_hot
+        assert r["dropped_rows"] == n_hot - cap
+        assert r["dropped_candidate_pairs"] == true_clique - found_cap
+
+
 def test_ann_index_pruning(spark, vectors, tmp_path):
     """The serving path: bucket/cell are storage PARTITION columns, the probe
     becomes a PartitionFilter, results identical to the scan-side variants."""

@@ -68,9 +68,12 @@ def test_parity(spark, name):
     assert not mismatches, (name, [(sr[i], dr[i]) for i in mismatches[:3]])
 
 
+def test_every_query_is_oracle_backed():
+    """r3: zero rows-only queries — every queries() entry has an oracle."""
+    assert sorted(QUERIES) == sorted(ORACLES)
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
-        if name == "wt_pipeline_summary":
-            continue  # covered by test_pipeline.py (expensive)
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0, name

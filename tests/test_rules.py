@@ -298,6 +298,47 @@ def test_violation_samples_attached(spark, tables):
     assert "sample_records" not in res["RNG-S"].details
 
 
+def test_violation_samples_single_job(spark, tables):
+    """r3: samples for ALL failing rules are collected in ONE Spark job (a
+    union of CollectLimit branches), not one job per failing rule — so the
+    fused row-local pass costs exactly 2 jobs: 1 aggregation + 1 sample pass."""
+    def mk_rules(cols):
+        return [
+            Rule(rule_id=f"NULL-J{c}", check_type="null", table="src_customers",
+                 column=c,
+                 params={"max_null_ratio": 0.0, "include_empty_string": True,
+                         "sample_columns": ["customer_id", c]})
+            for c in cols
+        ]
+
+    from data_quality_framework_spark.core.compiler import compile_rule
+    from data_quality_framework_spark.core.planner import _violation_samples_all
+
+    df = tables["src_customers"]
+    compiled = [compile_rule(r) for r in mk_rules(["phone_number", "email"])]
+    sc = spark.sparkContext
+    sc.setJobGroup("sample-job-count", "one job for all failing rules")
+    try:
+        samples = _violation_samples_all(df, list(enumerate(compiled)), limit=5)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("sample-job-count")
+    assert len(jobs) == 1, jobs
+    assert len(samples[0]) == 2 and len(samples[1]) == 1
+
+    # end-to-end: both failing rules still carry their samples
+    res = {
+        r.rule_id: r
+        for r in run_row_local_rules(df, mk_rules(["phone_number", "email"]))
+    }
+    assert len(res["NULL-Jphone_number"].details["sample_records"]) == 2
+    assert len(res["NULL-Jemail"].details["sample_records"]) == 1
+    assert {
+        set(s) == {"customer_id", "phone_number"}
+        for s in res["NULL-Jphone_number"].details["sample_records"]
+    } == {True}
+
+
 def test_per_partition_fold_matches_global(spark, tables):
     """per_partition=True derives the table-level row by folding partition
     rows (one aggregation job); it must equal the dedicated global agg."""

@@ -91,6 +91,86 @@ def test_streaming_url_dedup_stateful(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_streaming_url_dedup_ttl(spark, tmp_path):
+    """Crawl-window state TTL (r3): a url idle past ``ttl_seconds`` has its
+    state expired and RE-EMITS on its next crawl, while a recrawl within the
+    window stays suppressed — state is bounded to one crawl window instead of
+    O(all urls ever seen).
+
+    Harness note: processing-time timers need a CONTINUOUS trigger (Spark
+    keeps running zero-data micro-batches to service pending timers —
+    ``Trigger.AvailableNow`` would never terminate with timers outstanding),
+    so this test drives a processingTime query and polls the sink."""
+    import datetime as dt
+    import time
+
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import streaming_url_dedup
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def write(input_dir, specs):
+        rows = [(u, ts + dt.timedelta(minutes=m), None, t, "en") for u, m, t in specs]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def start(tag, ttl):
+        return (
+            streaming_url_dedup(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(str(tmp_path / f"in{tag}")),
+                ttl_seconds=ttl,
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{tag}"))
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def wait_rows(tag, n, deadline=120.0):
+        end = time.monotonic() + deadline
+        while time.monotonic() < end:
+            try:
+                rows = spark.read.parquet(str(tmp_path / f"out{tag}")).collect()
+            except Exception:
+                rows = []
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"sink {tag} never reached {n} rows (got {len(rows)})")
+
+    # -- idle past the TTL: state expires, the next crawl re-emits ----------
+    in1 = str(tmp_path / "in1")
+    write(in1, [("http://a/1", 5, "alpha")])
+    q = start(1, ttl=1.0)
+    try:
+        wait_rows(1, 1)
+        time.sleep(2.5)  # > ttl: zero-data batches fire a's timer, state drops
+        write(in1, [("http://a/1", 30, "alpha-new-crawl")])
+        rows = wait_rows(1, 2)
+    finally:
+        q.stop()
+    assert sorted(r["text"] for r in rows) == ["alpha", "alpha-new-crawl"]
+
+    # -- within-window recrawl stays suppressed (TTL armed, not expired) ----
+    in2 = str(tmp_path / "in2")
+    write(in2, [("http://a/1", 5, "alpha")])
+    q = start(2, ttl=3600.0)
+    try:
+        wait_rows(2, 1)
+        write(in2, [("http://a/1", 9, "alpha-recrawl")])   # must stay suppressed
+        write(in2, [("http://b/1", 1, "bravo")])           # proves the batch ran
+        rows = wait_rows(2, 2)
+        time.sleep(2.0)                                    # a few extra batches
+        rows = spark.read.parquet(str(tmp_path / "out2")).collect()
+    finally:
+        q.stop()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha", "bravo"], texts
+
+
 def test_streaming_metrics_window(spark, tmp_path):
     from data_quality_framework_spark.streaming.stream import streaming_metrics, stream_pages
 

@@ -1,0 +1,99 @@
+"""Fit the quality_score weights on generator ground-truth labels.
+
+The r2 quality score was a hand-picked linear blend (2*stopword_fraction +
+wc_norm - 5*symbol_ratio). This tool FITS the same three-feature linear form
+as a logistic regression against the deterministic generator's planted
+labels, so the constants embedded in ``textstats.QUALITY_WEIGHTS`` are
+data-derived instead of hand-picked — the miniature of the production
+workflow (train a fastText/logreg scorer offline, ship the coefficients to
+the cluster as literals).
+
+Label definition: the score models TEXT quality, so a doc is positive unless
+its planted drop reason is one of the four text-quality classes
+(empty_text / too_short / high_symbol_ratio / low_stopword). Language
+mismatch, bad timestamps and duplicates are dropped by OTHER rules — their
+text is clean, and teaching the scorer to dislike them would poison it.
+
+Everything is deterministic: the corpus is a pure function of doc id, the
+features replicate ``functions.textstats`` exactly (asserted in
+tests/test_functions.py), and training is fixed-iteration full-batch gradient
+descent (no RNG, no sklearn).
+
+Run:  python tools/fit_quality_weights.py [n_docs]
+Prints the fitted weights plus train F1/accuracy; paste the weights into
+``textstats.QUALITY_WEIGHTS`` (current values were produced by this tool at
+n_docs=10000).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_quality_framework_spark.functions.textstats import STOPWORDS  # noqa: E402
+from data_quality_framework_spark.sources.generator import doc_for_id  # noqa: E402
+
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+_SYM_RE = re.compile(r"[#*…]|\.{3}")
+_TEXT_QUALITY_REASONS = {
+    "empty_text", "too_short", "high_symbol_ratio", "low_stopword",
+}
+_STOP = set(STOPWORDS)
+
+
+def features_and_label(doc: dict) -> tuple[list[float], int]:
+    """(stopword_fraction, wc_norm, symbol_ratio) exactly as textstats
+    computes them, plus the text-quality label."""
+    text = doc["text"] or ""
+    stripped = text.strip(" \t\n\r\f\x0b")
+    words = _WS_RE.split(stripped) if stripped else []
+    wc = len(words)
+    swf = sum(1 for w in words if w.lower() in _STOP) / wc if wc else 0.0
+    symr = len(_SYM_RE.findall(text)) * 0.0  # placeholder replaced below
+    # symbol_ratio = removed-char count / char count (regex chars are 1 wide
+    # except the 3-dot run; replicate via sub like Spark's regexp_replace)
+    symr = (len(text) - len(_SYM_RE.sub("", text))) / len(text) if text else 0.0
+    wc_norm = min(float(wc), 500.0) / 500.0
+    label = 0 if doc["drop_reason"] in _TEXT_QUALITY_REASONS else 1
+    return [swf, wc_norm, symr], label
+
+
+def fit(n_docs: int = 10000, iters: int = 20000, lr: float = 10.0):
+    feats, labels = [], []
+    for i in range(n_docs):
+        f, y = features_and_label(doc_for_id(i))
+        feats.append(f)
+        labels.append(y)
+    X = np.asarray(feats, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.float64)
+    Xb = np.hstack([X, np.ones((len(X), 1))])
+
+    w = np.zeros(Xb.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w -= lr * (Xb.T @ (p - y)) / len(y)
+
+    pred = (Xb @ w) > 0
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    acc = float((pred == y).mean())
+    return w, f1, acc
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    w, f1, acc = fit(n)
+    print(f"n_docs={n}  F1={f1:.4f}  accuracy={acc:.4f}")
+    print("QUALITY_WEIGHTS = {")
+    for name, val in zip(("stopword_fraction", "wc_norm", "symbol_ratio", "bias"), w):
+        print(f'    "{name}": {val!r},')
+    print("}")
