@@ -1,0 +1,117 @@
+"""Per-stage 8-vs-32 scaling profile for the quality-filter pipeline.
+
+The north rule's upper N->4N pair (local[8] -> local[32]) is host-ceiling
+bound on this oversubscribed VM (BENCH/BASELINE.md); this tool attributes the
+remaining gap per stage so "the host is the ceiling" is a measured claim, not
+an excuse. Run one leg per invocation, PINNED, e.g.:
+
+    taskset -c 0-7  python tools/profile_stages.py 8  .cache/scaling_input_1000000.parquet
+    taskset -c 0-31 python tools/profile_stages.py 32 .cache/scaling_input_1000000.parquet
+
+Prints one JSON line {"cores": N, "stages": {...}} with wall seconds per
+stage, each stage timed as an isolated action over the SAME input:
+
+* scan_jvm_stats — parquet scan + sort_key/md5 + JVM text stats (codegen only)
+* arrow_scoring  — the langid+ppl struct pandas UDF on top of the scan
+* minhash_sigs   — shingle explode + codegen min-agg signatures
+* lsh_pairs      — banded candidate join over persisted signatures
+* full_pipeline  — run_pipeline end-to-end incl. dedup joins, scrub,
+                   annotated parquet write, lineage fold
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORES = int(sys.argv[1])
+INPUT = sys.argv[2]
+WARM = int(os.environ.get("PROFILE_WARM_DOCS", "20000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.functions.textstats import fingerprint, with_text_stats
+    from data_quality_framework_spark.functions.scoring import with_scores
+    from data_quality_framework_spark.operators.dedup import (
+        candidate_pairs_from_sigs,
+        minhash_signatures,
+    )
+    from data_quality_framework_spark.plans.pipeline import (
+        FilterConfig,
+        run_pipeline,
+        sort_key_expr,
+    )
+    from data_quality_framework_spark.session import get_spark
+    from data_quality_framework_spark.sources.generator import gen_pages
+
+    spark = get_spark(
+        app_name=f"profile-{CORES}",
+        master=f"local[{CORES}]",
+        shuffle_partitions=max(CORES, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = FilterConfig()
+
+    # untimed warm-up: JIT + Python worker spawn (scale-independent cost)
+    warm = run_pipeline(spark, gen_pages(spark, WARM), cfg, per_partition_lineage=False)
+    warm.decisions.count()
+    warm.unpersist()
+
+    pages = spark.read.parquet(INPUT)
+    stages: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        stages[name] = round(time.time() - t0, 2)
+
+    base = pages.drop("html").withColumn("sort_key", sort_key_expr()).withColumn(
+        "content_md5", fingerprint(F.col("text"))
+    )
+    jvm_stats = with_text_stats(base, full=False)
+    timed("scan_jvm_stats", lambda: jvm_stats.count())
+
+    scored = with_scores(jvm_stats)
+    timed("arrow_scoring", lambda: scored.select(F.sum(F.length("lang_detected"))).collect())
+
+    sigs = minhash_signatures(
+        pages.select(F.col("url").alias("k"), "text"), "k",
+        k=cfg.minhash_k, shingle_n=cfg.shingle_n,
+    )
+    sigs = sigs.persist()
+    timed("minhash_sigs", lambda: sigs.count())
+
+    pairs = candidate_pairs_from_sigs(
+        sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
+        min_jaccard_est=cfg.min_jaccard_est, bucket_cap=cfg.lsh_bucket_cap,
+    )
+    timed("lsh_pairs", lambda: pairs.count())
+    sigs.unpersist()
+
+    out_dir = os.path.join(
+        os.path.dirname(INPUT), f"profile_out_{CORES}"
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def full():
+        out = run_pipeline(spark, pages, cfg, per_partition_lineage=True)
+        out.annotated.write.mode("overwrite").parquet(out_dir)
+        out.unpersist()
+
+    timed("full_pipeline", full)
+
+    print(json.dumps({"cores": CORES, "input": INPUT, "stages": stages}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
