@@ -461,17 +461,11 @@ def simhash_pairs(
     )
 
 
-def simhash_overflow_stats(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    bands: int = 4,
-    bucket_cap: int = 64,
-) -> DataFrame:
-    """Recall accounting for a CAPPED ``simhash_pairs`` run: per band, how
-    much the cap dropped.
+def _band_overflow_agg(exploded: DataFrame, band_no: Column, bucket_cap: int) -> DataFrame:
+    """Shared overflow accounting over an (id, band) exploded frame: per band
+    index, how many rows and candidate pairs a ``bucket_cap`` drops.
 
-    Returns one row per band index with:
+    Columns per band index:
 
     * ``n_buckets``            distinct band-bucket values in that band
     * ``n_overflow_buckets``   buckets larger than ``bucket_cap``
@@ -482,25 +476,17 @@ def simhash_overflow_stats(
       bound on true pairs lost there; a pair is only lost overall if EVERY
       band it shares overflowed past it)
 
-    Cost shape: the same scan+explode as ``simhash_pairs`` followed by a
-    count aggregation — the shuffle carries (band, count) partials only,
-    never pairs, so the accounting is safe to run exactly where the uncapped
-    join is not.
+    Cost shape: the same scan+explode as the pair join, then a count
+    aggregation — the shuffle carries (band, count) partials only, never
+    pairs, so the accounting is safe to run exactly where the uncapped join
+    is not.
     """
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
-    )
-    exploded = hashed.select(
-        "id", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
-    )
     cap = F.lit(bucket_cap)
     per_bucket = exploded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     over = F.col("n") > cap
     pairs_of = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # noqa: E731
     return (
-        per_bucket.groupBy(
-            F.shiftrightunsigned(F.col("band"), 32).cast("int").alias("band_no")
-        )
+        per_bucket.groupBy(band_no.cast("int").alias("band_no"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
             F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_overflow_buckets"),
@@ -513,6 +499,54 @@ def simhash_overflow_stats(
         )
         .orderBy("band_no")
     )
+
+
+def simhash_overflow_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Recall accounting for a CAPPED ``simhash_pairs`` run — see
+    ``_band_overflow_agg`` for the columns and the cost shape."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    exploded = hashed.select(
+        "id", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
+    )
+    # simhash band keys carry their band index in the high 32 bits
+    return _band_overflow_agg(
+        exploded, F.shiftrightunsigned(F.col("band"), 32), bucket_cap
+    )
+
+
+def minhash_overflow_stats(
+    sigs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Recall accounting for a CAPPED ``candidate_pairs_from_sigs`` run over a
+    precomputed (id, sig) table — the MinHash analog of
+    ``simhash_overflow_stats`` (the pipeline's default ``lsh_bucket_cap=64``
+    is the same silent-drop hazard on boilerplate-heavy near-dup families
+    that survive exact dedup). ``posexplode`` recovers the band index (the
+    band KEY itself is a hash and does not encode it)."""
+    rows = k // bands
+    exploded = sigs.select(
+        "id",
+        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band_no", "band"),
+    )
+    # group by the (index, key) pair: the same key value in two different
+    # bands is two different buckets
+    exploded = exploded.select(
+        "id",
+        F.col("band_no"),
+        F.concat_ws(":", F.col("band_no"), F.col("band")).alias("band"),
+    )
+    return _band_overflow_agg(exploded, F.split(F.col("band"), ":")[0], bucket_cap)
 
 
 def embedding_near_dup_pairs(

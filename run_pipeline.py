@@ -78,7 +78,15 @@ def main() -> None:
     cfg = FilterConfig()
 
     if args.warmup > 0 and not args.resume:
-        wout = run_pipeline(spark, pages.limit(args.warmup), cfg, per_partition_lineage=True)
+        # repartition the warm-up slice across every core: a bare limit() is a
+        # GlobalLimit -> ONE partition, which warms codegen but spawns only a
+        # single Python worker — the timed run then pays (cores-1) worker
+        # spawns serially, penalizing exactly the high-core leg of a scaling
+        # study (~30s at local[32], measured)
+        warm_slice = pages.limit(args.warmup).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        wout = run_pipeline(spark, warm_slice, cfg, per_partition_lineage=True)
         wout.annotated.write.mode("overwrite").parquet(
             os.path.join(args.output, "_warmup")
         )

@@ -288,6 +288,40 @@ def test_simhash_capped_boilerplate_stress(spark):
         assert r["dropped_candidate_pairs"] == true_clique - found_cap
 
 
+def test_minhash_overflow_stats(spark):
+    """MinHash analog of the simhash accounting: a capped run over a
+    boilerplate clique reports exactly the rows/candidate pairs dropped."""
+    from data_quality_framework_spark.operators.dedup import (
+        minhash_overflow_stats,
+        minhash_signatures,
+    )
+
+    n_hot, n_bg, cap, k, bands = 200, 50, 64, 16, 4
+    hot = spark.range(n_hot).select(
+        "id", F.lit("identical boilerplate body shared by every page").alias("text")
+    )
+    bg_words = [
+        F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{j}"))), 1, 8)
+        for j in range(6)
+    ]
+    bg = spark.range(n_hot, n_hot + n_bg).select(
+        "id", F.concat_ws(" ", *bg_words).alias("text")
+    )
+    sigs = minhash_signatures(hot.unionByName(bg), "id", k=k, shingle_n=3)
+    stats = {
+        r["band_no"]: r
+        for r in minhash_overflow_stats(sigs, k=k, bands=bands, bucket_cap=cap).collect()
+    }
+    assert set(stats) == set(range(bands))
+    true_pairs = n_hot * (n_hot - 1) // 2
+    kept_pairs = cap * (cap - 1) // 2
+    for r in stats.values():
+        assert r["n_overflow_buckets"] == 1
+        assert r["max_bucket"] == n_hot
+        assert r["dropped_rows"] == n_hot - cap
+        assert r["dropped_candidate_pairs"] == true_pairs - kept_pairs
+
+
 def test_ann_index_pruning(spark, vectors, tmp_path):
     """The serving path: bucket/cell are storage PARTITION columns, the probe
     becomes a PartitionFilter, results identical to the scan-side variants."""

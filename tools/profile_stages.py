@@ -76,7 +76,14 @@ def main() -> None:
         "content_md5", fingerprint(F.col("text"))
     )
     jvm_stats = with_text_stats(base, full=False)
-    timed("scan_jvm_stats", lambda: jvm_stats.count())
+    # force the computed columns (a bare count() would prune them all away)
+    timed(
+        "scan_jvm_stats",
+        lambda: jvm_stats.select(
+            F.sum("word_count"), F.sum("symbol_ratio"), F.sum("stopword_fraction"),
+            F.sum(F.length("sort_key")), F.sum(F.length("content_md5")),
+        ).collect(),
+    )
 
     scored = with_scores(jvm_stats)
     timed("arrow_scoring", lambda: scored.select(F.sum(F.length("lang_detected"))).collect())
