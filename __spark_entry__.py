@@ -572,14 +572,20 @@ def _ann_index(spark, sf) -> str:
     """Ingest-time ANN index for the embeddings table (built once per sf dir):
     LSH bucket + IVF cell materialized as parquet PARTITION columns so the
     top-k queries prune files instead of recomputing signatures per lookup
-    (the r2 verdict's named scale-killer)."""
+    (the r2 verdict's named scale-killer).
+
+    Lives under the repo's own .cache/ (not the world-shared /tmp): a
+    predictable /tmp path is both a concurrent-process overwrite race and a
+    multi-user tampering surface feeding attacker-placed parquet into the
+    correctness gate."""
     import hashlib
-    import tempfile
 
     from data_quality_framework_spark.operators.similarity import build_ann_index
 
     key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"dq_ann_index_{key}")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", f"ann_index_{key}"
+    )
     if path not in _ANN_INDEX_BUILT:
         build_ann_index(_t(spark, sf, "embeddings"), path)
         _ANN_INDEX_BUILT.add(path)
@@ -844,21 +850,28 @@ _NONBLANK = f"(text is not null and not regexp_matches(text, '^{_WS}*$'))"
 
 # ----- LSH-family oracle building blocks -------------------------------------
 
-def _shingle_sets_sql(n: int) -> str:
-    """word-n-gram shingle SETS per doc, mirroring functions.hashing.shingles():
-    <n words (or blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim)."""
+def _shingle_list_expr(n: int = 3) -> str:
+    """Shingle SET expression over a ``text`` column (usable inside any CTE),
+    mirroring ``functions.hashing.shingles``: word n-grams; <n words (or
+    blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim). The
+    SINGLE source of this tricky expression — both the minhash-pair oracle
+    and the pipeline oracle build on it."""
     joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
-    return rf"""
-shing AS (
- SELECT doc_id,
-  list_distinct(
+    return rf"""list_distinct(
    CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
          len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
         THEN [trim(coalesce(text, ''))]
-   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}),
-                               i -> {joined})
+   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}), i -> {joined})
          FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
-   END) AS sh
+   END)"""
+
+
+def _shingle_sets_sql(n: int) -> str:
+    """(doc_id, sh) shingle-set CTE over the documents view — thin wrapper
+    around ``_shingle_list_expr``."""
+    return f"""
+shing AS (
+ SELECT doc_id, {_shingle_list_expr(n)} AS sh
  FROM documents)
 """
 
@@ -961,20 +974,6 @@ def _ppl_unigram_sql(text: str = "text") -> str:
         f"CASE WHEN {L} > 0 THEN exp(-(({logp}) + ({L} - ({counted})) * ({_FLOOR_LOGP!r})) / {L}) "
         f"ELSE 1e308 END"
     )
-
-
-def _shingle_list_expr(n: int = 3) -> str:
-    """Shingle SET expression over a ``text`` column (usable inside any CTE),
-    mirroring ``functions.hashing.shingles``: word n-grams; <n words (or
-    blank/null) -> [trim(text)]."""
-    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
-    return rf"""list_distinct(
-   CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
-         len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
-        THEN [trim(coalesce(text, ''))]
-   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}), i -> {joined})
-         FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
-   END)"""
 
 
 def _wt_pipeline_oracle_sql() -> str:

@@ -26,6 +26,7 @@ reference's threshold arithmetic exactly (see ``core.rules``).
 
 from __future__ import annotations
 
+import threading
 from typing import Iterable, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -46,6 +47,9 @@ from data_quality_framework_spark.core.rules import (
     make_result,
     zero_violation_verdict,
 )
+
+#: serializes the AQE-off window of _violation_samples_all (session-global conf)
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -242,12 +246,20 @@ def _violation_samples_all(
     for p in parts[1:]:
         union = union.unionByName(p)
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        rows = union.collect()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    # The AQE toggle mutates SESSION state (Spark has no per-query conf), so
+    # serialize toggle+collect+restore under a module lock: two concurrent
+    # calls could otherwise interleave save/restore and leave AQE off for the
+    # session. A concurrent UNRELATED query planned during this brief window
+    # would also plan AQE-less — acceptable for a bounded limit-union collect;
+    # callers running heavy queries on other threads mid-validation should
+    # pass sample_limit=0.
+    with _AQE_TOGGLE_LOCK:
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            rows = union.collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
     out: dict[int, list[dict]] = {}
     for row in rows:
         out.setdefault(row["__rule"], []).append(json.loads(row["__rec"]))

@@ -484,7 +484,11 @@ def _band_overflow_agg(exploded: DataFrame, band_no: Column, bucket_cap: int) ->
     cap = F.lit(bucket_cap)
     per_bucket = exploded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     over = F.col("n") > cap
-    pairs_of = lambda c: (c * (c - F.lit(1))) / F.lit(2)  # noqa: E731
+    # pure LONG arithmetic: n*(n-1) is always even, so shiftright(.,1) halves
+    # it exactly — a double division would round above 2^53, i.e. exactly at
+    # the 10^8-row hot buckets this accounting exists for
+    pairs_of = lambda c: F.shiftright(c * (c - F.lit(1)), 1)  # noqa: E731
+    cap_pairs = F.lit(bucket_cap * (bucket_cap - 1) // 2)
     return (
         per_bucket.groupBy(band_no.cast("int").alias("band_no"))
         .agg(
@@ -494,7 +498,7 @@ def _band_overflow_agg(exploded: DataFrame, band_no: Column, bucket_cap: int) ->
             F.coalesce(F.sum(F.when(over, F.col("n") - cap)), F.lit(0))
             .cast("long").alias("dropped_rows"),
             F.coalesce(
-                F.sum(F.when(over, pairs_of(F.col("n")) - pairs_of(cap))), F.lit(0)
+                F.sum(F.when(over, pairs_of(F.col("n")) - cap_pairs)), F.lit(0)
             ).cast("long").alias("dropped_candidate_pairs"),
         )
         .orderBy("band_no")
@@ -533,7 +537,14 @@ def minhash_overflow_stats(
     ``simhash_overflow_stats`` (the pipeline's default ``lsh_bucket_cap=64``
     is the same silent-drop hazard on boilerplate-heavy near-dup families
     that survive exact dedup). ``posexplode`` recovers the band index (the
-    band KEY itself is a hash and does not encode it)."""
+    band KEY itself is a hash and does not encode it).
+
+    IMPORTANT: pass the SAME (k, bands, bucket_cap) as the pair run being
+    accounted for — bucket membership depends on the banding. Defaults here
+    match ``candidate_pairs_from_sigs`` defaults (bands=4); ``run_pipeline``
+    uses ``cfg.minhash_bands`` (default 8), so pipeline accounting is
+    ``minhash_overflow_stats(sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
+    bucket_cap=cfg.lsh_bucket_cap)``."""
     rows = k // bands
     exploded = sigs.select(
         "id",

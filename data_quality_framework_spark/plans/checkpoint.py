@@ -54,10 +54,27 @@ META_COLS = [
 ]
 
 
+def cfg_fingerprint(cfg) -> str:
+    """Stable digest of the full FilterConfig. A resumed run MUST use the
+    exact config of the partial run it continues: any changed knob — minhash
+    hash family (r3's ``minhash_hash``), banding, thresholds, pinned run_ts —
+    makes already-done buckets incompatible with freshly computed ones
+    (e.g. xxhash64 vs md5_60 signatures never band-match, silently losing
+    cross-bucket near-dups)."""
+    import dataclasses
+    import hashlib
+
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
 @dataclass
 class Checkpoint:
     out_dir: str
     n_buckets: int = 16
+    #: set by resumable_pipeline from the run's FilterConfig; manifests record
+    #: it and resume REFUSES a mismatch (None = legacy manifest, unchecked)
+    cfg_fp: str | None = None
 
     def _manifest(self, phase: str) -> str:
         return os.path.join(self.out_dir, f"_manifest_{phase}.json")
@@ -72,6 +89,14 @@ class Checkpoint:
             raise ValueError(
                 f"{phase} manifest bucket count {m.get('n_buckets')} != {self.n_buckets}"
             )
+        stored = m.get("cfg_fp")
+        if stored is not None and self.cfg_fp is not None and stored != self.cfg_fp:
+            raise ValueError(
+                f"{phase} manifest was written with a DIFFERENT FilterConfig "
+                f"(fingerprint {stored} != {self.cfg_fp}); resuming would mix "
+                "incompatible signature/flag regimes across buckets — rerun "
+                "from a clean output dir or restore the original config"
+            )
         return set(m.get("done", []))
 
     def mark(self, phase: str, bucket: int) -> None:
@@ -79,7 +104,14 @@ class Checkpoint:
         os.makedirs(self.out_dir, exist_ok=True)
         tmp = self._manifest(phase) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_buckets": self.n_buckets, "done": sorted(done)}, f)
+            json.dump(
+                {
+                    "n_buckets": self.n_buckets,
+                    "done": sorted(done),
+                    "cfg_fp": self.cfg_fp,
+                },
+                f,
+            )
         os.replace(tmp, self._manifest(phase))  # atomic on POSIX
 
     # legacy helpers used by older tests/callers
@@ -154,6 +186,10 @@ def resumable_pipeline(
     meta_dir = os.path.join(ckpt.out_dir, "meta")
     losers_path = os.path.join(ckpt.out_dir, "losers")
     ran = {"phase_a": [], "phase_b": False, "phase_c": []}
+
+    # pin the run's config into every manifest; a resume under a different
+    # config fails fast instead of silently mixing signature/flag regimes
+    ckpt.cfg_fp = cfg_fingerprint(cfg)
 
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
 

@@ -55,7 +55,8 @@ th,td{{border:1px solid #ccc;padding:4px 8px;font-size:13px;text-align:left}}
 .bar{{display:flex;height:22px;border-radius:4px;overflow:hidden;margin:0.5em 0 1.5em;
       font-size:12px;color:#fff;text-align:center}}
 .bar div{{line-height:22px;white-space:nowrap;overflow:hidden}}
-.seg-pass{{background:#188038}} .seg-fail{{background:#d93025}} .seg-warn{{background:#f9ab00}}
+.seg-pass{{background:#188038}} .seg-fail{{background:#d93025}}
+.seg-warn{{background:#f9ab00}} .seg-error{{background:#9334e6}}
 section h2{{border-bottom:2px solid #eee;padding-bottom:4px;margin-top:1.5em}}
 details.samples{{font-size:12px}} details.samples table{{margin:4px 0 0}}
 </style></head><body>
@@ -106,6 +107,7 @@ def _progress_bar(summary: dict) -> str:
         ("passed", "seg-pass", "PASS"),
         ("failed", "seg-fail", "FAIL"),
         ("warnings", "seg-warn", "WARN"),
+        ("errors", "seg-error", "ERROR"),
     ):
         n = summary.get(key, 0) or 0
         if n:

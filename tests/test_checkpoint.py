@@ -82,3 +82,21 @@ def test_resume_after_partial_failure(spark, pages_10k, out_dir):
     assert ran["phase_b"] is True
     assert ran["phase_c"] == [2]
     assert read_output(spark, ckpt, "kept").count() == n_before
+
+
+def test_resume_refuses_changed_config(spark, pages_10k, out_dir):
+    """r3: manifests pin the run's FilterConfig fingerprint; resuming a
+    partial run under a DIFFERENT config (e.g. the new minhash_hash knob)
+    must fail fast instead of silently mixing signature families."""
+    ckpt = Checkpoint(out_dir=os.path.join(out_dir, "c"), n_buckets=2)
+    resumable_pipeline(spark, pages_10k, ckpt, FilterConfig())
+
+    ckpt2 = Checkpoint(out_dir=ckpt.out_dir, n_buckets=2)
+    with pytest.raises(ValueError, match="DIFFERENT FilterConfig"):
+        resumable_pipeline(
+            spark, pages_10k, ckpt2, FilterConfig(minhash_hash="md5_60")
+        )
+    # same config resumes cleanly (no work left)
+    ckpt3 = Checkpoint(out_dir=ckpt.out_dir, n_buckets=2)
+    ran = resumable_pipeline(spark, pages_10k, ckpt3, FilterConfig())
+    assert ran == {"phase_a": [], "phase_b": False, "phase_c": []}

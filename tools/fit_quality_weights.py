@@ -54,9 +54,8 @@ def features_and_label(doc: dict) -> tuple[list[float], int]:
     words = _WS_RE.split(stripped) if stripped else []
     wc = len(words)
     swf = sum(1 for w in words if w.lower() in _STOP) / wc if wc else 0.0
-    symr = len(_SYM_RE.findall(text)) * 0.0  # placeholder replaced below
-    # symbol_ratio = removed-char count / char count (regex chars are 1 wide
-    # except the 3-dot run; replicate via sub like Spark's regexp_replace)
+    # symbol_ratio = removed-char count / char count (replicates Spark's
+    # regexp_replace-based formulation exactly)
     symr = (len(text) - len(_SYM_RE.sub("", text))) / len(text) if text else 0.0
     wc_norm = min(float(wc), 500.0) / 500.0
     label = 0 if doc["drop_reason"] in _TEXT_QUALITY_REASONS else 1
