@@ -359,6 +359,51 @@ def _q_j8(spark, sf):  # J8/W1: window duplicate detail
     )
 
 
+def _wt_hierarchy_parent():
+    """Deterministic self-referencing hierarchy derived from c_custkey (shared
+    by the Spark query and the recursive-CTE oracle): keys <= 8 are roots,
+    each (97k, 97k+1) pair is a planted 2-CYCLE (unreachable from any root,
+    along with its descendant subtree), everyone else parents to
+    ``c_custkey div 8`` — a forest of depth ~log8(N)."""
+    k = F.col("c_custkey")
+    return (
+        F.when(k <= 8, F.lit(None).cast("long"))
+        .when((k % 97 == 0) & (k >= 97), (k + 1).cast("long"))
+        .when((k % 97 == 1) & (k >= 98), (k - 1).cast("long"))
+        .otherwise(F.expr("c_custkey div 8").cast("long"))
+    )
+
+
+def _q_j12(spark, sf):  # J12: hierarchy membership / cycle detection
+    """The reference's recursive-CTE cycle-detection template
+    (checks/check_foreign_key.sql:85-119 — PostgreSQL dialect, never executed
+    by its Python code) as an iterative BFS (core.planner.run_hierarchy_rule);
+    the DuckDB oracle runs a REAL recursive CTE over the same derived
+    hierarchy, so the two fundamentally different executions must agree."""
+    from data_quality_framework_spark.core.planner import run_hierarchy_rule
+    from data_quality_framework_spark.core.rules import CheckStatus, Rule
+
+    h = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("node_id"),
+        _wt_hierarchy_parent().alias("parent_id"),
+    )
+    rule = Rule(
+        rule_id="J12", check_type="hierarchy", description="cycle detection",
+        table="customer_hierarchy", column="node_id",
+        params={"parent_column": "parent_id"},
+    )
+    res = run_hierarchy_rule(h, rule)
+    return spark.createDataFrame(
+        [(
+            "customer_hierarchy",
+            res.details["records_in_hierarchy"],
+            res.details["total_records"],
+            "PASS" if res.status == CheckStatus.PASS else "WARNING",
+        )],
+        "table_name string, records_in_hierarchy long, total_records long, check_result string",
+    )
+
+
 def _q_s2(spark, sf):  # S2: scalar query (execute_scalar analog)
     return _t(spark, sf, "orders").agg(
         F.round(F.max("o_totalprice"), 2).alias("max_price")
@@ -792,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_join_compare": _q_j6,
         "j7_existence": _q_j7,
         "j9_inner_join": _q_j9,
+        "j12_hierarchy_cycle": _q_j12,
         "j8_window_dup_detail": _q_j8,
         "o1_top_dup_groups": _q_o1,
         "u1_union_counts": _q_u1,
@@ -1475,6 +1521,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "wt_pipeline_summary": _wt_pipeline_oracle_sql(),
+        # J12: a REAL recursive CTE (DuckDB supports them; Spark does not) vs
+        # the iterative-BFS implementation — same derived hierarchy, the CTE
+        # mirrors the reference template's root/recursion/depth<100 structure
+        "j12_hierarchy_cycle": """
+            WITH RECURSIVE nodes AS (
+              SELECT CAST(c_custkey AS BIGINT) AS node_id,
+                     CASE WHEN c_custkey <= 8 THEN NULL
+                          WHEN c_custkey % 97 = 0 AND c_custkey >= 97 THEN c_custkey + 1
+                          WHEN c_custkey % 97 = 1 AND c_custkey >= 98 THEN c_custkey - 1
+                          ELSE c_custkey // 8 END AS parent_id
+              FROM customer),
+            hier AS (
+              SELECT node_id, 1 AS level FROM nodes WHERE parent_id IS NULL
+              UNION ALL
+              SELECT n.node_id, h.level + 1
+              FROM nodes n JOIN hier h ON n.parent_id = h.node_id
+              WHERE h.level < 100)
+            SELECT 'customer_hierarchy' AS table_name,
+                   (SELECT count(*) FROM hier) AS records_in_hierarchy,
+                   (SELECT count(*) FROM nodes) AS total_records,
+                   CASE WHEN (SELECT count(*) FROM hier) = (SELECT count(*) FROM nodes)
+                        THEN 'PASS' ELSE 'WARNING' END AS check_result
+        """,
     }
 
 

@@ -550,6 +550,65 @@ def run_existence_check(
 
 
 # --------------------------------------------------------------------------
+# hierarchy / cycle rule (reference checks/check_foreign_key.sql:85-119 —
+# a recursive-CTE template the reference itself never executes; implemented
+# here so the engine covers the full SQL surface, J12)
+# --------------------------------------------------------------------------
+
+def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
+    """Hierarchy-membership / cycle detection for a self-referencing table.
+
+    The reference template walks from the roots (``parent IS NULL``) with a
+    recursive CTE (path-array cycle guard, depth <= 100) and flags WARNING
+    when the walk reaches fewer rows than the table holds — unreached rows
+    are cycle members or orphan chains. Spark SQL has no recursive CTE; the
+    same semantics run as an iterative BFS with ``localCheckpoint`` per
+    level (the ``near_dup_components`` recipe — lineage stays flat, each
+    round is one join over the frontier). Set semantics (each record counted
+    once): on a tree this equals the CTE's path count; on a DAG the CTE
+    double-counts multi-path nodes, which the template's own equality check
+    would misread, so the set form is the saner check at scale.
+
+    Rule params: ``column``/``id_column`` = node id, ``parent_column`` =
+    self-referencing FK, ``max_depth`` (default 100, matching the template).
+    """
+    id_col = rule.column or rule.p("id_column")
+    parent_col = rule.p("parent_column")
+    if not id_col or not parent_col:
+        raise ValueError(f"{rule.rule_id}: hierarchy rule needs column + parent_column")
+    max_depth = int(rule.p("max_depth", 100))
+
+    nodes = df.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent"))
+    total = nodes.count()
+    reached = nodes.filter(F.col("parent").isNull()).select("id").distinct().localCheckpoint()
+    frontier = reached
+    level = 1
+    while level < max_depth:
+        children = nodes.join(
+            frontier.withColumnRenamed("id", "parent"), "parent"
+        ).select("id")
+        new = children.join(reached, "id", "left_anti").distinct().localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        reached = reached.unionByName(new).localCheckpoint()
+        frontier = new
+        level += 1
+    in_hierarchy = reached.count()
+    unreached = total - in_hierarchy
+    return make_result(
+        rule, "hierarchy",
+        CheckStatus.PASS if unreached == 0 else CheckStatus.WARNING,
+        total_rows=total, violation_count=unreached,
+        details={
+            "records_in_hierarchy": in_hierarchy,
+            "total_records": total,
+            "max_depth": max_depth,
+            "levels_walked": level,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
 # 3-sigma outlier rule (reference checks/check_range.sql:113-131)
 # --------------------------------------------------------------------------
 
@@ -613,6 +672,8 @@ def run_rules(
             )
         elif ct == "outlier_3sigma":
             results.append(run_outlier_rule(tables[rule.table], rule))
+        elif ct == "hierarchy":
+            results.append(run_hierarchy_rule(tables[rule.table], rule))
         elif ct == "transform":
             compare_type = rule.p("compare_type", "value")
             src = tables[rule.p("source_table")]

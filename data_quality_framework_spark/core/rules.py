@@ -165,6 +165,8 @@ CHECK_TYPES = frozenset(
         "count",           # count_checker src-vs-tgt
         "transform",       # transform_checker: aggregate | join | existence
         "outlier_3sigma",  # checks/check_range.sql:113-131
+        "hierarchy",       # checks/check_foreign_key.sql:85-119 recursive-CTE
+                           # cycle/membership template (J12) -> iterative BFS
         "derived_range",   # (+) Gopher/C4 heuristic: range over a derived metric column
         "predicate",       # (+) arbitrary boolean SQL predicate, violation when true
     }

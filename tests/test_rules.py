@@ -456,3 +456,42 @@ def test_rule_from_dict_reference_yaml_shape():
     r = Rule.from_dict(d)
     assert r.check_type == "masking"
     assert r.p("expected_pattern_start") == 8
+
+
+def test_hierarchy_rule_tree_and_cycle(spark):
+    """J12 (reference recursive-CTE template, checks/check_foreign_key.sql:
+    85-119): clean forest -> PASS; planted cycle + its descendants are
+    unreached -> WARNING with the exact count; depth cap cuts deep chains."""
+    from data_quality_framework_spark.core.planner import run_hierarchy_rule
+
+    def run(rows, **params):
+        df = spark.createDataFrame(rows, "id long, parent long")
+        rule = Rule(rule_id="H", check_type="hierarchy", table="h",
+                    column="id", params={"parent_column": "parent", **params})
+        return run_hierarchy_rule(df, rule)
+
+    # clean 2-level tree
+    tree = [(1, None), (2, 1), (3, 1), (4, 2)]
+    res = run(tree)
+    assert res.status == CheckStatus.PASS and res.violation_count == 0
+
+    # 2-cycle {10, 11} with a descendant 12 hanging off it: all 3 unreached
+    cyc = tree + [(10, 11), (11, 10), (12, 10)]
+    res = run(cyc)
+    assert res.status == CheckStatus.WARNING
+    assert res.violation_count == 3
+    assert res.details["records_in_hierarchy"] == 4
+
+    # depth cap: chain 1<-2<-3<-4<-5 with max_depth=3 reaches levels 1..3
+    chain = [(1, None), (2, 1), (3, 2), (4, 3), (5, 4)]
+    res = run(chain, max_depth=3)
+    assert res.violation_count == 2  # nodes 4, 5 beyond the cap
+
+    # orchestrator dispatch
+    df = spark.createDataFrame(cyc, "id long, parent long")
+    out = run_rules(
+        {"h": df},
+        [Rule(rule_id="H2", check_type="hierarchy", table="h", column="id",
+              params={"parent_column": "parent"})],
+    )
+    assert out[0].status == CheckStatus.WARNING and out[0].violation_count == 3

@@ -22,7 +22,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # Align date representations BEFORE dtype comparison: Spark's toPandas
+    # yields object-dtype datetime.date for DATE columns while DuckDB's .df()
+    # yields datetime64[us] — value-identical, dtype-different. The driver's
+    # own gate normalizes values (isoformat) rather than dtypes, so this tool
+    # must not be STRICTER than the gate it reproduces.
+    import datetime as _dt
+
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == "object":
+            nonnull = col.dropna()
+            if len(nonnull) and isinstance(
+                nonnull.iloc[0], (_dt.date, _dt.datetime)
+            ):
+                df[c] = pd.to_datetime(col)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
