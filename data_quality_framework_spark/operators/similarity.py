@@ -255,6 +255,24 @@ def ivf_topk_indexed(
     return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
 
 
+def _bucketed_topk_join(qb: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+    """Shared tail of the batch-ANN joins: bucket equi-join + per-query
+    windowed rank. AQE broadcasts the (small) query side at runtime."""
+    from pyspark.sql import Window
+
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -267,9 +285,10 @@ def pairwise_topk_join(
 ) -> DataFrame:
     """Batch ANN: for every query row, top-k corpus neighbors via shared-bucket
     join + windowed rank. The join key is the LSH bucket -> equi-join that AQE
-    can broadcast when the query side is small."""
-    from pyspark.sql import Window
-
+    can broadcast when the query side is small. Computes the corpus signatures
+    at query time (one UDF pass over the corpus — fine for a one-shot batch);
+    for repeated batches against a stored corpus use
+    ``pairwise_topk_join_indexed``."""
     sig_udf = hyperplane_signature(
         dim=len(corpus.select(vec_col).head()[0]), planes=planes, seed=seed
     )
@@ -283,14 +302,39 @@ def pairwise_topk_join(
         F.col(vec_col).cast("array<double>").alias("cv"),
         sig_udf(F.col(vec_col)).alias("bucket"),
     )
-    scored = (
-        qb.join(cb, "bucket")
-        .filter(F.col("query_id") != F.col("corpus_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    return _bucketed_topk_join(qb, cb, k)
+
+
+def pairwise_topk_join_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch ANN over a ``build_ann_index`` table: the corpus side reads its
+    MATERIALIZED ``bucket`` partition column (zero UDF work over the corpus;
+    the signature UDF runs only on the query batch), and because ``bucket``
+    is the storage partition key the shuffle for the bucket equi-join is
+    already co-located on the corpus side. Must be called with the same
+    (planes, seed) the index was built with — results are then identical to
+    ``pairwise_topk_join``."""
+    corpus = spark.read.parquet(index_path)
+    sig_udf = hyperplane_signature(
+        dim=len(queries.select(vec_col).head()[0]), planes=planes, seed=seed
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", "rank")
+    qb = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        sig_udf(F.col(vec_col)).alias("bucket"),
     )
+    cb = corpus.select(
+        F.col(c_id).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col("bucket"),
+    )
+    return _bucketed_topk_join(qb, cb, k)

@@ -360,6 +360,28 @@ def test_ann_index_pruning(spark, vectors, tmp_path):
     probed_dirs = {d for d in bucket_dirs if int(d.split("=")[1]) in probes}
     assert 0 < len(probed_dirs) < len(bucket_dirs)
 
+    # batch ANN through the index: corpus signatures come from the stored
+    # bucket column (no UDF over the corpus), identical results
+    from data_quality_framework_spark.operators.similarity import (
+        pairwise_topk_join_indexed,
+    )
+
+    qset = vectors.filter(F.col("vec_id").isin(100, 101))
+    idx_join = pairwise_topk_join_indexed(spark, path, qset, k=2, planes=8)
+    scan_join = pairwise_topk_join(qset, vectors, k=2, planes=8)
+    assert sorted(tuple(r) for r in idx_join.collect()) == sorted(
+        tuple(r) for r in scan_join.collect()
+    )
+    jplan = idx_join._jdf.queryExecution().executedPlan().toString()
+    # the corpus side's bucket must come FROM THE FILE SCAN (materialized
+    # partition column), not from a recomputed signature UDF: the single
+    # parquet scan in the final plan lists bucket among its output columns
+    # (AQE's dump repeats subtrees under "== Initial Plan =="; judge only
+    # the final plan)
+    final_plan = jplan.split("== Initial Plan ==")[0]
+    scans = [l for l in final_plan.split("\n") if "FileScan parquet" in l]
+    assert len(scans) == 1 and "bucket" in scans[0], scans
+
 
 def test_embedding_near_dup(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, min_cosine=0.95, planes=8, dim=64)
