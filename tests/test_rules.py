@@ -495,3 +495,55 @@ def test_hierarchy_rule_tree_and_cycle(spark):
               params={"parent_column": "parent"})],
     )
     assert out[0].status == CheckStatus.WARNING and out[0].violation_count == 3
+
+
+def test_hierarchy_rule_matches_python_bfs_on_random_graphs(spark):
+    """Randomized cross-check (seeded): run_hierarchy_rule's reached-count
+    equals a pure-Python BFS on arbitrary parent-pointer graphs — random
+    roots, random parents, self-loops, 2-cycles, dangling parents."""
+    import random
+
+    from data_quality_framework_spark.core.planner import run_hierarchy_rule
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(5, 40)
+        ids = list(range(n))
+        rows = []
+        for i in ids:
+            r = rng.random()
+            if r < 0.2:
+                parent = None                      # root
+            elif r < 0.3:
+                parent = i                         # self-loop (cycle of 1)
+            elif r < 0.4:
+                parent = n + rng.randint(0, 5)     # dangling parent (orphan)
+            else:
+                parent = rng.randrange(n)          # arbitrary (may form cycles)
+            rows.append((i, parent))
+
+        # python BFS reference (set semantics, no depth cap at these sizes)
+        children = {}
+        for i, p in rows:
+            if p is not None:
+                children.setdefault(p, []).append(i)
+        frontier = [i for i, p in rows if p is None]
+        reached = set(frontier)
+        while frontier:
+            nxt = [
+                c for f in frontier for c in children.get(f, [])
+                if c not in reached
+            ]
+            reached.update(nxt)
+            frontier = nxt
+
+        df = spark.createDataFrame(rows, "id long, parent long")
+        res = run_hierarchy_rule(
+            df,
+            Rule(rule_id=f"HR{trial}", check_type="hierarchy", table="h",
+                 column="id", params={"parent_column": "parent"}),
+        )
+        assert res.details["records_in_hierarchy"] == len(reached), (trial, rows)
+        assert res.violation_count == n - len(reached)
+        want = CheckStatus.PASS if len(reached) == n else CheckStatus.WARNING
+        assert res.status == want
