@@ -61,6 +61,11 @@ class FilterConfig:
     shingle_n: int = 3
     lsh_bucket_cap: int = 64
     minhash_hash: str = "xxhash64"     # "md5_60" -> SQL-oracle-reproducible sigs
+    #: opt-in: attach per-band LSH cap-overflow accounting (dropped rows /
+    #: candidate pairs) to the near-dup rule's lineage — quantifies what a
+    #: capped run skipped instead of leaving the approximation silent. One
+    #: extra (band, count)-partial aggregation over the signature table.
+    account_lsh_overflow: bool = False
 
 
 #: (flag column, drop_reason, rule metadata) — precedence = list order; must
@@ -118,6 +123,9 @@ class PipelineOutput:
     results: list[CheckResult] = field(default_factory=list)
     annotated: Optional[DataFrame] = None  # superset df: write once, derive views
     persisted: list[DataFrame] = field(default_factory=list)
+    #: per-band LSH cap-overflow rows (cfg.account_lsh_overflow) — feed to
+    #: dedup_lineage so the near-dup rule's lineage quantifies the cap
+    lsh_overflow: list[dict] = field(default_factory=list)
 
     def unpersist(self) -> None:
         """Release cached blocks (enriched base + LSH pair set). Call after
@@ -277,12 +285,25 @@ def run_pipeline(
         canon, id_col="sort_key", text_col="text",
         k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).persist()
+    lsh_overflow: list[dict] = []
     try:
         pairs = candidate_pairs_from_sigs(
             sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
             min_jaccard_est=cfg.min_jaccard_est, bucket_cap=cfg.lsh_bucket_cap,
         ).persist()
         pairs.count()
+        if cfg.account_lsh_overflow:
+            from data_quality_framework_spark.operators.dedup import (
+                minhash_overflow_stats,
+            )
+
+            lsh_overflow = [
+                r.asDict()
+                for r in minhash_overflow_stats(
+                    sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
+                    bucket_cap=cfg.lsh_bucket_cap,
+                ).collect()
+            ]
     finally:
         sigs.unpersist()
     losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
@@ -331,7 +352,7 @@ def run_pipeline(
     results = _lineage(base, rules, per_partition_lineage)
     return PipelineOutput(
         decisions=decisions, kept=kept, results=results, annotated=annotated,
-        persisted=[base, pairs],
+        persisted=[base, pairs], lsh_overflow=lsh_overflow,
     )
 
 
@@ -376,9 +397,17 @@ def _lineage(
     return results
 
 
-def dedup_lineage(annotated: DataFrame) -> list[CheckResult]:
+def dedup_lineage(
+    annotated: DataFrame, lsh_overflow: Optional[list[dict]] = None
+) -> list[CheckResult]:
     """Table-level CheckResults for the two dedup rules, derived from the
-    materialized annotated output (one cheap aggregation over parquet)."""
+    materialized annotated output (one cheap aggregation over parquet).
+
+    ``lsh_overflow`` (from ``PipelineOutput.lsh_overflow`` when the run set
+    ``cfg.account_lsh_overflow``) lands in the near-dup rule's details: a
+    capped LSH run then carries exactly how many rows / candidate pairs the
+    cap dropped per band, in the same lineage record auditors already read.
+    """
     row = annotated.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(F.col("drop_reason") == "exact_duplicate", 1).otherwise(0)).alias("exact"),
@@ -387,12 +416,18 @@ def dedup_lineage(annotated: DataFrame) -> list[CheckResult]:
     total = int(row["total"])
     out = []
     for rule, viol in ((DEDUP_RULES[0], int(row["exact"])), (DEDUP_RULES[1], int(row["near"]))):
+        details: dict = {"columns": list(rule.columns)}
+        if rule.rule_id == "WT-DUP-002" and lsh_overflow:
+            details["lsh_cap_overflow_per_band"] = lsh_overflow
+            details["lsh_cap_dropped_candidate_pairs"] = sum(
+                int(r["dropped_candidate_pairs"]) for r in lsh_overflow
+            )
         out.append(
             make_result(
                 rule, "duplicate",
                 CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
                 total_rows=total, violation_count=viol,
-                details={"columns": list(rule.columns)},
+                details=details,
             )
         )
     return out

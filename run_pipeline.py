@@ -113,7 +113,7 @@ def main() -> None:
     ann = spark.read.parquet(ann_path)
     from data_quality_framework_spark.plans.pipeline import dedup_lineage
 
-    results = out.results + dedup_lineage(ann)
+    results = out.results + dedup_lineage(ann, out.lsh_overflow)
     results_to_df(spark, results).write.mode("append").parquet(
         os.path.join(args.output, "lineage")
     )

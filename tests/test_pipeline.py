@@ -188,3 +188,28 @@ def test_pipeline_deterministic_across_parallelism(spark):
     b = out_b.decisions.select("url", "keep", "drop_reason")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pipeline_lsh_overflow_accounting(spark, pages_10k):
+    """r3: cfg.account_lsh_overflow quantifies what the LSH bucket cap
+    dropped, right in the near-dup rule's lineage. With cap=1 every multi-doc
+    band bucket overflows (no candidates survive at all), so near-dup catches
+    zero pairs AND the lineage says exactly how much the cap skipped —
+    an approximate run that documents its own loss."""
+    from data_quality_framework_spark.plans.pipeline import dedup_lineage
+
+    cfg = FilterConfig(lsh_bucket_cap=1, account_lsh_overflow=True)
+    out = run_pipeline(spark, pages_10k, cfg, per_partition_lineage=False)
+    try:
+        assert out.lsh_overflow, "overflow accounting missing"
+        assert len(out.lsh_overflow) == cfg.minhash_bands
+        total_dropped = sum(r["dropped_candidate_pairs"] for r in out.lsh_overflow)
+        assert total_dropped > 0  # the near-dup families' buckets overflowed
+
+        results = dedup_lineage(out.annotated, out.lsh_overflow)
+        near = next(r for r in results if r.rule_id == "WT-DUP-002")
+        assert near.violation_count == 0  # cap=1 -> no candidate pairs at all
+        assert near.details["lsh_cap_dropped_candidate_pairs"] == total_dropped
+        assert len(near.details["lsh_cap_overflow_per_band"]) == cfg.minhash_bands
+    finally:
+        out.unpersist()
