@@ -121,18 +121,67 @@ def lsh_topk(
 def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7):
     """Deterministic coarse-quantizer centroids: seeded unit gaussians.
 
-    K-means-free IVF — at 100 TB you train centroids once on a sample and
-    ship them as literals; here they are a pure function of the seed so every
-    executor (and the SQL oracle) reconstructs them identically."""
+    K-means-free IVF default — a pure function of the seed so every executor
+    (and the SQL oracle) reconstructs them identically. For data-adapted
+    cells use ``train_ivf_centroids`` and pass the result through the
+    ``centroids=`` parameter of the cell/top-k/index functions."""
     rng = np.random.default_rng(seed)
     C = rng.standard_normal((n_cells, dim))
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7):
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> "np.ndarray":
+    """Spherical k-means on a BOUNDED deterministic sample — the production
+    IVF workflow in miniature: train the coarse quantizer once on a sample
+    (at 10^12 vectors you never train on the corpus), ship the centroids to
+    every executor as literals.
+
+    Deterministic end to end: the sample is the ``sample_size`` rows with the
+    smallest xxhash64 of the vector's string form (order- and
+    partition-independent), init is a seeded choice from the sample, and
+    Lloyd runs a FIXED number of iterations (cosine assignment = dot product
+    on unit-normalized data). An emptied cell is reseeded with the sample
+    point farthest from its current centroid. Returns (n_cells, dim) unit
+    rows — drop-in for the ``centroids=`` parameters below.
+    """
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("__h")
+        .limit(sample_size)
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample.collect()])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T                       # (N, k) cosine on unit vectors
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members) == 0:
+                # deterministic reseed: farthest sample point from centroid c
+                C[c] = X[int(np.argmin(X @ C[c]))]
+            else:
+                m = members.mean(axis=0)
+                C[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    return C
+
+
+def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7, centroids=None):
     """pandas_udf: array<float> -> int cell id = argmax centroid dot product
-    (first max on ties, matching numpy and the SQL oracle's list_position)."""
-    C = ivf_centroids(dim, n_cells, seed)
+    (first max on ties, matching numpy and the SQL oracle's list_position).
+    ``centroids`` overrides the seeded defaults (e.g. ``train_ivf_centroids``
+    output); the matrix is closed over and shipped with the UDF."""
+    C = np.asarray(centroids) if centroids is not None else ivf_centroids(dim, n_cells, seed)
 
     @pandas_udf(T.IntegerType())
     def _cell(vecs: pd.Series) -> pd.Series:
@@ -143,10 +192,18 @@ def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7):
 
 
 def ivf_probe_cells(
-    query_vec: Sequence[float], nprobe: int = 4, n_cells: int = 16, seed: int = 7
+    query_vec: Sequence[float],
+    nprobe: int = 4,
+    n_cells: int = 16,
+    seed: int = 7,
+    centroids=None,
 ) -> list[int]:
     """The ``nprobe`` coarse-quantizer cells nearest the query (stable order)."""
-    C = ivf_centroids(len(query_vec), n_cells, seed)
+    C = (
+        np.asarray(centroids)
+        if centroids is not None
+        else ivf_centroids(len(query_vec), n_cells, seed)
+    )
     qd = C @ np.asarray(query_vec, dtype=float)
     return [int(c) for c in np.argsort(-qd, kind="stable")[:nprobe]]
 
@@ -161,6 +218,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     round_digits: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize to ``n_cells`` cells, scan only the
     ``nprobe`` cells nearest the query, exact cosine re-rank inside them.
@@ -168,9 +226,10 @@ def ivf_topk(
     Computes the cell UDF at query time (one full scan); for serving use
     ``build_ann_index`` + ``ivf_topk_indexed`` where the cell is a storage
     partition and probing prunes files. nprobe = n_cells degrades gracefully
-    to exact brute force."""
-    probe_cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed)
-    cell_udf = ivf_cell_udf(len(query_vec), n_cells, seed)
+    to exact brute force. ``centroids`` (e.g. ``train_ivf_centroids`` output)
+    replaces the seeded quantizer on BOTH the probe and the cell side."""
+    probe_cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed, centroids)
+    cell_udf = ivf_cell_udf(len(query_vec), n_cells, seed, centroids)
     cand = df.withColumn("__cell", cell_udf(F.col(vec_col))).filter(
         F.col("__cell").isin(probe_cells)
     )
@@ -190,6 +249,7 @@ def build_ann_index(
     seed: int = 42,
     n_cells: int = 16,
     ivf_seed: int = 7,
+    centroids=None,
 ) -> str:
     """Materialize the LSH bucket and IVF cell ONCE and write the corpus
     partitioned by them (``.../bucket=B/cell=C/part-*.parquet``).
@@ -208,7 +268,7 @@ def build_ann_index(
     """
     dim = len(df.select(vec_col).head()[0])
     sig_udf = hyperplane_signature(dim, planes, seed)
-    cell_udf = ivf_cell_udf(dim, n_cells, ivf_seed)
+    cell_udf = ivf_cell_udf(dim, n_cells, ivf_seed, centroids)
     indexed = df.withColumn("bucket", sig_udf(F.col(vec_col))).withColumn(
         "cell", cell_udf(F.col(vec_col))
     )
@@ -247,10 +307,12 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     seed: int = 7,
     round_digits: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF top-k over a ``build_ann_index`` table: probed cells become a
-    partition filter (``cell IN (...)``). Identical results to ``ivf_topk``."""
-    cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed)
+    partition filter (``cell IN (...)``). Identical results to ``ivf_topk``.
+    Pass the SAME ``centroids`` the index was built with."""
+    cells = ivf_probe_cells(query_vec, nprobe, n_cells, seed, centroids)
     df = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
 
