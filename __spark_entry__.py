@@ -622,8 +622,16 @@ def _ann_index(spark, sf) -> str:
     Lives under the repo's own .cache/ (not the world-shared /tmp): a
     predictable /tmp path is both a concurrent-process overwrite race and a
     multi-user tampering surface feeding attacker-placed parquet into the
-    correctness gate."""
+    correctness gate.
+
+    Concurrency-safe (r3 advice): the index is built into a process-unique
+    temp directory and atomically ``os.rename``d into place. Two concurrent
+    processes either both rename (first wins; the loser discards its temp
+    build and reuses the winner's) or reuse an existing complete index
+    (``_SUCCESS`` marker) — a half-written index is never visible at the
+    final path, and a concurrent reader never sees interleaved deletes."""
     import hashlib
+    import shutil
 
     from data_quality_framework_spark.operators.similarity import build_ann_index
 
@@ -631,9 +639,20 @@ def _ann_index(spark, sf) -> str:
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", f"ann_index_{key}"
     )
-    if path not in _ANN_INDEX_BUILT:
-        build_ann_index(_t(spark, sf, "embeddings"), path)
+    if path in _ANN_INDEX_BUILT or os.path.exists(os.path.join(path, "_SUCCESS")):
         _ANN_INDEX_BUILT.add(path)
+        return path
+    if os.path.isdir(path):  # stale half-write from a killed process
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    build_ann_index(_t(spark, sf, "embeddings"), tmp)
+    try:
+        os.rename(tmp, path)  # atomic publish; fails iff a racer already won
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise
+    _ANN_INDEX_BUILT.add(path)
     return path
 
 

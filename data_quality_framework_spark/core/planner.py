@@ -113,6 +113,7 @@ def run_row_local_rules(
     table_name: str = "",
     per_partition: bool = False,
     sample_limit: int = 5,
+    toggle_aqe_for_samples: bool = True,
 ) -> list[CheckResult]:
     """Execute all row-local rules over ``df`` in ONE aggregation job.
 
@@ -127,6 +128,21 @@ def run_row_local_rules(
     Only FAILING rules pay this extra pass, and the limit is pushed into the
     plan (CollectLimit — no full scan result materializes). ``sample_limit=0``
     disables sampling.
+
+    SHARED-SESSION CAVEAT (on by default): collecting the samples as one job
+    briefly toggles the session-global ``spark.sql.adaptive.enabled`` off
+    (see ``_violation_samples_all`` for why). An UNRELATED query planned
+    concurrently on another thread of the same SparkSession during that
+    window is planned without AQE (losing skew-join/coalesce handling). When
+    embedding validation in a host app that runs concurrent Spark queries,
+    pass ``toggle_aqe_for_samples=False`` (one job per union branch under
+    AQE — correctness identical, just more jobs) or ``sample_limit=0``.
+
+    Type note: ``details.sample_records`` values round-trip through JSON, so
+    dates/timestamps/decimals/binary arrive as their JSON string forms (e.g.
+    ``"2024-05-01"``), not native Python objects — consistent across rules
+    and with the CSV/HTML reporters, but a change from the pre-r3 per-rule
+    ``Row.asDict()`` collect.
     """
     compiled = [compile_rule(r) for r in rules]
     if not compiled:
@@ -155,7 +171,9 @@ def run_row_local_rules(
             for i, (cr, res) in enumerate(zip(compiled, results))
             if res.violation_count > 0
         ]
-        samples = _violation_samples_all(df, failing, sample_limit)
+        samples = _violation_samples_all(
+            df, failing, sample_limit, toggle_aqe=toggle_aqe_for_samples
+        )
         for i, _ in failing:
             if i in samples:
                 results[i].details["sample_records"] = samples[i]
@@ -205,7 +223,10 @@ def _sample_cols(cr: CompiledRule, df: DataFrame) -> list[str]:
 
 
 def _violation_samples_all(
-    df: DataFrame, failing: Sequence[tuple[int, CompiledRule]], limit: int
+    df: DataFrame,
+    failing: Sequence[tuple[int, CompiledRule]],
+    limit: int,
+    toggle_aqe: bool = True,
 ) -> dict[int, list[dict]]:
     """Up to ``limit`` violating rows for EVERY failing rule in ONE job.
 
@@ -220,7 +241,9 @@ def _violation_samples_all(
     rule count again); without it the whole union is one job with
     (branches+1) pipelined stages — and the query is all LocalLimit(limit)
     branches shuffling <= limit rows per partition, so AQE has nothing to
-    optimize here anyway.
+    optimize here anyway. ``toggle_aqe=False`` skips the session-conf toggle
+    for shared SparkSessions (see ``run_row_local_rules``): same rows, one
+    job per branch instead of one total.
     """
     import json
 
@@ -253,13 +276,16 @@ def _violation_samples_all(
     # would also plan AQE-less — acceptable for a bounded limit-union collect;
     # callers running heavy queries on other threads mid-validation should
     # pass sample_limit=0.
-    with _AQE_TOGGLE_LOCK:
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            rows = union.collect()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    if toggle_aqe:
+        with _AQE_TOGGLE_LOCK:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                rows = union.collect()
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+    else:
+        rows = union.collect()
     out: dict[int, list[dict]] = {}
     for row in rows:
         out.setdefault(row["__rule"], []).append(json.loads(row["__rec"]))
@@ -571,6 +597,13 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
 
     Rule params: ``column``/``id_column`` = node id, ``parent_column`` =
     self-referencing FK, ``max_depth`` (default 100, matching the template).
+
+    ``reached`` is a DISTINCT id set, so ``total`` counts distinct ids too
+    (r3 advice: the raw row count flagged duplicate node ids as "unreached"
+    even when reachable; on a unique-keyed table the two are identical, and
+    the duplicate count is surfaced separately in details). ``nodes`` is
+    persisted for the walk — each BFS level re-joins against it, and an
+    un-persisted plan re-executed the source scan once per level.
     """
     id_col = rule.column or rule.p("id_column")
     parent_col = rule.p("parent_column")
@@ -578,22 +611,28 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
         raise ValueError(f"{rule.rule_id}: hierarchy rule needs column + parent_column")
     max_depth = int(rule.p("max_depth", 100))
 
-    nodes = df.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent"))
-    total = nodes.count()
-    reached = nodes.filter(F.col("parent").isNull()).select("id").distinct().localCheckpoint()
-    frontier = reached
-    level = 1
-    while level < max_depth:
-        children = nodes.join(
-            frontier.withColumnRenamed("id", "parent"), "parent"
-        ).select("id")
-        new = children.join(reached, "id", "left_anti").distinct().localCheckpoint()
-        if new.limit(1).count() == 0:
-            break
-        reached = reached.unionByName(new).localCheckpoint()
-        frontier = new
-        level += 1
-    in_hierarchy = reached.count()
+    nodes = df.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent")).persist()
+    try:
+        counts = nodes.agg(
+            F.count(F.lit(1)).alias("rows"), F.countDistinct("id").alias("ids")
+        ).collect()[0]
+        total_rows, total = int(counts["rows"]), int(counts["ids"])
+        reached = nodes.filter(F.col("parent").isNull()).select("id").distinct().localCheckpoint()
+        frontier = reached
+        level = 1
+        while level < max_depth:
+            children = nodes.join(
+                frontier.withColumnRenamed("id", "parent"), "parent"
+            ).select("id")
+            new = children.join(reached, "id", "left_anti").distinct().localCheckpoint()
+            if new.limit(1).count() == 0:
+                break
+            reached = reached.unionByName(new).localCheckpoint()
+            frontier = new
+            level += 1
+        in_hierarchy = reached.count()
+    finally:
+        nodes.unpersist()
     unreached = total - in_hierarchy
     return make_result(
         rule, "hierarchy",
@@ -602,6 +641,7 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
         details={
             "records_in_hierarchy": in_hierarchy,
             "total_records": total,
+            "duplicate_node_id_rows": total_rows - total,
             "max_depth": max_depth,
             "levels_walked": level,
         },

@@ -36,13 +36,34 @@ from data_quality_framework_spark.functions.textstats import fingerprint, words_
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str = "text", keep_col: str = "is_canonical"
 ) -> DataFrame:
-    """Flag canonical row per identical text (md5 digest); deterministic winner.
+    """Flag canonical row per identical text (md5 digest); deterministic winner
+    (min ``id_col`` within each digest group). Keeps all rows with a boolean
+    flag so the caller decides between filtering and lineage-counting.
 
-    One shuffle on the digest. Keeps all rows with a boolean flag so the caller
-    decides between filtering and lineage-counting in the same pass.
+    Shuffles METADATA, not data (r3 verdict #3): the canonical pick is a
+    narrow (digest, id) aggregation — column pruning keeps the text payload
+    out of that exchange — restricted to groups with >1 row, and only those
+    dup-group verdicts join back onto the full rows. The dup-group set is
+    data-dependent (no broadcast hint — AQE broadcasts it at runtime when
+    small); the previous row_number()-window formulation shuffled every full
+    row on the digest unconditionally. Same plan shape as the pipeline's url/
+    md5 collapse (plans/pipeline.py), same results as the window form.
     """
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    return df.withColumn(keep_col, F.row_number().over(w) == 1)
+    keyed = df.withColumn("__digest", fingerprint(F.col(text_col)))
+    dup_canon = (
+        keyed.groupBy("__digest")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min(id_col).alias("__canon"))
+        .filter(F.col("__n") > 1)
+        .select("__digest", "__canon")
+    )
+    return (
+        keyed.join(dup_canon, "__digest", "left")
+        .withColumn(
+            keep_col,
+            F.col("__canon").isNull() | (F.col(id_col) == F.col("__canon")),
+        )
+        .drop("__digest", "__n", "__canon")
+    )
 
 
 def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:

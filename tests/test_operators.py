@@ -36,6 +36,36 @@ def test_exact_dedup_canonical(spark, docs):
     assert canon == {1: True, 2: False, 3: True, 4: True, 5: True}
 
 
+def test_exact_dedup_null_text_group(spark):
+    """Null texts form ONE digest group (null-safe fingerprint): min-id row
+    canonical, the rest flagged — identical to the old window semantics."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real")], "doc_id long, text string"
+    )
+    canon = {r["doc_id"]: r["is_canonical"] for r in exact_dedup(df, "doc_id").collect()}
+    assert canon == {1: True, 2: False, 3: True}
+
+
+def test_exact_dedup_shuffles_metadata_not_rows(spark, docs):
+    """r3 verdict #3: the canonical pick must be a narrow (digest, id) agg +
+    verdict join — NOT a row_number window that shuffles every full row on
+    the digest. The final plan has no Window node and at most one hash
+    exchange (the column-pruned partial agg); the full-row side reaches the
+    join without an exchange (AQE broadcasts the dup-group verdicts)."""
+    out = exact_dedup(docs, "doc_id")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final_plan, final_plan
+    # AQE converts the statically-planned SMJ to a broadcast join at runtime
+    # (the dup-group verdict set is tiny); the full-row side's exchange is
+    # then read LOCALLY — map-local shuffle files, zero network transfer —
+    # and the only networked exchange carries (digest, count, min_id)
+    assert "BroadcastHashJoin" in final_plan, final_plan
+    assert "AQEShuffleRead local" in final_plan, final_plan
+    assert "SortMergeJoin" not in final_plan, final_plan
+
+
 def test_exact_dup_stats(spark, docs):
     row = exact_dup_stats(docs, ["text"]).collect()[0]
     assert row["dup_groups"] == 1
@@ -427,6 +457,54 @@ def test_trained_ivf_centroids(spark):
     top = ivf_topk(df, q, k=3, nprobe=1, n_cells=5, centroids=trained).collect()
     exact = brute_force_topk(df, q, k=1).collect()
     assert top[0]["vec_id"] == exact[0]["vec_id"] == 0
+
+
+def test_lsh_multiprobe_kbit(spark, vectors):
+    """r3 advice: multiprobe_bits=b must probe ALL signatures within hamming
+    distance b (sum of C(planes, j) for j<=b), not silently clamp to 1."""
+    from math import comb
+
+    from data_quality_framework_spark.operators.similarity import lsh_probes
+
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+    p0 = lsh_probes(q, planes=8, multiprobe_bits=0)
+    p1 = lsh_probes(q, planes=8, multiprobe_bits=1)
+    p2 = lsh_probes(q, planes=8, multiprobe_bits=2)
+    assert len(p0) == 1
+    assert len(p1) == 1 + comb(8, 1)
+    assert len(p2) == 1 + comb(8, 1) + comb(8, 2)
+    assert set(p0) < set(p1) < set(p2)
+    # every probe is within the requested hamming radius of the signature
+    qsig = p0[0]
+    assert all(bin(s ^ qsig).count("1") <= 2 for s in p2)
+    with pytest.raises(ValueError):
+        lsh_probes(q, planes=8, multiprobe_bits=9)
+    # widening the probe radius never loses results (recall is monotone)
+    ids1 = {r["vec_id"] for r in lsh_topk(vectors, q, k=10, multiprobe_bits=1).collect()}
+    ids2 = {r["vec_id"] for r in lsh_topk(vectors, q, k=10, multiprobe_bits=2).collect()}
+    assert len(ids2) >= len(ids1)
+
+
+def test_build_ann_index_one_file_per_leaf_dir(spark, vectors, tmp_path):
+    """r3 verdict #7 small-files control: the (bucket, cell) repartition
+    before the partitioned write means every non-empty leaf directory holds
+    exactly ONE parquet file (previously up to one per input task)."""
+    import os
+
+    from data_quality_framework_spark.operators.similarity import build_ann_index
+
+    path = str(tmp_path / "ann_small")
+    # many input partitions: the pre-fix layout would emit multiple files in
+    # any leaf whose rows straddle input tasks
+    build_ann_index(vectors.repartition(8), path, planes=8, n_cells=8)
+    leaf_files = {}
+    for root, _dirs, files in os.walk(path):
+        parts = [f for f in files if f.startswith("part-")]
+        if parts:
+            leaf_files[root] = parts
+    assert leaf_files, "index wrote no data files"
+    multi = {d: fs for d, fs in leaf_files.items() if len(fs) != 1}
+    assert not multi, f"leaf dirs with != 1 file: {multi}"
 
 
 def test_embedding_near_dup(spark, vectors):
