@@ -61,11 +61,15 @@ class FilterConfig:
     shingle_n: int = 3
     lsh_bucket_cap: int = 64
     minhash_hash: str = "xxhash64"     # "md5_60" -> SQL-oracle-reproducible sigs
-    #: opt-in: attach per-band LSH cap-overflow accounting (dropped rows /
-    #: candidate pairs) to the near-dup rule's lineage — quantifies what a
-    #: capped run skipped instead of leaving the approximation silent. One
-    #: extra (band, count)-partial aggregation over the signature table.
-    account_lsh_overflow: bool = False
+    #: DEFAULT ON (r4; r3 shipped it opt-in, leaving the default capped run
+    #: silently lossy — the exact hazard the accounting exists to remove):
+    #: attach per-band LSH cap-overflow accounting (dropped rows / candidate
+    #: pairs) to the near-dup rule's lineage, so a capped near-dup run always
+    #: quantifies what the cap skipped. Cost: one extra (band, count)-partial
+    #: aggregation over the (already persisted) signature table — measured
+    #: ~2% of pipeline wall clock. Set False only for throwaway runs where
+    #: the lineage is discarded anyway.
+    account_lsh_overflow: bool = True
 
 
 #: (flag column, drop_reason, rule metadata) — precedence = list order; must

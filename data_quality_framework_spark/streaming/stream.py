@@ -60,56 +60,96 @@ def streaming_metrics(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> D
     )
 
 
-def streaming_url_dedup(pages: DataFrame, ttl_seconds: float | None = None) -> DataFrame:
+def streaming_url_dedup(
+    pages: DataFrame,
+    ttl_seconds: float | None = None,
+    event_time_ttl_seconds: float | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """Custom stateful operator: cross-micro-batch first-seen URL dedup via
     ``applyInPandasWithState``.
 
     Emits each url's canonical row (min ``warc_ts``, then min content md5 —
     the batch pipeline's sort_key ordering) the FIRST time the url is seen;
     every later occurrence, in the same or any subsequent micro-batch, is
-    suppressed by a 1-int GroupState per url. This is the streaming analog of
+    suppressed by a tiny GroupState per url. This is the streaming analog of
     the batch url-collapse — state is O(distinct keys), Arrow-batched, no
     per-row Python objects beyond the canonical picks.
 
-    ``ttl_seconds`` is the crawl-window state TTL (processing-time timeout):
-    a url idle for longer than the TTL has its state EXPIRED, so a later
-    recrawl re-emits — and, crucially, state stays O(urls seen within one
-    crawl window) instead of O(all urls ever seen). Every sighting re-arms
-    the timeout (idle-based expiry). ``None`` keeps state forever — only
-    sane for bounded corpora (tests, single-crawl backfills); at web scale
-    pass the crawl cadence (e.g. 30 days). Per-key state lives in the state
-    store (RocksDB in prod); the timeout sweep is the store's own bookkeeping,
-    not a scan.
+    Two crawl-window TTL modes (mutually exclusive), both bounding state to
+    O(urls per crawl window) instead of O(all urls ever seen):
 
-    Trigger contract: TTL requires a CONTINUOUS trigger (processingTime) —
-    Spark services processing-time timers by running zero-data micro-batches,
-    so ``Trigger.AvailableNow`` would never terminate while timers are
-    pending (measured: the query spins empty batches forever). The
-    ``run_available_now`` entry point is the stateless path and unaffected.
+    * ``ttl_seconds`` — PROCESSING-time idle timeout: a url idle longer than
+      the TTL (wall clock) has its state expired, so a later recrawl
+      re-emits; every sighting re-arms. Requires a CONTINUOUS trigger
+      (processingTime): Spark services processing-time timers by running
+      zero-data micro-batches, so ``Trigger.AvailableNow`` would NEVER
+      terminate while timers are pending (measured: the query spins empty
+      batches forever).
+    * ``event_time_ttl_seconds`` (r4) — EVENT-time crawl window keyed on
+      ``warc_ts``, the mode that works under ``Trigger.AvailableNow`` (the
+      reference's cron cadence, scripts/setup_crontab.sh:44-47): a sighting
+      whose ``warc_ts`` is more than the TTL past the url's last-seen event
+      time is a NEW crawl and re-emits. Expiry is decided from the DATA
+      (batch-min vs stored last-seen delta), so it is deterministic and
+      trigger-independent; the ``EventTimeTimeout`` timer + watermark serve
+      only as state GC — the store drops a url's state once the watermark
+      passes last_seen + TTL, which cannot change semantics because any
+      later arrival is then already past the TTL delta and would re-emit
+      anyway. A watermark (``watermark_delay``) is applied to ``warc_ts``
+      for the GC timers; incremental AvailableNow runs terminate normally
+      with timers outstanding (event-time timers need no empty batches).
+
+    ``None``/``None`` keeps state forever — only sane for bounded corpora
+    (tests, single-crawl backfills); at web scale pass the crawl cadence
+    (e.g. 30 days). Per-key state lives in the state store (RocksDB in
+    prod); the timeout sweep is the store's own bookkeeping, not a scan.
     """
     import hashlib
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if ttl_seconds is not None and event_time_ttl_seconds is not None:
+        raise ValueError("pass ttl_seconds OR event_time_ttl_seconds, not both")
+
     out_schema = "url string, warc_ts timestamp, lang string, text string"
-    state_schema = "emitted int"
-    timeout_conf = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_seconds is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    state_schema = "emitted int, last_seen_ms long"
+    if event_time_ttl_seconds is not None:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif ttl_seconds is not None:
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
+    ett_ms = None if event_time_ttl_seconds is None else int(event_time_ttl_seconds * 1000)
 
     def first_seen(key, pdfs, state: GroupState):
-        if ttl_seconds is not None and state.hasTimedOut:
-            # idle past the crawl window: drop state; the next sighting of
-            # this url is a NEW crawl and re-emits
+        if state.hasTimedOut:
+            # past the crawl window (wall clock or watermark): drop state;
+            # the next sighting of this url is a NEW crawl and re-emits
             state.remove()
             return
-        already = state.exists
+        last_seen = state.get[1] if state.exists else None
+        # the canonical row is needed when the url is unseen, and in
+        # event-time mode also when this batch might open a NEW crawl window
+        # (the gap check needs the full batch's min ts, so it runs after the
+        # scan) — one md5 per row of the group's batch in that mode
+        need_canon = (not state.exists) or ett_ms is not None
         best = None
+        saw_rows = False
+        batch_min_ms = batch_max_ms = None
         for pdf in pdfs:
-            if already or len(pdf) == 0:
+            if len(pdf) == 0:
+                continue
+            saw_rows = True
+            ts = pdf["warc_ts"].dropna()  # NaT (in-contract null ts) would
+            # poison the epoch cast; null-ts rows still count for emission
+            if len(ts):
+                ts_ms = ts.astype("int64") // 1_000_000
+                lo, hi = int(ts_ms.min()), int(ts_ms.max())
+                batch_min_ms = lo if batch_min_ms is None else min(batch_min_ms, lo)
+                batch_max_ms = hi if batch_max_ms is None else max(batch_max_ms, hi)
+            if not need_canon:
                 continue
             pdf = pdf.assign(
                 __md5=pdf["text"].fillna("").map(
@@ -122,14 +162,31 @@ def streaming_url_dedup(pages: DataFrame, ttl_seconds: float | None = None) -> D
                 < (best["warc_ts"].iloc[0], best["__md5"].iloc[0])
             ):
                 best = head
-        state.update((1,))
+        if not saw_rows:
+            return  # zero-row invocation without timeout: nothing to do
+        new_crawl = (not state.exists) or (
+            ett_ms is not None
+            and last_seen is not None
+            and batch_min_ms is not None
+            and batch_min_ms - last_seen > ett_ms
+        )
+        seen = [x for x in (last_seen, batch_max_ms) if x is not None]
+        new_last = max(seen) if seen else 0
+        state.update((1, new_last))
         if ttl_seconds is not None:
-            # (re)arm on every sighting — idle-based expiry
-            state.setTimeoutDuration(int(ttl_seconds * 1000))
-        if not already and best is not None:
+            state.setTimeoutDuration(int(ttl_seconds * 1000))  # re-arm (idle)
+        elif ett_ms is not None:
+            # GC timer: state drops once the watermark passes last_seen + ttl
+            # (clamped above the current watermark, as Spark requires)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(new_last + ett_ms, wm + 1))
+        if new_crawl and best is not None:
             yield best[["url", "warc_ts", "lang", "text"]]
 
-    return pages.select("url", "warc_ts", "lang", "text").groupBy("url").applyInPandasWithState(
+    src = pages.select("url", "warc_ts", "lang", "text")
+    if event_time_ttl_seconds is not None:
+        src = src.withWatermark("warc_ts", watermark_delay)
+    return src.groupBy("url").applyInPandasWithState(
         first_seen, out_schema, state_schema, "append", timeout_conf
     )
 

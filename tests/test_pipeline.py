@@ -213,3 +213,30 @@ def test_pipeline_lsh_overflow_accounting(spark, pages_10k):
         assert len(near.details["lsh_cap_overflow_per_band"]) == cfg.minhash_bands
     finally:
         out.unpersist()
+
+
+def test_pipeline_overflow_accounting_on_by_default(spark, pages_10k):
+    """r4 (r3 verdict #5): a DEFAULT pipeline run must carry its LSH
+    cap-overflow accounting — the default cap (64) with silent drops was the
+    exact hazard the accounting was built for. The default FilterConfig runs
+    the accounting and the lineage record exposes the (possibly zero) dropped
+    counts, so any capped run documents its own recall loss unprompted."""
+    from data_quality_framework_spark.plans.pipeline import dedup_lineage
+
+    cfg = FilterConfig()
+    assert cfg.account_lsh_overflow is True
+    out = run_pipeline(spark, pages_10k, cfg, per_partition_lineage=False)
+    try:
+        assert len(out.lsh_overflow) == cfg.minhash_bands
+        near = next(
+            r for r in dedup_lineage(out.annotated, out.lsh_overflow)
+            if r.rule_id == "WT-DUP-002"
+        )
+        assert "lsh_cap_dropped_candidate_pairs" in near.details
+        assert len(near.details["lsh_cap_overflow_per_band"]) == cfg.minhash_bands
+        # every accounting row is well-formed (exact long counts, no nulls)
+        for band in near.details["lsh_cap_overflow_per_band"]:
+            assert band["dropped_candidate_pairs"] >= 0
+            assert band["n_buckets"] > 0
+    finally:
+        out.unpersist()

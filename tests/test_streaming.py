@@ -171,6 +171,63 @@ def test_streaming_url_dedup_ttl(spark, tmp_path):
     assert texts == ["alpha", "bravo"], texts
 
 
+def test_streaming_url_dedup_event_time_ttl_available_now(spark, tmp_path):
+    """r4 (r3 verdict #4): EVENT-time crawl-window TTL works under
+    ``Trigger.AvailableNow`` — the incremental-batch mode the reference's
+    cron cadence maps to, where processing-time timers would spin forever
+    (r3's measured pitfall). Expiry is keyed on ``warc_ts`` deltas, so runs
+    terminate normally and need no wall-clock sleeps:
+
+    run 1: url a at t0                        -> emits (first seen)
+    run 2 (same checkpoint):
+      url a at t0+10min (inside 1h window)    -> suppressed
+      url b at t0+10min                       -> emits
+    run 3: url a at t0+3h (past the window)   -> RE-emits (new crawl)
+    """
+    import datetime as dt
+
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import streaming_url_dedup
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "ein")
+
+    def write(specs):
+        rows = [(u, ts + dt.timedelta(minutes=m), None, t, "en") for u, m, t in specs]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def run_once():
+        q = (
+            streaming_url_dedup(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir),
+                event_time_ttl_seconds=3600.0,
+                watermark_delay="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "eout"))
+            .option("checkpointLocation", str(tmp_path / "eckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # MUST terminate: event-time timers don't spin
+        assert not q.isActive, "AvailableNow run did not terminate"
+        return sorted(
+            r["text"] for r in spark.read.parquet(str(tmp_path / "eout")).collect()
+        )
+
+    write([("http://a/1", 0, "alpha")])
+    assert run_once() == ["alpha"]
+
+    write([("http://a/1", 10, "alpha-recrawl"), ("http://b/1", 10, "bravo")])
+    assert run_once() == ["alpha", "bravo"]  # in-window recrawl suppressed
+
+    write([("http://a/1", 180, "alpha-new-crawl")])  # 3h later: new crawl
+    assert run_once() == ["alpha", "alpha-new-crawl", "bravo"]
+
+
 def test_streaming_metrics_window(spark, tmp_path):
     from data_quality_framework_spark.streaming.stream import streaming_metrics, stream_pages
 
