@@ -142,36 +142,15 @@ def ivf_centroids(dim: int, n_cells: int = 16, seed: int = 7):
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def train_ivf_centroids(
-    df: DataFrame,
-    n_cells: int = 16,
-    vec_col: str = "embedding",
-    sample_size: int = 4096,
-    iters: int = 10,
-    seed: int = 7,
-) -> "np.ndarray":
-    """Spherical k-means on a BOUNDED deterministic sample — the production
-    IVF workflow in miniature: train the coarse quantizer once on a sample
-    (at 10^12 vectors you never train on the corpus), ship the centroids to
-    every executor as literals.
-
-    Deterministic end to end: the sample is the ``sample_size`` rows with the
-    smallest xxhash64 of the vector's string form (order- and
-    partition-independent), init is a seeded choice from the sample, and
-    Lloyd runs a FIXED number of iterations (cosine assignment = dot product
-    on unit-normalized data). An emptied cell is reseeded with the sample
-    point farthest from its current centroid. Returns (n_cells, dim) unit
-    rows — drop-in for the ``centroids=`` parameters below.
-    """
-    sample = (
-        df.select(F.col(vec_col).alias("v"))
-        .withColumn("__h", F.xxhash64(F.col("v").cast("string")))
-        .orderBy("__h")
-        .limit(sample_size)
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample.collect()])
+def spherical_kmeans(X: "np.ndarray", n_cells: int, iters: int = 10, seed: int = 7):
+    """Pure-numpy spherical k-means core shared by ``train_ivf_centroids``
+    and any external replica (e.g. a DuckDB oracle re-deriving the trained
+    centroids from the same sample rows): seeded init from the sample, FIXED
+    iteration count, cosine assignment = dot product on unit-normalized
+    rows, empty cells reseeded with the sample point farthest from the dead
+    centroid. Bit-deterministic for identical (X, n_cells, iters, seed)."""
+    X = np.asarray(X, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(iters):
@@ -186,6 +165,46 @@ def train_ivf_centroids(
                 m = members.mean(axis=0)
                 C[c] = m / max(float(np.linalg.norm(m)), 1e-12)
     return C
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+    order_col: str | None = None,
+) -> "np.ndarray":
+    """Spherical k-means on a BOUNDED deterministic sample — the production
+    IVF workflow in miniature: train the coarse quantizer once on a sample
+    (at 10^12 vectors you never train on the corpus), ship the centroids to
+    every executor as literals.
+
+    Deterministic end to end: the sample is the ``sample_size`` rows with
+    the smallest xxhash64 of the vector's string form (order- and
+    partition-independent) — or, with ``order_col`` set, the smallest
+    ``order_col`` values, which an EXTERNAL engine can reproduce exactly
+    (``ORDER BY id LIMIT n`` + the shared ``spherical_kmeans`` core; the
+    xxhash64 order is Spark-internal). Init/iteration determinism lives in
+    ``spherical_kmeans``. Returns (n_cells, dim) unit rows — drop-in for the
+    ``centroids=`` parameters below.
+    """
+    sample = df.select(F.col(vec_col).alias("v"))
+    if order_col is not None:
+        sample = (
+            df.select(F.col(order_col).alias("__o"), F.col(vec_col).alias("v"))
+            .orderBy("__o")
+            .limit(sample_size)
+        )
+    else:
+        sample = (
+            sample.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+            .orderBy("__h")
+            .limit(sample_size)
+        )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample.collect()])
+    return spherical_kmeans(X, n_cells, iters, seed)
 
 
 def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7, centroids=None):
@@ -340,15 +359,26 @@ def ivf_topk_indexed(
     return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
 
 
-def _bucketed_topk_join(qb: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+def _bucketed_topk_join(
+    qb: DataFrame, cb: DataFrame, k: int, round_digits: int | None = None
+) -> DataFrame:
     """Shared tail of the batch-ANN joins: bucket equi-join + per-query
-    windowed rank. AQE broadcasts the (small) query side at runtime."""
+    windowed rank. AQE broadcasts the (small) query side at runtime.
+
+    ``round_digits`` rounds the cosine BEFORE ranking (ties then broken by
+    corpus_id) — the same cross-engine determinism contract as
+    ``brute_force_topk``: an external oracle re-ranking rounded values gets
+    the identical order, where raw-float ordering could flip on
+    summation-order ulps."""
     from pyspark.sql import Window
 
+    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     scored = (
         qb.join(cb, "bucket")
         .filter(F.col("query_id") != F.col("corpus_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("corpus_id"))
     return (
@@ -367,6 +397,7 @@ def pairwise_topk_join(
     vec_col: str = "embedding",
     planes: int = 8,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Batch ANN: for every query row, top-k corpus neighbors via shared-bucket
     join + windowed rank. The join key is the LSH bucket -> equi-join that AQE
@@ -387,7 +418,7 @@ def pairwise_topk_join(
         F.col(vec_col).cast("array<double>").alias("cv"),
         sig_udf(F.col(vec_col)).alias("bucket"),
     )
-    return _bucketed_topk_join(qb, cb, k)
+    return _bucketed_topk_join(qb, cb, k, round_digits)
 
 
 def pairwise_topk_join_indexed(
@@ -400,6 +431,7 @@ def pairwise_topk_join_indexed(
     vec_col: str = "embedding",
     planes: int = 8,
     seed: int = 42,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Batch ANN over a ``build_ann_index`` table: the corpus side reads its
     MATERIALIZED ``bucket`` partition column (zero UDF work over the corpus;
@@ -422,4 +454,4 @@ def pairwise_topk_join_indexed(
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.col("bucket"),
     )
-    return _bucketed_topk_join(qb, cb, k)
+    return _bucketed_topk_join(qb, cb, k, round_digits)

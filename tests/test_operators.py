@@ -507,6 +507,62 @@ def test_build_ann_index_one_file_per_leaf_dir(spark, vectors, tmp_path):
     assert not multi, f"leaf dirs with != 1 file: {multi}"
 
 
+def test_trained_ivf_index_end_to_end(spark, vectors, tmp_path):
+    """r4 (r3 verdict #3): the trained quantizer drives the FULL serving
+    path — train -> build index with trained cells -> indexed probe — with
+    results identical to the scan-side trained path, and the probe still
+    prunes storage partitions (cell is a partition column)."""
+    from data_quality_framework_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    trained = train_ivf_centroids(
+        vectors, n_cells=8, sample_size=64, iters=10, seed=7, order_col="vec_id"
+    )
+    path = str(tmp_path / "ann_trained")
+    build_ann_index(vectors, path, planes=8, n_cells=8, centroids=trained)
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+
+    idx = ivf_topk_indexed(
+        spark, path, q, k=3, nprobe=2, n_cells=8, centroids=trained
+    )
+    scan = ivf_topk(vectors, q, k=3, nprobe=2, n_cells=8, centroids=trained)
+    assert [tuple(r) for r in idx.collect()] == [tuple(r) for r in scan.collect()]
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_trained_centroids_spark_vs_external_parity(spark, sf_dir):
+    """The sim_topk_ivf_trained oracle's premise: the Spark training API
+    (id-ordered sample) and a Spark-free replica (DuckDB ORDER BY + shared
+    numpy core) derive BIT-IDENTICAL centroids from the same parquet."""
+    import duckdb
+    import numpy as np
+
+    from data_quality_framework_spark.operators.similarity import (
+        spherical_kmeans,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C_spark = train_ivf_centroids(
+        emb, n_cells=16, sample_size=4096, iters=10, seed=7, order_col="vec_id"
+    )
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    C_ext = spherical_kmeans(
+        np.array([r[0] for r in rows], dtype=np.float64), n_cells=16, iters=10, seed=7
+    )
+    assert np.array_equal(C_spark, C_ext)
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = embedding_near_dup_pairs(vectors, min_cosine=0.95, planes=8, dim=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Float-parity safety margins for the ANN oracles (r2 methodology).
+
+An LSH/IVF oracle that re-derives signatures/cells from embedded literals is
+only trustworthy when every sign/argmax decision sits orders of magnitude
+above summation-order noise (~1e-13 for 64-term float64 dots). This tool
+measures, for the seeded AND the trained quantizer at a given sf dir:
+
+* min over corpus rows of (top1 - top2) centroid-assignment gap
+  (a flip here would move a row to a different cell in one engine)
+* the query row's nprobe boundary gap (4th vs 5th nearest centroid —
+  a flip here would change the probe set)
+* min |dot| margin of the hyperplane signature bits (LSH bucket safety,
+  shared by sim_topk_lsh / sim_batch_topk_indexed)
+
+Also asserts the Spark-side and DuckDB-side trained-centroid derivations are
+bit-identical (the premise of the sim_topk_ivf_trained oracle).
+
+Usage: python tools/ann_margins.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import duckdb
+
+    from data_quality_framework_spark.operators.similarity import (
+        ivf_centroids,
+        spherical_kmeans,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    q = X[ids == 0][0]
+
+    report: dict = {"sf": sf, "rows": len(X)}
+
+    # hyperplane sign margins (planes=8, seed=42 — the oracle constants)
+    H = np.random.default_rng(42).standard_normal((X.shape[1], 8))
+    report["lsh_min_abs_dot"] = float(np.abs(X @ H).min())
+
+    def ivf_margins(C, tag):
+        d = X @ np.asarray(C).T                     # (N, cells)
+        part = np.partition(d, -2, axis=1)
+        report[f"{tag}_min_assign_gap"] = float((part[:, -1] - part[:, -2]).min())
+        qd = np.sort(q @ np.asarray(C).T)[::-1]
+        report[f"{tag}_probe_boundary_gap"] = float(qd[3] - qd[4])
+
+    ivf_margins(ivf_centroids(X.shape[1], 16, 7), "seeded")
+
+    # trained centroids: DuckDB-side derivation ...
+    Xs = X[np.argsort(ids, kind="stable")][:4096]
+    C_ext = spherical_kmeans(Xs, n_cells=16, iters=10, seed=7)
+    ivf_margins(C_ext, "trained")
+
+    # ... must be bit-identical to the Spark training API's output
+    from data_quality_framework_spark.operators.similarity import train_ivf_centroids
+    from data_quality_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-margins", master="local[8]", shuffle_partitions=8)
+    C_spark = train_ivf_centroids(
+        spark.read.parquet(f"{sf}/embeddings.parquet"),
+        n_cells=16, sample_size=4096, iters=10, seed=7, order_col="vec_id",
+    )
+    report["trained_centroids_bit_identical"] = bool(np.array_equal(C_spark, C_ext))
+    spark.stop()
+
+    import json
+
+    print(json.dumps(report))
+    assert report["trained_centroids_bit_identical"], "Spark/DuckDB centroid drift"
+    for k, v in report.items():
+        if k.endswith(("_gap", "_abs_dot")):
+            assert v > 1e-9, f"{k}={v} too close to float noise for an oracle"
+
+
+if __name__ == "__main__":
+    main()
