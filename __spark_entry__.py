@@ -1269,10 +1269,15 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-#: the driver's correctness gate runs oracles at sf0.01 (brief contract);
-#: data-dependent oracle literals (trained IVF centroids) derive from the
-#: same parquet the gate registers as views
-_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+def _oracle_sf_dir() -> str:
+    """The sf dir whose parquet the oracle's data-dependent literals (trained
+    IVF centroids) derive from — MUST be the same data the gate registers as
+    views. The driver's correctness gate runs at sf0.01 (brief contract,
+    the default); local gates running at another tier export
+    SPARK_GRAFT_ORACLE_SF_DIR to match (tests/test_oracle_parity.py,
+    tools/check_oracles.py). Resolved at oracle_sql() CALL time so a gate
+    can set the env after import."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1681,7 +1686,7 @@ def oracle_sql() -> dict[str, str]:
     # the oracle-tier parquet is absent the key is omitted and the driver
     # records the weaker rows-only check for this query.
     try:
-        C_tr = _trained_centroids_external(_ORACLE_SF_DIR)
+        C_tr = _trained_centroids_external(_oracle_sf_dir())
         out["sim_topk_ivf_trained"] = f"""
             WITH d AS (SELECT vec_id, embedding, {_ivf_dots_sql(16, C_tr)} AS d
                        FROM embeddings),

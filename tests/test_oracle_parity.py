@@ -12,6 +12,10 @@ import __spark_entry__ as entrymod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# data-dependent oracle literals (trained IVF centroids) must derive from the
+# SAME tier this gate registers as views
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 

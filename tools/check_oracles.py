@@ -18,6 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# data-dependent oracle literals (trained IVF centroids) follow the gate tier
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
