@@ -772,8 +772,9 @@ def _q_sim_ivf_trained(spark, sf):
 def _q_sim_batch(spark, sf):
     """Batch ANN through the stored index (r3 verdict #2: the one LLM-
     pipeline operator family without a driver oracle): every vec_id<5 query
-    row joins the corpus on the MATERIALIZED bucket column (no UDF over the
-    corpus) and takes its top-5 by windowed rank over the rounded cosine."""
+    row multi-probes (hamming <= 1) the corpus's MATERIALIZED bucket column
+    (no UDF over the corpus; the query side explodes over its 9 probe
+    buckets) and takes its top-5 by windowed rank over the rounded cosine."""
     from data_quality_framework_spark.operators.similarity import (
         pairwise_topk_join_indexed,
     )
@@ -781,7 +782,8 @@ def _q_sim_batch(spark, sf):
     e = _t(spark, sf, "embeddings")
     qset = e.filter(F.col("vec_id") < 5)
     out = pairwise_topk_join_indexed(
-        spark, _ann_index(spark, sf), qset, k=5, planes=8, round_digits=4
+        spark, _ann_index(spark, sf), qset, k=5, planes=8, round_digits=4,
+        multiprobe_bits=1,
     )
     return out.select(
         "query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank")
@@ -1597,8 +1599,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # batch ANN oracle (r4): both sides' signatures recomputed from the
         # embedded hyperplane literals (the corpus side's stored bucket
-        # partition column holds exactly these values); rank over the ROUNDED
-        # cosine with corpus_id tiebreak = the Spark window spec exactly
+        # partition column holds exactly these values); the query side's
+        # hamming<=1 multi-probe explode = bit_count(xor) <= 1; rank over the
+        # ROUNDED cosine with corpus_id tiebreak = the Spark window spec
         "sim_batch_topk_indexed": f"""
             WITH sigs AS (SELECT vec_id, embedding, {_lsh_probe_sql()} AS sig
                           FROM embeddings),
@@ -1607,7 +1610,9 @@ def oracle_sql() -> dict[str, str]:
                  scored AS (
                    SELECT q.query_id, s.vec_id AS corpus_id,
                           round({_cosine_sql('s.embedding', 'q.qe')}, 4) AS cosine
-                   FROM q JOIN sigs s ON q.sig = s.sig AND s.vec_id != q.query_id),
+                   FROM q JOIN sigs s
+                     ON bit_count(xor(CAST(q.sig AS BIGINT), CAST(s.sig AS BIGINT))) <= 1
+                    AND s.vec_id != q.query_id),
                  ranked AS (
                    SELECT query_id, corpus_id, cosine,
                           CAST(row_number() OVER (

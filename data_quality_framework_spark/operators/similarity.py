@@ -74,6 +74,24 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def _xor_masks(planes: int, bits: int) -> list[int]:
+    """All XOR masks reaching signatures within hamming distance ``bits`` of
+    a ``planes``-bit signature (mask 0 = the signature itself) — the shared
+    probe-set generator for single-query AND batch multi-probe LSH."""
+    from itertools import combinations
+
+    if not 0 <= bits <= planes:
+        raise ValueError(f"multiprobe_bits must be in [0, {planes}], got {bits}")
+    masks = [0]
+    for nbits in range(1, bits + 1):
+        for positions in combinations(range(planes), nbits):
+            m = 0
+            for b in positions:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_probes(
     query_vec: Sequence[float], planes: int = 8, seed: int = 42, multiprobe_bits: int = 1
 ) -> list[int]:
@@ -84,22 +102,12 @@ def lsh_probes(
     ``multiprobe_bits=b`` probes sum_{j<=b} C(planes, j) buckets (r3 advice:
     values > 1 were silently treated as 1, quietly lowering recall vs the
     requested probe set)."""
-    from itertools import combinations
-
-    if not 0 <= multiprobe_bits <= planes:
-        raise ValueError(f"multiprobe_bits must be in [0, {planes}], got {multiprobe_bits}")
+    masks = _xor_masks(planes, multiprobe_bits)
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((dim, planes))
     qsig = int(((np.asarray(query_vec, dtype=float) @ H) > 0) @ (1 << np.arange(planes)))
-    probes = {qsig}
-    for nbits in range(1, multiprobe_bits + 1):
-        for bits in combinations(range(planes), nbits):
-            flip = 0
-            for b in bits:
-                flip |= 1 << b
-            probes.add(qsig ^ flip)
-    return sorted(probes)
+    return sorted({qsig ^ m for m in masks})
 
 
 def lsh_topk(
@@ -388,6 +396,22 @@ def _bucketed_topk_join(
     )
 
 
+def _explode_probes(qb: DataFrame, planes: int, multiprobe_bits: int) -> DataFrame:
+    """Batch multi-probe: replace each query row's single bucket with every
+    bucket within hamming distance ``multiprobe_bits`` (XOR-mask explode).
+    The explode multiplies only the QUERY side (sum C(planes, j) rows per
+    query — e.g. 9x for planes=8, bits=1), never the corpus; each corpus row
+    still matches a given query through exactly one probe value, so no
+    pair-dedup stage is needed."""
+    if multiprobe_bits <= 0:
+        return qb
+    masks = _xor_masks(planes, multiprobe_bits)
+    return qb.withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+    )
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -398,13 +422,16 @@ def pairwise_topk_join(
     planes: int = 8,
     seed: int = 42,
     round_digits: int | None = None,
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Batch ANN: for every query row, top-k corpus neighbors via shared-bucket
     join + windowed rank. The join key is the LSH bucket -> equi-join that AQE
-    can broadcast when the query side is small. Computes the corpus signatures
-    at query time (one UDF pass over the corpus — fine for a one-shot batch);
-    for repeated batches against a stored corpus use
-    ``pairwise_topk_join_indexed``."""
+    can broadcast when the query side is small. ``multiprobe_bits`` widens
+    each query's probe set to hamming distance b (better recall, b=1 reads
+    ~9/256 of the buckets per query at planes=8) by exploding the QUERY side
+    only. Computes the corpus signatures at query time (one UDF pass over
+    the corpus — fine for a one-shot batch); for repeated batches against a
+    stored corpus use ``pairwise_topk_join_indexed``."""
     sig_udf = hyperplane_signature(
         dim=len(corpus.select(vec_col).head()[0]), planes=planes, seed=seed
     )
@@ -413,6 +440,7 @@ def pairwise_topk_join(
         F.col(vec_col).cast("array<double>").alias("qv"),
         sig_udf(F.col(vec_col)).alias("bucket"),
     )
+    qb = _explode_probes(qb, planes, multiprobe_bits)
     cb = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -432,13 +460,16 @@ def pairwise_topk_join_indexed(
     planes: int = 8,
     seed: int = 42,
     round_digits: int | None = None,
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Batch ANN over a ``build_ann_index`` table: the corpus side reads its
     MATERIALIZED ``bucket`` partition column (zero UDF work over the corpus;
     the signature UDF runs only on the query batch), and because ``bucket``
     is the storage partition key the shuffle for the bucket equi-join is
-    already co-located on the corpus side. Must be called with the same
-    (planes, seed) the index was built with — results are then identical to
+    already co-located on the corpus side. ``multiprobe_bits`` explodes the
+    query side over its hamming-b probe set (same recall/scan trade as the
+    single-query path). Must be called with the same (planes, seed) the
+    index was built with — results are then identical to
     ``pairwise_topk_join``."""
     corpus = spark.read.parquet(index_path)
     sig_udf = hyperplane_signature(
@@ -449,6 +480,7 @@ def pairwise_topk_join_indexed(
         F.col(vec_col).cast("array<double>").alias("qv"),
         sig_udf(F.col(vec_col)).alias("bucket"),
     )
+    qb = _explode_probes(qb, planes, multiprobe_bits)
     cb = corpus.select(
         F.col(c_id).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

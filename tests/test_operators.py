@@ -581,6 +581,55 @@ def test_pairwise_topk_join(spark, vectors):
     assert 100 in by_query.get(101, [])
 
 
+def test_pairwise_topk_join_multiprobe(spark, vectors, tmp_path):
+    """Batch multi-probe (r4): the query side explodes over its hamming-b
+    probe set; results equal the single-query multi-probe path per query,
+    and recall is monotone in b (b=planes degrades to brute force over all
+    buckets)."""
+    from math import comb
+
+    from data_quality_framework_spark.operators.similarity import (
+        _xor_masks,
+        build_ann_index,
+        lsh_topk,
+        pairwise_topk_join_indexed,
+    )
+
+    assert len(_xor_masks(8, 2)) == 1 + comb(8, 1) + comb(8, 2)
+    with pytest.raises(ValueError):
+        _xor_masks(8, 9)
+
+    path = str(tmp_path / "ann_mp")
+    build_ann_index(vectors, path, planes=8, n_cells=8)
+    qset = vectors.filter(F.col("vec_id").isin(100, 101))
+
+    def ids_by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return out
+
+    b0 = ids_by_query(
+        pairwise_topk_join_indexed(spark, path, qset, k=50, planes=8,
+                                   round_digits=4)
+    )
+    b1 = ids_by_query(
+        pairwise_topk_join_indexed(spark, path, qset, k=50, planes=8,
+                                   round_digits=4, multiprobe_bits=1)
+    )
+    for qid in (100, 101):
+        assert b0.get(qid, set()) <= b1.get(qid, set())  # monotone recall
+
+    # per-query parity: the batch join's candidate set for query 100 equals
+    # the single-query multi-probe scan's (minus the query row itself)
+    q = vectors.filter(F.col("vec_id") == 100).head()["embedding"]
+    single = {
+        r["vec_id"]
+        for r in lsh_topk(vectors, q, k=50, planes=8, multiprobe_bits=1).collect()
+    } - {100}
+    assert b1[100] == single
+
+
 def test_multimodal_feature_stub(spark, docs):
     from data_quality_framework_spark.operators.multimodal import (
         extract_image_features,
