@@ -51,6 +51,13 @@ def main() -> None:
         "warm-up; steady-state throughput is what matters at 10^12 docs — "
         "measured ~77s of scale-independent JVM warm-up per cold run)",
     )
+    ap.add_argument(
+        "--no-lsh-accounting", action="store_true",
+        help="skip the per-band LSH cap-overflow accounting (on by default "
+        "so a capped near-dup run quantifies its dropped candidate pairs in "
+        "WT-DUP-002 lineage; opting out saves one (band,count)-partial agg "
+        "~2%% of wall clock for runs that discard lineage anyway)",
+    )
     args = ap.parse_args()
 
     if args.make_zip:
@@ -75,7 +82,7 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
 
-    cfg = FilterConfig()
+    cfg = FilterConfig(account_lsh_overflow=not args.no_lsh_accounting)
 
     if args.warmup > 0 and not args.resume:
         # repartition the warm-up slice across every core: a bare limit() is a

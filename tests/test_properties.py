@@ -145,3 +145,47 @@ def test_minhash_estimator_bounds(spark, seeds):
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             assert 0.0 <= est(ids[i], ids[j]) <= 1.0
+
+
+# --------------------------------------------------------------------------
+# LSH probe-set laws (pure python)
+# --------------------------------------------------------------------------
+
+
+@given(st.integers(1, 16), st.data())
+def test_xor_masks_exact_hamming_ball(planes, data):
+    """_xor_masks(planes, b) enumerates EXACTLY the hamming ball of radius b:
+    unique masks, popcount <= b each, and the full binomial-sum count — the
+    law both single-query and batch multi-probe LSH rely on for their
+    'probes sum C(planes, j)' recall claims."""
+    from math import comb
+
+    from data_quality_framework_spark.operators.similarity import _xor_masks
+
+    bits = data.draw(st.integers(0, planes))
+    masks = _xor_masks(planes, bits)
+    assert len(masks) == len(set(masks)) == sum(comb(planes, j) for j in range(bits + 1))
+    assert all(0 <= m < (1 << planes) for m in masks)
+    assert all(bin(m).count("1") <= bits for m in masks)
+    assert 0 in masks  # the signature itself is always probed
+
+
+@given(
+    st.lists(st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+             min_size=4, max_size=32),
+    st.integers(0, 6),
+)
+@settings(max_examples=25, deadline=None)
+def test_lsh_probes_ball_membership(vec, bits):
+    """Every probe lsh_probes returns is within hamming distance b of the
+    query's own signature, the set is closed under the masks, and widening b
+    never removes probes (monotone recall)."""
+    from data_quality_framework_spark.operators.similarity import lsh_probes
+
+    planes = 6
+    probes = lsh_probes(vec, planes=planes, multiprobe_bits=bits)
+    qsig = lsh_probes(vec, planes=planes, multiprobe_bits=0)[0]
+    assert all(bin(p ^ qsig).count("1") <= bits for p in probes)
+    if bits < planes:
+        wider = lsh_probes(vec, planes=planes, multiprobe_bits=bits + 1)
+        assert set(probes) <= set(wider)
