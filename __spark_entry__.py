@@ -634,6 +634,7 @@ def _ann_index(spark, sf) -> str:
 
 
 def _build_cached_index(spark, sf, name: str, centroids=None) -> str:
+    import glob
     import hashlib
     import shutil
 
@@ -646,16 +647,46 @@ def _build_cached_index(spark, sf, name: str, centroids=None) -> str:
     if path in _ANN_INDEX_BUILT or os.path.exists(os.path.join(path, "_SUCCESS")):
         _ANN_INDEX_BUILT.add(path)
         return path
-    if os.path.isdir(path):  # stale half-write from a killed process
-        shutil.rmtree(path, ignore_errors=True)
+    # sweep temp/stale dirs leaked by KILLED builders (pid gone); a live
+    # racer's dirs are left alone
+    for leaked in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.stale-*"):
+        try:
+            os.kill(int(leaked.rsplit("-", 1)[-1]), 0)  # raises if pid gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(leaked, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: not ours to sweep
+    if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # stale half-write: CLAIM it via atomic rename — never rmtree the
+        # shared path directly, a racer may have replaced it with a complete
+        # index between our check and the delete (TOCTOU)
+        claimed = f"{path}.stale-{os.getpid()}"
+        try:
+            os.rename(path, claimed)
+        except OSError:
+            pass  # a racer claimed or published over it first
+        else:
+            if os.path.exists(os.path.join(claimed, "_SUCCESS")):
+                # raced a publisher and grabbed a COMPLETE index: restore it
+                try:
+                    os.rename(claimed, path)
+                    _ANN_INDEX_BUILT.add(path)
+                    return path
+                except OSError:  # someone re-published meanwhile: keep theirs
+                    pass
+            shutil.rmtree(claimed, ignore_errors=True)
     tmp = f"{path}.tmp-{os.getpid()}"
-    build_ann_index(_t(spark, sf, "embeddings"), tmp, centroids=centroids)
     try:
-        os.rename(tmp, path)  # atomic publish; fails iff a racer already won
-    except OSError:
+        build_ann_index(_t(spark, sf, "embeddings"), tmp, centroids=centroids)
+        try:
+            os.rename(tmp, path)  # atomic publish; fails iff a racer won
+        except OSError:
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+    finally:
+        # no-op after a successful publish (tmp was renamed away); reclaims
+        # the build on any failure path instead of leaking it (r4 review)
         shutil.rmtree(tmp, ignore_errors=True)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            raise
     _ANN_INDEX_BUILT.add(path)
     return path
 
@@ -1688,8 +1719,12 @@ def oracle_sql() -> dict[str, str]:
     # trained-IVF oracle (r4): centroids are DATA-dependent literals,
     # re-derived with no Spark from the gate's own parquet (same sample rows,
     # same numpy core -> bit-identical to the Spark query's training run). If
-    # the oracle-tier parquet is absent the key is omitted and the driver
-    # records the weaker rows-only check for this query.
+    # the oracle-tier parquet is absent/unreadable the key is omitted and the
+    # driver records the weaker rows-only check for this query — ONLY
+    # file-access errors are swallowed; a coding regression in the centroid
+    # derivation must stay loud, not silently downgrade the gate (r4 review).
+    import duckdb
+
     try:
         C_tr = _trained_centroids_external(_oracle_sf_dir())
         out["sim_topk_ivf_trained"] = f"""
@@ -1706,7 +1741,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(q.probes, c.cell + 1)
             ORDER BY cosine DESC, vec_id LIMIT 10
         """
-    except Exception:
+    except (OSError, duckdb.Error):
         pass
     return out
 

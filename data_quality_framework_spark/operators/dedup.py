@@ -47,7 +47,14 @@ def exact_dedup(
     data-dependent (no broadcast hint — AQE broadcasts it at runtime when
     small); the previous row_number()-window formulation shuffled every full
     row on the digest unconditionally. Same plan shape as the pipeline's url/
-    md5 collapse (plans/pipeline.py), same results as the window form.
+    md5 collapse (plans/pipeline.py), same results as the window form on the
+    intended contract: a NON-NULL UNIQUE ``id_col``.
+
+    Off-contract ids resolve deterministically (better than the window form,
+    whose orderBy ties were partition-order-dependent): a NULL id is never
+    canonical unless its whole dup group has only null ids (then every row
+    keeps — nothing to pick a winner by); rows TIED at the group's min id
+    are all flagged canonical.
     """
     keyed = df.withColumn("__digest", fingerprint(F.col(text_col)))
     dup_canon = (
@@ -60,7 +67,8 @@ def exact_dedup(
         keyed.join(dup_canon, "__digest", "left")
         .withColumn(
             keep_col,
-            F.col("__canon").isNull() | (F.col(id_col) == F.col("__canon")),
+            F.col("__canon").isNull()  # unique text, or an all-null-id group
+            | F.coalesce(F.col(id_col) == F.col("__canon"), F.lit(False)),
         )
         .drop("__digest", "__n", "__canon")
     )

@@ -198,7 +198,6 @@ def train_ivf_centroids(
     ``spherical_kmeans``. Returns (n_cells, dim) unit rows — drop-in for the
     ``centroids=`` parameters below.
     """
-    sample = df.select(F.col(vec_col).alias("v"))
     if order_col is not None:
         sample = (
             df.select(F.col(order_col).alias("__o"), F.col(vec_col).alias("v"))
@@ -207,7 +206,8 @@ def train_ivf_centroids(
         )
     else:
         sample = (
-            sample.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+            df.select(F.col(vec_col).alias("v"))
+            .withColumn("__h", F.xxhash64(F.col("v").cast("string")))
             .orderBy("__h")
             .limit(sample_size)
         )

@@ -64,7 +64,7 @@ def streaming_url_dedup(
     pages: DataFrame,
     ttl_seconds: float | None = None,
     event_time_ttl_seconds: float | None = None,
-    watermark_delay: str = "1 hour",
+    watermark_delay: str = "7 days",
 ) -> DataFrame:
     """Custom stateful operator: cross-micro-batch first-seen URL dedup via
     ``applyInPandasWithState``.
@@ -100,10 +100,30 @@ def streaming_url_dedup(
       for the GC timers; incremental AvailableNow runs terminate normally
       with timers outstanding (event-time timers need no empty batches).
 
+      LATE-DATA CONTRACT (standard Spark watermark semantics, and the one
+      way the watermark is not "pure GC"): input rows older than the
+      current watermark are dropped by the stateful operator's pre-filter
+      BEFORE this function sees them, so a url whose only sightings arrive
+      more than ``watermark_delay`` out of event-time order is never
+      emitted. Set ``watermark_delay`` to at least the crawl feed's maximum
+      out-of-orderness (default 7 days — generous for crawl archives that
+      land within a dump window); state GC then lags by the same amount,
+      i.e. state is O(urls in one ttl + delay window).
+
     ``None``/``None`` keeps state forever — only sane for bounded corpora
     (tests, single-crawl backfills); at web scale pass the crawl cadence
     (e.g. 30 days). Per-key state lives in the state store (RocksDB in
     prod); the timeout sweep is the store's own bookkeeping, not a scan.
+
+    State-schema note (r4): the per-url state is now
+    ``(emitted int, last_seen_ms long)`` — a checkpoint written by the r3
+    1-field schema cannot be resumed by this code (Spark's state-schema
+    check rejects it); start a fresh checkpoint dir when upgrading.
+    ``last_seen_ms`` uses -1 as the "no real event time seen yet" sentinel
+    (a url first seen with only null warc_ts rows), and the crawl-window
+    gap check only engages once a real timestamp has been stored — a null-ts
+    first sighting followed by a real-ts recrawl is NOT spuriously
+    re-emitted.
     """
     import hashlib
 
@@ -164,20 +184,25 @@ def streaming_url_dedup(
                 best = head
         if not saw_rows:
             return  # zero-row invocation without timeout: nothing to do
+        # gap check engages only once a REAL event time is stored (> 0):
+        # last_seen == -1 (null-ts-only first sighting) must not make every
+        # later real-ts sighting look like a new crawl
         new_crawl = (not state.exists) or (
             ett_ms is not None
             and last_seen is not None
+            and last_seen > 0
             and batch_min_ms is not None
             and batch_min_ms - last_seen > ett_ms
         )
         seen = [x for x in (last_seen, batch_max_ms) if x is not None]
-        new_last = max(seen) if seen else 0
+        new_last = max(seen) if seen else -1
         state.update((1, new_last))
         if ttl_seconds is not None:
             state.setTimeoutDuration(int(ttl_seconds * 1000))  # re-arm (idle)
-        elif ett_ms is not None:
+        elif ett_ms is not None and new_last > 0:
             # GC timer: state drops once the watermark passes last_seen + ttl
-            # (clamped above the current watermark, as Spark requires)
+            # (clamped above the current watermark, as Spark requires). No
+            # real event time yet -> no timer; state persists until one lands.
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(new_last + ett_ms, wm + 1))
         if new_crawl and best is not None:

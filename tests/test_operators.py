@@ -46,6 +46,30 @@ def test_exact_dedup_null_text_group(spark):
     assert canon == {1: True, 2: False, 3: True}
 
 
+def test_exact_dedup_off_contract_ids_deterministic(spark):
+    """r4 review: the contract is a non-null unique id, but off-contract ids
+    must resolve deterministically and keep the flag a real BOOLEAN — a NULL
+    id in a mixed dup group is never canonical (not a NULL flag that
+    vanishes from both sides of a filter), tied min ids are all canonical,
+    and an all-null-id dup group keeps every row."""
+    rows = [
+        (1, "shared"), (None, "shared"),        # mixed group: null id loses
+        (5, "tied"), (5, "tied"), (7, "tied"),  # tie at min id: both keep
+        (None, "ghost"), (None, "ghost"),       # all-null group: all keep
+        (9, "unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df, "doc_id").collect()
+    got = sorted((r["doc_id"], r["text"], r["is_canonical"]) for r in out
+                 if r["doc_id"] is not None)
+    assert got == [(1, "shared", True), (5, "tied", True), (5, "tied", True),
+                   (7, "tied", False), (9, "unique", True)]
+    null_rows = [(r["text"], r["is_canonical"]) for r in out if r["doc_id"] is None]
+    assert sorted(null_rows) == [("ghost", True), ("ghost", True), ("shared", False)]
+    # the flag is never NULL — filter and its negation partition the frame
+    assert all(r["is_canonical"] is not None for r in out)
+
+
 def test_exact_dedup_shuffles_metadata_not_rows(spark, docs):
     """r3 verdict #3: the canonical pick must be a narrow (digest, id) agg +
     verdict join — NOT a row_number window that shuffles every full row on

@@ -228,6 +228,62 @@ def test_streaming_url_dedup_event_time_ttl_available_now(spark, tmp_path):
     assert run_once() == ["alpha", "alpha-new-crawl", "bravo"]
 
 
+def test_streaming_event_ttl_null_ts_not_spuriously_reemitted(spark, tmp_path):
+    """r4 review: a url FIRST seen with only null warc_ts rows (nullable raw
+    ingestion schema — PAGES_SCHEMA itself is non-nullable) stores the -1
+    sentinel, and a later real-ts sighting must be treated as the SAME crawl
+    (suppressed), not as an over-the-window gap from epoch 0."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_quality_framework_spark.streaming.stream import streaming_url_dedup
+
+    nullable = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    ind = str(tmp_path / "nin")
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, nullable).coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+
+    def run_once():
+        q = (
+            streaming_url_dedup(
+                spark.readStream.schema(nullable).parquet(ind),
+                event_time_ttl_seconds=3600.0,
+                watermark_delay="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "nout"))
+            .option("checkpointLocation", str(tmp_path / "nckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            r["text"] for r in spark.read.parquet(str(tmp_path / "nout")).collect()
+        )
+
+    write([("http://n/1", None, None, "nultext", "en"),
+           ("http://a/1", ts, None, "alpha", "en")])
+    assert run_once() == ["alpha", "nultext"]  # null-ts row still emits
+
+    # real-ts recrawl 5 min later: SAME crawl window -> suppressed (the
+    # pre-fix code compared against epoch sentinel 0 and re-emitted)
+    write([("http://n/1", ts + dt.timedelta(minutes=5), None, "nul-real", "en")])
+    assert run_once() == ["alpha", "nultext"]
+
+
 def test_streaming_metrics_window(spark, tmp_path):
     from data_quality_framework_spark.streaming.stream import streaming_metrics, stream_pages
 
