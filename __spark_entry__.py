@@ -821,6 +821,39 @@ def _q_sim_batch(spark, sf):
     ).orderBy("query_id", "rank")
 
 
+def _q_dedup_incremental(spark, sf):
+    """Cross-run incremental dedup (r4): split the documents table into two
+    deterministic "crawl batches" (even doc_ids land first), run
+    ``incremental_exact_dedup`` batch-by-batch against a fresh digest store,
+    and report per-batch doc/canonical counts. First-seen-wins across
+    batches + min-id within a batch — both SQL-recomputable."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="dq_incr_store_")
+    shutil.rmtree(store, ignore_errors=True)  # operator owns the layout
+    try:
+        rows = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            out = incremental_exact_dedup(spark, batch, store, bid, "doc_id")
+            agg = out.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+                .cast("long").alias("n_canonical"),
+            ).collect()[0]
+            rows.append((int(bid), agg["n_docs"], agg["n_canonical"]))
+        return spark.createDataFrame(
+            rows, "batch_id int, n_docs long, n_canonical long"
+        ).orderBy("batch_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -989,8 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _q_sim_lsh,
         "sim_topk_ivf": _q_sim_ivf,
         # oracle-backed since r4: trained-quantizer serving path + batch ANN
+        # + cross-run incremental dedup against a persisted digest store
         "sim_topk_ivf_trained": _q_sim_ivf_trained,
         "sim_batch_topk_indexed": _q_sim_batch,
+        "dedup_incremental_batches": _q_dedup_incremental,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1518,6 +1553,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(coalesce(text, ''))) AS distinct_texts,
                    count(*) - count(DISTINCT md5(coalesce(text, ''))) AS duplicate_docs
             FROM documents
+        """,
+        # cross-run incremental dedup (r4): first-seen-wins across the two
+        # derived batches (min batch per digest), min doc_id within a batch
+        "dedup_incremental_batches": """
+            WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS dg,
+                              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS b
+                       FROM documents),
+                 fb AS (SELECT dg, min(b) AS first_b FROM d GROUP BY dg),
+                 mb AS (SELECT dg, b, min(doc_id) AS min_id FROM d GROUP BY dg, b),
+                 flags AS (
+                   SELECT d.b,
+                          (d.b = fb.first_b AND d.doc_id = mb.min_id) AS keep
+                   FROM d JOIN fb USING (dg) JOIN mb ON d.dg = mb.dg AND d.b = mb.b)
+            SELECT CAST(b AS INTEGER) AS batch_id,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+            FROM flags GROUP BY b ORDER BY b
         """,
         "text_fingerprint_overlap": f"""
             WITH {_shingle_sets_sql(5)},

@@ -74,6 +74,80 @@ def exact_dedup(
     )
 
 
+def incremental_exact_dedup(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    batch_id: str,
+    id_col: str,
+    text_col: str = "text",
+    keep_col: str = "is_canonical",
+) -> DataFrame:
+    """Cross-RUN exact dedup: dedup a new crawl batch against EVERY prior
+    batch without rescanning them, via a persisted digest store.
+
+    The production incremental shape (the reference's daily-cron cadence,
+    scripts/setup_crontab.sh:44-47, applied to content dedup): the store
+    holds one (digest, canonical_id) row per distinct content ever accepted,
+    partitioned by ``batch_id``. For a new batch:
+
+    1. within-batch canonical pick — the same narrow (digest, min id)
+       aggregation as :func:`exact_dedup` (metadata-only shuffle);
+    2. digests already present in PRIOR batches are dropped (anti-join
+       against the store — digests only, never text);
+    3. ``keep_col`` = this row is the canonical FIRST occurrence across all
+       batches processed so far (first-seen-wins, deterministic);
+    4. the genuinely-new digests are written to the store under
+       ``batch_id=<id>/`` — a directory-level overwrite, so RE-RUNNING a
+       failed/duplicate batch is idempotent and never double-registers.
+
+    Scale shape: the store is ~50 B per distinct document ever kept (digest
+    + id string) — at 10^12 docs tens of TB of TEXT become ~50 GB of store;
+    the anti-join shuffles digests only and AQE broadcasts a small batch
+    side. Batches must be processed sequentially (cron semantics); two
+    batches registered concurrently could both claim the same digest — use
+    the batch pipeline for intra-batch parallelism instead.
+
+    The returned frame is fully materialized against the store state at call
+    time (the fresh-digest set is eagerly checkpointed BEFORE the store
+    write, so the lazy result cannot see its own batch's store entries).
+    """
+    keyed = df.withColumn("__digest", fingerprint(F.col(text_col)))
+    batch_canon = keyed.groupBy("__digest").agg(F.min(id_col).alias("__canon"))
+    try:
+        seen = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != batch_id)  # re-run: ignore own rows
+            .select(F.col("digest").alias("__digest"))
+            .distinct()
+        )
+    except Exception as e:  # first batch: no store yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        seen = None
+    fresh = batch_canon if seen is None else batch_canon.join(seen, "__digest", "left_anti")
+    # eager + lineage-truncated: the store write below must not feed back
+    # into the (lazy) result plan's anti-join
+    fresh = fresh.localCheckpoint()
+    (
+        fresh.select(
+            F.col("__digest").alias("digest"),
+            F.col("__canon").cast("string").alias("canonical_id"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/batch_id={batch_id}")
+    )
+    return (
+        keyed.join(fresh, "__digest", "left")
+        .withColumn(
+            keep_col,
+            F.col("__canon").isNotNull()
+            & F.coalesce(F.col(id_col) == F.col("__canon"), F.lit(False)),
+        )
+        .drop("__digest", "__canon")
+    )
+
+
 def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Duplicate groups / extra rows over a key set in one aggregation
     (reference needed 2 queries: duplicate_checker.py:86-112)."""

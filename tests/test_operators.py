@@ -90,6 +90,47 @@ def test_exact_dedup_shuffles_metadata_not_rows(spark, docs):
     assert "SortMergeJoin" not in final_plan, final_plan
 
 
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-run dedup via the persisted digest store: first-seen-wins across
+    batches, within-batch canonicals deterministic, re-running a batch is
+    idempotent (directory overwrite, no double registration)."""
+    from data_quality_framework_spark.operators.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "digest_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(4, "alpha"),               # seen in batch 1 -> dropped
+         (5, "gamma"), (6, "gamma"),  # new content, within-batch dup
+         (7, "beta")],               # seen in batch 1 -> dropped
+        "doc_id long, text string",
+    )
+
+    out1 = {r["doc_id"]: r["is_canonical"]
+            for r in incremental_exact_dedup(spark, b1, store, "b1", "doc_id").collect()}
+    assert out1 == {1: True, 2: False, 3: True}
+
+    out2 = {r["doc_id"]: r["is_canonical"]
+            for r in incremental_exact_dedup(spark, b2, store, "b2", "doc_id").collect()}
+    assert out2 == {4: False, 5: True, 6: False, 7: False}
+
+    # the store accumulated exactly one row per distinct content
+    stored = spark.read.parquet(store)
+    assert stored.count() == 3  # alpha, beta (b1) + gamma (b2)
+    assert set(stored.columns) == {"digest", "canonical_id", "batch_id"}
+
+    # idempotent re-run of batch 2: same flags, store unchanged
+    out2b = {r["doc_id"]: r["is_canonical"]
+             for r in incremental_exact_dedup(spark, b2, store, "b2", "doc_id").collect()}
+    assert out2b == out2
+    assert spark.read.parquet(store).count() == 3
+
+    # first-seen-wins union == one canonical per distinct content overall
+    kept = [i for i, keep in {**out1, **out2}.items() if keep]
+    assert sorted(kept) == [1, 3, 5]
+
+
 def test_exact_dup_stats(spark, docs):
     row = exact_dup_stats(docs, ["text"]).collect()[0]
     assert row["dup_groups"] == 1
