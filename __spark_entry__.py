@@ -854,6 +854,46 @@ def _q_dedup_incremental(spark, sf):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _q_dedup_incremental_near(spark, sf):
+    """Cross-run NEAR-dup (r4): same two-batch split as
+    ``dedup_incremental_batches``, run through ``incremental_minhash_dedup``
+    with the SQL-reproducible md5_60 hash family; returns per-doc flags so
+    the oracle checks every keep/suppress decision, not just counts.
+    Blank/null docs are excluded (they all share the [''] shingle — one
+    giant true near-dup clique that the bucket cap would truncate at sf0.1,
+    making the run approximate; the pipeline handles those via WT-NULL-001
+    long before dedup)."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.dedup import incremental_minhash_dedup
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & ~F.col("text").rlike(r"^\s*$"))
+        .select("doc_id", "text")
+    )
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="dq_incr_sigs_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        frames = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            out = incremental_minhash_dedup(
+                spark, batch, store, bid, "doc_id",
+                k=16, bands=8, shingle_n=3, min_jaccard=0.5, hash_fn="md5_60",
+            )
+            frames.append(
+                out.select(
+                    F.lit(int(bid)).alias("batch_id"), "doc_id", "is_canonical_near"
+                ).localCheckpoint()  # settle before the store dir is removed
+            )
+        return frames[0].unionByName(frames[1]).orderBy("batch_id", "doc_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -1026,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_trained": _q_sim_ivf_trained,
         "sim_batch_topk_indexed": _q_sim_batch,
         "dedup_incremental_batches": _q_dedup_incremental,
+        "dedup_incremental_near": _q_dedup_incremental_near,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1337,6 +1378,65 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _incremental_near_oracle_sql() -> str:
+    """DuckDB recomputation of ``dedup_incremental_near``: the exact
+    MinHash-LSH algorithm (md5_60 signatures, banded candidates, estimator
+    threshold, exact-Jaccard verify for within-batch pairs, estimator-only
+    for store pairs — the store holds no text) with batch-1-before-batch-2
+    precedence. Same signature/banding SQL as the pipeline oracle."""
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    P = MINHASH_PRIME
+    coeffs = _minhash_coeffs(16)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in coeffs
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 17)
+    )
+    band_or = " OR ".join(
+        f"(a.sig[{2 * b + 1}] = b.sig[{2 * b + 1}] AND a.sig[{2 * b + 2}] = b.sig[{2 * b + 2}])"
+        for b in range(8)
+    )
+    exact = (
+        "len(list_intersect(xa.sh, xb.sh)) * 1.0"
+        " / len(list_distinct(list_concat(xa.sh, xb.sh)))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS bt
+           FROM documents WHERE {_NONBLANK}),
+shg AS (SELECT doc_id, bt, {_shingle_list_expr(3)} AS sh FROM d),
+hl AS (SELECT doc_id, bt,
+              list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P}) AS h
+       FROM shg),
+sg AS (SELECT doc_id, bt, [{sig_terms}] AS sig FROM hl),
+cand AS (
+  SELECT a.doc_id AS ia, a.bt AS ba, b.doc_id AS ib, b.bt AS bb
+  FROM sg a JOIN sg b
+    ON (a.bt < b.bt OR (a.bt = b.bt AND a.doc_id < b.doc_id))
+  WHERE ({band_or}) AND ({matches}) * 1.0 / 16 >= 0.5),
+l1 AS (SELECT DISTINCT c.ib AS doc_id
+       FROM cand c JOIN shg xa ON xa.doc_id = c.ia JOIN shg xb ON xb.doc_id = c.ib
+       WHERE c.ba = 1 AND c.bb = 1 AND {exact} >= 0.5),
+k1 AS (SELECT doc_id FROM d WHERE bt = 1
+       AND doc_id NOT IN (SELECT doc_id FROM l1)),
+l2 AS (
+  SELECT DISTINCT c.ib AS doc_id FROM cand c
+  WHERE c.ba = 1 AND c.bb = 2 AND c.ia IN (SELECT doc_id FROM k1)
+  UNION
+  SELECT DISTINCT c.ib
+  FROM cand c JOIN shg xa ON xa.doc_id = c.ia JOIN shg xb ON xb.doc_id = c.ib
+  WHERE c.ba = 2 AND c.bb = 2 AND {exact} >= 0.5)
+SELECT CAST(bt AS INTEGER) AS batch_id, doc_id,
+       CASE WHEN bt = 1 THEN doc_id NOT IN (SELECT doc_id FROM l1)
+            ELSE doc_id NOT IN (SELECT doc_id FROM l2) END AS is_canonical_near
+FROM d ORDER BY batch_id, doc_id
+"""
+
+
 def _oracle_sf_dir() -> str:
     """The sf dir whose parquet the oracle's data-dependent literals (trained
     IVF centroids) derive from — MUST be the same data the gate registers as
@@ -1554,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - count(DISTINCT md5(coalesce(text, ''))) AS duplicate_docs
             FROM documents
         """,
+        "dedup_incremental_near": _incremental_near_oracle_sql(),
         # cross-run incremental dedup (r4): first-seen-wins across the two
         # derived batches (min batch per digest), min doc_id within a batch
         "dedup_incremental_batches": """

@@ -148,6 +148,128 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    batch_id: str,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int = 64,
+    keep_col: str = "is_canonical_near",
+) -> DataFrame:
+    """Cross-RUN near-dup suppression: dedup a new crawl batch against every
+    prior batch's KEPT content via a persisted MinHash-signature store.
+
+    The near-dup sibling of :func:`incremental_exact_dedup`: the store holds
+    one (id, sig) row per document previously accepted, partitioned by
+    ``batch_id``. A new batch:
+
+    1. computes its signatures (``minhash_signatures`` — codegen hash-agg);
+    2. band-joins the UNION of stored + batch signatures
+       (``candidate_pairs_from_sigs`` — the capped LSH machinery, shared
+       with the batch pipeline), keeping candidate pairs that involve at
+       least one new document;
+    3. VERIFIES candidates with exact n-gram Jaccard computed over the new
+       batch's text (store partners are verified on signature estimate only
+       — their text is no longer available, by design: the store never
+       holds text). A new doc loses to any verified prior-batch partner
+       (first-seen-wins) or to a smaller-id new partner;
+    4. appends the SURVIVING new docs' signatures to the store under
+       ``batch_id=<id>/`` (directory overwrite -> idempotent re-runs).
+
+    Scale shape: store is ~(k x 8 B) per kept doc (~128 B at k=16) — tens
+    of TB of text become ~100 GB of signatures; the band join shuffles
+    (band, id, sig) rows with the same uniform-hash keys and ``bucket_cap``
+    bound as the batch path. Sequential batches only (cron semantics), like
+    the exact variant.
+
+    Store ids are stored as STRING (type-agnostic across batches); the
+    returned frame keeps the input schema + ``keep_col``.
+    """
+    sigs_new = minhash_signatures(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        "id", "text", k=k, shingle_n=shingle_n, hash_fn=hash_fn,
+    ).withColumn("id", F.col("id").cast("string")).withColumn("__new", F.lit(True))
+    try:
+        stored = (
+            spark.read.parquet(store_path)
+            .filter(F.col("batch_id") != batch_id)
+            .select("id", "sig")
+            .withColumn("__new", F.lit(False))
+        )
+        allsigs = stored.unionByName(sigs_new)
+    except Exception as e:  # first batch: no store yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        allsigs = sigs_new
+    allsigs = allsigs.persist()
+    sigs_new = sigs_new.persist()
+    try:
+        # pair key = prefix + zero-padded id: "a:" (archived/store) sorts
+        # before "n:" (new), so in every mixed pair the NEW doc is id_b (the
+        # loser side); padding keeps numeric ids in numeric order under the
+        # band join's lexicographic (id_a < id_b) — "10" < "9" otherwise.
+        # NB lpad TRUNCATES longer inputs: ids must stringify to <= 64 chars
+        pad = lambda c: F.lpad(c, 64, "0")  # noqa: E731
+        tagged = allsigs.select(
+            F.concat(F.when(F.col("__new"), "n:").otherwise("a:"), pad(F.col("id"))).alias("id"),
+            "sig",
+        )
+        pairs = candidate_pairs_from_sigs(
+            tagged, k=k, bands=bands,
+            min_jaccard_est=min_jaccard, bucket_cap=bucket_cap,
+        )
+        # exact verify for new-new pairs (both texts at hand); store-new
+        # pairs rely on the signature estimate (store holds no text)
+        texts = df.select(
+            F.concat(F.lit("n:"), pad(F.col(id_col).cast("string"))).alias("tid"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        nn = (
+            pairs.filter(F.col("id_a").startswith("n:"))
+            .join(texts.withColumnsRenamed({"tid": "id_a", "sh": "sh_a"}), "id_a")
+            .join(texts.withColumnsRenamed({"tid": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select(F.col("id_b").alias("loser"))
+        )
+        sn = pairs.filter(
+            F.col("id_a").startswith("a:") & F.col("id_b").startswith("n:")
+        ).select(F.col("id_b").alias("loser"))
+        losers = (
+            nn.unionByName(sn).distinct()
+            # keep the PADDED key (no lossy un-padding); consumers join on
+            # the same pad() of their id
+            .select(F.substring("loser", 3, 64).alias("__loser"))
+            .localCheckpoint()  # settle BEFORE the store write below
+        )
+        out = df.join(
+            losers, pad(F.col(id_col).cast("string")) == F.col("__loser"), "left"
+        ).withColumn(keep_col, F.col("__loser").isNull()).drop("__loser")
+        (
+            sigs_new.join(
+                losers, pad(F.col("id")) == F.col("__loser"), "left_anti"
+            )
+            .select("id", "sig")
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/batch_id={batch_id}")
+        )
+    finally:
+        allsigs.unpersist()
+        sigs_new.unpersist()
+    return out
+
+
 def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Duplicate groups / extra rows over a key set in one aggregation
     (reference needed 2 queries: duplicate_checker.py:86-112)."""

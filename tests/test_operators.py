@@ -131,6 +131,49 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     assert sorted(kept) == [1, 3, 5]
 
 
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Cross-run NEAR-dup via the persisted signature store: a batch-2 doc
+    near-identical to batch-1 kept content is suppressed (first-seen-wins,
+    store partner on signature estimate), within-batch near-dups still
+    verify on exact n-gram Jaccard, unrelated docs keep, re-runs are
+    idempotent, and only survivors' signatures enter the store."""
+    from data_quality_framework_spark.operators.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "sig_store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    other = "completely different content about distributed query engines " * 8
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " tiny tail change")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " another tiny change"),   # near-dup of batch-1 content
+         (11, other),                            # new content
+         (12, other + " slight variation here"),  # near-dup WITHIN batch 2
+         (13, "short unrelated note")],
+        "doc_id long, text string",
+    )
+
+    kw = dict(k=16, bands=8, min_jaccard=0.5)
+    out1 = {r["doc_id"]: r["is_canonical_near"]
+            for r in incremental_minhash_dedup(spark, b1, store, "b1", "doc_id", **kw).collect()}
+    assert out1 == {1: True, 2: False}  # within-batch near-dup, min id wins
+
+    out2 = {r["doc_id"]: r["is_canonical_near"]
+            for r in incremental_minhash_dedup(spark, b2, store, "b2", "doc_id", **kw).collect()}
+    assert out2 == {10: False, 11: True, 12: False, 13: True}
+
+    stored = spark.read.parquet(store)
+    assert sorted((r["batch_id"], r["id"]) for r in stored.collect()) == [
+        ("b1", "1"), ("b2", "11"), ("b2", "13")
+    ]
+
+    # idempotent re-run of batch 2
+    out2b = {r["doc_id"]: r["is_canonical_near"]
+             for r in incremental_minhash_dedup(spark, b2, store, "b2", "doc_id", **kw).collect()}
+    assert out2b == out2
+    assert spark.read.parquet(store).count() == 3
+
+
 def test_exact_dup_stats(spark, docs):
     row = exact_dup_stats(docs, ["text"]).collect()[0]
     assert row["dup_groups"] == 1
