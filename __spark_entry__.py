@@ -894,6 +894,28 @@ def _q_dedup_incremental_near(spark, sf):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _q_contamination(spark, sf):
+    """Benchmark decontamination (r4): the "benchmark" is every 50th doc's
+    full text, so contamination hits are that doc itself plus any doc
+    sharing an 8-gram with it (exact/near dups in the planted families).
+    md5_60 gram hashes so the oracle reproduces the join keys exactly."""
+    from data_quality_framework_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & ~F.col("text").rlike(r"^\s*$"))
+        .select("doc_id", "text")
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    return contamination_flags(
+        d, bench, n=8, hash_fn="md5_60"
+    ).orderBy("doc_id")
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -1067,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_batch_topk_indexed": _q_sim_batch,
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
+        "text_contamination_flags": _q_contamination,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1655,6 +1678,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_incremental_near": _incremental_near_oracle_sql(),
+        # decontamination oracle (r4): same md5_60 gram hashes on both sides
+        # -> join keys identical, counts exact
+        "text_contamination_flags": f"""
+            WITH d AS (SELECT doc_id, {_shingle_list_expr(8)} AS sh
+                       FROM documents WHERE {_NONBLANK}),
+                 dh AS (SELECT doc_id,
+                               unnest(list_distinct(list_transform(sh,
+                                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS gh
+                        FROM d),
+                 bh AS (SELECT doc_id AS bid, gh FROM dh WHERE doc_id % 50 = 0)
+            SELECT d.doc_id,
+                   count(DISTINCT d.gh) AS contaminated_ngrams,
+                   count(DISTINCT b.bid) AS n_bench_docs
+            FROM dh d JOIN bh b USING (gh)
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
         # cross-run incremental dedup (r4): first-seen-wins across the two
         # derived batches (min batch per digest), min doc_id within a batch
         "dedup_incremental_batches": """

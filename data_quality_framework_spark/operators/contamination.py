@@ -1,0 +1,107 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark corpus.
+
+The GPT-3/PaLM-style data-prep step (13-gram overlap against eval sets)
+missing from the reference's check registry but mandatory for any corpus
+feeding model training: a training doc containing a benchmark n-gram leaks
+eval data into the training set and must be dropped or audited.
+
+Scale shape (10^12 training docs vs ~10^5 benchmark docs):
+
+* both sides reduce to DISTINCT n-gram HASHES before any join — the shuffle
+  carries (hash, id) longs, never text;
+* the benchmark side is tiny (eval sets are MBs); hint-free, AQE broadcasts
+  it at runtime, so the corpus side joins map-side with no corpus shuffle;
+* output is per-contaminated-doc counts (matched n-grams, distinct
+  benchmark docs touched) — audit-sized, not corpus-sized.
+
+Reference parity note: the reference has no decontamination check
+(src/checkers/* covers null/dup/range/masking only); this is a
+beyond-reference operator mandated by the north rule's training-pipeline
+scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import shingles
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str):
+    """(id, gram-hash) pairs, distinct per doc — the metadata both sides
+    shuffle. ``hash_fn``: ``xxhash64`` (fast path) or ``md5_60`` (a SQL
+    engine reproduces it exactly — used by the driver oracle)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("g")
+    elif hash_fn == "md5_60":
+        h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_60)")
+    return grams.select("id", h.alias("gh"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    bench: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc contamination report: one row per training doc sharing at
+    least one word ``n``-gram with any benchmark doc.
+
+    Returns (doc_id, contaminated_ngrams, n_bench_docs):
+
+    * ``contaminated_ngrams`` — DISTINCT n-gram hashes of the doc that
+      appear anywhere in the benchmark corpus;
+    * ``n_bench_docs`` — distinct benchmark docs sharing ≥1 n-gram with it.
+
+    Docs shorter than ``n`` words fall back to their whole trimmed text as
+    a single "gram" (the ``shingles`` contract) — a short training doc is
+    contaminated iff its full text appears inside no benchmark gram set...
+    i.e. only on exact whole-text collision, the conservative choice.
+
+    The join is hint-free: benchmark gram sets are small next to any real
+    corpus, so AQE broadcasts them; if someone passes a huge "benchmark",
+    the plan degrades to a sort-merge join on uniform hash keys instead of
+    OOMing a forced broadcast.
+    """
+    d = _gram_hashes(docs, doc_id, text_col, n, hash_fn)
+    b = _gram_hashes(bench, bench_id, bench_text, n, hash_fn).withColumnRenamed(
+        "id", "bid"
+    )
+    return (
+        d.join(b, "gh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gh").cast("long").alias("contaminated_ngrams"),
+            F.countDistinct("bid").cast("long").alias("n_bench_docs"),
+        )
+        .withColumnRenamed("id", doc_id)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    min_ngrams: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Drop contaminated docs: anti-join of ``docs`` against the flagged set
+    (``contamination_flags`` with ``contaminated_ngrams >= min_ngrams``).
+    The flagged set is audit-sized — AQE broadcasts the anti-join side."""
+    flagged = contamination_flags(
+        docs, bench, doc_id=doc_id, text_col=text_col, **kwargs
+    ).filter(F.col("contaminated_ngrams") >= min_ngrams).select(doc_id)
+    return docs.join(flagged, doc_id, "left_anti")

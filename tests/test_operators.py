@@ -738,6 +738,46 @@ def test_pairwise_topk_join_multiprobe(spark, vectors, tmp_path):
     assert b1[100] == single
 
 
+def test_contamination_flags_and_decontaminate(spark):
+    """Decontamination (r4): a training doc EMBEDDING a benchmark passage is
+    flagged (n-gram containment — whole-doc similarity would miss it), clean
+    docs are not, short docs only match on whole-text collision, and
+    decontaminate() drops exactly the flagged set."""
+    from data_quality_framework_spark.operators.contamination import (
+        contamination_flags,
+        decontaminate,
+    )
+
+    bench_passage = " ".join(f"eval{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + bench_passage + " trailing words"),  # embeds it
+            (2, " ".join(f"clean{i}" for i in range(40))),            # clean
+            (3, "tiny doc"),                                          # < n words
+            (4, bench_passage),                                       # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_passage), (101, "unrelated benchmark prompt here ok")],
+        "bench_id long, text string",
+    )
+    flags = {r["doc_id"]: r for r in
+             contamination_flags(docs, bench, n=13).collect()}
+    assert set(flags) == {1, 4}
+    assert flags[4]["contaminated_ngrams"] == 30 - 13 + 1  # every 13-gram
+    assert flags[1]["n_bench_docs"] == 1
+
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=13).collect()}
+    assert kept == {2, 3}
+
+    # hash families agree on the flag set (xxhash64 fast path vs md5_60
+    # oracle path)
+    md5_flags = {r["doc_id"] for r in
+                 contamination_flags(docs, bench, n=13, hash_fn="md5_60").collect()}
+    assert md5_flags == {1, 4}
+
+
 def test_multimodal_feature_stub(spark, docs):
     from data_quality_framework_spark.operators.multimodal import (
         extract_image_features,
