@@ -916,6 +916,19 @@ def _q_contamination(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (r4): language-stratified rates
+    (en 0.6, de 0.3, everything else incl. NULL lang 0.1) decided by a pure
+    integer comparison on an md5-derived 60-bit id hash — the oracle
+    reproduces the EXACT kept set, not just the counts."""
+    from data_quality_framework_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "lang", {"en": 0.6, "de": 0.3}, "doc_id", default_rate=0.1, seed=42
+    ).orderBy("doc_id")
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -1090,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
+        "text_stratified_sample": _q_stratified_sample,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1678,6 +1692,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_incremental_near": _incremental_near_oracle_sql(),
+        # stratified-sampling oracle (r4): identical md5-derived 60-bit hash
+        # + identical integer thresholds -> the exact same kept set
+        "text_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT)
+                  < CASE WHEN lang = 'en' THEN {int(0.6 * (1 << 60))}
+                         WHEN lang = 'de' THEN {int(0.3 * (1 << 60))}
+                         ELSE {int(0.1 * (1 << 60))} END
+            ORDER BY doc_id
+        """,
         # decontamination oracle (r4): same md5_60 gram hashes on both sides
         # -> join keys identical, counts exact
         "text_contamination_flags": f"""

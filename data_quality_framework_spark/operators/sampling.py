@@ -1,0 +1,101 @@
+"""Deterministic corpus sampling: stratified rates and token budgets.
+
+Training-data pipelines rarely take a corpus wholesale — they up/down-sample
+strata (language, quality bucket, domain) to a target mix (CCNet/DCLM-style
+curriculum). Doing that with ``df.sample`` is non-reproducible across
+retries and partitionings; these operators decide per-row from a
+DETERMINISTIC hash of the row's id, so the same doc gets the same verdict
+on every run, executor, and engine:
+
+* keep iff ``hash60(id, seed) < floor(rate * 2^60)`` — a pure 60-bit
+  INTEGER comparison (no float division anywhere), with the hash derived
+  from md5 so an external SQL engine reproduces the exact keep set;
+* no shuffle at all for rate sampling (a row-local projection+filter); the
+  token-budget variant adds ONE tiny per-stratum aggregate.
+
+Reference parity: the reference has no sampling surface; this is
+beyond-reference north-rule scope (the same place dedup/ANN live).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hash range: first 15 md5 hex chars = 60 bits, uniform on [0, 2^60)
+_HASH_BITS = 60
+
+
+def hash60(id_col: Column, seed: int = 42) -> Column:
+    """Deterministic uniform 60-bit hash of an id (md5-derived so DuckDB
+    reproduces it: ``('0x' || substr(md5(id || ':seed'), 1, 15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * (1 << _HASH_BITS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by the row's id hash.
+
+    Exact per-row reproducibility (same id + seed -> same verdict under any
+    partitioning, retry, or engine); per-stratum kept counts are Binomial
+    around rate * n. Strata missing from ``rates`` use ``default_rate``
+    (0.0 = drop, the conservative default for unexpected strata). A NULL
+    stratum also falls to ``default_rate``. Zero shuffles — the plan is a
+    row-local filter over the scan.
+    """
+    h = hash60(F.col(id_col), seed)
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == F.lit(value), F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Mapping[str, int],
+    id_col: str,
+    token_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample each stratum down to ~``budgets[stratum]`` TOKENS (expected
+    value): rate = min(1, budget / stratum_token_total), then the same
+    deterministic hash filter as :func:`stratified_sample`.
+
+    Two passes, both cheap: one per-stratum sum (map-side partial agg — a
+    handful of rows to the driver), then the row-local filter. The budget is
+    hit in EXPECTATION (Binomial, relative sd ~ 1/sqrt(docs kept)) — the
+    deterministic scale-safe trade: taking docs in hash order until an exact
+    cumulative budget needs a per-stratum global sort/cumsum, a single-
+    reducer bottleneck on a 10^12-doc stratum. Strata without a budget are
+    dropped.
+    """
+    totals = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, float(b) / totals[s])
+        for s, b in budgets.items()
+        if totals.get(s)
+    }
+    return stratified_sample(df, strata_col, rates, id_col, seed=seed)

@@ -778,6 +778,55 @@ def test_contamination_flags_and_decontaminate(spark):
     assert md5_flags == {1, 4}
 
 
+def test_stratified_sample_deterministic(spark):
+    """Sampling verdicts are a pure function of (id, seed): identical under
+    repartitioning, rates land near their Binomial expectation, unknown/NULL
+    strata fall to default_rate, and the plan shuffles nothing."""
+    from data_quality_framework_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr", None][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept1 = {r["doc_id"] for r in
+             stratified_sample(df, "lang", {"en": 0.5, "de": 0.2}, "doc_id",
+                               default_rate=0.05).collect()}
+    kept2 = {r["doc_id"] for r in
+             stratified_sample(df.repartition(17), "lang", {"en": 0.5, "de": 0.2},
+                               "doc_id", default_rate=0.05).collect()}
+    assert kept1 == kept2  # partition-independent
+    by_lang = {"en": 0, "de": 0, "fr": 0, None: 0}
+    for i in kept1:
+        by_lang[["en", "de", "fr", None][i % 4]] += 1
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
+    assert abs(by_lang["de"] / 1000 - 0.2) < 0.05
+    assert abs(by_lang["fr"] / 1000 - 0.05) < 0.03  # default rate
+    assert abs(by_lang[None] / 1000 - 0.05) < 0.03  # NULL stratum -> default
+
+    out = stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_sample_to_token_budget(spark):
+    """Expected-token budgets: rate = budget/total per stratum, clamped to 1;
+    kept token mass lands near the budget; unbudgeted strata drop."""
+    from data_quality_framework_spark.operators.sampling import sample_to_token_budget
+
+    rows = [(i, "en" if i % 2 == 0 else "de", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    # en stratum holds 100k tokens; ask for 30k. de gets no budget -> dropped.
+    out = sample_to_token_budget(df, "lang", {"en": 30_000}, "doc_id", "n_tokens")
+    got = out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    by = {r["lang"]: r["t"] for r in got}
+    assert set(by) == {"en"}
+    assert abs(by["en"] - 30_000) / 30_000 < 0.15  # Binomial around budget
+    # budget >= stratum total -> keep everything (rate clamps to 1)
+    all_en = sample_to_token_budget(df, "lang", {"en": 10**9}, "doc_id", "n_tokens")
+    assert all_en.count() == 1000
+
+
 def test_multimodal_feature_stub(spark, docs):
     from data_quality_framework_spark.operators.multimodal import (
         extract_image_features,
