@@ -929,6 +929,33 @@ def _q_stratified_sample(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_url_canonical(spark, sf):
+    """URL canonicalization (r4): four deterministic messy-url shapes per
+    doc_id (upper-cased host + default port + mid-query utm + fragment;
+    :443 + trailing fbclid; mid-query gclid; already-clean) -> canonical
+    form. The oracle rebuilds the same urls and replicates the regex chain
+    in RE2 — byte-identical output contract."""
+    from data_quality_framework_spark.functions.urlnorm import canonical_url
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTP://ExAmple.COM:80/p/"), i,
+                        F.lit("?utm_source=x&id="), i, F.lit("#sec")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://News.Example.com:443/a/"), i,
+                       F.lit("?fbclid=f"), i))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://example.com/p/"), i,
+                       F.lit("?id="), i, F.lit("&gclid=g&b=2")))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), i, F.lit("?x=1&y=2")))
+    )
+    return d.select(
+        "doc_id", canonical_url(url).alias("url_canon")
+    ).orderBy("doc_id")
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -1104,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
         "text_stratified_sample": _q_stratified_sample,
+        "text_url_canonical": _q_url_canonical,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1692,6 +1720,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_incremental_near": _incremental_near_oracle_sql(),
+        # url-canonicalization oracle (r4): rebuild the messy urls, replicate
+        # functions/urlnorm.py's regex chain in RE2 (DuckDB needs explicit
+        # 'g' flags where Spark replaces all matches by default; replacement
+        # backrefs are \\1 vs Java's $1)
+        "text_url_canonical": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN 'HTTP://ExAmple.COM:80/p/' || doc_id || '?utm_source=x&id=' || doc_id || '#sec'
+                       WHEN 1 THEN 'https://News.Example.com:443/a/' || doc_id || '?fbclid=f' || doc_id
+                       WHEN 2 THEN 'http://example.com/p/' || doc_id || '?id=' || doc_id || '&gclid=g&b=2'
+                       ELSE 'https://example.com/p/' || doc_id || '?x=1&y=2'
+                     END AS url
+              FROM documents),
+            defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM m),
+            split AS (SELECT doc_id, u,
+                             regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
+                      FROM defrag),
+            canon AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    lower(pre), '^(http://[^/?#]*):80$', '\1'),
+                  '^(https://[^/?#]*):443$', '\1')
+                ||
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(substring(u, length(pre) + 1),
+                        '(utm_[A-Za-z0-9_]*=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*|ref=[^&#]*)&', '', 'g'),
+                      '[?&](utm_[A-Za-z0-9_]*=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*|ref=[^&#]*)$', ''),
+                    '\?&', '?', 'g'),
+                  '[?&]$', '') AS url_canon
+              FROM split)
+            SELECT doc_id, url_canon FROM canon ORDER BY doc_id
+        """,
         # stratified-sampling oracle (r4): identical md5-derived 60-bit hash
         # + identical integer thresholds -> the exact same kept set
         "text_stratified_sample": f"""

@@ -1,0 +1,49 @@
+"""URL canonicalization for web-crawl dedup, as pure JVM expressions.
+
+The pipeline's url collapse (plans/pipeline.py) is only as good as its url
+key: the same page crawled as ``HTTP://Example.COM:80/a?utm_source=x`` and
+``http://example.com/a`` is two "urls" to a byte-equality collapse. This
+module normalizes the key with a deterministic Column-expression chain —
+no UDF, fully pushable, and reproducible in an external SQL engine for the
+oracle gate:
+
+1. drop the fragment (``#...`` — never sent to the server);
+2. lowercase the scheme and authority (host names are case-insensitive;
+   paths are NOT touched);
+3. strip default ports (``http://h:80`` -> ``http://h``, ``https://h:443``
+   -> ``https://h``);
+4. remove tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``ref``) while preserving the others' ORDER;
+5. clean separator debris (``?&`` -> ``?``, trailing ``?``/``&``).
+
+Deliberately NOT done (lossy or origin-dependent): path-case folding,
+trailing-slash removal, query-param SORTING (changes semantics for servers
+that care), percent-decoding. Canonicalization is idempotent:
+``canonical_url(canonical_url(u)) == canonical_url(u)`` (property-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tracking parameters stripped from query strings (name= prefix match)
+TRACKING_PARAMS = ("utm_[A-Za-z0-9_]*", "fbclid", "gclid", "msclkid", "ref")
+
+_PARAM_ALT = "|".join(f"{p}=[^&#]*" for p in TRACKING_PARAMS)
+#: authority = scheme://host[:port] — everything before the first /, ?, #
+_AUTHORITY_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.regexp_replace(url, "#.*$", "")                       # 1. fragment
+    prefix = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(2**31 - 1))
+    prefix = F.lower(prefix)                                    # 2. case
+    prefix = F.regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1")   # 3. ports
+    prefix = F.regexp_replace(prefix, "^(https://[^/?#]*):443$", "$1")
+    rest = F.regexp_replace(rest, f"({_PARAM_ALT})&", "")       # 4. tracking
+    rest = F.regexp_replace(rest, f"[?&]({_PARAM_ALT})$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")                  # 5. debris
+    rest = F.regexp_replace(rest, "[?&]$", "")
+    return F.concat(prefix, rest)

@@ -332,3 +332,34 @@ def test_langid_accuracy_on_generator_labels():
     best[sc.max(axis=1) <= 0] = UNKNOWN_LANG
     acc = float((best.to_numpy() == pd.Series(labels).to_numpy()).mean())
     assert acc >= 0.995, acc
+
+
+def test_canonical_url(spark):
+    """r4: url canonicalization — fragment/tracking/default-port/case rules,
+    conservative on everything else (path case, non-default ports, real
+    params and their order), idempotent, null-safe."""
+    from pyspark.sql import functions as F
+
+    from data_quality_framework_spark.functions.urlnorm import canonical_url
+
+    cases = {
+        "HTTP://ExAmple.COM:80/Path?utm_source=x&id=7&utm_campaign=y#f":
+            "http://example.com/Path?id=7",
+        "https://Example.com:443/a?fbclid=abc": "https://example.com/a",
+        "https://example.com/a?id=1&gclid=zz&b=2": "https://example.com/a?id=1&b=2",
+        "http://example.com/a?utm_source=x&utm_medium=y": "http://example.com/a",
+        "example.com/no-scheme?ref=foo": "example.com/no-scheme",
+        "https://example.com:8443/a": "https://example.com:8443/a",
+        "http://example.com/A/B": "http://example.com/A/B",
+        "https://example.com/a?x=1&y=2": "https://example.com/a?x=1&y=2",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c"),
+        canonical_url(canonical_url(F.col("url"))).alias("cc"),
+    ).collect()
+    for r in out:
+        assert r["c"] == cases[r["url"]], (r["url"], r["c"])
+        assert r["c"] == r["cc"], f"not idempotent: {r['url']}"
+    assert df.limit(0).select(canonical_url(F.lit(None).cast("string"))).collect() == []
