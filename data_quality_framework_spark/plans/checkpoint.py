@@ -191,6 +191,11 @@ def resumable_pipeline(
     # config fails fast instead of silently mixing signature/flag regimes
     ckpt.cfg_fp = cfg_fingerprint(cfg)
 
+    # canonicalization must precede url-hash bucketing: raw variants of one
+    # canonical url must share a bucket or Phase A's collapse misses them
+    from data_quality_framework_spark.plans.pipeline import maybe_canonicalize
+
+    pages = maybe_canonicalize(pages, cfg)
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
 
     # ---- Phase A: per-bucket metadata -------------------------------------

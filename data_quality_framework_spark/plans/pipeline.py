@@ -61,6 +61,12 @@ class FilterConfig:
     shingle_n: int = 3
     lsh_bucket_cap: int = 64
     minhash_hash: str = "xxhash64"     # "md5_60" -> SQL-oracle-reproducible sigs
+    #: opt-in (r4): canonicalize urls (functions/urlnorm.canonical_url —
+    #: fragment/tracking-param/default-port/host-case normalization) BEFORE
+    #: any keying, so crawl variants of one page share their url collapse.
+    #: Off by default: the url column is a user-visible output and silently
+    #: rewriting it changes join keys for downstream consumers.
+    canonicalize_urls: bool = False
     #: DEFAULT ON (r4; r3 shipped it opt-in, leaving the default capped run
     #: silently lossy — the exact hazard the accounting exists to remove):
     #: attach per-band LSH cap-overflow accounting (dropped rows / candidate
@@ -185,6 +191,18 @@ def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
     )
 
 
+def maybe_canonicalize(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Apply ``cfg.canonicalize_urls`` — shared by the batch entry point AND
+    the checkpoint path, where it must run BEFORE url-hash bucketing (two
+    raw variants of one canonical url must land in the same bucket, or the
+    per-bucket url collapse silently misses them)."""
+    if cfg.canonicalize_urls:
+        from data_quality_framework_spark.functions.urlnorm import canonical_url
+
+        return pages.withColumn("url", canonical_url(F.col("url")))
+    return pages
+
+
 def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     """One wide pass: sort_key + content fingerprint + text stats + Arrow-UDF
     scores + per-rule violation flags + f_any_heuristic. This is the
@@ -224,7 +242,7 @@ def run_pipeline(
     )
 
     rules = _flag_rules(cfg)
-    base = compute_enriched(pages, cfg)
+    base = compute_enriched(maybe_canonicalize(pages, cfg), cfg)
 
     # One wide pass feeds heuristics lineage AND dedup; cache to avoid
     # recomputing the Arrow-UDF scoring for the downstream jobs.

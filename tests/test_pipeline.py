@@ -215,6 +215,48 @@ def test_pipeline_lsh_overflow_accounting(spark, pages_10k):
         out.unpersist()
 
 
+def test_pipeline_canonicalize_urls_collapses_crawl_variants(spark):
+    """r4: cfg.canonicalize_urls folds messy crawl variants of one page into
+    a single url BEFORE keying, so the url collapse sees them as one doc;
+    off (the default) they stay distinct urls. The canonical winner follows
+    the normal sort_key order among the variants."""
+    import datetime as dt
+
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA, gen_pages
+
+    body = ("stopword the and is of to in that it for on " * 20).strip()
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    variants = spark.createDataFrame(
+        [
+            ("HTTP://Site.COM:80/a?utm_source=x", ts, None, body, "en"),
+            ("http://site.com/a", ts + dt.timedelta(minutes=1), None, body, "en"),
+            ("http://site.com/a#frag", ts + dt.timedelta(minutes=2), None, body, "en"),
+            ("http://site.com/other", ts, None, body + " unrelated tail words", "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    pages = gen_pages(spark, 10000).unionByName(variants)
+
+    on = run_pipeline(spark, pages, FilterConfig(canonicalize_urls=True),
+                      per_partition_lineage=False)
+    try:
+        got = on.decisions.filter(F.col("url").startswith("http://site.com")).collect()
+        urls = sorted(r["url"] for r in got)
+        # three variants -> ONE canonical url row (+ the unrelated page)
+        assert urls == ["http://site.com/a", "http://site.com/other"], urls
+    finally:
+        on.unpersist()
+
+    off = run_pipeline(spark, variants, FilterConfig(), per_partition_lineage=False)
+    try:
+        n_raw = off.decisions.filter(
+            F.lower(F.col("url")).contains("site.com")
+        ).count()
+        assert n_raw == 4  # raw variants keep their distinct urls
+    finally:
+        off.unpersist()
+
+
 def test_pipeline_overflow_accounting_on_by_default(spark, pages_10k):
     """r4 (r3 verdict #5): a DEFAULT pipeline run must carry its LSH
     cap-overflow accounting — the default cap (64) with silent drops was the
