@@ -1748,9 +1748,11 @@ def oracle_sql() -> dict[str, str]:
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(substring(u, length(pre) + 1),
-                        '(utm_[A-Za-z0-9_]*=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*|ref=[^&#]*)&', '', 'g'),
-                      '[?&](utm_[A-Za-z0-9_]*=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*|msclkid=[^&#]*|ref=[^&#]*)$', ''),
+                      regexp_replace(
+                        regexp_replace(substring(u, length(pre) + 1),
+                          '&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
+                        '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
+                      '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*$', ''),
                     '\?&', '?', 'g'),
                   '[?&]$', '') AS url_canon
               FROM split)

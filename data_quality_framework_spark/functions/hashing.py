@@ -58,6 +58,18 @@ _LONG_MAX = (1 << 63) - 1
 MINHASH_PRIME = (1 << 31) - 1
 
 
+def md5_60(col: Column) -> Column:
+    """Uniform 60-bit long from a string: first 15 md5 hex chars, base-16.
+
+    THE SQL-reproducible hash of this codebase — an external engine derives
+    the identical value as ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+    (DuckDB) — used wherever an oracle must replay hashing bit-for-bit:
+    minhash signatures (``hash_fn='md5_60'``), decontamination gram hashes,
+    and the seeded sampling hash. ONE definition (r4 review: three verbatim
+    copies had to stay in sync with each other and the oracle)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _minhash_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
     import random
 

@@ -27,10 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: tracking parameters stripped from query strings (name= prefix match)
+#: tracking parameter NAMES stripped from query strings; each rule anchors
+#: the name to its own preceding ?/& separator and requires a literal '=',
+#: so longer names merely CONTAINING one of these never match (r4 review:
+#: an unanchored suffix match ate `href=`/`xref=` params and merged their
+#: remnants into the next parameter)
 TRACKING_PARAMS = ("utm_[A-Za-z0-9_]*", "fbclid", "gclid", "msclkid", "ref")
 
-_PARAM_ALT = "|".join(f"{p}=[^&#]*" for p in TRACKING_PARAMS)
+_PARAM = "(" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
 #: authority = scheme://host[:port] — everything before the first /, ?, #
 _AUTHORITY_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 
@@ -42,8 +46,14 @@ def canonical_url(url: Column) -> Column:
     prefix = F.lower(prefix)                                    # 2. case
     prefix = F.regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1")   # 3. ports
     prefix = F.regexp_replace(prefix, "^(https://[^/?#]*):443$", "$1")
-    rest = F.regexp_replace(rest, f"({_PARAM_ALT})&", "")       # 4. tracking
-    rest = F.regexp_replace(rest, f"[?&]({_PARAM_ALT})$", "")
+    # 4. tracking params, three lookahead-free anchored rules (RE2-safe for
+    #    the oracle): (a) every '&'-separated one — each match consumes its
+    #    OWN leading '&', so consecutive tracking params are all removed in
+    #    one global pass; (b) a first param with a successor (successor's
+    #    separator promoted to '?'); (c) a sole remaining first param
+    rest = F.regexp_replace(rest, f"&{_PARAM}", "")
+    rest = F.regexp_replace(rest, f"\\?{_PARAM}&", "?")
+    rest = F.regexp_replace(rest, f"\\?{_PARAM}$", "")
     rest = F.regexp_replace(rest, r"\?&", "?")                  # 5. debris
-    rest = F.regexp_replace(rest, "[?&]$", "")
-    return F.concat(prefix, rest)
+    rest = F.regexp_replace(rest, "[?&]$", "")                  #    (malformed
+    return F.concat(prefix, rest)                               #    inputs only)

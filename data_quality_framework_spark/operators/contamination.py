@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_quality_framework_spark.functions.hashing import shingles
+from data_quality_framework_spark.functions.hashing import md5_60, shingles
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str):
@@ -40,7 +40,7 @@ def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int, hash_fn: str
     if hash_fn == "xxhash64":
         h = F.xxhash64("g")
     elif hash_fn == "md5_60":
-        h = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        h = md5_60(F.col("g"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_60)")
     return grams.select("id", h.alias("gh"))

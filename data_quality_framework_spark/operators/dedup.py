@@ -74,6 +74,51 @@ def exact_dedup(
     )
 
 
+def _read_prior_store(spark, store_path: str, batch_id: str):
+    """Prior batches' store rows, or None when this is effectively the FIRST
+    batch: missing dir, or an existing-but-empty dir (pre-created mount,
+    params file only) — Spark raises UNABLE_TO_INFER_SCHEMA there, not
+    PATH_NOT_FOUND (r4 review)."""
+    try:
+        return spark.read.parquet(store_path).filter(F.col("batch_id") != batch_id)
+    except Exception as e:
+        msg = str(e)
+        if not any(
+            tag in msg
+            for tag in (
+                "PATH_NOT_FOUND", "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA", "Unable to infer schema",
+            )
+        ):
+            raise
+        return None
+
+
+def _pin_store_params(store_path: str, params: dict) -> None:
+    """Persist the store's signature-affecting parameters on first use and
+    REFUSE later batches run with different ones — the cross-run analog of
+    checkpoint.py's cfg fingerprint: e.g. xxhash64-vs-md5_60 signatures
+    never band-match, so a knob drift would silently keep every cross-run
+    near-dup (r4 review)."""
+    import json
+    import os
+
+    os.makedirs(store_path, exist_ok=True)
+    pf = os.path.join(store_path, "_store_params.json")
+    if os.path.exists(pf):
+        with open(pf) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"store {store_path} was built with {stored}; refusing to run "
+                f"a batch with {params} — mixed regimes silently miss "
+                "cross-run duplicates. Use a new store (or the original knobs)."
+            )
+    else:
+        with open(pf, "w") as f:
+            json.dump(params, f)
+
+
 def incremental_exact_dedup(
     spark,
     df: DataFrame,
@@ -114,17 +159,10 @@ def incremental_exact_dedup(
     """
     keyed = df.withColumn("__digest", fingerprint(F.col(text_col)))
     batch_canon = keyed.groupBy("__digest").agg(F.min(id_col).alias("__canon"))
-    try:
-        seen = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != batch_id)  # re-run: ignore own rows
-            .select(F.col("digest").alias("__digest"))
-            .distinct()
-        )
-    except Exception as e:  # first batch: no store yet
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        seen = None
+    prior = _read_prior_store(spark, store_path, batch_id)
+    seen = None if prior is None else prior.select(
+        F.col("digest").alias("__digest")
+    ).distinct()
     fresh = batch_canon if seen is None else batch_canon.join(seen, "__digest", "left_anti")
     # eager + lineage-truncated: the store write below must not feed back
     # into the (lazy) result plan's anti-join
@@ -162,6 +200,7 @@ def incremental_minhash_dedup(
     hash_fn: str = "xxhash64",
     bucket_cap: int = 64,
     keep_col: str = "is_canonical_near",
+    overflow_out: list | None = None,
 ) -> DataFrame:
     """Cross-RUN near-dup suppression: dedup a new crawl batch against every
     prior batch's KEPT content via a persisted MinHash-signature store.
@@ -190,26 +229,33 @@ def incremental_minhash_dedup(
     the exact variant.
 
     Store ids are stored as STRING (type-agnostic across batches); the
-    returned frame keeps the input schema + ``keep_col``.
+    returned frame keeps the input schema + ``keep_col``. The store pins its
+    signature-affecting knobs in ``_store_params.json`` on first use — a
+    later batch run with different knobs raises instead of silently never
+    band-matching (``_pin_store_params``). Pass ``overflow_out`` (a list) to
+    receive per-band cap-overflow accounting rows for THIS run's capped
+    band join (same contract as the pipeline's ``lsh_overflow``) — without
+    it a capped run's recall loss is silent.
     """
+    _pin_store_params(store_path, {
+        "k": k, "bands": bands, "shingle_n": shingle_n, "hash_fn": hash_fn,
+        "min_jaccard": min_jaccard, "bucket_cap": bucket_cap,
+    })
     sigs_new = minhash_signatures(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
         "id", "text", k=k, shingle_n=shingle_n, hash_fn=hash_fn,
     ).withColumn("id", F.col("id").cast("string")).withColumn("__new", F.lit(True))
-    try:
-        stored = (
-            spark.read.parquet(store_path)
-            .filter(F.col("batch_id") != batch_id)
-            .select("id", "sig")
-            .withColumn("__new", F.lit(False))
-        )
-        allsigs = stored.unionByName(sigs_new)
-    except Exception as e:  # first batch: no store yet
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
+    prior = _read_prior_store(spark, store_path, batch_id)
+    if prior is None:
         allsigs = sigs_new
+    else:
+        allsigs = prior.select("id", "sig").withColumn(
+            "__new", F.lit(False)
+        ).unionByName(sigs_new)
+    # ONE cache serves the band join, the overflow accounting, and (filtered
+    # on __new) the store write — persisting sigs_new separately would hold
+    # the new batch's rows in executor storage twice (r4 review)
     allsigs = allsigs.persist()
-    sigs_new = sigs_new.persist()
     try:
         # pair key = prefix + zero-padded id: "a:" (archived/store) sorts
         # before "n:" (new), so in every mixed pair the NEW doc is id_b (the
@@ -225,6 +271,13 @@ def incremental_minhash_dedup(
             tagged, k=k, bands=bands,
             min_jaccard_est=min_jaccard, bucket_cap=bucket_cap,
         )
+        if overflow_out is not None:
+            overflow_out.extend(
+                r.asDict()
+                for r in minhash_overflow_stats(
+                    tagged, k=k, bands=bands, bucket_cap=bucket_cap
+                ).collect()
+            )
         # exact verify for new-new pairs (both texts at hand); store-new
         # pairs rely on the signature estimate (store holds no text)
         texts = df.select(
@@ -257,16 +310,14 @@ def incremental_minhash_dedup(
             losers, pad(F.col(id_col).cast("string")) == F.col("__loser"), "left"
         ).withColumn(keep_col, F.col("__loser").isNull()).drop("__loser")
         (
-            sigs_new.join(
-                losers, pad(F.col("id")) == F.col("__loser"), "left_anti"
-            )
+            allsigs.filter(F.col("__new"))
+            .join(losers, pad(F.col("id")) == F.col("__loser"), "left_anti")
             .select("id", "sig")
             .write.mode("overwrite")
             .parquet(f"{store_path}/batch_id={batch_id}")
         )
     finally:
         allsigs.unpersist()
-        sigs_new.unpersist()
     return out
 
 
@@ -352,14 +403,18 @@ def minhash_signatures(
     (``('0x' || substr(md5(s),1,15))::BIGINT``) — used where an external
     oracle must recompute the signatures bit-for-bit. Both stay pure JVM.
     """
-    from data_quality_framework_spark.functions.hashing import MINHASH_PRIME, _minhash_coeffs
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+        md5_60,
+    )
 
     p = F.lit(MINHASH_PRIME)
     coeffs = _minhash_coeffs(k)
     if hash_fn == "xxhash64":
         base_hash = F.xxhash64("sh")
     elif hash_fn == "md5_60":
-        base_hash = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        base_hash = md5_60(F.col("sh"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_60)")
     exploded = df.select(

@@ -31,10 +31,9 @@ _HASH_BITS = 60
 def hash60(id_col: Column, seed: int = 42) -> Column:
     """Deterministic uniform 60-bit hash of an id (md5-derived so DuckDB
     reproduces it: ``('0x' || substr(md5(id || ':seed'), 1, 15))::BIGINT``)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 15),
-        16, 10,
-    ).cast("long")
+    from data_quality_framework_spark.functions.hashing import md5_60
+
+    return md5_60(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
 
 
 def _threshold(rate: float) -> int:
@@ -92,6 +91,9 @@ def sample_to_token_budget(
         for r in df.groupBy(F.col(strata_col).alias("s"))
         .agg(F.sum(token_col).alias("t"))
         .collect()
+        if r["t"] is not None  # all-NULL token stratum: no mass -> treated
+        # as absent (rate falls through to unbudgeted/default drop) instead
+        # of TypeError-ing the whole call (r4 review)
     }
     rates = {
         s: min(1.0, float(b) / totals[s])

@@ -41,6 +41,7 @@ from data_quality_framework_spark.plans.pipeline import (
     FilterConfig,
     compute_enriched,
     drop_reason_expr,
+    maybe_canonicalize,
     sort_key_expr,
 )
 from data_quality_framework_spark.functions.scrub import scrub_text
@@ -193,8 +194,6 @@ def resumable_pipeline(
 
     # canonicalization must precede url-hash bucketing: raw variants of one
     # canonical url must share a bucket or Phase A's collapse misses them
-    from data_quality_framework_spark.plans.pipeline import maybe_canonicalize
-
     pages = maybe_canonicalize(pages, cfg)
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
 

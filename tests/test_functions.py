@@ -352,6 +352,15 @@ def test_canonical_url(spark):
         "https://example.com:8443/a": "https://example.com:8443/a",
         "http://example.com/A/B": "http://example.com/A/B",
         "https://example.com/a?x=1&y=2": "https://example.com/a?x=1&y=2",
+        # r4 review regression: params whose names merely CONTAIN a tracking
+        # name must survive untouched (unanchored suffix match ate them)
+        "http://example.com/a?href=x&b=2": "http://example.com/a?href=x&b=2",
+        "http://example.com/a?xref=1&id=2": "http://example.com/a?xref=1&id=2",
+        "http://example.com/a?shutm_x=1&id=2": "http://example.com/a?shutm_x=1&id=2",
+        # consecutive tracking params, tracking-param-first, tracking-only
+        "http://e.com/a?utm_a=1&utm_b=2&x=1": "http://e.com/a?x=1",
+        "http://e.com/a?utm_a=1&utm_b=2": "http://e.com/a",
+        "http://e.com/a?ref=&x=1": "http://e.com/a?x=1",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = df.select(

@@ -174,6 +174,42 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     assert spark.read.parquet(store).count() == 3
 
 
+def test_incremental_store_guards(spark, tmp_path):
+    """r4 review guards: (a) a pre-created EMPTY store dir is first-batch,
+    not a crash; (b) a signature store refuses a later batch run with
+    different signature-affecting knobs (the cross-run analog of the
+    checkpoint cfg fingerprint); (c) overflow_out surfaces the capped band
+    join's accounting."""
+    import os
+
+    from data_quality_framework_spark.operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
+
+    # (a) exact store: empty dir pre-exists (mounted-volume shape)
+    estore = str(tmp_path / "pre_made_store")
+    os.makedirs(estore)
+    b = spark.createDataFrame([(1, "alpha"), (2, "alpha")], "doc_id long, text string")
+    out = {r["doc_id"]: r["is_canonical"]
+           for r in incremental_exact_dedup(spark, b, estore, "b1", "doc_id").collect()}
+    assert out == {1: True, 2: False}
+
+    # (b) + (c) signature store: knob drift refused; accounting surfaced
+    sstore = str(tmp_path / "sig_store_guard")
+    overflow: list = []
+    incremental_minhash_dedup(
+        spark, b, sstore, "b1", "doc_id", hash_fn="md5_60", bands=8, k=16,
+        overflow_out=overflow,
+    ).collect()
+    assert len(overflow) == 8  # one accounting row per band
+    assert all(r["dropped_candidate_pairs"] == 0 for r in overflow)
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_minhash_dedup(
+            spark, b, sstore, "b2", "doc_id", hash_fn="xxhash64", bands=8, k=16
+        )
+
+
 def test_exact_dup_stats(spark, docs):
     row = exact_dup_stats(docs, ["text"]).collect()[0]
     assert row["dup_groups"] == 1
@@ -825,6 +861,17 @@ def test_sample_to_token_budget(spark):
     # budget >= stratum total -> keep everything (rate clamps to 1)
     all_en = sample_to_token_budget(df, "lang", {"en": 10**9}, "doc_id", "n_tokens")
     assert all_en.count() == 1000
+
+    # r4 review: an all-NULL token stratum must not crash the call — it has
+    # no token mass, so it simply drops (like any unbudgeted stratum)
+    with_null = df.unionByName(
+        spark.createDataFrame([(9000 + i, "fr", None) for i in range(5)],
+                              "doc_id long, lang string, n_tokens int")
+    )
+    out = sample_to_token_budget(with_null, "lang", {"en": 30_000, "fr": 100},
+                                 "doc_id", "n_tokens")
+    assert out.filter(F.col("lang") == "fr").count() == 0
+    assert out.filter(F.col("lang") == "en").count() > 0
 
 
 def test_multimodal_feature_stub(spark, docs):
