@@ -257,6 +257,46 @@ def test_pipeline_canonicalize_urls_collapses_crawl_variants(spark):
         off.unpersist()
 
 
+def test_full_training_data_flow_composes(spark, pages_10k):
+    """The end-to-end production recipe chains without glue code:
+    canonicalized quality-filter pipeline -> benchmark decontamination over
+    the KEPT text -> deterministic stratified sampling of the survivors.
+    Each stage only narrows the doc set; decontamination removes exactly the
+    docs sharing n-grams with the benchmark; sampling is reproducible."""
+    from data_quality_framework_spark.operators.contamination import decontaminate
+    from data_quality_framework_spark.operators.sampling import stratified_sample
+
+    out = run_pipeline(spark, pages_10k, FilterConfig(canonicalize_urls=True),
+                       per_partition_lineage=False)
+    try:
+        kept = out.kept.select("url", "lang_detected",
+                               F.col("text_scrubbed").alias("text")).localCheckpoint()
+    finally:
+        out.unpersist()
+    n_kept = kept.count()
+    assert n_kept > 7000
+
+    # benchmark = 20 kept docs' own text -> they (and any near-verbatim
+    # siblings) must be flagged and removed
+    bench = kept.orderBy("url").limit(20).select(
+        F.col("url").alias("bench_id"), "text"
+    )
+    clean = decontaminate(kept, bench, doc_id="url", n=8)
+    n_clean = clean.count()
+    assert n_clean < n_kept          # at least the 20 sources are gone
+    assert n_kept - n_clean < 200    # but not a mass purge
+    bench_urls = {r["bench_id"] for r in bench.collect()}
+    assert clean.filter(F.col("url").isin(bench_urls)).count() == 0
+
+    sampled = stratified_sample(clean, "lang_detected", {"en": 0.5}, "url",
+                                default_rate=0.1)
+    again = stratified_sample(clean.repartition(13), "lang_detected",
+                              {"en": 0.5}, "url", default_rate=0.1)
+    s1 = {r["url"] for r in sampled.collect()}
+    s2 = {r["url"] for r in again.collect()}
+    assert s1 == s2 and 0 < len(s1) < n_clean
+
+
 def test_pipeline_overflow_accounting_on_by_default(spark, pages_10k):
     """r4 (r3 verdict #5): a DEFAULT pipeline run must carry its LSH
     cap-overflow accounting — the default cap (64) with silent drops was the
