@@ -956,6 +956,20 @@ def _q_url_canonical(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style repetition signals (r4): per-doc top-2-gram and
+    duplicated-5-gram char fractions; all masses integer so the oracle's
+    ratios are bit-identical."""
+    from data_quality_framework_spark.functions.textstats import (
+        ngram_repetition_stats,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return ngram_repetition_stats(d, "doc_id", "text", top_n=2, dup_n=5).orderBy(
+        "doc_id"
+    )
+
+
 def _q_multimodal(spark, sf):
     from data_quality_framework_spark.operators.multimodal import extract_image_features
 
@@ -1132,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination_flags": _q_contamination,
         "text_stratified_sample": _q_stratified_sample,
         "text_url_canonical": _q_url_canonical,
+        "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
@@ -1179,6 +1194,19 @@ def _shingle_list_expr(n: int = 3) -> str:
     and the pipeline oracle build on it."""
     joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
     return rf"""list_distinct(
+   CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
+         len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
+        THEN [trim(coalesce(text, ''))]
+   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}), i -> {joined})
+         FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
+   END)"""
+
+
+def _shingle_all_expr(n: int = 3) -> str:
+    """ALL shingle occurrences (with repeats) — ``_shingle_list_expr`` minus
+    the ``list_distinct`` — for count/mass-based repetition oracles."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return rf"""(
    CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
          len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
         THEN [trim(coalesce(text, ''))]
@@ -1720,6 +1748,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_incremental_near": _incremental_near_oracle_sql(),
+        # repetition oracle (r4): integer char masses -> exact sums under any
+        # order; blank docs guarded to (0, 0) on both sides
+        "text_repetition_profile": f"""
+            WITH s2 AS (SELECT doc_id, unnest({_shingle_all_expr(2)}) AS g FROM documents),
+                 c2 AS (SELECT doc_id, g, count(*) AS c FROM s2 GROUP BY 1, 2),
+                 a2 AS (SELECT doc_id,
+                               CASE WHEN sum(c * length(g)) > 0
+                                    THEN round(max(c * length(g)) * 1.0 / sum(c * length(g)), 4)
+                                    ELSE 0.0 END AS top_ngram_char_fraction
+                        FROM c2 GROUP BY doc_id),
+                 s5 AS (SELECT doc_id, unnest({_shingle_all_expr(5)}) AS g FROM documents),
+                 c5 AS (SELECT doc_id, g, count(*) AS c FROM s5 GROUP BY 1, 2),
+                 a5 AS (SELECT doc_id,
+                               CASE WHEN sum(c * length(g)) > 0
+                                    THEN round(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0) * 1.0
+                                               / sum(c * length(g)), 4)
+                                    ELSE 0.0 END AS dup_ngram_char_fraction
+                        FROM c5 GROUP BY doc_id)
+            SELECT doc_id, top_ngram_char_fraction, dup_ngram_char_fraction
+            FROM a2 JOIN a5 USING (doc_id) ORDER BY doc_id
+        """,
         # url-canonicalization oracle (r4): rebuild the messy urls, replicate
         # functions/urlnorm.py's regex chain in RE2 (DuckDB needs explicit
         # 'g' flags where Spark replaces all matches by default; replacement

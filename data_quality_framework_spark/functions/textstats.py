@@ -191,6 +191,65 @@ def bpe_ish_token_count(text: Column) -> Column:
     return pieces
 
 
+def ngram_repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+):
+    """Gopher-inspired n-gram repetition signals, per doc:
+
+    * ``top_ngram_char_fraction`` — char mass of the single most frequent
+      word ``top_n``-gram over the total ``top_n``-gram char mass (Gopher
+      flags docs where one 2-4-gram dominates — listings, keyword stuffing);
+    * ``dup_ngram_char_fraction`` — char mass of all ``dup_n``-grams
+      occurring more than once over total ``dup_n``-gram mass (Gopher's
+      duplicated-5..10-gram family — templated/repetitive spans).
+
+    Char mass of a gram = occurrences x gram length; the count-based form
+    (vs Gopher's positional non-overlap accounting) is order-independent
+    and exactly SQL-reproducible, which is what the oracle gate needs: all
+    masses are INTEGERS, so per-doc sums are exact under any summation
+    order and both engines compute bit-identical ratios. Pure JVM: explode
+    -> per-(doc, gram) count with map-side partials -> per-doc fold;
+    shuffle keys are (doc, gram-hash) — uniform, no skew. A doc whose gram
+    mass is zero (blank/null text -> one empty-string shingle) reports
+    (0.0, 0.0) instead of dividing by zero (ANSI-safe). Fractions rounded
+    to 4.
+
+    Detection signals only (like ``dup_line_fraction``); thresholding into
+    a drop rule is the caller's policy knob.
+    """
+    from data_quality_framework_spark.functions.hashing import shingles
+
+    def per_doc(n: int, top_alias: str, dup_alias: str):
+        grams = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        )
+        per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        mass = (F.col("c") * F.length("g")).cast("long")
+        total = F.sum(mass)
+        dup_mass = F.coalesce(
+            F.sum(F.when(F.col("c") > 1, mass)), F.lit(0).cast("long")
+        )
+        return per_gram.groupBy("id").agg(
+            F.when(total > 0, F.round(F.max(mass) / total, 4))
+            .otherwise(F.lit(0.0)).alias(top_alias),
+            F.when(total > 0, F.round(dup_mass / total, 4))
+            .otherwise(F.lit(0.0)).alias(dup_alias),
+        )
+
+    top = per_doc(top_n, "top_ngram_char_fraction", "__dup_top").drop("__dup_top")
+    dup = per_doc(dup_n, "__top_dup", "dup_ngram_char_fraction").drop("__top_dup")
+    return (
+        top.join(dup, "id")
+        .withColumnRenamed("id", id_col)
+        .select(id_col, "top_ngram_char_fraction", "dup_ngram_char_fraction")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 128-bit content fingerprint (hex md5 of UTF-8 bytes).
 

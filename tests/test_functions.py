@@ -372,3 +372,39 @@ def test_canonical_url(spark):
         assert r["c"] == cases[r["url"]], (r["url"], r["c"])
         assert r["c"] == r["cc"], f"not idempotent: {r['url']}"
     assert df.limit(0).select(canonical_url(F.lit(None).cast("string"))).collect() == []
+
+
+def test_ngram_repetition_stats(spark):
+    """r4: Gopher-style repetition signals — a doc dominated by one repeated
+    2-gram scores a high top fraction; a doc with a long repeated 5-gram
+    span scores a high dup fraction; diverse text scores low on both; a
+    blank doc reports (0, 0) rather than dividing by zero."""
+    from data_quality_framework_spark.functions.textstats import (
+        ngram_repetition_stats,
+    )
+
+    diverse = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, "click here " * 30),                      # one dominant 2-gram
+        (2, ("a b c d e " * 10) + diverse),           # repeated 5-gram span
+        (3, diverse),                                  # no repetition
+        (4, ""),                                       # blank
+        (5, None),                                     # null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_repetition_stats(df, "doc_id", "text").collect()}
+    # "click here click here ..." alternates two bigrams ("click here" x30,
+    # "here click" x29): the dominant one holds just over half the mass,
+    # and EVERY bigram repeats -> dup fraction 1.0
+    assert out[1]["top_ngram_char_fraction"] > 0.5
+    assert out[1]["dup_ngram_char_fraction"] == 1.0
+    # the repeated "a b c d e" span's short grams carry ~28% of the char
+    # mass against the diverse tail's longer unique grams — well above the
+    # zero of pure diverse text
+    assert out[2]["dup_ngram_char_fraction"] > 0.25
+    assert out[3]["top_ngram_char_fraction"] < 0.1
+    assert out[3]["dup_ngram_char_fraction"] == 0.0
+    for i in (4, 5):
+        assert out[i]["top_ngram_char_fraction"] == 0.0
+        assert out[i]["dup_ngram_char_fraction"] == 0.0
