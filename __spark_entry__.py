@@ -1187,19 +1187,12 @@ _NONBLANK = f"(text is not null and not regexp_matches(text, '^{_WS}*$'))"
 # ----- LSH-family oracle building blocks -------------------------------------
 
 def _shingle_list_expr(n: int = 3) -> str:
-    """Shingle SET expression over a ``text`` column (usable inside any CTE),
-    mirroring ``functions.hashing.shingles``: word n-grams; <n words (or
-    blank/null) -> [trim(text)] (space-only TRIM, like Spark F.trim). The
-    SINGLE source of this tricky expression — both the minhash-pair oracle
-    and the pipeline oracle build on it."""
-    joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
-    return rf"""list_distinct(
-   CASE WHEN text IS NULL OR regexp_matches(text, '^{_WS}*$') OR
-         len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) < {n}
-        THEN [trim(coalesce(text, ''))]
-   ELSE (SELECT list_transform(range(1, len(t) - {n - 2}), i -> {joined})
-         FROM (SELECT string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t))
-   END)"""
+    """Shingle SET (distinct) expression over a ``text`` column — the
+    minhash-pair and pipeline oracles build on it. Thin wrapper over
+    ``_shingle_all_expr``, the SINGLE source of the tricky tokenize/
+    fallback expression (a second verbatim copy would silently
+    desynchronize the oracles on any tokenization fix — r4 review)."""
+    return f"list_distinct({_shingle_all_expr(n)})"
 
 
 def _shingle_all_expr(n: int = 3) -> str:
@@ -1750,24 +1743,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_near": _incremental_near_oracle_sql(),
         # repetition oracle (r4): integer char masses -> exact sums under any
         # order; blank docs guarded to (0, 0) on both sides
+        # fractions QUANTIZED by floor(m*10000/total)/10000 — the identical
+        # double quotient + floor on both engines; round() diverges
+        # cross-engine on tie decimals (r4 review, verified: 69/800 ->
+        # Spark 0.0863 vs DuckDB 0.0862). Blank docs excluded from counting
+        # and re-attached at (0, 0).
         "text_repetition_profile": f"""
-            WITH s2 AS (SELECT doc_id, unnest({_shingle_all_expr(2)}) AS g FROM documents),
+            WITH nb AS (SELECT doc_id, text FROM documents WHERE {_NONBLANK}),
+                 s2 AS (SELECT doc_id, unnest({_shingle_all_expr(2)}) AS g FROM nb),
                  c2 AS (SELECT doc_id, g, count(*) AS c FROM s2 GROUP BY 1, 2),
                  a2 AS (SELECT doc_id,
-                               CASE WHEN sum(c * length(g)) > 0
-                                    THEN round(max(c * length(g)) * 1.0 / sum(c * length(g)), 4)
-                                    ELSE 0.0 END AS top_ngram_char_fraction
+                               floor(max(c * length(g)) * 10000.0
+                                     / sum(c * length(g))) / 10000.0 AS top_frac
                         FROM c2 GROUP BY doc_id),
-                 s5 AS (SELECT doc_id, unnest({_shingle_all_expr(5)}) AS g FROM documents),
+                 s5 AS (SELECT doc_id, unnest({_shingle_all_expr(5)}) AS g FROM nb),
                  c5 AS (SELECT doc_id, g, count(*) AS c FROM s5 GROUP BY 1, 2),
                  a5 AS (SELECT doc_id,
-                               CASE WHEN sum(c * length(g)) > 0
-                                    THEN round(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0) * 1.0
-                                               / sum(c * length(g)), 4)
-                                    ELSE 0.0 END AS dup_ngram_char_fraction
+                               floor(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0) * 10000.0
+                                     / sum(c * length(g))) / 10000.0 AS dup_frac
                         FROM c5 GROUP BY doc_id)
-            SELECT doc_id, top_ngram_char_fraction, dup_ngram_char_fraction
-            FROM a2 JOIN a5 USING (doc_id) ORDER BY doc_id
+            SELECT d.doc_id,
+                   coalesce(a2.top_frac, 0.0) AS top_ngram_char_fraction,
+                   coalesce(a5.dup_frac, 0.0) AS dup_ngram_char_fraction
+            FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # url-canonicalization oracle (r4): rebuild the messy urls, replicate
         # functions/urlnorm.py's regex chain in RE2 (DuckDB needs explicit

@@ -209,22 +209,39 @@ def ngram_repetition_stats(
 
     Char mass of a gram = occurrences x gram length; the count-based form
     (vs Gopher's positional non-overlap accounting) is order-independent
-    and exactly SQL-reproducible, which is what the oracle gate needs: all
-    masses are INTEGERS, so per-doc sums are exact under any summation
-    order and both engines compute bit-identical ratios. Pure JVM: explode
-    -> per-(doc, gram) count with map-side partials -> per-doc fold;
-    shuffle keys are (doc, gram-hash) — uniform, no skew. A doc whose gram
-    mass is zero (blank/null text -> one empty-string shingle) reports
-    (0.0, 0.0) instead of dividing by zero (ANSI-safe). Fractions rounded
-    to 4.
+    and exactly SQL-reproducible: masses are INTEGERS (exact sums under any
+    order), and each fraction is QUANTIZED to 1e-4 by ``floor(mass * 10000
+    / total) / 10000`` — both engines take the identical double quotient of
+    exact integers through the same floor, so parity is bit-exact. (r4
+    review: ``round(p/q, 4)`` is NOT cross-engine-stable — Spark rounds the
+    shortest decimal repr HALF_UP, DuckDB rounds the scaled binary double;
+    1,461 divergent p/q pairs exist below mass 58k.)
 
+    Scope and contracts (r4 review):
+
+    * blank/null-text docs score (0.0, 0.0) — they are excluded from gram
+      counting entirely (Java-``\\s``-blank, matching ``is_blank_text``;
+      a space-only vs tab-only doc previously diverged via the space-only
+      ``trim`` fallback in ``shingles``) and re-attached by left join;
+    * docs with fewer than n words form a single whole-text gram and score
+      top fraction 1.0 BY CONSTRUCTION — threshold repetition signals only
+      after a word-count floor (the pipeline's ``f_short`` precedes any
+      such rule), the same short-doc caveat as ``contamination_flags``;
+    * ``id_col`` should be non-null (a null-id row degrades to (0, 0)).
+
+    Pure JVM: explode -> per-(doc, gram) count with map-side partials ->
+    per-doc fold; shuffle keys are (doc, gram-hash) — uniform, no skew.
     Detection signals only (like ``dup_line_fraction``); thresholding into
     a drop rule is the caller's policy knob.
     """
     from data_quality_framework_spark.functions.hashing import shingles
 
-    def per_doc(n: int, top_alias: str, dup_alias: str):
-        grams = df.select(
+    scoped = df.filter(
+        F.col(text_col).isNotNull() & ~F.col(text_col).rlike(r"^\s*$")
+    )
+
+    def per_doc(n: int):
+        grams = scoped.select(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), n)).alias("g"),
         )
@@ -234,19 +251,23 @@ def ngram_repetition_stats(
         dup_mass = F.coalesce(
             F.sum(F.when(F.col("c") > 1, mass)), F.lit(0).cast("long")
         )
+        q = lambda m: F.floor(m * 10000 / total) / 10000.0  # noqa: E731
         return per_gram.groupBy("id").agg(
-            F.when(total > 0, F.round(F.max(mass) / total, 4))
-            .otherwise(F.lit(0.0)).alias(top_alias),
-            F.when(total > 0, F.round(dup_mass / total, 4))
-            .otherwise(F.lit(0.0)).alias(dup_alias),
+            F.when(total > 0, q(F.max(mass))).otherwise(F.lit(0.0)).alias("top_frac"),
+            F.when(total > 0, q(dup_mass)).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
 
-    top = per_doc(top_n, "top_ngram_char_fraction", "__dup_top").drop("__dup_top")
-    dup = per_doc(dup_n, "__top_dup", "dup_ngram_char_fraction").drop("__top_dup")
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    top = per_doc(top_n).select("id", "top_frac")
+    dup = per_doc(dup_n).select("id", "dup_frac")
     return (
-        top.join(dup, "id")
-        .withColumnRenamed("id", id_col)
-        .select(id_col, "top_ngram_char_fraction", "dup_ngram_char_fraction")
+        ids.join(top, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("top_frac", F.lit(0.0)).alias("top_ngram_char_fraction"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_ngram_char_fraction"),
+        )
     )
 
 

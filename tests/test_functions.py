@@ -390,6 +390,8 @@ def test_ngram_repetition_stats(spark):
         (3, diverse),                                  # no repetition
         (4, ""),                                       # blank
         (5, None),                                     # null
+        (6, "\t\t"),                                   # tab-only blank (r4
+        # review: space-only trim in the shingle fallback scored this 1.0)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in
@@ -405,6 +407,7 @@ def test_ngram_repetition_stats(spark):
     assert out[2]["dup_ngram_char_fraction"] > 0.25
     assert out[3]["top_ngram_char_fraction"] < 0.1
     assert out[3]["dup_ngram_char_fraction"] == 0.0
-    for i in (4, 5):
+    for i in (4, 5, 6):  # every flavor of blank scores (0, 0)
         assert out[i]["top_ngram_char_fraction"] == 0.0
         assert out[i]["dup_ngram_char_fraction"] == 0.0
+    assert len(out) == 6  # blank docs are re-attached, not dropped
