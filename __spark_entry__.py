@@ -870,7 +870,7 @@ def _q_dedup_incremental_near(spark, sf):
 
     d = (
         _t(spark, sf, "documents")
-        .filter(F.col("text").isNotNull() & ~F.col("text").rlike(r"^\s*$"))
+        .filter(~TS.is_blank(F.col("text")))  # == the oracle's _NONBLANK
         .select("doc_id", "text")
     )
     b1 = d.filter(F.col("doc_id") % 2 == 0)
@@ -905,7 +905,7 @@ def _q_contamination(spark, sf):
 
     d = (
         _t(spark, sf, "documents")
-        .filter(F.col("text").isNotNull() & ~F.col("text").rlike(r"^\s*$"))
+        .filter(~TS.is_blank(F.col("text")))  # == the oracle's _NONBLANK
         .select("doc_id", "text")
     )
     bench = d.filter(F.col("doc_id") % 50 == 0).withColumnRenamed(
@@ -1786,24 +1786,28 @@ def oracle_sql() -> dict[str, str]:
             split AS (SELECT doc_id, u,
                              regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pre
                       FROM defrag),
+            pq AS (SELECT doc_id, pre,
+                          regexp_extract(substring(u, length(pre) + 1), '^([^?]*)', 1) AS pth,
+                          substring(u, length(pre) + 1) AS rest
+                   FROM split),
             canon AS (
               SELECT doc_id,
                 regexp_replace(
                   regexp_replace(
                     lower(pre), '^(http://[^/?#]*):80$', '\1'),
                   '^(https://[^/?#]*):443$', '\1')
-                ||
+                || pth ||
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(
-                        regexp_replace(substring(u, length(pre) + 1),
+                        regexp_replace(substring(rest, length(pth) + 1),
                           '&(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
                         '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
                       '\?(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*$', ''),
                     '\?&', '?', 'g'),
                   '[?&]$', '') AS url_canon
-              FROM split)
+              FROM pq)
             SELECT doc_id, url_canon FROM canon ORDER BY doc_id
         """,
         # stratified-sampling oracle (r4): identical md5-derived 60-bit hash

@@ -601,9 +601,14 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
     ``reached`` is a DISTINCT id set, so ``total`` counts distinct ids too
     (r3 advice: the raw row count flagged duplicate node ids as "unreached"
     even when reachable; on a unique-keyed table the two are identical, and
-    the duplicate count is surfaced separately in details). ``nodes`` is
-    persisted for the walk — each BFS level re-joins against it, and an
-    un-persisted plan re-executed the source scan once per level.
+    the duplicate count is surfaced separately in details). NULL-id rows
+    are excluded from the walk AND the totals before anything else (r4
+    review: countDistinct skips NULLs but a null-id root row still entered
+    ``reached`` — negative violation counts — and a null-id child row never
+    matched the anti-join, so the BFS burned every level on it); their
+    count is surfaced in details. ``nodes`` is persisted for the walk —
+    each BFS level re-joins against it, and an un-persisted plan
+    re-executed the source scan once per level.
     """
     id_col = rule.column or rule.p("id_column")
     parent_col = rule.p("parent_column")
@@ -611,8 +616,10 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
         raise ValueError(f"{rule.rule_id}: hierarchy rule needs column + parent_column")
     max_depth = int(rule.p("max_depth", 100))
 
-    nodes = df.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent")).persist()
+    raw = df.select(F.col(id_col).alias("id"), F.col(parent_col).alias("parent"))
+    nodes = raw.filter(F.col("id").isNotNull()).persist()
     try:
+        null_id_rows = raw.filter(F.col("id").isNull()).count()
         counts = nodes.agg(
             F.count(F.lit(1)).alias("rows"), F.countDistinct("id").alias("ids")
         ).collect()[0]
@@ -642,6 +649,7 @@ def run_hierarchy_rule(df: DataFrame, rule: Rule) -> CheckResult:
             "records_in_hierarchy": in_hierarchy,
             "total_records": total,
             "duplicate_node_id_rows": total_rows - total,
+            "null_id_rows": null_id_rows,
             "max_depth": max_depth,
             "levels_walked": level,
         },

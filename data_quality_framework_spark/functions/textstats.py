@@ -236,9 +236,7 @@ def ngram_repetition_stats(
     """
     from data_quality_framework_spark.functions.hashing import shingles
 
-    scoped = df.filter(
-        F.col(text_col).isNotNull() & ~F.col(text_col).rlike(r"^\s*$")
-    )
+    scoped = df.filter(~is_blank(F.col(text_col)))
 
     def per_doc(n: int):
         grams = scoped.select(

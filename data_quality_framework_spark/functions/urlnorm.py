@@ -46,14 +46,19 @@ def canonical_url(url: Column) -> Column:
     prefix = F.lower(prefix)                                    # 2. case
     prefix = F.regexp_replace(prefix, "^(http://[^/?#]*):80$", "$1")   # 3. ports
     prefix = F.regexp_replace(prefix, "^(https://[^/?#]*):443$", "$1")
+    # param rules operate on the QUERY STRING only — RFC 3986 allows '&' in
+    # paths, and an unsplit '&ref=...' rule would eat path tails like
+    # '/a&ref=deals', collapsing distinct pages (r4 review)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.substring(rest, F.length(path) + 1, F.lit(2**31 - 1))
     # 4. tracking params, three lookahead-free anchored rules (RE2-safe for
     #    the oracle): (a) every '&'-separated one — each match consumes its
     #    OWN leading '&', so consecutive tracking params are all removed in
     #    one global pass; (b) a first param with a successor (successor's
     #    separator promoted to '?'); (c) a sole remaining first param
-    rest = F.regexp_replace(rest, f"&{_PARAM}", "")
-    rest = F.regexp_replace(rest, f"\\?{_PARAM}&", "?")
-    rest = F.regexp_replace(rest, f"\\?{_PARAM}$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")                  # 5. debris
-    rest = F.regexp_replace(rest, "[?&]$", "")                  #    (malformed
-    return F.concat(prefix, rest)                               #    inputs only)
+    query = F.regexp_replace(query, f"&{_PARAM}", "")
+    query = F.regexp_replace(query, f"\\?{_PARAM}&", "?")
+    query = F.regexp_replace(query, f"\\?{_PARAM}$", "")
+    query = F.regexp_replace(query, r"\?&", "?")                # 5. debris
+    query = F.regexp_replace(query, "[?&]$", "")                #    (malformed
+    return F.concat(prefix, path, query)                        #    inputs only)

@@ -94,20 +94,32 @@ def _read_prior_store(spark, store_path: str, batch_id: str):
         return None
 
 
-def _pin_store_params(store_path: str, params: dict) -> None:
+def _pin_store_params(spark, store_path: str, params: dict) -> None:
     """Persist the store's signature-affecting parameters on first use and
     REFUSE later batches run with different ones — the cross-run analog of
     checkpoint.py's cfg fingerprint: e.g. xxhash64-vs-md5_60 signatures
     never band-match, so a knob drift would silently keep every cross-run
-    near-dup (r4 review)."""
-    import json
-    import os
+    near-dup (r4 review).
 
-    os.makedirs(store_path, exist_ok=True)
-    pf = os.path.join(store_path, "_store_params.json")
-    if os.path.exists(pf):
-        with open(pf) as f:
-            stored = json.load(f)
+    Goes through Spark's Hadoop filesystem layer, NOT the driver-local
+    ``os`` module, so the pin lives NEXT TO the store on whatever
+    filesystem holds it (s3a://, hdfs://, file://) — a local-only pin would
+    be a silent no-op for exactly the multi-host production runs the guard
+    exists for (r4 review)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_path + "/_store_params.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        stream = fs.open(hpath)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8")
+        finally:
+            stream.close()
+        stored = json.loads(raw)
         if stored != params:
             raise ValueError(
                 f"store {store_path} was built with {stored}; refusing to run "
@@ -115,8 +127,11 @@ def _pin_store_params(store_path: str, params: dict) -> None:
                 "cross-run duplicates. Use a new store (or the original knobs)."
             )
     else:
-        with open(pf, "w") as f:
-            json.dump(params, f)
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(json.dumps(params).encode("utf-8")))
+        finally:
+            out.close()
 
 
 def incremental_exact_dedup(
@@ -165,8 +180,13 @@ def incremental_exact_dedup(
     ).distinct()
     fresh = batch_canon if seen is None else batch_canon.join(seen, "__digest", "left_anti")
     # eager + lineage-truncated: the store write below must not feed back
-    # into the (lazy) result plan's anti-join
-    fresh = fresh.localCheckpoint()
+    # into the (lazy) result plan's anti-join. __fresh marks membership so
+    # the keep expression can distinguish "fresh digest with an all-null-id
+    # group" (canon NULL -> every row keeps, matching exact_dedup's
+    # off-contract semantics; previously such content was registered in the
+    # store but NO row was ever flagged canonical — r4 review) from "digest
+    # already seen" (no match -> drop).
+    fresh = fresh.withColumn("__fresh", F.lit(True)).localCheckpoint()
     (
         fresh.select(
             F.col("__digest").alias("digest"),
@@ -179,10 +199,13 @@ def incremental_exact_dedup(
         keyed.join(fresh, "__digest", "left")
         .withColumn(
             keep_col,
-            F.col("__canon").isNotNull()
-            & F.coalesce(F.col(id_col) == F.col("__canon"), F.lit(False)),
+            F.coalesce(F.col("__fresh"), F.lit(False))
+            & (
+                F.col("__canon").isNull()
+                | F.coalesce(F.col(id_col) == F.col("__canon"), F.lit(False))
+            ),
         )
-        .drop("__digest", "__canon")
+        .drop("__digest", "__canon", "__fresh")
     )
 
 
@@ -237,7 +260,7 @@ def incremental_minhash_dedup(
     band join (same contract as the pipeline's ``lsh_overflow``) — without
     it a capped run's recall loss is silent.
     """
-    _pin_store_params(store_path, {
+    _pin_store_params(spark, store_path, {
         "k": k, "bands": bands, "shingle_n": shingle_n, "hash_fn": hash_fn,
         "min_jaccard": min_jaccard, "bucket_cap": bucket_cap,
     })

@@ -30,10 +30,16 @@ _HASH_BITS = 60
 
 def hash60(id_col: Column, seed: int = 42) -> Column:
     """Deterministic uniform 60-bit hash of an id (md5-derived so DuckDB
-    reproduces it: ``('0x' || substr(md5(id || ':seed'), 1, 15))::BIGINT``)."""
+    reproduces it: ``('0x' || substr(md5(id || ':seed'), 1, 15))::BIGINT``).
+
+    NULL-safe: a null id hashes as the empty string (one shared verdict for
+    all null-id rows) rather than propagating NULL into the sampling filter
+    and silently dropping the row even at rate 1.0 (r4 review)."""
     from data_quality_framework_spark.functions.hashing import md5_60
 
-    return md5_60(F.concat(id_col.cast("string"), F.lit(f":{seed}")))
+    return md5_60(
+        F.concat(F.coalesce(id_col.cast("string"), F.lit("")), F.lit(f":{seed}"))
+    )
 
 
 def _threshold(rate: float) -> int:

@@ -55,17 +55,37 @@ META_COLS = [
 ]
 
 
+#: FilterConfig fields that do NOT affect checkpoint artifacts — excluded
+#: from the fingerprint so toggling them never invalidates a partial run:
+#: overflow accounting only annotates lineage records.
+_FP_LINEAGE_ONLY = {"account_lsh_overflow"}
+#: additive knobs OMITTED from the fingerprint at their inert default, so
+#: introducing a new default-off knob does not orphan pre-existing partial
+#: checkpoints (r4 review: the r4 field additions changed the default
+#: config's fingerprint and forced full recomputes of byte-identical
+#: Phase-A buckets).
+_FP_OMIT_AT_DEFAULT = {"canonicalize_urls": False}
+
+
 def cfg_fingerprint(cfg) -> str:
-    """Stable digest of the full FilterConfig. A resumed run MUST use the
-    exact config of the partial run it continues: any changed knob — minhash
-    hash family (r3's ``minhash_hash``), banding, thresholds, pinned run_ts —
-    makes already-done buckets incompatible with freshly computed ones
-    (e.g. xxhash64 vs md5_60 signatures never band-match, silently losing
-    cross-bucket near-dups)."""
+    """Stable digest of the ARTIFACT-AFFECTING FilterConfig fields. A
+    resumed run MUST use the exact artifact config of the partial run it
+    continues: any changed knob — minhash hash family (r3's
+    ``minhash_hash``), banding, thresholds, pinned run_ts, url
+    canonicalization — makes already-done buckets incompatible with freshly
+    computed ones (e.g. xxhash64 vs md5_60 signatures never band-match,
+    silently losing cross-bucket near-dups). Lineage-only knobs are
+    excluded and new default-off knobs are omitted at their default (see
+    the constants above), so upgrades don't orphan valid checkpoints."""
     import dataclasses
     import hashlib
 
-    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    d = {
+        k: v
+        for k, v in dataclasses.asdict(cfg).items()
+        if k not in _FP_LINEAGE_ONLY and _FP_OMIT_AT_DEFAULT.get(k, object()) != v
+    }
+    blob = json.dumps(d, sort_keys=True, default=str)
     return hashlib.md5(blob.encode("utf-8")).hexdigest()
 
 

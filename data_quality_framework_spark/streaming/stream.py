@@ -88,10 +88,11 @@ def streaming_url_dedup(
       batches forever).
     * ``event_time_ttl_seconds`` (r4) — EVENT-time crawl window keyed on
       ``warc_ts``, the mode that works under ``Trigger.AvailableNow`` (the
-      reference's cron cadence, scripts/setup_crontab.sh:44-47): a sighting
-      whose ``warc_ts`` is more than the TTL past the url's last-seen event
-      time is a NEW crawl and re-emits. Expiry is decided from the DATA
-      (batch-min vs stored last-seen delta), so it is deterministic and
+      reference's cron cadence, scripts/setup_crontab.sh:44-47): a batch
+      containing a sighting whose ``warc_ts`` is more than the TTL past the
+      url's last-seen event time opens a NEW crawl and re-emits (canonical
+      chosen among that batch's rows). Expiry is decided from the DATA
+      (batch-max vs stored last-seen delta), so it is deterministic and
       trigger-independent; the ``EventTimeTimeout`` timer + watermark serve
       only as state GC — the store drops a url's state once the watermark
       passes last_seen + TTL, which cannot change semantics because any
@@ -186,13 +187,19 @@ def streaming_url_dedup(
             return  # zero-row invocation without timeout: nothing to do
         # gap check engages only once a REAL event time is stored (> 0):
         # last_seen == -1 (null-ts-only first sighting) must not make every
-        # later real-ts sighting look like a new crawl
+        # later real-ts sighting look like a new crawl. The gap compares
+        # BATCH-MAX against last_seen: a micro-batch mixing an in-window
+        # straggler with an over-the-window recrawl must still OPEN the new
+        # crawl (batch-min would suppress it, then advance last_seen past
+        # the recrawl — permanently swallowing it; r4 review). The trade is
+        # bounded over-emission — a straggler-only batch whose max just
+        # crosses the TTL re-emits once — vs unbounded silent loss.
         new_crawl = (not state.exists) or (
             ett_ms is not None
             and last_seen is not None
             and last_seen > 0
-            and batch_min_ms is not None
-            and batch_min_ms - last_seen > ett_ms
+            and batch_max_ms is not None
+            and batch_max_ms - last_seen > ett_ms
         )
         seen = [x for x in (last_seen, batch_max_ms) if x is not None]
         new_last = max(seen) if seen else -1

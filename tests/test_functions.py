@@ -361,6 +361,10 @@ def test_canonical_url(spark):
         "http://e.com/a?utm_a=1&utm_b=2&x=1": "http://e.com/a?x=1",
         "http://e.com/a?utm_a=1&utm_b=2": "http://e.com/a",
         "http://e.com/a?ref=&x=1": "http://e.com/a?x=1",
+        # r4 review: RFC 3986 allows '&' in PATHS — param rules must only
+        # touch the query string, never a '/a&ref=...' path tail
+        "http://e.com/a&ref=deals": "http://e.com/a&ref=deals",
+        "http://e.com/a&ref=deals?utm_a=1&x=2": "http://e.com/a&ref=deals?x=2",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = df.select(
