@@ -229,43 +229,64 @@ def ngram_repetition_stats(
       such rule), the same short-doc caveat as ``contamination_flags``;
     * ``id_col`` should be non-null (a null-id row degrades to (0, 0)).
 
-    Pure JVM: explode -> per-(doc, gram) count with map-side partials ->
-    per-doc fold; shuffle keys are (doc, gram-hash) — uniform, no skew.
-    Detection signals only (like ``dup_line_fraction``); thresholding into
-    a drop rule is the caller's policy knob.
+    Pure JVM, ONE corpus pass, zero joins (r5 — was one scan+shuffle chain
+    PER gram size plus an id re-scan and a double left join): both gram
+    families explode from a single scan, each gram tagged with its ``n``;
+    blank docs carry an EMPTY gram array whose ``explode_outer`` null-gram
+    row keeps the doc alive through the aggregation (null mass -> null
+    total -> the 0.0 branch), so no re-attach join is needed. Shuffle keys
+    are (doc, n, gram-hash) — uniform, no skew. Detection signals only
+    (like ``dup_line_fraction``); thresholding into a drop rule is the
+    caller's policy knob.
     """
     from data_quality_framework_spark.functions.hashing import shingles
 
-    scoped = df.filter(~is_blank(F.col(text_col)))
-
-    def per_doc(n: int):
-        grams = scoped.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), n)).alias("g"),
-        )
-        per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
-        mass = (F.col("c") * F.length("g")).cast("long")
-        total = F.sum(mass)
-        dup_mass = F.coalesce(
-            F.sum(F.when(F.col("c") > 1, mass)), F.lit(0).cast("long")
-        )
-        q = lambda m: F.floor(m * 10000 / total) / 10000.0  # noqa: E731
-        return per_gram.groupBy("id").agg(
-            F.when(total > 0, q(F.max(mass))).otherwise(F.lit(0.0)).alias("top_frac"),
-            F.when(total > 0, q(dup_mass)).otherwise(F.lit(0.0)).alias("dup_frac"),
-        )
-
-    ids = df.select(F.col(id_col).alias("id")).distinct()
-    top = per_doc(top_n).select("id", "top_frac")
-    dup = per_doc(dup_n).select("id", "dup_frac")
-    return (
-        ids.join(top, "id", "left")
-        .join(dup, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("top_frac", F.lit(0.0)).alias("top_ngram_char_fraction"),
-            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_ngram_char_fraction"),
-        )
+    # one struct per DISTINCT gram size (top_n == dup_n must not double the
+    # counts — both fractions then read from the same n-group)
+    ns = [top_n] if top_n == dup_n else [top_n, dup_n]
+    blank = is_blank(F.col(text_col))
+    fam = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.when(~blank, shingles(F.col(text_col), n))
+                    .otherwise(F.array().cast("array<string>"))
+                    .alias("gs"),
+                )
+                for n in ns
+            ])
+        ).alias("fam"),
+    )
+    grams = fam.select(
+        "id", F.col("fam.n").alias("n"), F.explode_outer("fam.gs").alias("g")
+    )
+    per_gram = grams.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    # null gram (blank doc): null mass is excluded from every sum, total
+    # goes null, and `when(total > 0, ...)` falls through to the 0.0 branch
+    mass = (F.col("c") * F.length("g")).cast("long")
+    total = F.sum(mass)
+    dup_mass = F.coalesce(
+        F.sum(F.when(F.col("c") > 1, mass)), F.lit(0).cast("long")
+    )
+    q = lambda m: F.floor(m * 10000 / total) / 10000.0  # noqa: E731
+    per_doc_n = per_gram.groupBy("id", "n").agg(
+        F.when(total > 0, q(F.max(mass))).otherwise(F.lit(0.0)).alias("top_frac"),
+        F.when(total > 0, q(dup_mass)).otherwise(F.lit(0.0)).alias("dup_frac"),
+    )
+    return per_doc_n.groupBy("id").agg(
+        F.max(F.when(F.col("n") == top_n, F.col("top_frac"))).alias("top_frac"),
+        F.max(F.when(F.col("n") == dup_n, F.col("dup_frac"))).alias("dup_frac"),
+    ).select(
+        F.col("id").alias(id_col),
+        # null-id degrade to (0, 0), matching the r4 join-based contract
+        F.when(F.col("id").isNull(), F.lit(0.0))
+        .otherwise(F.coalesce("top_frac", F.lit(0.0)))
+        .alias("top_ngram_char_fraction"),
+        F.when(F.col("id").isNull(), F.lit(0.0))
+        .otherwise(F.coalesce("dup_frac", F.lit(0.0)))
+        .alias("dup_ngram_char_fraction"),
     )
 
 
