@@ -91,7 +91,9 @@ def streaming_url_dedup(
       reference's cron cadence, scripts/setup_crontab.sh:44-47): a batch
       containing a sighting whose ``warc_ts`` is more than the TTL past the
       url's last-seen event time opens a NEW crawl and re-emits (canonical
-      chosen among that batch's rows). Expiry is decided from the DATA
+      chosen among the batch's rows that belong to the NEW window — warc_ts
+      past last_seen + TTL — so an in-window straggler sharing the batch
+      cannot hijack the re-emission with old-window content; r5). Expiry is decided from the DATA
       (batch-max vs stored last-seen delta), so it is deterministic and
       trigger-independent; the ``EventTimeTimeout`` timer + watermark serve
       only as state GC — the store drops a url's state once the watermark
@@ -126,9 +128,7 @@ def streaming_url_dedup(
     first sighting followed by a real-ts recrawl is NOT spuriously
     re-emitted.
     """
-    import hashlib
-
-    import pandas as pd
+    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if ttl_seconds is not None and event_time_ttl_seconds is not None:
@@ -150,15 +150,34 @@ def streaming_url_dedup(
             # the next sighting of this url is a NEW crawl and re-emits
             state.remove()
             return
-        last_seen = state.get[1] if state.exists else None
+        existed = state.exists
+        last_seen = state.get[1] if existed else None
         # the canonical row is needed when the url is unseen, and in
         # event-time mode also when this batch might open a NEW crawl window
-        # (the gap check needs the full batch's min ts, so it runs after the
-        # scan) — one md5 per row of the group's batch in that mode
-        need_canon = (not state.exists) or ett_ms is not None
+        # (the gap check needs the full batch's max ts, so it runs after the
+        # scan). Content md5 arrives as a JVM column (text_md5, computed by
+        # codegen before the shuffle) — the Python side only sorts (r5;
+        # previously a per-row hashlib loop ran here).
+        need_canon = (not existed) or ett_ms is not None
+        # rows past this event-time cutoff belong to a NEW crawl window;
+        # known before the scan (state is read first), so the recrawl
+        # canonical can be tracked in the same pass
+        cutoff = (
+            last_seen + ett_ms
+            if ett_ms is not None and last_seen is not None and last_seen > 0
+            else None
+        )
+
+        def better(head, cur):
+            return cur is None or (
+                (head["warc_ts"].iloc[0], head["text_md5"].iloc[0])
+                < (cur["warc_ts"].iloc[0], cur["text_md5"].iloc[0])
+            )
+
         best = None
+        best_recrawl = None
         saw_rows = False
-        batch_min_ms = batch_max_ms = None
+        batch_max_ms = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -167,22 +186,23 @@ def streaming_url_dedup(
             # poison the epoch cast; null-ts rows still count for emission
             if len(ts):
                 ts_ms = ts.astype("int64") // 1_000_000
-                lo, hi = int(ts_ms.min()), int(ts_ms.max())
-                batch_min_ms = lo if batch_min_ms is None else min(batch_min_ms, lo)
+                hi = int(ts_ms.max())
                 batch_max_ms = hi if batch_max_ms is None else max(batch_max_ms, hi)
             if not need_canon:
                 continue
-            pdf = pdf.assign(
-                __md5=pdf["text"].fillna("").map(
-                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-                )
-            ).sort_values(["warc_ts", "__md5"], kind="stable")
-            head = pdf.head(1)
-            if best is None or (
-                (head["warc_ts"].iloc[0], head["__md5"].iloc[0])
-                < (best["warc_ts"].iloc[0], best["__md5"].iloc[0])
-            ):
+            head = pdf.sort_values(["warc_ts", "text_md5"], kind="stable").head(1)
+            if better(head, best):
                 best = head
+            if cutoff is not None:
+                over = pdf[pdf["warc_ts"].notna()]
+                if len(over):
+                    over = over[over["warc_ts"].astype("int64") // 1_000_000 > cutoff]
+                if len(over):
+                    ohead = over.sort_values(
+                        ["warc_ts", "text_md5"], kind="stable"
+                    ).head(1)
+                    if better(ohead, best_recrawl):
+                        best_recrawl = ohead
         if not saw_rows:
             return  # zero-row invocation without timeout: nothing to do
         # gap check engages only once a REAL event time is stored (> 0):
@@ -213,9 +233,22 @@ def streaming_url_dedup(
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(new_last + ett_ms, wm + 1))
         if new_crawl and best is not None:
-            yield best[["url", "warc_ts", "lang", "text"]]
+            # when a NEW crawl opens over existing state, the canonical must
+            # come from the new window's rows (warc_ts past last_seen + ttl)
+            # — the batch-wide min would re-emit an OLD window straggler's
+            # content and swallow the actual recrawl row (r4 advice). A
+            # crawl-opening batch always has at least one over-cutoff row
+            # (batch-max exceeded the cutoff), so the full-batch fallback
+            # only covers the defensive corner of an absent recrawl pick.
+            pick = best_recrawl if (existed and best_recrawl is not None) else best
+            yield pick[["url", "warc_ts", "lang", "text"]]
 
-    src = pages.select("url", "warc_ts", "lang", "text")
+    src = pages.select(
+        "url", "warc_ts", "lang", "text",
+        F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias(
+            "text_md5"
+        ),
+    )
     if event_time_ttl_seconds is not None:
         src = src.withWatermark("warc_ts", watermark_delay)
     return src.groupBy("url").applyInPandasWithState(

@@ -228,6 +228,58 @@ def test_streaming_url_dedup_event_time_ttl_available_now(spark, tmp_path):
     assert run_once() == ["alpha", "alpha-new-crawl", "bravo"]
 
 
+def test_streaming_event_ttl_recrawl_canonical_not_straggler(spark, tmp_path):
+    """r5 (r4 advice): a micro-batch mixing an in-window STRAGGLER with an
+    over-TTL RECRAWL opens a new crawl (batch-max gap check) — and the row
+    it re-emits must be the recrawl's content, not the straggler's: the
+    batch-wide min-(warc_ts, md5) pick would re-publish the OLD window's
+    content as the new crawl's canonical and swallow the recrawl row."""
+    import datetime as dt
+
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import streaming_url_dedup
+
+    ts = dt.datetime(2024, 5, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "sin")
+
+    def write(specs):
+        rows = [(u, ts + dt.timedelta(minutes=m), None, t, "en") for u, m, t in specs]
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def run_once():
+        q = (
+            streaming_url_dedup(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir),
+                event_time_ttl_seconds=3600.0,
+                watermark_delay="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sout"))
+            .option("checkpointLocation", str(tmp_path / "sckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            r["text"] for r in spark.read.parquet(str(tmp_path / "sout")).collect()
+        )
+
+    write([("http://a/1", 0, "alpha")])
+    assert run_once() == ["alpha"]
+
+    # ONE batch: straggler 10 min in (same window) + recrawl 3 h later
+    # (opens a new crawl). The new crawl's canonical must be the recrawl.
+    write([
+        ("http://a/1", 10, "alpha-straggler"),
+        ("http://a/1", 180, "alpha-recrawl"),
+    ])
+    assert run_once() == ["alpha", "alpha-recrawl"]
+
+
 def test_streaming_event_ttl_null_ts_not_spuriously_reemitted(spark, tmp_path):
     """r4 review: a url FIRST seen with only null warc_ts rows (nullable raw
     ingestion schema — PAGES_SCHEMA itself is non-nullable) stores the -1
