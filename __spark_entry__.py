@@ -880,10 +880,21 @@ def _q_dedup_incremental_near(spark, sf):
     try:
         frames = []
         for bid, batch in (("1", b1), ("2", b2)):
+            overflow: list = []
             out = incremental_minhash_dedup(
                 spark, batch, store, bid, "doc_id",
                 k=16, bands=8, shingle_n=3, min_jaccard=0.5, hash_fn="md5_60",
+                overflow_out=overflow,
             )
+            # the oracle models NO bucket cap: any cap-dropped candidate
+            # pair would silently diverge the gate on a data-tier change,
+            # so make it loud instead (r4 advice)
+            dropped = sum(r["dropped_candidate_pairs"] for r in overflow)
+            if dropped:
+                raise AssertionError(
+                    f"bucket_cap truncated {dropped} candidate pairs at this "
+                    "tier; the uncapped oracle would diverge"
+                )
             frames.append(
                 out.select(
                     F.lit(int(bid)).alias("batch_id"), "doc_id", "is_canonical_near"
@@ -1500,9 +1511,12 @@ hl AS (SELECT doc_id, bt,
        FROM shg),
 sg AS (SELECT doc_id, bt, [{sig_terms}] AS sig FROM hl),
 cand AS (
+  -- within-batch precedence is md5(id) HASH order, mirroring the Spark
+  -- side's width-safe md5 pair keys (r5); cross-batch: batch 1 wins
   SELECT a.doc_id AS ia, a.bt AS ba, b.doc_id AS ib, b.bt AS bb
   FROM sg a JOIN sg b
-    ON (a.bt < b.bt OR (a.bt = b.bt AND a.doc_id < b.doc_id))
+    ON (a.bt < b.bt OR (a.bt = b.bt
+        AND md5(CAST(a.doc_id AS VARCHAR)) < md5(CAST(b.doc_id AS VARCHAR))))
   WHERE ({band_or}) AND ({matches}) * 1.0 / 16 >= 0.5),
 l1 AS (SELECT DISTINCT c.ib AS doc_id
        FROM cand c JOIN shg xa ON xa.doc_id = c.ia JOIN shg xb ON xb.doc_id = c.ib

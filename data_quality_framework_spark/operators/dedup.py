@@ -99,7 +99,9 @@ def _pin_store_params(spark, store_path: str, params: dict) -> None:
     REFUSE later batches run with different ones — the cross-run analog of
     checkpoint.py's cfg fingerprint: e.g. xxhash64-vs-md5_60 signatures
     never band-match, so a knob drift would silently keep every cross-run
-    near-dup (r4 review).
+    near-dup (r4 review). A pin guarding an EMPTY store (no batch_id=*
+    partitions yet, e.g. after a failed first batch) is overwritten rather
+    than enforced — no old-knob signatures exist to protect (r5).
 
     Goes through Spark's Hadoop filesystem layer, NOT the driver-local
     ``os`` module, so the pin lives NEXT TO the store on whatever
@@ -121,11 +123,27 @@ def _pin_store_params(spark, store_path: str, params: dict) -> None:
             stream.close()
         stored = json.loads(raw)
         if stored != params:
-            raise ValueError(
-                f"store {store_path} was built with {stored}; refusing to run "
-                f"a batch with {params} — mixed regimes silently miss "
-                "cross-run duplicates. Use a new store (or the original knobs)."
+            # an EMPTY store (params file only, no batch_id=* data — e.g.
+            # the first batch failed after pinning) carries no signatures
+            # computed under the old knobs, so re-pinning is safe; without
+            # this, a corrected re-run is refused until the dir is manually
+            # deleted (r4 advice)
+            has_data = any(
+                s.getPath().getName().startswith("batch_id=")
+                for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path))
             )
+            if has_data:
+                raise ValueError(
+                    f"store {store_path} was built with {stored}; refusing to "
+                    f"run a batch with {params} — mixed regimes silently miss "
+                    "cross-run duplicates. Use a new store (or the original "
+                    "knobs)."
+                )
+            out = fs.create(hpath, True)
+            try:
+                out.write(bytearray(json.dumps(params).encode("utf-8")))
+            finally:
+                out.close()
     else:
         out = fs.create(hpath, True)
         try:
@@ -224,6 +242,7 @@ def incremental_minhash_dedup(
     bucket_cap: int = 64,
     keep_col: str = "is_canonical_near",
     overflow_out: list | None = None,
+    prior_text_path: str | None = None,
 ) -> DataFrame:
     """Cross-RUN near-dup suppression: dedup a new crawl batch against every
     prior batch's KEPT content via a persisted MinHash-signature store.
@@ -238,10 +257,17 @@ def incremental_minhash_dedup(
        with the batch pipeline), keeping candidate pairs that involve at
        least one new document;
     3. VERIFIES candidates with exact n-gram Jaccard computed over the new
-       batch's text (store partners are verified on signature estimate only
-       — their text is no longer available, by design: the store never
-       holds text). A new doc loses to any verified prior-batch partner
-       (first-seen-wins) or to a smaller-id new partner;
+       batch's text. Store partners are verified on signature estimate only
+       by default — their text is not in the store (the store never holds
+       text) — unless ``prior_text_path`` points at the prior batches' kept
+       rows (parquet with ``id_col`` + ``text_col``; globs ok): then ONLY
+       the candidate partners' text is re-read (broadcast semi-join pruned)
+       and store-new pairs get the same exact-Jaccard verify as new-new
+       pairs, with partners missing from that path falling back to the
+       estimate. A new doc loses to any verified prior-batch partner
+       (first-seen-wins) or to the new partner with the smaller md5(id)
+       (hash order — width-safe for arbitrarily long ids; r5, replacing a
+       64-char lpad that silently truncated longer ids);
     4. appends the SURVIVING new docs' signatures to the store under
        ``batch_id=<id>/`` (directory overwrite -> idempotent re-runs).
 
@@ -280,12 +306,14 @@ def incremental_minhash_dedup(
     # the new batch's rows in executor storage twice (r4 review)
     allsigs = allsigs.persist()
     try:
-        # pair key = prefix + zero-padded id: "a:" (archived/store) sorts
-        # before "n:" (new), so in every mixed pair the NEW doc is id_b (the
-        # loser side); padding keeps numeric ids in numeric order under the
-        # band join's lexicographic (id_a < id_b) — "10" < "9" otherwise.
-        # NB lpad TRUNCATES longer inputs: ids must stringify to <= 64 chars
-        pad = lambda c: F.lpad(c, 64, "0")  # noqa: E731
+        # pair key = prefix + md5(id): "a:" (archived/store) sorts before
+        # "n:" (new), so in every mixed pair the NEW doc is id_b (the loser
+        # side). The id is keyed by its 32-hex-char md5 — FIXED width for
+        # arbitrarily long ids (r5; the previous lpad-64 silently TRUNCATED
+        # longer ids, colliding url-style keys that share a 64-char prefix),
+        # at the cost of the new-new tiebreak being hash order rather than
+        # id order (deterministic either way; the oracle mirrors it).
+        pad = lambda c: F.md5(F.encode(c, "UTF-8"))  # noqa: E731
         tagged = allsigs.select(
             F.concat(F.when(F.col("__new"), "n:").otherwise("a:"), pad(F.col("id"))).alias("id"),
             "sig",
@@ -319,14 +347,50 @@ def incremental_minhash_dedup(
             .filter(F.col("jaccard") >= min_jaccard)
             .select(F.col("id_b").alias("loser"))
         )
-        sn = pairs.filter(
+        sn_pairs = pairs.filter(
             F.col("id_a").startswith("a:") & F.col("id_b").startswith("n:")
-        ).select(F.col("id_b").alias("loser"))
+        )
+        if prior_text_path is not None:
+            # exact verify for store-side partners too: re-read ONLY the
+            # candidate partners' text — the (tiny, dup-tail-sized) partner
+            # id set prunes the prior-output scan via a broadcast semi-join
+            # before any shingling happens, so cost scales with candidates,
+            # not with the prior corpus
+            partner_ids = sn_pairs.select("id_a").distinct()
+            prior_sh = (
+                spark.read.parquet(prior_text_path)
+                .select(
+                    F.concat(
+                        F.lit("a:"), pad(F.col(id_col).cast("string"))
+                    ).alias("id_a"),
+                    F.col(text_col).alias("__t"),
+                )
+                .join(partner_ids, "id_a", "left_semi")
+                .select(
+                    "id_a",
+                    F.array_distinct(shingles(F.col("__t"), shingle_n)).alias("sh_a"),
+                )
+            )
+            sn = (
+                sn_pairs.join(prior_sh, "id_a", "left")
+                .join(texts.withColumnsRenamed({"tid": "id_b", "sh": "sh_b"}), "id_b")
+                .withColumn(
+                    "jaccard",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                )
+                # partner text present -> exact verify; missing (partial
+                # prior output) -> keep the signature-estimate decision
+                .filter(F.col("sh_a").isNull() | (F.col("jaccard") >= min_jaccard))
+                .select(F.col("id_b").alias("loser"))
+            )
+        else:
+            sn = sn_pairs.select(F.col("id_b").alias("loser"))
         losers = (
             nn.unionByName(sn).distinct()
-            # keep the PADDED key (no lossy un-padding); consumers join on
-            # the same pad() of their id
-            .select(F.substring("loser", 3, 64).alias("__loser"))
+            # keep the HASHED key (md5 is one-way); consumers join on the
+            # same pad() of their id
+            .select(F.substring("loser", 3, 32).alias("__loser"))
             .localCheckpoint()  # settle BEFORE the store write below
         )
         out = df.join(

@@ -210,6 +210,132 @@ def test_incremental_store_guards(spark, tmp_path):
         )
 
 
+def test_incremental_minhash_long_ids_no_collision(spark, tmp_path):
+    """r5 (r4 advice, medium): ids longer than 64 chars must not collide —
+    the previous lpad-64 pair key silently TRUNCATED long ids, so distinct
+    docs sharing a 64-char prefix (url-style keys) corrupted loser
+    assignment. The md5 pair key is fixed-width for any id length."""
+    from data_quality_framework_spark.operators.dedup import incremental_minhash_dedup
+
+    store = str(tmp_path / "longid_store")
+    p = "p" * 64  # shared 64-char prefix; suffix differs
+    b = spark.createDataFrame(
+        [(p + "a", "alpha beta gamma delta epsilon zeta eta theta " * 8),
+         (p + "b", "totally different content about parquet scan pruning " * 8)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["is_canonical_near"]
+           for r in incremental_minhash_dedup(
+               spark, b, store, "b1", "doc_id", hash_fn="md5_60"
+           ).collect()}
+    # distinct non-near-dup content: BOTH keep, both enter the store
+    assert out == {p + "a": True, p + "b": True}
+    assert sorted(r["id"] for r in spark.read.parquet(store).collect()) == [
+        p + "a", p + "b"
+    ]
+
+
+def _minhash_est_false_positive():
+    """Deterministically search for a text pair whose true 3-gram Jaccard is
+    BELOW 0.5 but whose 16-component md5_60 MinHash estimate is >= 0.5 AND
+    band-matches under (k=16, bands=8) — i.e. a signature-estimate false
+    positive that exact verification would reject."""
+    import hashlib
+    import random
+
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    P = MINHASH_PRIME
+    coeffs = _minhash_coeffs(16)
+
+    def shingle_set(text):
+        w = text.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    def sig(sh):
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P for s in sh]
+        return [min((a * h + b) % P for h in hs) for a, b in coeffs]
+
+    rng = random.Random(7)
+    for _ in range(400):
+        n_shared = rng.randint(8, 14)
+        n_a = rng.randint(4, 10)
+        n_b = rng.randint(4, 10)
+        shared = [f"s{rng.randint(0, 10**6)}" for _ in range(n_shared + 2)]
+        a_words = shared + [f"a{rng.randint(0, 10**6)}" for _ in range(n_a)]
+        b_words = shared + [f"b{rng.randint(0, 10**6)}" for _ in range(n_b)]
+        ta, tb = " ".join(a_words), " ".join(b_words)
+        sa, sb = shingle_set(ta), shingle_set(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.45:
+            continue
+        ga, gb = sig(sa), sig(sb)
+        est = sum(x == y for x, y in zip(ga, gb)) / 16
+        band = any(ga[2 * i:2 * i + 2] == gb[2 * i:2 * i + 2] for i in range(8))
+        if est >= 0.5 and band:
+            return ta, tb, j, est
+    raise AssertionError("no estimate false positive found in 400 tries")
+
+
+def test_incremental_minhash_prior_text_exact_verify(spark, tmp_path):
+    """r5 (judge item): with ``prior_text_path`` pointing at the prior
+    batches' kept rows, store-side candidate pairs are exact-Jaccard
+    verified like new-new pairs — a signature-estimate FALSE POSITIVE that
+    the estimate-only path suppresses is kept by the exact path."""
+    from data_quality_framework_spark.operators.dedup import incremental_minhash_dedup
+
+    ta, tb, j, est = _minhash_est_false_positive()
+    assert j < 0.5 <= est
+    kw = dict(k=16, bands=8, min_jaccard=0.5, hash_fn="md5_60")
+    b1 = spark.createDataFrame([(1, ta)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, tb)], "doc_id long, text string")
+    prior_path = str(tmp_path / "prior_kept")
+
+    # estimate-only store pairing: the false positive SUPPRESSES doc 2
+    s1 = str(tmp_path / "store_est")
+    incremental_minhash_dedup(spark, b1, s1, "b1", "doc_id", **kw).collect()
+    est_out = {r["doc_id"]: r["is_canonical_near"]
+               for r in incremental_minhash_dedup(
+                   spark, b2, s1, "b2", "doc_id", **kw).collect()}
+    assert est_out == {2: False}
+
+    # exact-verify path: prior kept text re-read -> true jaccard < 0.5 -> keep
+    s2 = str(tmp_path / "store_exact")
+    out1 = incremental_minhash_dedup(spark, b1, s2, "b1", "doc_id", **kw)
+    out1.filter(F.col("is_canonical_near")).select("doc_id", "text").write.parquet(
+        prior_path
+    )
+    exact_out = {r["doc_id"]: r["is_canonical_near"]
+                 for r in incremental_minhash_dedup(
+                     spark, b2, s2, "b2", "doc_id",
+                     prior_text_path=prior_path, **kw).collect()}
+    assert exact_out == {2: True}
+
+
+def test_incremental_store_repin_on_empty(spark, tmp_path):
+    """r5 (r4 advice): a params pin guarding an EMPTY store (first batch
+    failed after pinning) must not block a corrected re-run with different
+    knobs; once real batch data exists the refusal still applies."""
+    from data_quality_framework_spark.operators.dedup import (
+        _pin_store_params,
+        incremental_minhash_dedup,
+    )
+
+    store = str(tmp_path / "repin_store")
+    # simulate a failed first batch: pin written, no batch data
+    _pin_store_params(spark, store, {"k": 16, "hash_fn": "xxhash64"})
+    b = spark.createDataFrame([(1, "alpha beta " * 20)], "doc_id long, text string")
+    out = {r["doc_id"]: r["is_canonical_near"]
+           for r in incremental_minhash_dedup(
+               spark, b, store, "b1", "doc_id", hash_fn="md5_60").collect()}
+    assert out == {1: True}  # re-pinned, ran fine
+    with pytest.raises(ValueError, match="refusing"):  # now data exists
+        incremental_minhash_dedup(spark, b, store, "b2", "doc_id", hash_fn="xxhash64")
+
+
 def test_exact_dup_stats(spark, docs):
     row = exact_dup_stats(docs, ["text"]).collect()[0]
     assert row["dup_groups"] == 1
