@@ -293,3 +293,63 @@ def test_cli_subprocess_exit_1(cli_env):
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
     assert "summary=" in proc.stdout
+
+
+def test_cli_shipped_masking_rules_end_to_end(spark, tmp_path):
+    """r5 (r4 verdict #4): the SHIPPED config/rules/masking_rules.yml (the
+    reference-parity de-identification family, mirroring
+    /root/reference/config/rules/masking_rules.yml) loads from disk and runs
+    end-to-end against a masked-customer demo table with planted violation
+    budgets: 2 bad ssn masks, 1 leaked plain resident number, 1 unmasked
+    phone, 1 malformed hash."""
+    ok_ssn, bad_ssn, short_ssn = "123456-*******", "123456-1234567", "12345-***"
+    ok_ph, bad_ph = "010-****-5678", "010-1234-5678"
+    ok_h, bad_h = "a" * 64, "b" * 63
+    rows = [(i, ok_ssn, ok_ph, ok_h) for i in range(7)]
+    rows += [(7, bad_ssn, ok_ph, ok_h),     # unmasked ssn: MASK-001 + leak
+             (8, short_ssn, bad_ph, ok_h),  # wrong-length ssn + bad phone
+             (9, ok_ssn, ok_ph, bad_h)]     # malformed hash
+    data_dir = tmp_path / "mask_data"
+    data_dir.mkdir()
+    spark.createDataFrame(
+        rows,
+        "customer_id long, resident_number string, phone_number string, "
+        "customer_name_hash string",
+    ).coalesce(1).write.parquet(str(data_dir / "tgt_customers.parquet"))
+
+    args = parse_args([
+        "--env", "development", "--checks", "masking",
+        "--config-dir", os.path.join(REPO, "config"),
+        "--data-dir", str(data_dir), "--report", "none",
+    ])
+    results, summary = run_validation(args, spark=spark)
+    by_id = {r.rule_id: r for r in results}
+    assert set(by_id) == {"MASK-001", "MASK-002", "MASK-003", "MASK-004"}
+    assert all(r.check_type == "masking" for r in results)
+    assert by_id["MASK-001"].violation_count == 2  # unmasked + wrong length
+    assert by_id["MASK-002"].violation_count == 1
+    assert by_id["MASK-003"].violation_count == 1
+    assert by_id["MASK-004"].violation_count == 1  # only the 14-char plain id
+    assert summary["failed"] == 4
+
+    # the reference CLI contract end-to-end: fresh interpreter, shipped
+    # config dir, exit 1 on FAIL
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-m", "data_quality_framework_spark.main",
+         "--env", "test", "--checks", "masking",
+         "--config-dir", os.path.join(REPO, "config"),
+         "--data-dir", str(data_dir), "--report", "none"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 3  # env 'test' not in shipped environments.yml
+    proc = subprocess.run(
+        [sys.executable, "-m", "data_quality_framework_spark.main",
+         "--env", "development", "--checks", "masking",
+         "--config-dir", os.path.join(REPO, "config"),
+         "--data-dir", str(data_dir), "--report", "none"],
+        capture_output=True, text=True, timeout=300,
+        env=dict(env, SPARK_GRAFT_CPUS="4"), cwd=REPO,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "summary=" in proc.stdout
