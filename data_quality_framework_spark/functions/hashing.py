@@ -254,18 +254,35 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def hyperplane_signature(dim: int, planes: int = 16, seed: int = 42):
+def hyperplane_signature(dim: int | None = None, planes: int = 16, seed: int = 42):
     """Returns a pandas_udf mapping array<float> -> int bucket signature.
 
     Random hyperplane LSH for cosine similarity: sign pattern of X @ H.
     H is a seeded standard-normal (dim x planes) matrix generated identically
     on every executor — deterministic across cluster sizes.
+
+    ``dim=None`` (r5) defers matrix generation to the Arrow batches, where
+    the vector length is read directly — callers no longer pay a driver-side
+    ``head()`` action just to discover the dimension. The regenerated matrix
+    is the same seeded gaussians either way (dim x planes draws), and the
+    per-batch regeneration cost is planes x dim draws — noise next to the
+    batch matmul.
     """
-    rng = np.random.default_rng(seed)
-    H = rng.standard_normal((dim, planes)).astype(np.float64)
+    H0 = (
+        None
+        if dim is None
+        else np.random.default_rng(seed).standard_normal((dim, planes)).astype(np.float64)
+    )
 
     @pandas_udf(T.IntegerType())
     def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        H = H0
+        if H is None:
+            H = np.random.default_rng(seed).standard_normal(
+                (len(vecs.iloc[0]), planes)
+            ).astype(np.float64)
         M = np.stack(vecs.to_numpy())  # (batch, dim)
         signs = (M @ H) > 0            # (batch, planes)
         weights = (1 << np.arange(planes)).astype(np.int64)

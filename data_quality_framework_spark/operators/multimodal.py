@@ -106,9 +106,27 @@ def frame_sample_plan(
     )
 
 
-def media_repartition(df: DataFrame, bytes_col: str, target_mb: int = 64) -> DataFrame:
-    """Repartition by estimated binary size so each task holds ~target_mb of media."""
-    row = df.agg(F.sum(bytes_col).alias("b")).collect()[0]
-    total = int(row["b"] or 0)
+def media_repartition(
+    df: DataFrame, bytes_col: str, target_mb: int = 64, use_plan_stats: bool = True
+) -> DataFrame:
+    """Repartition by estimated binary size so each task holds ~target_mb of media.
+
+    ``use_plan_stats`` (default, r5): size from Catalyst's plan statistics
+    (file-size-based for file sources, exact for cached relations) — FREE at
+    the driver, no aggregation job before the real work starts. Media-table
+    rows are payload-dominated and binaries don't compress, so whole-row
+    file size tracks the payload sum closely. Set ``False`` for an exact
+    ``sum(bytes_col)`` scan when the table carries wide non-media columns or
+    the source has no size stats (then Catalyst reports the
+    ``defaultSizeInBytes`` sentinel and this falls back to the scan anyway).
+    """
+    total = 0
+    if use_plan_stats:
+        stats_size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < stats_size < (1 << 62):  # sane estimate, not the missing-stats sentinel
+            total = stats_size
+    if total <= 0:
+        row = df.agg(F.sum(bytes_col).alias("b")).collect()[0]
+        total = int(row["b"] or 0)
     parts = max(1, total // (target_mb * 1024 * 1024))
     return df.repartition(parts)

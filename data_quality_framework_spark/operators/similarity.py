@@ -215,15 +215,24 @@ def train_ivf_centroids(
     return spherical_kmeans(X, n_cells, iters, seed)
 
 
-def ivf_cell_udf(dim: int, n_cells: int = 16, seed: int = 7, centroids=None):
+def ivf_cell_udf(dim: int | None = None, n_cells: int = 16, seed: int = 7, centroids=None):
     """pandas_udf: array<float> -> int cell id = argmax centroid dot product
     (first max on ties, matching numpy and the SQL oracle's list_position).
     ``centroids`` overrides the seeded defaults (e.g. ``train_ivf_centroids``
-    output); the matrix is closed over and shipped with the UDF."""
-    C = np.asarray(centroids) if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    output); the matrix is closed over and shipped with the UDF.
+
+    ``dim=None`` (r5, seeded-default centroids only): the dimension is read
+    from the Arrow batches instead of a driver-side action; the seeded
+    centroid matrix is identical either way."""
+    C0 = np.asarray(centroids) if centroids is not None else (
+        None if dim is None else ivf_centroids(dim, n_cells, seed)
+    )
 
     @pandas_udf(T.IntegerType())
     def _cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        C = C0 if C0 is not None else ivf_centroids(len(vecs.iloc[0]), n_cells, seed)
         M = np.stack(vecs.to_numpy())
         return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
 
@@ -314,9 +323,10 @@ def build_ann_index(
     ``write.target-file-size-bytes``) to split each combo into N
     target-sized files instead of one giant one.
     """
-    dim = len(df.select(vec_col).head()[0])
-    sig_udf = hyperplane_signature(dim, planes, seed)
-    cell_udf = ivf_cell_udf(dim, n_cells, ivf_seed, centroids)
+    # dim is read from the Arrow batches inside the UDFs — no driver-side
+    # head() action before the write job starts (r5, r4 verdict #7)
+    sig_udf = hyperplane_signature(None, planes, seed)
+    cell_udf = ivf_cell_udf(None, n_cells, ivf_seed, centroids)
     indexed = df.withColumn("bucket", sig_udf(F.col(vec_col))).withColumn(
         "cell", cell_udf(F.col(vec_col))
     )
@@ -432,9 +442,7 @@ def pairwise_topk_join(
     only. Computes the corpus signatures at query time (one UDF pass over
     the corpus — fine for a one-shot batch); for repeated batches against a
     stored corpus use ``pairwise_topk_join_indexed``."""
-    sig_udf = hyperplane_signature(
-        dim=len(corpus.select(vec_col).head()[0]), planes=planes, seed=seed
-    )
+    sig_udf = hyperplane_signature(dim=None, planes=planes, seed=seed)
     qb = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -472,9 +480,7 @@ def pairwise_topk_join_indexed(
     index was built with — results are then identical to
     ``pairwise_topk_join``."""
     corpus = spark.read.parquet(index_path)
-    sig_udf = hyperplane_signature(
-        dim=len(queries.select(vec_col).head()[0]), planes=planes, seed=seed
-    )
+    sig_udf = hyperplane_signature(dim=None, planes=planes, seed=seed)
     qb = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),

@@ -1023,3 +1023,28 @@ def test_multimodal_feature_stub(spark, docs):
         per_doc[r["doc_id"]].append(r["frame_ts_ms"])
     assert sorted(per_doc[1]) == [0, 1000, 2000, 3000]
     assert sorted(per_doc[2]) == [0]
+
+
+def test_media_repartition_sizing(spark, tmp_path):
+    """r5: partition count tracks total payload bytes / target. The default
+    path reads Catalyst plan stats (file size, no job); the exact path runs
+    the sum(bytes) aggregation. Both must land the same task sizing for a
+    payload-dominated table."""
+    from data_quality_framework_spark.operators.multimodal import media_repartition
+
+    import random
+
+    p = str(tmp_path / "media")
+    # ~4 MB of incompressible (seeded-random) payload over 32 rows
+    rows = [
+        (i, random.Random(i).randbytes(128 * 1024), 128 * 1024) for i in range(32)
+    ]
+    spark.createDataFrame(rows, "doc_id long, payload binary, n_bytes long") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    out_stats = media_repartition(df, "n_bytes", target_mb=1)
+    out_exact = media_repartition(df, "n_bytes", target_mb=1, use_plan_stats=False)
+    # 4 MB / 1 MB -> ~4 partitions either way (stats include row overhead)
+    assert 3 <= out_stats.rdd.getNumPartitions() <= 6
+    assert out_exact.rdd.getNumPartitions() == 4
+    assert out_stats.count() == 32 and out_exact.count() == 32
