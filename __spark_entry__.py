@@ -1085,12 +1085,12 @@ def _wt_docs_pages(spark, sf):
     return pages
 
 
-def _q_pipeline(spark, sf):
+def _run_wt_pipeline(spark, sf, **cfg_overrides):
     from data_quality_framework_spark.plans.pipeline import FilterConfig, run_pipeline
 
-    cfg = FilterConfig(
-        max_ppl=_WT_MAX_PPL, minhash_hash="md5_60", lsh_bucket_cap=1_000_000
-    )
+    kw = dict(max_ppl=_WT_MAX_PPL, minhash_hash="md5_60", lsh_bucket_cap=1_000_000)
+    kw.update(cfg_overrides)
+    cfg = FilterConfig(**kw)
     out = run_pipeline(spark, _wt_docs_pages(spark, sf), cfg, per_partition_lineage=False)
     summary = (
         out.decisions.groupBy("keep", "drop_reason")
@@ -1100,6 +1100,26 @@ def _q_pipeline(spark, sf):
     rows = summary.collect()          # materialize, then release pipeline caches
     out.unpersist()
     return spark.createDataFrame(rows, summary.schema)
+
+
+def _q_pipeline(spark, sf):
+    return _run_wt_pipeline(spark, sf)
+
+
+#: bigram-model ppl ceiling — mid-corpus for detected-en docs (191/382 above
+#: at sf0.01; min |ppl - 19.5| margin 2.6e-4 across sf0.001/0.01/0.1, vs
+#: cross-engine summation noise ~1e-13: safely decidable)
+_WT_MAX_PPL_BIGRAM = 19.5
+
+
+def _q_pipeline_bigram(spark, sf):
+    """The full pipeline under ``ppl_model='bigram'`` (r5, r4 verdict #8):
+    identical stages, WT-PPL-001 scored by the TRAINED char-bigram table
+    (the KenLM seam) with its own calibrated ceiling; the oracle reproduces
+    the trained table as 784 log-prob literals."""
+    return _run_wt_pipeline(
+        spark, sf, ppl_model="bigram", max_ppl=_WT_MAX_PPL_BIGRAM
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1162,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
+        # same pipeline, TRAINED char-bigram ppl model (the KenLM seam)
+        "wt_pipeline_bigram": _q_pipeline_bigram,
     }
 
 
@@ -1330,10 +1352,43 @@ def _ppl_unigram_sql(text: str = "text") -> str:
     )
 
 
-def _wt_pipeline_oracle_sql() -> str:
+def _ppl_bigram_sql(text: str = "text") -> str:
+    """Char-bigram perplexity identical to ``scoring._ppl_bigram_vec``: the
+    TRAINED 28x28 add-one-smoothed log-prob table embedded as 784 float
+    literals (repr round-trips doubles exactly), chars mapped to the same 28
+    classes, ppl = exp(-mean over the L-1 in-doc pairs); < 2 chars scores
+    the huge sentinel (only the f_ppl comparison consumes it)."""
+    from data_quality_framework_spark.functions.scoring import _BIGRAM_LOGP, _N_CLASSES
+
+    tbl = ", ".join(repr(float(v)) for v in _BIGRAM_LOGP)
+    t = f"coalesce({text},'')"
+    L = f"length({t})"
+
+    def cls(ch: str) -> str:
+        return (
+            f"(CASE WHEN unicode({ch}) BETWEEN 97 AND 122 THEN unicode({ch}) - 97 "
+            f"WHEN unicode({ch}) BETWEEN 65 AND 90 THEN unicode({ch}) - 65 "
+            f"WHEN {ch} = ' ' THEN 26 ELSE 27 END)"
+        )
+
+    pair = (
+        f"[{tbl}]"
+        f"[{cls(f'substr({t}, i, 1)')} * {_N_CLASSES} + {cls(f'substr({t}, i + 1, 1)')} + 1]"
+    )
+    return (
+        f"CASE WHEN {L} >= 2 "
+        f"THEN exp(-(list_sum(list_transform(range(1, {L}), i -> {pair}))) / ({L} - 1)) "
+        f"ELSE 1e308 END"
+    )
+
+
+def _wt_pipeline_oracle_sql(ppl_sql: str | None = None, max_ppl: float | None = None) -> str:
     """DuckDB recomputation of the FULL quality-filter pipeline over the same
     derived pages as ``_wt_docs_pages`` (semantics mirror plans/pipeline.py
     stage by stage; the reference's check semantics live in checks/*.sql).
+    ``ppl_sql``/``max_ppl`` swap the perplexity family (default: the unigram
+    LM at ``_WT_MAX_PPL``; the bigram gate passes ``_ppl_bigram_sql`` +
+    ``_WT_MAX_PPL_BIGRAM``).
 
     sort_key equivalence: the pipeline orders rows by ``date_format(ts) ||
     '|' || url``; with a fixed-width zero-padded ts prefix that string order
@@ -1355,6 +1410,8 @@ def _wt_pipeline_oracle_sql() -> str:
         )
 
     min_ts, max_ts, run_ts = ep("2023-01-01 00:00:00"), ep("2026-12-31 23:59:59"), ep(RUN_TS)
+    ppl_sql = ppl_sql or _ppl_unigram_sql("text")
+    max_ppl = _WT_MAX_PPL if max_ppl is None else max_ppl
     P = MINHASH_PRIME
     coeffs = _minhash_coeffs(16)
 
@@ -1409,7 +1466,7 @@ enr AS (
          {symr} AS symr,
          {swf} AS swf,
          {_LANGID_CASE} AS lang_det,
-         {_ppl_unigram_sql('text')} AS ppl,
+         {ppl_sql} AS ppl,
          (text IS NULL OR regexp_matches(text, '^{_WS}*$')) AS f_empty
   FROM scr),
 fl AS (
@@ -1418,7 +1475,7 @@ fl AS (
          (symr > 0.10)                                AS f_symbol,
          (swf < 0.06)                                 AS f_lowstop,
          coalesce(lang_det != lang, TRUE)             AS f_langmismatch,
-         (lang_det = 'en' AND ppl > {_WT_MAX_PPL!r})  AS f_ppl,
+         (lang_det = 'en' AND ppl > {max_ppl!r})  AS f_ppl,
          (ts_epoch < {min_ts} OR ts_epoch > {max_ts} OR ts_epoch > {run_ts}) AS f_badts
   FROM enr),
 fl2 AS (
@@ -2040,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "wt_pipeline_summary": _wt_pipeline_oracle_sql(),
+        "wt_pipeline_bigram": _wt_pipeline_oracle_sql(
+            ppl_sql=_ppl_bigram_sql("text"), max_ppl=_WT_MAX_PPL_BIGRAM
+        ),
         # J12: a REAL recursive CTE (DuckDB supports them; Spark does not) vs
         # the iterative-BFS implementation — same derived hierarchy, the CTE
         # mirrors the reference template's root/recursion/depth<100 structure

@@ -49,6 +49,13 @@ HEADLINE = [
     "text_langid_distribution",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
+    # r4 operator families (r4 verdict #6): in the headline so a regression
+    # in the new tier is visible round-over-round
+    "text_contamination_flags",
+    "text_stratified_sample",
+    "text_url_canonical",
+    "text_repetition_profile",
+    "dedup_incremental_near",
 ]
 
 

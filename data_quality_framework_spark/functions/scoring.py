@@ -235,9 +235,8 @@ _SCORES_SCHEMA = T.StructType(
 )
 
 
-@pandas_udf(_SCORES_SCHEMA)
-def score_text(texts: pd.Series) -> pd.DataFrame:
-    """langid + confidence + perplexity in ONE Arrow round trip.
+def _scores_pdf(texts: pd.Series, ppl_vec) -> pd.DataFrame:
+    """langid + confidence + the given perplexity model, one pandas frame.
 
     Three separate pandas UDF columns ship the text column to Python three
     times and pay three worker spin-ups per task — measured 2-3x slower than
@@ -254,14 +253,38 @@ def score_text(texts: pd.Series) -> pd.DataFrame:
         {
             "lang_detected": best,
             "lang_conf": conf.astype("float64"),
-            "ppl": _ppl_vec(texts),
+            "ppl": ppl_vec(texts),
         }
     )
 
 
-def with_scores(df, text_col: str = "text"):
-    """Attach lang_detected / lang_conf / ppl via a single Arrow UDF stage."""
-    scored = df.withColumn("__scores", score_text(F.col(text_col)))
+@pandas_udf(_SCORES_SCHEMA)
+def score_text(texts: pd.Series) -> pd.DataFrame:
+    """Char-unigram ppl scoring struct (see ``_scores_pdf``)."""
+    return _scores_pdf(texts, _ppl_vec)
+
+
+@pandas_udf(_SCORES_SCHEMA)
+def score_text_bigram(texts: pd.Series) -> pd.DataFrame:
+    """KenLM-seam variant (r5): same struct, ``ppl`` from the TRAINED
+    char-bigram table — the pipeline's ``ppl_model='bigram'`` path."""
+    return _scores_pdf(texts, _ppl_bigram_vec)
+
+
+#: with_scores ppl_model -> struct UDF; a real KenLM binary slots in here as
+#: a third entry whose ppl_vec calls the model, nothing else changes
+PPL_MODELS = {"unigram": score_text, "bigram": score_text_bigram}
+
+
+def with_scores(df, text_col: str = "text", ppl_model: str = "unigram"):
+    """Attach lang_detected / lang_conf / ppl via a single Arrow UDF stage.
+
+    ``ppl_model`` selects the perplexity family (``PPL_MODELS``): "unigram"
+    (fixed public char LM) or "bigram" (trained char-bigram table, the KenLM
+    seam)."""
+    if ppl_model not in PPL_MODELS:
+        raise ValueError(f"unknown ppl_model {ppl_model!r}; have {sorted(PPL_MODELS)}")
+    scored = df.withColumn("__scores", PPL_MODELS[ppl_model](F.col(text_col)))
     return (
         scored.withColumn("lang_detected", F.col("__scores.lang_detected"))
         .withColumn("lang_conf", F.col("__scores.lang_conf"))

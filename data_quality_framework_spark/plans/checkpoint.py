@@ -64,7 +64,18 @@ _FP_LINEAGE_ONLY = {"account_lsh_overflow"}
 #: checkpoints (r4 review: the r4 field additions changed the default
 #: config's fingerprint and forced full recomputes of byte-identical
 #: Phase-A buckets).
-_FP_OMIT_AT_DEFAULT = {"canonicalize_urls": False}
+#:
+#: MIGRATION NOTE (r4 advice): adopting this mechanism was itself a ONE-TIME
+#: fingerprint change — removing account_lsh_overflow from the blob altered
+#: the digest of every pre-r4 config, orphaning partial checkpoints written
+#: before it (they resume as full recomputes, never as corruption: a digest
+#: mismatch is treated as a different config). The mechanism protects every
+#: knob added AFTER it; there is no way to protect the knobs that defined
+#: the old digests without rewriting stored manifests, which a resume-only
+#: sandbox deliberately does not do. Production path: a migration step that
+#: recomputes each stored manifest's fingerprint as (old blob minus the
+#: newly-excluded keys) before the first post-upgrade resume.
+_FP_OMIT_AT_DEFAULT = {"canonicalize_urls": False, "ppl_model": "unigram"}
 
 
 def cfg_fingerprint(cfg) -> str:

@@ -76,6 +76,11 @@ class FilterConfig:
     #: ~2% of pipeline wall clock. Set False only for throwaway runs where
     #: the lineage is discarded anyway.
     account_lsh_overflow: bool = True
+    #: perplexity model for the WT-PPL-001 rule (r5; r4 verdict #8):
+    #: "unigram" — fixed public char LM; "bigram" — trained char-bigram
+    #: table, the KenLM seam (scoring.PPL_MODELS). NB max_ppl is calibrated
+    #: PER MODEL — the two families score on different scales.
+    ppl_model: str = "unigram"
 
 
 #: (flag column, drop_reason, rule metadata) — precedence = list order; must
@@ -214,7 +219,7 @@ def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
         .withColumn("content_md5", fingerprint(F.col("text")))
     )
     base = with_text_stats(base, full=False)
-    base = with_scores(base)
+    base = with_scores(base, ppl_model=cfg.ppl_model)
     base = _with_flags(base, cfg)
     any_flag = F.lit(False)
     for f, _, _ in rules:
