@@ -610,6 +610,26 @@ def _q_emb_near_dup(spark, sf):
     )
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup-style cluster-then-prune dedup (r5): augmented embeddings
+    (planted clones), seeded 16-cell quantizer, within-cell exact cosine
+    >= 0.95, greedy min-id keeps; per-doc flags so the oracle checks every
+    decision. Cell assignment is oracle-safe: min top1-top2 quantizer gap
+    8e-5 at sf0.01 (tools/ann_margins.py) >> summation noise, and clones
+    share their original's embedding bit-for-bit, so both engines place
+    them identically."""
+    from data_quality_framework_spark.operators.dedup import semantic_dedup
+
+    return (
+        semantic_dedup(
+            _emb_augmented(spark, sf), "vec_id", "embedding",
+            n_cells=16, seed=7, min_cosine=0.95,
+        )
+        .select("vec_id", "is_semantic_canonical")
+        .orderBy("vec_id")
+    )
+
+
 _ANN_INDEX_BUILT: set[str] = set()
 
 
@@ -1166,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
+        # SemDeDup-style cluster-then-prune (r5)
+        "dedup_semantic": _q_semantic_dedup,
         "sim_topk_lsh": _q_sim_lsh,
         "sim_topk_ivf": _q_sim_ivf,
         # oracle-backed since r4: trained-quantizer serving path + batch ANN
@@ -2089,6 +2111,27 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.95
             ORDER BY id_a, id_b
+        """,
+        # SemDeDup oracle (r5): the seeded quantizer's cell assignment
+        # (centroid-dot literals + first-argmax, the sim_topk_ivf pattern)
+        # restricts which pairs are compared; exact cosine prunes within
+        # cells; keep = no smaller-id same-cell member within threshold
+        "dedup_semantic": f"""
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20),
+            d AS (SELECT vec_id, embedding, {_ivf_dots_sql(16)} AS d FROM aug),
+            cells AS (SELECT vec_id, embedding,
+                             list_position(d, list_max(d)) - 1 AS cell FROM d),
+            losers AS (
+              SELECT DISTINCT b.vec_id
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.95)
+            SELECT vec_id,
+                   vec_id NOT IN (SELECT vec_id FROM losers) AS is_semantic_canonical
+            FROM aug ORDER BY vec_id
         """,
         "multimodal_image_features": """
             SELECT doc_id,

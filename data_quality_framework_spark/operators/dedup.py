@@ -964,3 +964,68 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    min_cosine: float = 0.95,
+    centroids=None,
+    cell_cap: int | None = None,
+    keep_col: str = "is_semantic_canonical",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: CLUSTER the embedding space with the
+    IVF coarse quantizer, then prune near-identical members WITHIN each
+    cluster by exact cosine (Abbas et al. 2023, "SemDeDup" — public method;
+    the reference has no embedding operators, this extends its duplicate
+    family, duplicate_checker.py:1-30, to semantic space).
+
+    Complements :func:`embedding_near_dup_pairs` (hyperplane LSH buckets):
+    clustering prunes by REGION of the space — two docs must fall in the
+    same quantizer cell to be compared — which matches the published recipe
+    and reuses the trained-quantizer seam (pass ``centroids=`` from
+    ``train_ivf_centroids``). Greedy min-id keeps, the same convention as
+    ``minhash_dedup``: a doc survives unless a SMALLER-id same-cell member
+    is within ``min_cosine`` of it.
+
+    Scale shape: the shuffle carries (cell, id, vector) — one row per doc;
+    within-cell pair work is O(sum cell_i^2), bounded by the quantizer's
+    balance (train centroids on a sample for balanced cells at 10^12 docs)
+    and, optionally, ``cell_cap`` (deterministic id-ordered truncation, the
+    same opt-in-approximation contract as the LSH ``bucket_cap``s — leave
+    None for exact semantics). Cosine verification is pure JVM
+    (zip_with/aggregate); the only Python is the cell-assign pandas UDF,
+    one Arrow round trip per row.
+    """
+    from data_quality_framework_spark.operators.similarity import (
+        cosine_expr,
+        ivf_cell_udf,
+    )
+
+    cell_udf = ivf_cell_udf(None, n_cells, seed, centroids)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    if cell_cap is not None:
+        vecs = vecs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("cell").orderBy("id"))
+        ).filter(F.col("rn") <= cell_cap).drop("rn")
+    a = vecs.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("v_a"), F.col("v_b")) >= min_cosine)
+        .select(F.col("id_b").alias("__loser"))
+        .distinct()
+    )
+    return (
+        df.join(losers, F.col(id_col) == F.col("__loser"), "left")
+        .withColumn(keep_col, F.col("__loser").isNull())
+        .drop("__loser")
+    )

@@ -1025,6 +1025,36 @@ def test_multimodal_feature_stub(spark, docs):
     assert sorted(per_doc[2]) == [0]
 
 
+def test_semantic_dedup(spark):
+    """r5: SemDeDup-style cluster-then-prune — exact clones and a
+    near-identical perturbation lose to their smaller-id partner; distinct
+    vectors keep; trained-centroid pass-through and the cell_cap knob both
+    function."""
+    import numpy as np
+
+    from data_quality_framework_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((5, 8))
+    near = base[0] + 0.05 * rng.standard_normal(8)  # cosine ~0.999
+    rows = [(i, [float(x) for x in base[i]]) for i in range(5)]
+    rows.append((10, [float(x) for x in base[1]]))   # exact clone of 1
+    rows.append((11, [float(x) for x in near]))      # near-dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["is_semantic_canonical"]
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   n_cells=4, seed=7, min_cosine=0.95).collect()}
+    assert out[10] is False and out[11] is False  # lose to 1 and 0
+    assert all(out[i] for i in range(5))          # originals all keep
+    # cell_cap=1 keeps only the first id per cell in the pair join -> no
+    # pairs at all -> everything flagged canonical (approximate mode)
+    capped = {r["vec_id"]: r["is_semantic_canonical"]
+              for r in semantic_dedup(df, "vec_id", "embedding",
+                                      n_cells=4, seed=7, min_cosine=0.95,
+                                      cell_cap=1).collect()}
+    assert all(capped.values())
+
+
 def test_media_repartition_sizing(spark, tmp_path):
     """r5: partition count tracks total payload bytes / target. The default
     path reads Catalyst plan stats (file size, no job); the exact path runs
