@@ -56,6 +56,8 @@ HEADLINE = [
     "text_url_canonical",
     "text_repetition_profile",
     "dedup_incremental_near",
+    # r5: SemDeDup-style cluster-then-prune
+    "dedup_semantic",
 ]
 
 

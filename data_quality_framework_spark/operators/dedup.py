@@ -1015,15 +1015,25 @@ def semantic_dedup(
         vecs = vecs.withColumn(
             "rn", F.row_number().over(Window.partitionBy("cell").orderBy("id"))
         ).filter(F.col("rn") <= cell_cap).drop("rn")
-    a = vecs.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = vecs.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    losers = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_expr(F.col("v_a"), F.col("v_b")) >= min_cosine)
-        .select(F.col("id_b").alias("__loser"))
-        .distinct()
-    )
+    # PERSIST the cell-assigned table: Catalyst re-inlines the cell UDF into
+    # every join branch otherwise (8 ArrowEvalPython nodes measured for one
+    # logical column — the projection-collapse trap, same as the minhash
+    # signature table), so the loser set is settled EAGERLY while the cache
+    # is hot, then the cache is released before the verdict join
+    vecs = vecs.persist()
+    try:
+        a = vecs.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        b = vecs.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        losers = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_expr(F.col("v_a"), F.col("v_b")) >= min_cosine)
+            .select(F.col("id_b").alias("__loser"))
+            .distinct()
+            .localCheckpoint()  # eager: dup-tail-sized, AQE broadcasts it
+        )
+    finally:
+        vecs.unpersist()
     return (
         df.join(losers, F.col(id_col) == F.col("__loser"), "left")
         .withColumn(keep_col, F.col("__loser").isNull())

@@ -1041,11 +1041,18 @@ def test_semantic_dedup(spark):
     rows.append((10, [float(x) for x in base[1]]))   # exact clone of 1
     rows.append((11, [float(x) for x in near]))      # near-dup of 0
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = {r["vec_id"]: r["is_semantic_canonical"]
-           for r in semantic_dedup(df, "vec_id", "embedding",
-                                   n_cells=4, seed=7, min_cosine=0.95).collect()}
+    res = semantic_dedup(df, "vec_id", "embedding",
+                         n_cells=4, seed=7, min_cosine=0.95)
+    out = {r["vec_id"]: r["is_semantic_canonical"] for r in res.collect()}
     assert out[10] is False and out[11] is False  # lose to 1 and 0
     assert all(out[i] for i in range(5))          # originals all keep
+    # the verdict join must see an eagerly-settled loser set: no Python
+    # (cell UDF) nodes left in the final plan — the UDF would otherwise be
+    # re-inlined into every join branch (8 ArrowEvalPython nodes measured)
+    plan = res._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "ArrowEvalPython" not in plan, plan
     # cell_cap=1 keeps only the first id per cell in the pair join -> no
     # pairs at all -> everything flagged canonical (approximate mode)
     capped = {r["vec_id"]: r["is_semantic_canonical"]
