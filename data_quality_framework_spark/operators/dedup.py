@@ -122,34 +122,29 @@ def _pin_store_params(spark, store_path: str, params: dict) -> None:
         finally:
             stream.close()
         stored = json.loads(raw)
-        if stored != params:
-            # an EMPTY store (params file only, no batch_id=* data — e.g.
-            # the first batch failed after pinning) carries no signatures
-            # computed under the old knobs, so re-pinning is safe; without
-            # this, a corrected re-run is refused until the dir is manually
-            # deleted (r4 advice)
-            has_data = any(
-                s.getPath().getName().startswith("batch_id=")
-                for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path))
+        if stored == params:
+            return
+        # an EMPTY store (params file only, no batch_id=* data — e.g. the
+        # first batch failed after pinning) carries no signatures computed
+        # under the old knobs, so re-pinning is safe; without this, a
+        # corrected re-run is refused until the dir is manually deleted
+        # (r4 advice)
+        has_data = any(
+            s.getPath().getName().startswith("batch_id=")
+            for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(store_path))
+        )
+        if has_data:
+            raise ValueError(
+                f"store {store_path} was built with {stored}; refusing to "
+                f"run a batch with {params} — mixed regimes silently miss "
+                "cross-run duplicates. Use a new store (or the original "
+                "knobs)."
             )
-            if has_data:
-                raise ValueError(
-                    f"store {store_path} was built with {stored}; refusing to "
-                    f"run a batch with {params} — mixed regimes silently miss "
-                    "cross-run duplicates. Use a new store (or the original "
-                    "knobs)."
-                )
-            out = fs.create(hpath, True)
-            try:
-                out.write(bytearray(json.dumps(params).encode("utf-8")))
-            finally:
-                out.close()
-    else:
-        out = fs.create(hpath, True)
-        try:
-            out.write(bytearray(json.dumps(params).encode("utf-8")))
-        finally:
-            out.close()
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(params).encode("utf-8")))
+    finally:
+        out.close()
 
 
 def incremental_exact_dedup(

@@ -111,17 +111,20 @@ def media_repartition(
 ) -> DataFrame:
     """Repartition by estimated binary size so each task holds ~target_mb of media.
 
-    ``use_plan_stats`` (default, r5): size from Catalyst's plan statistics
-    (file-size-based for file sources, exact for cached relations) — FREE at
-    the driver, no aggregation job before the real work starts. Media-table
-    rows are payload-dominated and binaries don't compress, so whole-row
-    file size tracks the payload sum closely. Set ``False`` for an exact
-    ``sum(bytes_col)`` scan when the table carries wide non-media columns or
-    the source has no size stats (then Catalyst reports the
-    ``defaultSizeInBytes`` sentinel and this falls back to the scan anyway).
+    ``use_plan_stats`` (default, r5): when the frame is CACHED, size from
+    Catalyst's plan statistics — exact bytes for a materialized in-memory
+    relation, FREE at the driver, no aggregation job before the real work
+    starts. Restricted to cached frames on purpose (r5 review): a file
+    source's stats are the parquet FILE size, which silently
+    under-partitions tables whose ``bytes_col`` describes EXTERNAL media
+    (a 100 GB crawl manifest is a few MB of pointer rows — one task would
+    fetch everything). Uncached frames always pay the exact
+    ``sum(bytes_col)`` scan; pass ``False`` to force it even when cached
+    (e.g. a cached frame whose payload column is a pointer too).
     """
     total = 0
-    if use_plan_stats:
+    cached = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if use_plan_stats and cached:
         stats_size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         if 0 < stats_size < (1 << 62):  # sane estimate, not the missing-stats sentinel
             total = stats_size

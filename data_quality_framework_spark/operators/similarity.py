@@ -377,6 +377,34 @@ def ivf_topk_indexed(
     return brute_force_topk(df, query_vec, k, id_col, vec_col, round_digits)
 
 
+def _with_dim_guard(res: DataFrame, q: DataFrame, c: DataFrame, vec_col: str) -> DataFrame:
+    """Union an always-empty sentinel branch into ``res`` whose EVALUATION
+    asserts the query and corpus embedding dimensions match (r5 review):
+    with deferred-dim signature UDFs, a mismatched pair would hash each side
+    with a DIFFERENT seeded matrix — buckets never collide and the join
+    silently returns zero rows instead of failing. A union branch is used
+    (not a cross join) because AQE's empty-relation propagation would skip a
+    joined guard exactly when the main result is empty — the case the guard
+    exists for. Cost: two single-row limits, no separate action."""
+    qd = q.select(F.size(F.col(vec_col)).alias("__qd")).limit(1)
+    cd = c.select(F.size(F.col(vec_col)).alias("__cd")).limit(1)
+    sentinel = (
+        qd.crossJoin(cd)
+        .select(
+            F.assert_true(
+                F.col("__qd") == F.col("__cd"),
+                F.lit("query/corpus embedding dimensions differ"),
+            ).alias("__dim_ok")
+        )
+        # assert_true yields NULL on success -> this branch is always empty
+        .filter(F.col("__dim_ok").isNotNull())
+        .select(*[
+            F.lit(None).cast(f.dataType).alias(f.name) for f in res.schema.fields
+        ])
+    )
+    return res.unionByName(sentinel)
+
+
 def _bucketed_topk_join(
     qb: DataFrame, cb: DataFrame, k: int, round_digits: int | None = None
 ) -> DataFrame:
@@ -454,7 +482,9 @@ def pairwise_topk_join(
         F.col(vec_col).cast("array<double>").alias("cv"),
         sig_udf(F.col(vec_col)).alias("bucket"),
     )
-    return _bucketed_topk_join(qb, cb, k, round_digits)
+    return _with_dim_guard(
+        _bucketed_topk_join(qb, cb, k, round_digits), queries, corpus, vec_col
+    )
 
 
 def pairwise_topk_join_indexed(
@@ -492,4 +522,6 @@ def pairwise_topk_join_indexed(
         F.col(vec_col).cast("array<double>").alias("cv"),
         F.col("bucket"),
     )
-    return _bucketed_topk_join(qb, cb, k, round_digits)
+    return _with_dim_guard(
+        _bucketed_topk_join(qb, cb, k, round_digits), queries, corpus, vec_col
+    )

@@ -39,7 +39,9 @@ def stream_pages(spark: SparkSession, input_dir: str, max_files: int = 16) -> Da
 def streaming_decisions(pages: DataFrame, cfg: FilterConfig = FilterConfig()) -> DataFrame:
     """Stateless per-doc decision stream (no dedup — see module doc)."""
     df = with_text_stats(pages)
-    df = with_scores(df)
+    # honor cfg.ppl_model like the batch pipeline (r5 review: the knob was
+    # silently inert here — unigram scores gated at a bigram ceiling)
+    df = with_scores(df, ppl_model=cfg.ppl_model)
     df = _with_flags(df, cfg)
     any_flag = F.lit(False)
     for f in ("f_empty", "f_short", "f_symbol", "f_lowstop", "f_langmismatch", "f_ppl", "f_badts"):
@@ -128,7 +130,7 @@ def streaming_url_dedup(
     first sighting followed by a real-ts recrawl is NOT spuriously
     re-emitted.
     """
-    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+    import pandas as pd  # Arrow batches arrive as pandas
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if ttl_seconds is not None and event_time_ttl_seconds is not None:
@@ -168,11 +170,19 @@ def streaming_url_dedup(
             else None
         )
 
-        def better(head, cur):
-            return cur is None or (
-                (head["warc_ts"].iloc[0], head["text_md5"].iloc[0])
-                < (cur["warc_ts"].iloc[0], cur["text_md5"].iloc[0])
+        def sort_rank(head):
+            # NaT-safe comparison key, nulls LAST (the batch sort_key's 9999
+            # sentinel order): a raw tuple compare would leave an all-null-ts
+            # chunk's NaT head unbeatable (Timestamp < NaT is always False),
+            # making the pick depend on Arrow chunk boundaries (r5 review)
+            ts = head["warc_ts"].iloc[0]
+            return (
+                (1,) if pd.isna(ts) else (0, ts),
+                head["text_md5"].iloc[0],
             )
+
+        def better(head, cur):
+            return cur is None or sort_rank(head) < sort_rank(cur)
 
         best = None
         best_recrawl = None

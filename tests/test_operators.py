@@ -1079,9 +1079,44 @@ def test_media_repartition_sizing(spark, tmp_path):
     spark.createDataFrame(rows, "doc_id long, payload binary, n_bytes long") \
         .write.parquet(p)
     df = spark.read.parquet(p)
-    out_stats = media_repartition(df, "n_bytes", target_mb=1)
-    out_exact = media_repartition(df, "n_bytes", target_mb=1, use_plan_stats=False)
-    # 4 MB / 1 MB -> ~4 partitions either way (stats include row overhead)
-    assert 3 <= out_stats.rdd.getNumPartitions() <= 6
+    # uncached default: exact sum(bytes_col) — plan stats would be the FILE
+    # size, wrong for external-pointer tables (r5 review)
+    out_exact = media_repartition(df, "n_bytes", target_mb=1)
     assert out_exact.rdd.getNumPartitions() == 4
-    assert out_stats.count() == 32 and out_exact.count() == 32
+    # cached + materialized: in-memory stats are exact, no aggregation job
+    cached = df.persist()
+    cached.count()
+    try:
+        out_stats = media_repartition(cached, "n_bytes", target_mb=1)
+        # 4 MB / 1 MB -> ~4 partitions (in-memory size includes row overhead)
+        assert 3 <= out_stats.rdd.getNumPartitions() <= 6
+        assert out_stats.count() == 32
+    finally:
+        cached.unpersist()
+    assert out_exact.count() == 32
+
+
+def test_pairwise_topk_dim_mismatch_is_loud(spark):
+    """r5 review: with deferred-dim signature UDFs a query/corpus dimension
+    mismatch would silently bucket the two sides with different matrices and
+    return zero rows; the embedded dim guard must make it raise instead."""
+    import numpy as np
+
+    from data_quality_framework_spark.operators.similarity import pairwise_topk_join
+
+    rng = np.random.default_rng(5)
+    c = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [float(x) for x in rng.standard_normal(16)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dimensions differ"):
+        pairwise_topk_join(q, c, k=3).collect()
+    # equal dims still work end-to-end through the guard
+    ok = pairwise_topk_join(
+        c.filter("vec_id < 2").withColumn("vec_id", F.col("vec_id") + 100), c, k=3
+    )
+    assert ok.count() > 0

@@ -353,3 +353,37 @@ def test_streaming_metrics_window(spark, tmp_path):
     rows = spark.sql("select * from metrics_test").collect()
     assert len(rows) > 0
     assert sum(r["docs"] for r in rows) > 0
+
+
+def test_streaming_decisions_honor_ppl_model(spark):
+    """r5 review: FilterConfig.ppl_model must flow into the streaming scorer
+    like the batch pipeline — a ceiling set BETWEEN one doc's unigram and
+    bigram perplexities flips its keep decision with the model."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_quality_framework_spark.functions import scoring as S
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import streaming_decisions
+
+    text = (
+        "the quick growth of the market was seen in the report and it was "
+        "clear that the demand for energy and water is rising on every "
+        "continent as people move to the cities and the supply of raw "
+        "material is limited by the cost of transport and the speed of change"
+    )
+    uni = float(S._ppl_vec(pd.Series([text]))[0])
+    big = float(S._ppl_bigram_vec(pd.Series([text]))[0])
+    assert abs(uni - big) > 0.05, (uni, big)  # models genuinely differ here
+    mid = (uni + big) / 2
+    df = spark.createDataFrame(
+        [("http://m/1", dt.datetime(2024, 5, 1), None, text, "en")], PAGES_SCHEMA
+    )
+
+    def keep(cfg):
+        return streaming_decisions(df, cfg).collect()[0]["keep"]
+
+    lo, hi = ("unigram", "bigram") if uni < big else ("bigram", "unigram")
+    assert keep(FilterConfig(ppl_model=lo, max_ppl=mid)) is True
+    assert keep(FilterConfig(ppl_model=hi, max_ppl=mid)) is False
