@@ -680,7 +680,14 @@ def test_ann_index_pruning(spark, vectors, tmp_path):
     # the final plan)
     final_plan = jplan.split("== Initial Plan ==")[0]
     scans = [l for l in final_plan.split("\n") if "FileScan parquet" in l]
-    assert len(scans) == 1 and "bucket" in scans[0], scans
+    # exactly one CORPUS scan (reads vec_id+embedding, bucket arrives from
+    # the partition dirs); the only other scan is the r5 dim-guard's
+    # single-row probe, column-pruned to embedding alone (every scan line
+    # echoes the relation's full column list, so judge by ReadSchema)
+    corpus_scans = [s for s in scans if "ReadSchema: struct<vec_id" in s]
+    guard_scans = [s for s in scans if "ReadSchema: struct<embedding" in s]
+    assert len(corpus_scans) == 1, scans
+    assert len(scans) == len(corpus_scans) + len(guard_scans), scans
 
 
 def test_trained_ivf_centroids(spark):
