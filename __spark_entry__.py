@@ -960,6 +960,22 @@ def _q_stratified_sample(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_temperature_sample(spark, sf):
+    """Temperature-rebalanced sampling (r5): per-lang char-mass totals ->
+    alpha=0.5 flattened target mix under a 120k-char budget (sized so the
+    tail langs CAP at rate 1.0 at the sf0.001/0.01 tiers, exercising the
+    water-filling redistribution) -> the deterministic hash filter. The
+    oracle recomputes the totals in DuckDB and runs the SAME pure-python
+    rate function, so the thresholds — and the exact kept SET — match."""
+    from data_quality_framework_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return temperature_sample(
+        d, "lang", "doc_id", budget=120_000, temperature=0.5,
+        token_col="n_chars", seed=42,
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_url_canonical(spark, sf):
     """URL canonicalization (r4): four deterministic messy-url shapes per
     doc_id (upper-cased host + default port + mid-query utm + fragment;
@@ -1198,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
         "text_stratified_sample": _q_stratified_sample,
+        # temperature-flattened mixture sampling (r5)
+        "text_temperature_sample": _q_temperature_sample,
         "text_url_canonical": _q_url_canonical,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
@@ -1616,6 +1634,39 @@ FROM d ORDER BY batch_id, doc_id
 """
 
 
+def _temperature_sample_oracle_sql() -> str:
+    """DuckDB side of ``text_temperature_sample``: per-lang char totals from
+    the SAME parquet tier (data-dependent literals, the trained-centroids
+    pattern), rates from the SAME pure-python water-filling function, then
+    the identical md5_60 threshold filter — exact kept-set parity."""
+    import duckdb
+
+    from data_quality_framework_spark.operators.sampling import (
+        _threshold,
+        temperature_rates,
+    )
+
+    sfd = _oracle_sf_dir()
+    totals = {
+        r[0]: int(r[1])
+        for r in duckdb.sql(
+            "SELECT lang, CAST(sum(n_chars) AS BIGINT) "
+            f"FROM read_parquet('{sfd}/documents.parquet') "
+            "WHERE lang IS NOT NULL GROUP BY 1 HAVING sum(n_chars) IS NOT NULL"
+        ).fetchall()
+    }
+    rates = temperature_rates(totals, 120_000, 0.5)
+    cases = " ".join(
+        f"WHEN lang = '{s}' THEN {_threshold(r)}" for s, r in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT)
+              < CASE {cases} ELSE 0 END
+        ORDER BY doc_id
+    """
+
+
 def _oracle_sf_dir() -> str:
     """The sf dir whose parquet the oracle's data-dependent literals (trained
     IVF centroids) derive from — MUST be the same data the gate registers as
@@ -1913,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE {int(0.1 * (1 << 60))} END
             ORDER BY doc_id
         """,
+        "text_temperature_sample": _temperature_sample_oracle_sql(),
         # decontamination oracle (r4): same md5_60 gram hashes on both sides
         # -> join keys identical, counts exact
         "text_contamination_flags": f"""

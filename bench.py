@@ -56,8 +56,9 @@ HEADLINE = [
     "text_url_canonical",
     "text_repetition_profile",
     "dedup_incremental_near",
-    # r5: SemDeDup-style cluster-then-prune
+    # r5: SemDeDup-style cluster-then-prune; temperature mixture sampling
     "dedup_semantic",
+    "text_temperature_sample",
 ]
 
 

@@ -107,3 +107,75 @@ def sample_to_token_budget(
         if totals.get(s)
     }
     return stratified_sample(df, strata_col, rates, id_col, seed=seed)
+
+
+def temperature_rates(
+    totals: Mapping[str, int], budget: int, temperature: float = 0.7
+) -> dict[str, float]:
+    """Per-stratum keep rates for a TEMPERATURE-flattened target mixture —
+    the standard multilingual/domain rebalancing recipe (mC4/XLM-R style):
+    stratum i's target share is proportional to ``n_i ** temperature``
+    (alpha in (0, 1] flattens head strata toward the tail; 1.0 = natural
+    mix), scaled to a total ``budget`` of the same units as ``totals``
+    (docs, tokens, chars).
+
+    Rate sampling cannot up-sample, so a stratum whose target exceeds its
+    mass is capped at rate 1.0 and the surplus budget is WATER-FILLED into
+    the remaining strata (re-normalizing their temperature weights);
+    iterates at most ``len(totals)`` rounds, deterministically (sorted
+    stratum order, pure driver-side float math — an external oracle running
+    this same function on the same integer totals reproduces the rates
+    bit-for-bit). Empty/zero strata get rate 0.0.
+    """
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    alive = {s: int(n) for s, n in totals.items() if n and int(n) > 0}
+    rates = {s: 0.0 for s in totals}
+    remaining = float(budget)
+    uncapped = set(alive)
+    while uncapped and remaining > 0:
+        wsum = sum(alive[s] ** temperature for s in uncapped)
+        if wsum <= 0:
+            break
+        capped_now = [
+            s for s in sorted(uncapped)
+            if remaining * (alive[s] ** temperature) / wsum >= alive[s]
+        ]
+        if not capped_now:
+            for s in sorted(uncapped):
+                rates[s] = min(
+                    1.0, remaining * (alive[s] ** temperature) / wsum / alive[s]
+                )
+            break
+        for s in capped_now:
+            rates[s] = 1.0
+            remaining -= alive[s]
+            uncapped.discard(s)
+        remaining = max(remaining, 0.0)
+    return rates
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    budget: int,
+    temperature: float = 0.7,
+    token_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-rebalanced corpus sample: ONE per-stratum aggregate
+    (doc counts, or ``token_col`` sums) -> :func:`temperature_rates` ->
+    the same zero-shuffle deterministic hash filter as
+    :func:`stratified_sample`. NULL strata are dropped (rate 0), the same
+    conservative default as an unknown stratum."""
+    agg = F.count(F.lit(1)) if token_col is None else F.sum(token_col)
+    totals = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(strata_col).alias("s")).agg(agg.alias("t")).collect()
+        if r["s"] is not None and r["t"] is not None
+    }
+    rates = temperature_rates(totals, budget, temperature)
+    return stratified_sample(df, strata_col, rates, id_col, default_rate=0.0, seed=seed)

@@ -1127,3 +1127,47 @@ def test_pairwise_topk_dim_mismatch_is_loud(spark):
         c.filter("vec_id < 2").withColumn("vec_id", F.col("vec_id") + 100), c, k=3
     )
     assert ok.count() > 0
+
+
+def test_temperature_rates_waterfilling():
+    """r5: temperature flattening + cap redistribution. A tail stratum whose
+    flattened target exceeds its mass caps at 1.0 and its surplus refills
+    the others; budget >= corpus keeps everything; alpha=1 is the natural
+    mix; zero/empty strata rate 0."""
+    from data_quality_framework_spark.operators.sampling import temperature_rates
+
+    totals = {"en": 64000, "zh": 23000, "es": 22000, "fr": 21000, "de": 300}
+    r = temperature_rates(totals, budget=60_000, temperature=0.5)
+    assert r["de"] == 1.0                     # tiny stratum caps
+    assert 0 < r["en"] < r["zh"] < 1.0        # head flattened below tail
+    # expected kept mass ~= budget (caps + waterfilled remainder)
+    kept = sum(r[s] * totals[s] for s in totals)
+    assert abs(kept - 60_000) < 1.0
+    # budget covers everything -> all capped
+    assert set(temperature_rates(totals, 10**9, 0.5).values()) == {1.0}
+    # natural mix at alpha=1: rates equal across strata (uniform thinning)
+    nat = temperature_rates(totals, 65_150, 1.0)
+    vals = {round(v, 9) for v in nat.values()}
+    assert len(vals) == 1
+    assert temperature_rates({"x": 0, "y": 10}, 5, 0.5)["x"] == 0.0
+
+
+def test_temperature_sample_deterministic(spark):
+    """The sampled SET is a pure function of (id, seed, rates) — identical
+    under repartitioning; per-stratum kept mass lands near its flattened
+    target."""
+    from data_quality_framework_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "en" if i % 5 else "de", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    kept1 = {r["doc_id"] for r in temperature_sample(
+        df, "lang", "doc_id", budget=100_000, temperature=0.5,
+        token_col="n_chars").collect()}
+    kept2 = {r["doc_id"] for r in temperature_sample(
+        df.repartition(13), "lang", "doc_id", budget=100_000, temperature=0.5,
+        token_col="n_chars").collect()}
+    assert kept1 == kept2 and 0 < len(kept1) < 2000
+    # de (tail, 400 docs * 100 chars) flattens UP vs its 1/5 natural share
+    de = sum(1 for i in kept1 if i % 5 == 0)
+    en = len(kept1) - de
+    assert de / 400 > en / 1600  # tail kept at a higher rate than head
