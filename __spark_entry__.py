@@ -1003,6 +1003,36 @@ def _q_url_canonical(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_domain_blocklist(spark, sf):
+    """Domain blocklist filtering (r5): eight deterministic host shapes per
+    doc_id — exact blocklist hits, subdomain hits, substring TRAPS
+    (sads.example.com / nottracker.net must NOT match), userinfo/port/case
+    noise, and clean hosts — flagged via the zero-shuffle literal path.
+    The oracle re-derives host + label-suffix matching in DuckDB SQL."""
+    from data_quality_framework_spark.operators.filtering import domain_blocklist_flags
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    host = (
+        F.when(F.col("doc_id") % 8 == 0, F.lit("www.news-site.org"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("Spam.Example.com"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("cdn.assets.spam.example.com"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("sads.example.com"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("tracker.net:8080"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("user:pw@blog.tracker.net"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("nottracker.net"))
+        .otherwise(F.lit("shop.example.co.uk"))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), i).alias("url"),
+    )
+    out = domain_blocklist_flags(
+        pages, ["spam.example.com", "tracker.net"], id_col="doc_id"
+    )
+    return out.select("doc_id", "host", "host_blocked").orderBy("doc_id")
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition signals (r4): per-doc top-2-gram and
     duplicated-5-gram char fractions; all masses integer so the oracle's
@@ -1217,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened mixture sampling (r5)
         "text_temperature_sample": _q_temperature_sample,
         "text_url_canonical": _q_url_canonical,
+        # domain blocklist filtering (r5): label-suffix host matching
+        "text_domain_blocklist": _q_domain_blocklist,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -1953,6 +1985,33 @@ def oracle_sql() -> dict[str, str]:
                   '[?&]$', '') AS url_canon
               FROM pq)
             SELECT doc_id, url_canon FROM canon ORDER BY doc_id
+        """,
+        # domain-blocklist oracle (r5): host extraction + dot-label suffix
+        # matching re-derived in SQL; substring traps must stay unblocked
+        "text_domain_blocklist": """
+            WITH m AS (SELECT doc_id,
+                   'https://' || CASE CAST(doc_id % 8 AS INTEGER)
+                      WHEN 0 THEN 'www.news-site.org'
+                      WHEN 1 THEN 'Spam.Example.com'
+                      WHEN 2 THEN 'cdn.assets.spam.example.com'
+                      WHEN 3 THEN 'sads.example.com'
+                      WHEN 4 THEN 'tracker.net:8080'
+                      WHEN 5 THEN 'user:pw@blog.tracker.net'
+                      WHEN 6 THEN 'nottracker.net'
+                      ELSE 'shop.example.co.uk'
+                    END || '/p/' || doc_id AS url
+                 FROM documents),
+            h AS (SELECT doc_id,
+                         lower(regexp_extract(coalesce(url, ''),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+                  FROM m),
+            s AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h)
+            SELECT doc_id, host,
+                   len(list_filter(list_transform(range(1, len(parts) + 1),
+                         i -> array_to_string(array_slice(parts, i, len(parts)), '.')),
+                       x -> list_contains(['spam.example.com', 'tracker.net'], x))) > 0
+                     AS host_blocked
+            FROM s ORDER BY doc_id
         """,
         # stratified-sampling oracle (r4): identical md5-derived 60-bit hash
         # + identical integer thresholds -> the exact same kept set

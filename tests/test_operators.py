@@ -1171,3 +1171,51 @@ def test_temperature_sample_deterministic(spark):
     de = sum(1 for i in kept1 if i % 5 == 0)
     en = len(kept1) - de
     assert de / 400 > en / 1600  # tail kept at a higher rate than head
+
+
+def test_domain_blocklist_label_suffix_semantics(spark):
+    """Blocklist matching is per dot label (subdomains hit, substrings do
+    NOT), normalization handles case/port/userinfo, NULL/malformed urls are
+    kept, and the literal path's plan shuffles nothing."""
+    from data_quality_framework_spark.operators.filtering import (
+        domain_blocklist_filter,
+        domain_blocklist_flags,
+    )
+
+    rows = [
+        (1, "https://Spam.Example.com/a?x=1"),       # exact, case noise
+        (2, "http://x.spam.example.com:8080/b"),     # subdomain + port
+        (3, "https://sads.example.com/ok"),          # substring trap
+        (4, "http://user:pw@tracker.net/p"),         # userinfo
+        (5, "https://sub.deep.tracker.net/p#f"),     # deep subdomain
+        (6, "https://example.com/fine"),             # clean
+        (7, "not a url"),                            # malformed -> kept
+        (8, None),                                   # NULL -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["spam.example.com", "tracker.net", "ads.example.com"]
+
+    flags = domain_blocklist_flags(df, bl, id_col="doc_id")
+    got = {r["doc_id"]: r["host_blocked"] for r in flags.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: True,
+                   6: False, 7: False, 8: False}
+
+    kept = domain_blocklist_filter(df, bl)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 6, 7, 8]
+    assert kept.columns == ["doc_id", "url"]  # scratch columns dropped
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    # table path (the >10k-entry shape): same verdicts, corpus side unshuffled
+    bldf = spark.createDataFrame([(d,) for d in bl], "domain string")
+    got2 = {r["doc_id"]: r["host_blocked"]
+            for r in domain_blocklist_flags(df, bldf, id_col="doc_id").collect()}
+    assert got2 == got
+    with pytest.raises(ValueError):
+        domain_blocklist_flags(df, bldf)  # table path without id_col
+
+    # oversized literal list is refused loudly, not silently slow
+    big = [f"d{i}.example.com" for i in range(10_001)]
+    with pytest.raises(ValueError):
+        domain_blocklist_flags(df, big)
