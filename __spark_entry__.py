@@ -1033,6 +1033,42 @@ def _q_domain_blocklist(spark, sf):
     return out.select("doc_id", "host", "host_blocked").orderBy("doc_id")
 
 
+def _q_ppl_buckets(spark, sf):
+    """CCNet-style head/middle/tail perplexity split (r5): per-language
+    EXACT tercile cutoffs over the 6-dp-rounded char-unigram perplexity,
+    then row-local bucket assignment; per (lang, bucket) membership is
+    pinned by count + integer micro-sum + min/max. The oracle recomputes
+    the LM in SQL, fits quantile_cont cutoffs on the same rounded multiset,
+    and reassigns buckets — exact agreement because the rounding grid
+    (1e-6) dwarfs the engines' 1.7e-15 LM noise."""
+    from data_quality_framework_spark.functions.scoring import perplexity
+    from data_quality_framework_spark.operators.ccnet import (
+        ppl_bucket_cutoffs,
+        with_ppl_bucket,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(
+            F.col("lang").isNotNull()
+            & (F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        )
+        .select("doc_id", "lang", F.round(perplexity(F.col("text")), 6).alias("pplr"))
+    )
+    cuts = ppl_bucket_cutoffs(d, "lang", "pplr", exact=True)
+    b = with_ppl_bucket(d, cuts, "lang", "pplr")
+    return (
+        b.groupBy("lang", "ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.round(F.col("pplr") * 1e6).cast("long")).cast("long").alias("sum_ppl_micro"),
+            F.round(F.min("pplr"), 6).alias("min_ppl"),
+            F.round(F.max("pplr"), 6).alias("max_ppl"),
+        )
+        .orderBy("lang", "ppl_bucket")
+    )
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition signals (r4): per-doc top-2-gram and
     duplicated-5-gram char fractions; all masses integer so the oracle's
@@ -1249,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_canonical": _q_url_canonical,
         # domain blocklist filtering (r5): label-suffix host matching
         "text_domain_blocklist": _q_domain_blocklist,
+        # CCNet head/middle/tail perplexity terciles per language (r5)
+        "text_ppl_buckets": _q_ppl_buckets,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -2012,6 +2050,28 @@ def oracle_sql() -> dict[str, str]:
                        x -> list_contains(['spam.example.com', 'tracker.net'], x))) > 0
                      AS host_blocked
             FROM s ORDER BY doc_id
+        """,
+        # CCNet ppl-bucket oracle (r5): LM replica + quantile_cont cutoffs
+        # over the SAME 6-dp-rounded multiset -> identical bucket membership
+        "text_ppl_buckets": f"""
+            WITH s AS (SELECT doc_id, lang,
+                              round({_ppl_unigram_sql('text')}, 6) AS pplr
+                       FROM documents
+                       WHERE lang IS NOT NULL AND length(coalesce(text, '')) > 0),
+                 c AS (SELECT lang AS l,
+                              quantile_cont(pplr, [{1.0 / 3.0!r}, {2.0 / 3.0!r}]) AS c
+                       FROM s GROUP BY 1),
+                 b AS (SELECT s.lang, pplr,
+                              CASE WHEN pplr <= c[1] THEN 'head'
+                                   WHEN pplr <= c[2] THEN 'middle'
+                                   ELSE 'tail' END AS ppl_bucket
+                       FROM s JOIN c ON s.lang = c.l)
+            SELECT lang, ppl_bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(CAST(round(pplr * 1e6) AS BIGINT)) AS BIGINT) AS sum_ppl_micro,
+                   round(min(pplr), 6) AS min_ppl,
+                   round(max(pplr), 6) AS max_ppl
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # stratified-sampling oracle (r4): identical md5-derived 60-bit hash
         # + identical integer thresholds -> the exact same kept set

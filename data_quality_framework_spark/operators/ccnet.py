@@ -1,0 +1,99 @@
+"""CCNet-style per-language perplexity bucketing.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") splits each language's crawl into
+head / middle / tail thirds by language-model perplexity; downstream
+training picks buckets (head+middle is the usual recipe). This module is
+that split over any scored DataFrame:
+
+* :func:`ppl_bucket_cutoffs` — per-language cutoff values at the requested
+  quantiles. ``exact=False`` (default, the 10^12-doc path) uses
+  ``approx_percentile`` — a sketch-mergeable single aggregation, no sort;
+  ``exact=True`` uses ``percentile`` (exact interpolated quantiles; Spark
+  materializes each group's value multiset on the agg side, so reserve it
+  for gate-sized tiers — CCNet itself fits cutoffs on a SAMPLE, which is
+  ``df.sample(...)`` composed in front of this).
+* :func:`with_ppl_bucket` — row-local bucket assignment from the collected
+  cutoff dict (a literal CASE chain, zero shuffles, fully pushable). The
+  two-step shape means the expensive corpus never shuffles: one tiny
+  aggregate for cutoffs, then a map-side column.
+
+Cross-engine note: bucket membership compares a perplexity against an
+interpolated cutoff, so gate queries must round the score to a coarse grid
+(6 dp here) BEFORE fitting cutoffs — both engines then bucket the identical
+multiset and boundary docs cannot flip on float noise in the last ulp.
+
+Reference parity: the reference has no scoring surface; this completes the
+north rule's KenLM seam (``functions/scoring.py``) into the standard
+CCNet consumption shape.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bucket names for the canonical thirds split (len(probs) + 1 buckets)
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ppl_bucket_cutoffs(
+    df: DataFrame,
+    lang_col: str,
+    ppl_col: str,
+    probs: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+) -> dict[str, list[float]]:
+    """Per-language quantile cutoffs of ``ppl_col``: {lang: [c_1 <= ... <= c_k]}.
+
+    NULL languages and NULL scores are excluded (they cannot be bucketed).
+    The result is driver-sized (languages x quantiles) by construction.
+    """
+    if not probs or list(probs) != sorted(probs) or not all(0 < p < 1 for p in probs):
+        raise ValueError(f"probs must be sorted fractions in (0, 1), got {probs!r}")
+    fn = "percentile" if exact else "approx_percentile"
+    arr = ", ".join(repr(float(p)) for p in probs)
+    rows = (
+        df.filter(F.col(lang_col).isNotNull() & F.col(ppl_col).isNotNull())
+        .select(F.col(lang_col).alias("__l"), F.col(ppl_col).alias("__p"))
+        .groupBy("__l")
+        .agg(F.expr(f"{fn}(__p, array({arr}))").alias("__c"))
+        .collect()
+    )
+    return {r["__l"]: [float(c) for c in r["__c"]] for r in rows}
+
+
+def with_ppl_bucket(
+    df: DataFrame,
+    cutoffs: Mapping[str, Sequence[float]],
+    lang_col: str,
+    ppl_col: str,
+    bucket_col: str = "ppl_bucket",
+    buckets: Sequence[str] = CCNET_BUCKETS,
+) -> DataFrame:
+    """``df`` + a bucket column: per the row's language, the first cutoff the
+    score does not exceed names the bucket (``ppl <= c_i`` -> buckets[i],
+    above all cutoffs -> the last bucket).
+
+    Pure row-local literal CASE chain — no join, no shuffle. Rows whose
+    language has no cutoffs (or NULL lang/score) get a NULL bucket; dropping
+    or keeping them is the caller's policy, never silent reassignment.
+    """
+    n = {len(c) for c in cutoffs.values()}
+    if cutoffs and n != {len(buckets) - 1}:
+        raise ValueError(
+            f"every language needs {len(buckets) - 1} cutoffs for {len(buckets)} "
+            f"buckets, got sizes {sorted(n)}"
+        )
+    expr = F.lit(None).cast("string")
+    for lang in sorted(cutoffs):
+        cs = [float(c) for c in cutoffs[lang]]
+        inner = F.lit(buckets[-1])
+        for i in range(len(cs) - 1, -1, -1):
+            inner = F.when(F.col(ppl_col) <= F.lit(cs[i]), F.lit(buckets[i])).otherwise(inner)
+        expr = F.when(
+            (F.col(lang_col) == F.lit(lang)) & F.col(ppl_col).isNotNull(), inner
+        ).otherwise(expr)
+    return df.withColumn(bucket_col, expr)

@@ -1219,3 +1219,51 @@ def test_domain_blocklist_label_suffix_semantics(spark):
     big = [f"d{i}.example.com" for i in range(10_001)]
     with pytest.raises(ValueError):
         domain_blocklist_flags(df, big)
+
+
+def test_ppl_bucket_cutoffs_and_assignment(spark):
+    """CCNet bucketing: exact per-lang tercile cutoffs, inclusive boundary
+    (ppl == cutoff -> lower bucket), unknown/NULL lang -> NULL bucket, and
+    the assignment plan is a row-local projection (no join, no shuffle)."""
+    from data_quality_framework_spark.operators.ccnet import (
+        ppl_bucket_cutoffs,
+        with_ppl_bucket,
+    )
+
+    # en: scores 1..9 -> terciles at (3.666..., 6.333...); de: 10..12
+    rows = [(i, "en", float(i)) for i in range(1, 10)]
+    rows += [(100 + i, "de", 10.0 + i) for i in range(3)]
+    rows += [(200, None, 5.0), (201, "fr", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+
+    cuts = ppl_bucket_cutoffs(df, "lang", "ppl", exact=True)
+    assert set(cuts) == {"en", "de"}
+    assert cuts["en"][0] == pytest.approx(11.0 / 3.0)
+    assert cuts["en"][1] == pytest.approx(19.0 / 3.0)
+
+    out = with_ppl_bucket(df, cuts, "lang", "ppl")
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    assert [got[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert got[200] is None and got[201] is None  # no silent reassignment
+
+    # boundary is inclusive: a doc exactly AT the cutoff takes the lower bucket
+    b = with_ppl_bucket(
+        spark.createDataFrame([(1, "en", 4.0)], "doc_id long, lang string, ppl double"),
+        {"en": [4.0, 8.0]}, "lang", "ppl",
+    )
+    assert b.head()["ppl_bucket"] == "head"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head and "Join" not in head
+
+    # approx path agrees on well-separated data (sketch error << gaps)
+    approx = ppl_bucket_cutoffs(df, "lang", "ppl", exact=False)
+    assert set(approx) == {"en", "de"}
+
+    with pytest.raises(ValueError):
+        ppl_bucket_cutoffs(df, "lang", "ppl", probs=(0.9, 0.1))
+    with pytest.raises(ValueError):
+        with_ppl_bucket(df, {"en": [1.0]}, "lang", "ppl")  # 1 cutoff, 3 buckets
