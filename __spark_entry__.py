@@ -1069,6 +1069,45 @@ def _q_ppl_buckets(spark, sf):
     )
 
 
+def _q_pack_chunks(spark, sf):
+    """Concat-then-split sequence packing (r5): non-blank docs lay out in
+    deterministic (hash60, id) order inside 8 shards; each doc's absolute
+    token offset and chunk span at 256-token chunks is pure window-cumsum
+    metadata. The oracle replays the identical hash, shard, order, and
+    integer offset arithmetic in SQL — bit-exact per doc."""
+    from data_quality_framework_spark.functions import textstats as TS
+    from data_quality_framework_spark.operators.packing import pack_chunks
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(~TS.is_blank(F.col("text")))
+        .select("doc_id", TS.token_count(F.col("text")).cast("long").alias("toks"))
+    )
+    return pack_chunks(d, "doc_id", "toks", chunk_tokens=256, n_shards=8).orderBy(
+        "doc_id"
+    )
+
+
+def _q_dsir_scores(spark, sf):
+    """DSIR hashed n-gram importance scores (r5): target = the 'src0'
+    slice, raw = the whole corpus; 512 md5-derived buckets, add-one
+    smoothing, per-bucket log-ratios frozen to integer micro-units so each
+    doc's score is an exact integer sum. The oracle rebuilds grams,
+    buckets, ratios and sums in SQL — identical to the last micro-unit."""
+    from data_quality_framework_spark.operators.dsir import (
+        hashed_ngram_features,
+        importance_scores,
+        ngram_bucket_log_ratios,
+    )
+
+    d = _t(spark, sf, "documents")
+    k = 512
+    tf = hashed_ngram_features(d.filter(F.col("source") == "src0"), "doc_id", "text", k)
+    rf = hashed_ngram_features(d, "doc_id", "text", k)
+    ratios = ngram_bucket_log_ratios(tf, rf, k)
+    return importance_scores(d, ratios, "doc_id", "text", k).orderBy("doc_id")
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition signals (r4): per-doc top-2-gram and
     duplicated-5-gram char fractions; all masses integer so the oracle's
@@ -1287,6 +1326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_blocklist": _q_domain_blocklist,
         # CCNet head/middle/tail perplexity terciles per language (r5)
         "text_ppl_buckets": _q_ppl_buckets,
+        # concat-then-split sequence-packing plan (r5)
+        "text_pack_chunks": _q_pack_chunks,
+        # DSIR hashed n-gram importance scoring vs a target slice (r5)
+        "text_dsir_scores": _q_dsir_scores,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -2072,6 +2115,58 @@ def oracle_sql() -> dict[str, str]:
                    round(min(pplr), 6) AS min_ppl,
                    round(max(pplr), 6) AS max_ppl
             FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # sequence-packing oracle (r5): same md5-derived hash/shard/order,
+        # same window cumsum, same integer chunk arithmetic
+        "text_pack_chunks": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST({_WS_TOKENS} AS BIGINT) AS toks,
+                              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) AS h
+                       FROM documents WHERE {_NONBLANK}),
+                 s AS (SELECT doc_id, toks, h, h % 8 AS shard FROM t WHERE toks > 0),
+                 w AS (SELECT doc_id, shard, toks,
+                              CAST(sum(toks) OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS cum
+                       FROM s)
+            SELECT doc_id, shard,
+                   cum - toks AS tok_start,
+                   (cum - toks) // 256 AS first_chunk,
+                   (cum - 1) // 256 AS last_chunk,
+                   (cum - toks) % 256 AS chunk_offset
+            FROM w ORDER BY doc_id
+        """,
+        # DSIR oracle (r5): grams, md5 buckets, smoothed log-ratios and the
+        # integer micro-unit freeze all recomputed in SQL
+        "text_dsir_scores": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     string_split_regex(regexp_replace(lower(coalesce(text, '')),
+                       '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS w
+              FROM documents WHERE {_NONBLANK}),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest(list_concat(w,
+                       CASE WHEN len(w) >= 2
+                            THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                            ELSE CAST([] AS VARCHAR[]) END)) AS g
+              FROM toks),
+            feats AS (SELECT doc_id, source,
+                             CAST('0x' || substr(md5(g || ':dsir:7'), 1, 15) AS BIGINT) % 512 AS b
+                      FROM grams),
+            tc AS (SELECT b, count(*) AS c FROM feats WHERE source = 'src0' GROUP BY 1),
+            rc AS (SELECT b, count(*) AS c FROM feats GROUP BY 1),
+            dense AS (SELECT range AS b FROM range(512)),
+            tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM tc) AS t_sum,
+                           (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM rc) AS r_sum),
+            lr AS (SELECT dense.b,
+                          CAST(round((ln((coalesce(tc.c, 0) + 1.0) / (t_sum + 512.0))
+                                    - ln((coalesce(rc.c, 0) + 1.0) / (r_sum + 512.0))) * 1e6) AS BIGINT) AS lr_micro
+                   FROM dense LEFT JOIN tc ON dense.b = tc.b
+                              LEFT JOIN rc ON dense.b = rc.b, tot)
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(lr_micro) AS BIGINT) AS score_micro
+            FROM feats f JOIN lr ON f.b = lr.b
+            GROUP BY 1 ORDER BY doc_id
         """,
         # stratified-sampling oracle (r4): identical md5-derived 60-bit hash
         # + identical integer thresholds -> the exact same kept set

@@ -1,0 +1,159 @@
+"""DSIR-style hashed n-gram importance scoring for targeted data selection.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") scores every raw document by how much it resembles a small
+high-quality target corpus, using nothing heavier than hashed n-gram
+counts: unigrams + bigrams hash into K buckets, each corpus reduces to a
+K-vector of bucket counts, and a document's importance is the sum over its
+grams of ``log p_target(bucket) - log p_raw(bucket)`` (add-alpha smoothed).
+Selection then keeps the highest-scoring docs (or samples by weight).
+
+Determinism/scale contract here:
+
+* features are md5-derived (the codebase's SQL-replayable ``md5_60``), so
+  an external engine reproduces every bucket id exactly;
+* per-bucket log-ratios are frozen to integer MICRO-units (round(lr*1e6))
+  the moment they are computed — per-doc scores are then INTEGER sums,
+  exact under any aggregation order, partitioning, or engine (a float
+  log-sum would be order-dependent at the 1e-15 level);
+* the bucket table is dense (all K buckets, unseen ones get the pure
+  smoothing ratio), so scoring is a broadcast join with no missing-key
+  policy hiding anywhere;
+* shuffles: one per corpus for bucket counts (map-side partials over at
+  most K distinct keys) and one groupBy(id) for doc scores — the gram
+  explosion itself never shuffles.
+
+Reference parity: no selection surface in the reference; north-rule
+training-data scope (the sampling/dedup tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import md5_60
+from data_quality_framework_spark.functions.textstats import words_col
+
+
+def _gram_array(text: Column, ns: tuple[int, ...]) -> Column:
+    """Lowercased whitespace unigram/bigram array (order: unigrams then
+    bigrams, duplicates kept — counts are the whole point)."""
+    w = words_col(F.lower(text))
+    parts = []
+    for n in ns:
+        if n == 1:
+            parts.append(w)
+        elif n == 2:
+            big = F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            parts.append(F.when(F.size(w) >= 2, big).otherwise(F.array().cast("array<string>")))
+        else:
+            raise ValueError(f"only unigrams/bigrams supported, got n={n}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    seed: int = 7,
+) -> DataFrame:
+    """One row per gram occurrence: (``id_col``, ``bucket``). Blank docs
+    contribute nothing. Bucket = md5_60(gram || ':dsir:<seed>') mod K."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    grams = _gram_array(F.col(text_col), tuple(ns))
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(
+        id_col,
+        (md5_60(F.concat(F.col("__g"), F.lit(f":dsir:{seed}"))) % n_buckets).alias("bucket"),
+    )
+
+
+def ngram_bucket_log_ratios(
+    target_features: DataFrame,
+    raw_features: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Dense per-bucket importance log-ratios in integer micro-units:
+    (``bucket``, ``lr_micro``) for ALL K buckets.
+
+    lr = ln((t_b + alpha) / (T + alpha*K)) - ln((r_b + alpha) / (R + alpha*K))
+    frozen to round(lr * 1e6) — the only float step in the whole scoring
+    path. Corpus totals T/R come from an all-rows window over the K-row
+    bucket table (no driver action, no second computation of the counts)."""
+    from pyspark.sql.window import Window
+
+    spark = target_features.sparkSession
+    tc = target_features.groupBy("bucket").agg(F.count(F.lit(1)).alias("__tc"))
+    rc = raw_features.groupBy("bucket").agg(F.count(F.lit(1)).alias("__rc"))
+    dense = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        dense.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("__tc"), F.lit(0)).alias("t"),
+            F.coalesce(F.col("__rc"), F.lit(0)).alias("r"),
+        )
+    )
+    # all-rows window over K rows (K is small by construction); RANGE frame
+    # spanning everything so T/R are the corpus gram totals
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t_den = F.sum("t").over(tot).cast("double") + F.lit(alpha * n_buckets)
+    r_den = F.sum("r").over(tot).cast("double") + F.lit(alpha * n_buckets)
+    lr = F.log((F.col("t") + F.lit(alpha)) / t_den) - F.log(
+        (F.col("r") + F.lit(alpha)) / r_den
+    )
+    return joined.select(
+        "bucket", F.round(lr * 1e6).cast("long").alias("lr_micro")
+    )
+
+
+def importance_scores(
+    df: DataFrame,
+    ratios: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    ns: tuple[int, ...] = (1, 2),
+    seed: int = 7,
+) -> DataFrame:
+    """Per-doc DSIR score: (``id_col``, ``n_grams``, ``score_micro``) where
+    score_micro is the exact integer sum of the doc's bucket log-ratios.
+    Docs with no grams (blank) are absent — no grams, no evidence."""
+    feats = hashed_ngram_features(df, id_col, text_col, n_buckets, ns, seed)
+    return (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lr_micro").cast("long").alias("score_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    min_score_micro: int,
+) -> DataFrame:
+    """Keep rows whose importance score clears the threshold — the
+    deterministic filter form of DSIR selection (the resampling form
+    composes ``scores`` with ``operators.sampling`` instead)."""
+    keep = scores.filter(F.col("score_micro") >= min_score_micro).select(id_col)
+    return df.join(keep, id_col, "left_semi")

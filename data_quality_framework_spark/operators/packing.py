@@ -1,0 +1,139 @@
+"""Sequence packing: laying a tokenized corpus into fixed-size training rows.
+
+The last mile of a training-data pipeline is turning kept documents into
+fixed-length token sequences. Two standard shapes, both deterministic here:
+
+* :func:`pack_chunks` — GPT-style "concatenate then split": documents are
+  laid end-to-end in a deterministic order and cut every ``chunk_tokens``;
+  a document may span chunks. This emits the PLAN (each doc's shard, token
+  offset, and first/last chunk ids) as pure metadata — the actual token
+  materialization belongs to the tokenizer stage and needs nothing beyond
+  these offsets. One window aggregation per shard is the whole cost.
+* :func:`pack_greedy` — document-preserving first-fit: docs never split;
+  a bin closes when the next doc in order would overflow ``bin_tokens``.
+  The greedy recurrence is inherently sequential, so it runs per shard via
+  ``applyInPandas`` (shards give the parallelism; the order inside a shard
+  is the same deterministic (hash, id) order as pack_chunks).
+
+Scale shape: the corpus shuffles ONCE, on the shard key (uniform by
+construction — it's a 60-bit hash mod ``n_shards``); everything after is
+shard-local. Chunk/bin ids are (shard, local id) pairs so no global
+coordination or driver-side state exists. Determinism: order within a shard
+is (hash60(id), id) — reproducible under any partitioning, retry count, or
+engine (the hash is the md5-derived one an external SQL engine replays).
+
+Reference parity: no packing surface in the reference; north-rule
+training-data scope (same tier as dedup/sampling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from data_quality_framework_spark.operators.sampling import hash60
+
+
+def _sharded(df: DataFrame, id_col: str, token_col: str, n_shards: int, seed: int):
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return (
+        df.filter(F.col(token_col).isNotNull() & (F.col(token_col) > 0))
+        .withColumn("__h", hash60(F.col(id_col), seed))
+        .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    chunk_tokens: int,
+    n_shards: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-split packing plan: per doc, its shard, absolute token
+    offset within the shard stream, and the chunk ids it spans.
+
+    Output columns: ``id_col``, ``shard``, ``tok_start`` (offset of the
+    doc's first token in the shard's concatenated stream), ``first_chunk``
+    / ``last_chunk`` (0-based chunk ids within the shard; a doc longer than
+    ``chunk_tokens`` spans several), ``chunk_offset`` (position of the doc's
+    first token inside its first chunk). Zero- or NULL-token docs are
+    excluded (they occupy no sequence space).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    s = _sharded(df, id_col, token_col, n_shards, seed)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return s.select(
+        F.col(id_col),
+        F.col("shard"),
+        start.alias("tok_start"),
+        F.floor(start / chunk_tokens).cast("long").alias("first_chunk"),
+        F.floor((cum - 1) / chunk_tokens).cast("long").alias("last_chunk"),
+        (start % chunk_tokens).cast("long").alias("chunk_offset"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    bin_tokens: int,
+    n_shards: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Document-preserving first-fit packing: per doc, its shard, position
+    in the shard's deterministic order, and its bin id within the shard.
+
+    Bins are filled in (hash, id) order; a doc that would overflow the
+    current bin opens the next one. A single doc larger than ``bin_tokens``
+    gets a bin of its own (callers see it via ``bin_fill > bin_tokens`` and
+    decide truncation policy — silent splitting would change semantics).
+    Output: ``id_col``, ``shard``, ``seq_index``, ``bin`` (0-based within
+    shard), ``bin_fill`` (bin's total tokens after this doc).
+    """
+    if bin_tokens <= 0:
+        raise ValueError(f"bin_tokens must be positive, got {bin_tokens}")
+    s = _sharded(df, id_col, token_col, n_shards, seed)
+    id_field = s.schema[id_col].dataType
+    tok_field = s.schema[token_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field),
+            T.StructField("shard", T.LongType()),
+            T.StructField("seq_index", T.LongType()),
+            T.StructField("bin", T.LongType()),
+            T.StructField("bin_fill", T.LongType()),
+        ]
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__h", id_col], kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].astype("int64").to_numpy()
+        bins = [0] * len(toks)
+        fills = [0] * len(toks)
+        b, fill = 0, 0
+        for i, t in enumerate(toks):
+            if fill > 0 and fill + t > bin_tokens:
+                b, fill = b + 1, 0
+            fill += int(t)
+            bins[i], fills[i] = b, fill
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"].astype("int64"),
+                "seq_index": range(len(toks)),
+                "bin": bins,
+                "bin_fill": fills,
+            }
+        )
+
+    return s.groupBy("shard").applyInPandas(fit, out_schema)

@@ -1267,3 +1267,117 @@ def test_ppl_bucket_cutoffs_and_assignment(spark):
         ppl_bucket_cutoffs(df, "lang", "ppl", probs=(0.9, 0.1))
     with pytest.raises(ValueError):
         with_ppl_bucket(df, {"en": [1.0]}, "lang", "ppl")  # 1 cutoff, 3 buckets
+
+
+def test_pack_chunks_offsets_and_spans(spark):
+    """Concat-then-split packing: within every shard the token offsets are
+    contiguous in (hash, id) order, chunk spans follow the integer
+    arithmetic, the result is partition-independent, and the plan shuffles
+    exactly once (the shard window)."""
+    from data_quality_framework_spark.operators.packing import pack_chunks
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(500)]
+    rows += [(1000, 0), (1001, None)]  # occupy no space -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = pack_chunks(df, "doc_id", "toks", chunk_tokens=128, n_shards=4)
+    got = out.collect()
+    assert len(got) == 500
+    toks = dict(rows[:500])
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["tok_start"])
+        expect_start = 0
+        for r in members:
+            t = toks[r["doc_id"]]
+            assert r["tok_start"] == expect_start
+            assert r["first_chunk"] == expect_start // 128
+            assert r["last_chunk"] == (expect_start + t - 1) // 128
+            assert r["chunk_offset"] == expect_start % 128
+            expect_start += t
+
+    again = {tuple(r) for r in
+             pack_chunks(df.repartition(13), "doc_id", "toks", 128, 4).collect()}
+    assert again == {tuple(r) for r in got}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[0].count("Exchange") <= 1
+
+    with pytest.raises(ValueError):
+        pack_chunks(df, "doc_id", "toks", 0)
+
+
+def test_pack_greedy_first_fit(spark):
+    """Doc-preserving first-fit: no bin exceeds the budget except a
+    singleton over-budget doc; bins fill in the deterministic shard order;
+    verdicts are partition-independent."""
+    from data_quality_framework_spark.operators.packing import pack_greedy
+
+    rows = [(i, [40, 70, 100, 130][i % 4]) for i in range(400)]
+    rows.append((9000, 500))  # larger than any bin -> its own bin
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    out = pack_greedy(df, "doc_id", "toks", bin_tokens=256, n_shards=4)
+    got = out.collect()
+    assert len(got) == 401
+    toks = dict(rows)
+    fills = {}
+    for r in got:
+        fills.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), members in fills.items():
+        members.sort(key=lambda r: r["seq_index"])
+        total = sum(toks[r["doc_id"]] for r in members)
+        assert members[-1]["bin_fill"] == total
+        if total > 256:  # only an over-budget singleton may overflow
+            assert len(members) == 1 and toks[members[0]["doc_id"]] > 256
+    big = next(r for r in got if r["doc_id"] == 9000)
+    assert fills[(big["shard"], big["bin"])] == [big]
+
+    again = {tuple(r) for r in
+             pack_greedy(df.repartition(11), "doc_id", "toks", 256, 4).collect()}
+    assert again == {tuple(r) for r in got}
+
+
+def test_dsir_importance_scoring(spark):
+    """DSIR scores rank target-like docs above off-target docs; gram
+    counting includes bigrams; scores are exact integers, partition-
+    independent; dsir_select keeps exactly the clearing docs."""
+    from data_quality_framework_spark.operators.dsir import (
+        dsir_select,
+        hashed_ngram_features,
+        importance_scores,
+        ngram_bucket_log_ratios,
+    )
+
+    target_txt = "alpha beta gamma delta alpha beta"
+    raw_rows = (
+        [(i, "alpha beta gamma epsilon") for i in range(10)]          # target-like
+        + [(100 + i, "zork quux blarg frobnicate") for i in range(10)]  # off-target
+        + [(200, "   "), (201, None)]                                  # no grams
+    )
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame([(0, target_txt)], "doc_id long, text string")
+
+    k = 64
+    tf = hashed_ngram_features(target, "doc_id", "text", k)
+    rf = hashed_ngram_features(raw, "doc_id", "text", k)
+    # 6 unigrams + 5 bigrams from the target doc
+    assert tf.count() == 11
+    assert rf.count() == 20 * 7  # 4 unigrams + 3 bigrams per non-blank doc
+
+    ratios = ngram_bucket_log_ratios(tf, rf, k)
+    assert ratios.count() == k  # dense table, every bucket priced
+    scores = importance_scores(raw, ratios, "doc_id", "text", k)
+    got = {r["doc_id"]: r["score_micro"] for r in scores.collect()}
+    assert set(got) == {r[0] for r in raw_rows[:20]}  # blank/null absent
+    assert min(got[i] for i in range(10)) > max(got[100 + i] for i in range(10))
+
+    again = {r["doc_id"]: r["score_micro"]
+             for r in importance_scores(raw.repartition(7), ratios, "doc_id",
+                                        "text", k).collect()}
+    assert again == got
+
+    thr = min(got[i] for i in range(10))
+    kept = dsir_select(raw, scores, "doc_id", thr)
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(10))
