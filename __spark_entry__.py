@@ -1069,6 +1069,32 @@ def _q_ppl_buckets(spark, sf):
     )
 
 
+def _q_paragraph_dedup(spark, sf):
+    """Gopher paragraph dedup (r5): line_dedup at blank-line granularity.
+    Boilerplate PARAGRAPHS are planted in-query (cookie banner on every doc,
+    subscription block on doc_id % 3 == 0); the operator must remove exactly
+    those and reassemble each doc's own paragraph byte-intact."""
+    from data_quality_framework_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.lit("We use cookies to improve your experience."),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("Subscribe to our newsletter for updates."),
+            ),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(m, id_col="doc_id", min_docs=5)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text_clean").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1328,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_buckets": _q_ppl_buckets,
         # concat-then-split sequence-packing plan (r5)
         "text_pack_chunks": _q_pack_chunks,
+        # Gopher paragraph-granularity boilerplate removal (r5)
+        "text_paragraph_dedup": _q_paragraph_dedup,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
         "text_dsir_scores": _q_dsir_scores,
         "text_repetition_profile": _q_repetition,
@@ -2242,6 +2270,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_filter(string_split(mtext, chr(10)),
                                                    ln -> NOT list_contains(hs, md5(ln))),
                                        chr(10))) AS clean_md5
+            FROM m, bpl ORDER BY doc_id
+        """,
+        # paragraph-dedup oracle (r5): line-dedup replica at blank-line
+        # granularity, same planted boilerplate paragraphs
+        "text_paragraph_dedup": """
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10) || chr(10),
+                                        'We use cookies to improve your experience.', text,
+                                        CASE WHEN doc_id % 3 = 0
+                                             THEN 'Subscribe to our newsletter for updates.' END) AS mtext
+                       FROM documents WHERE text IS NOT NULL),
+                 l AS (SELECT doc_id, unnest(string_split(mtext, chr(10) || chr(10))) AS seg FROM m),
+                 bp AS (SELECT md5(seg) AS h FROM l
+                        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+                 bpl AS (SELECT coalesce(list(h), []) AS hs FROM bp)
+            SELECT doc_id,
+                   CAST(len(string_split(mtext, chr(10) || chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(string_split(mtext, chr(10) || chr(10)),
+                                        s -> list_contains(hs, md5(s)))) AS BIGINT) AS n_removed,
+                   md5(array_to_string(list_filter(string_split(mtext, chr(10) || chr(10)),
+                                                   s -> NOT list_contains(hs, md5(s))),
+                                       chr(10) || chr(10))) AS clean_md5
             FROM m, bpl ORDER BY doc_id
         """,
         "text_token_counts": f"""

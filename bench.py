@@ -59,6 +59,11 @@ HEADLINE = [
     # r5: SemDeDup-style cluster-then-prune; temperature mixture sampling
     "dedup_semantic",
     "text_temperature_sample",
+    # r5 second wave: blocklist, CCNet ppl terciles, packing, DSIR
+    "text_domain_blocklist",
+    "text_ppl_buckets",
+    "text_pack_chunks",
+    "text_dsir_scores",
 ]
 
 

@@ -685,24 +685,32 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 5,
+    sep: str = "\n",
 ) -> DataFrame:
-    """Cross-corpus line-level dedup (Gopher-style boilerplate removal).
+    """Cross-corpus segment-level dedup (Gopher-style boilerplate removal).
 
-    A line appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    A segment appearing in >= ``min_docs`` DISTINCT documents is boilerplate
     (nav bars, cookie banners, copyright footers) and is removed from every
-    document. Returns (id, n_lines, n_removed, text_clean) for non-null-text
-    docs; line order is preserved exactly (posexplode + ordered reassembly).
+    document. ``sep`` sets the granularity: the default ``"\\n"`` is line
+    dedup; ``"\\n\\n"`` is Gopher's PARAGRAPH dedup (see
+    :func:`paragraph_dedup`). Returns (id, n_lines, n_removed, text_clean)
+    for non-null-text docs; segment order is preserved exactly (posexplode
+    + ordered reassembly, rejoined with the same literal ``sep``).
 
-    Scale shape: one shuffle on md5(line) (uniform key) to count distinct
-    docs per line — map-side partial aggregation keeps it metadata-sized —
+    Scale shape: one shuffle on md5(segment) (uniform key) to count distinct
+    docs per segment — map-side partial aggregation keeps it metadata-sized —
     plus one shuffle on the doc id to reassemble. The boilerplate set joins
     hint-free (its size is data-dependent; AQE broadcasts when small).
     Within-doc duplicate-line stats are the separate, shuffle-free
     ``textstats.dup_line_fraction``.
     """
+    import re as _re
+
     lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
 
     boilerplate = (
@@ -731,11 +739,24 @@ def line_dedup(
                     ),
                     lambda x: x["line"],
                 ),
-                "\n",
+                sep,
             ).alias("text_clean"),
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Gopher-style cross-corpus PARAGRAPH dedup: :func:`line_dedup` at
+    blank-line granularity (``sep="\\n\\n"``) — removes whole boilerplate
+    paragraphs (cookie notices, subscription blocks) while keeping each
+    document's own paragraphs and their order byte-intact."""
+    return line_dedup(df, id_col=id_col, text_col=text_col, min_docs=min_docs, sep="\n\n")
 
 
 def fingerprint_overlap_pairs(

@@ -1381,3 +1381,35 @@ def test_dsir_importance_scoring(spark):
     thr = min(got[i] for i in range(10))
     kept = dsir_select(raw, scores, "doc_id", thr)
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(10))
+
+
+def test_paragraph_dedup_and_sep_escaping(spark):
+    """Paragraph-granularity boilerplate removal keeps each doc's own
+    paragraphs byte-intact (including internal newlines); regex-special
+    separators are treated literally."""
+    from data_quality_framework_spark.operators.dedup import (
+        line_dedup,
+        paragraph_dedup,
+    )
+
+    banner = "We use cookies."
+    docs = [
+        (i, banner + "\n\n" + f"own paragraph {i}\nwith a second line")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, min_docs=5).collect()}
+    for i in range(6):
+        assert out[i]["n_lines"] == 2 and out[i]["n_removed"] == 1
+        # the doc's own paragraph survives byte-intact, internal \n included
+        assert out[i]["text_clean"] == f"own paragraph {i}\nwith a second line"
+
+    # a regex-special separator must split literally, not as a pattern
+    sdf = spark.createDataFrame(
+        [(i, f"common|unique {i}") for i in range(5)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           line_dedup(sdf, min_docs=5, sep="|").collect()}
+    for i in range(5):
+        assert got[i]["n_lines"] == 2 and got[i]["n_removed"] == 1
+        assert got[i]["text_clean"] == f"unique {i}"
