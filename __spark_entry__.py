@@ -1095,6 +1095,66 @@ def _q_paragraph_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_split_assign(spark, sf):
+    """Deterministic corpus split assignment (r5): 98/1/1 train/val/test cut
+    on the 60-bit id hash line. Membership depends only on the id, so the
+    oracle reproduces the EXACT per-doc assignment from the same md5 hash
+    and the same integer thresholds."""
+    from data_quality_framework_spark.operators.sampling import assign_split
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return assign_split(
+        d, "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).orderBy("doc_id")
+
+
+def _split_assign_oracle_sql() -> str:
+    """Thresholds come from the SAME cumulative-float + integer-floor code
+    path the operator uses (``sampling._threshold``), embedded as literals."""
+    from data_quality_framework_spark.operators.sampling import _threshold
+
+    t1 = _threshold(min(0.98, 1.0))
+    t2 = _threshold(min(0.98 + 0.01, 1.0))
+    return f"""
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) < {t1} THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) < {t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _q_line_shape(spark, sf):
+    """Gopher line-shape signals (r5): bullet-start / ellipsis-end /
+    duplicate-line / alpha-word fractions over multi-line docs built
+    in-query (documents are single-line, so bullet, ellipsis and duplicated
+    lines are planted on doc_id residues). Drives the full=True tier of
+    ``with_text_stats`` through the oracle gate — previously pytest-only."""
+    from data_quality_framework_spark.functions.textstats import with_text_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("- item one")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("read more...")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("SHARE this page")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("SHARE this page")),
+        ).alias("text"),
+    )
+    s = with_text_stats(m, full=True)
+    return s.select(
+        "doc_id",
+        F.col("line_count").cast("long").alias("line_count"),
+        F.round("dup_line_fraction", 6).alias("dup_line_frac"),
+        F.round("bullet_line_fraction", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_fraction", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_fraction", 6).alias("alpha_word_frac"),
+    ).orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1356,6 +1416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_chunks": _q_pack_chunks,
         # Gopher paragraph-granularity boilerplate removal (r5)
         "text_paragraph_dedup": _q_paragraph_dedup,
+        # Gopher line-shape signals: bullet/ellipsis/dup-line/alpha (r5)
+        "text_line_shape_profile": _q_line_shape,
+        # deterministic train/val/test split assignment (r5)
+        "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
         "text_dsir_scores": _q_dsir_scores,
         "text_repetition_profile": _q_repetition,
@@ -2207,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "text_temperature_sample": _temperature_sample_oracle_sql(),
+        # split-assignment oracle (r5): same hash, same integer thresholds
+        "text_split_assign": _split_assign_oracle_sql(),
         # decontamination oracle (r4): same md5_60 gram hashes on both sides
         # -> join keys identical, counts exact
         "text_contamination_flags": f"""
@@ -2293,6 +2359,41 @@ def oracle_sql() -> dict[str, str]:
                                                    s -> NOT list_contains(hs, md5(s))),
                                        chr(10) || chr(10))) AS clean_md5
             FROM m, bpl ORDER BY doc_id
+        """,
+        # line-shape oracle (r5): planted bullet/ellipsis/dup lines; every
+        # fraction is small-int / small-int -> bit-identical doubles
+        "text_line_shape_profile": f"""
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10), text,
+                                        CASE WHEN doc_id % 2 = 0 THEN '- item one' END,
+                                        CASE WHEN doc_id % 3 = 0 THEN 'read more...' END,
+                                        CASE WHEN doc_id % 5 = 0 THEN 'SHARE this page' END,
+                                        CASE WHEN doc_id % 5 = 0 THEN 'SHARE this page' END) AS t
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              CASE WHEN t IS NULL OR regexp_matches(t, '^{_WS}*$')
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split(t, chr(10)) END AS lines,
+                              CASE WHEN t IS NULL OR regexp_matches(t, '^{_WS}*$')
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split_regex(regexp_replace(t, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')
+                                   END AS w
+                       FROM m)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS line_count,
+                   round(CASE WHEN len(lines) > 0
+                         THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                         ELSE 0.0 END, 6) AS dup_line_frac,
+                   round(CASE WHEN len(lines) > 0
+                         THEN len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0 / len(lines)
+                         ELSE 0.0 END, 6) AS bullet_line_frac,
+                   round(CASE WHEN len(lines) > 0
+                         THEN len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) * 1.0 / len(lines)
+                         ELSE 0.0 END, 6) AS ellipsis_line_frac,
+                   round(CASE WHEN len(w) > 0
+                         THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-zÀ-ɏ一-鿿]'))) * 1.0 / len(w)
+                         ELSE 0.0 END, 6) AS alpha_word_frac
+            FROM s ORDER BY doc_id
         """,
         "text_token_counts": f"""
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,

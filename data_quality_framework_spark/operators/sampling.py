@@ -179,3 +179,40 @@ def temperature_sample(
     }
     rates = temperature_rates(totals, budget, temperature)
     return stratified_sample(df, strata_col, rates, id_col, default_rate=0.0, seed=seed)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    split_col: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split assignment.
+
+    Each row's 60-bit id hash is binned against the cumulative INTEGER
+    thresholds of ``fractions`` (insertion order defines the bins — pass
+    {"train": .98, "val": .01, "test": .01} and the hash line is cut at
+    floor(.98 * 2^60), floor(.99 * 2^60), 2^60). Same doc -> same split on
+    every run, executor, engine, and corpus SUBSET (membership depends only
+    on the id, so re-running after adding documents never migrates existing
+    ones between splits — the property a random split or ntile lacks).
+    Fractions must sum to 1 (±1e-9); the last bin absorbs the rounding
+    remainder so every row is assigned. Zero shuffles — a row-local CASE.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total!r}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {dict(fractions)!r}")
+    names = list(fractions)
+    h = hash60(F.col(id_col), seed)
+    cum = 0.0
+    expr = F.lit(names[-1])  # last bin takes the rounding remainder
+    conds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        conds.append((name, _threshold(min(cum, 1.0))))
+    for name, thr in reversed(conds):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -1413,3 +1413,36 @@ def test_paragraph_dedup_and_sep_escaping(spark):
     for i in range(5):
         assert got[i]["n_lines"] == 2 and got[i]["n_removed"] == 1
         assert got[i]["text_clean"] == f"unique {i}"
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    """Split assignment is a pure function of (id, seed): every row gets
+    exactly one split, proportions land near the fractions, membership
+    survives corpus growth (subset-stability), and the plan shuffles
+    nothing."""
+    from data_quality_framework_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "doc_id long")
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 10_000
+    counts = {}
+    for s in got.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.015
+    assert abs(counts["test"] / 10_000 - 0.1) < 0.015
+
+    # subset stability: assignments computed on HALF the corpus agree
+    half = assign_split(df.filter(F.col("doc_id") < 5000), "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    for r in half.collect():
+        assert got[r["doc_id"]] == r["split"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 0.5, "val": 0.4})  # sums to 0.9
+    with pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"a": 1.5, "b": -0.5})
