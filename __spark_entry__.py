@@ -1189,9 +1189,15 @@ def _q_dsir_scores(spark, sf):
     d = _t(spark, sf, "documents")
     k = 512
     tf = hashed_ngram_features(d.filter(F.col("source") == "src0"), "doc_id", "text", k)
-    rf = hashed_ngram_features(d, "doc_id", "text", k)
+    rf = hashed_ngram_features(d, "doc_id", "text", k).persist()
     ratios = ngram_bucket_log_ratios(tf, rf, k)
-    return importance_scores(d, ratios, "doc_id", "text", k).orderBy("doc_id")
+    scored = (
+        importance_scores(d, ratios, "doc_id", "text", k, features=rf)
+        .orderBy("doc_id")
+    )
+    rows = scored.collect()  # materialize, then release the shared gram frame
+    rf.unpersist()
+    return spark.createDataFrame(rows, scored.schema)
 
 
 def _q_repetition(spark, sf):

@@ -131,11 +131,25 @@ def importance_scores(
     n_buckets: int = 4096,
     ns: tuple[int, ...] = (1, 2),
     seed: int = 7,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc DSIR score: (``id_col``, ``n_grams``, ``score_micro``) where
     score_micro is the exact integer sum of the doc's bucket log-ratios.
-    Docs with no grams (blank) are absent — no grams, no evidence."""
-    feats = hashed_ngram_features(df, id_col, text_col, n_buckets, ns, seed)
+    Docs with no grams (blank) are absent — no grams, no evidence.
+
+    Pass ``features`` (the ``hashed_ngram_features`` frame already built
+    for the raw side of ``ngram_bucket_log_ratios``) to score without a
+    second gram explode over the corpus — the explode is the one
+    token-proportional pass in the whole method, so reusing it halves the
+    scan work of fit-then-score. Persist/cache the frame before passing it:
+    the explode is narrow, so an unpersisted frame is re-inlined by Catalyst
+    into both consumers and nothing is saved (see the signature-table trap
+    in PLANS.md)."""
+    feats = (
+        features
+        if features is not None
+        else hashed_ngram_features(df, id_col, text_col, n_buckets, ns, seed)
+    )
     return (
         feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)

@@ -1382,6 +1382,22 @@ def test_dsir_importance_scoring(spark):
     kept = dsir_select(raw, scores, "doc_id", thr)
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(10))
 
+    # features-reuse path: identical scores, and with the shared gram frame
+    # persisted the scoring plan reads the cache — no second explode
+    rf_cached = rf.persist()
+    rf_cached.count()
+    reused = importance_scores(raw, ratios, "doc_id", "text", k,
+                               features=rf_cached)
+    assert {r["doc_id"]: r["score_micro"] for r in reused.collect()} == got
+    plan = reused._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # BOTH raw-side consumers (the ratio fit's bucket count and the scoring
+    # join) read the cache — the raw-corpus gram explode ran exactly once.
+    # (Generate lines still print: the target-side explode and the cached
+    # lineage shown under InMemoryRelation, neither a second raw scan.)
+    assert plan.count("InMemoryTableScan") == 2
+    rf_cached.unpersist()
+
 
 def test_paragraph_dedup_and_sep_escaping(spark):
     """Paragraph-granularity boilerplate removal keeps each doc's own
