@@ -1095,6 +1095,45 @@ def _q_paragraph_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+#: 10-token banner appended to even docs — guarantees cross-doc duplicated
+#: 8-token windows on top of the generator's own planted exact/near dups
+_SUBSTR_BOILER = "sign up now for our free newsletter and daily updates"
+
+
+def _q_substring_dedup(spark, sf):
+    """ExactSubstr dedup (r5, Lee et al. 2022 recast): any 8-token window
+    occurring >= 2 times corpus-wide marks its tokens; overlapping windows
+    merge into maximal spans, which are removed from the token stream. A
+    10-token banner is planted on even docs; the generator's own exact-dup
+    docs light up naturally. The oracle replays tokenize -> window-hash ->
+    global count -> span merge -> reassembly in SQL — per-doc span sets
+    and the deduplicated stream are bit-identical (all-integer decisions
+    on md5 hashes)."""
+    from data_quality_framework_spark.operators.substrdedup import (
+        exact_substring_dedup,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_SUBSTR_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = exact_substring_dedup(m, window=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_windows",
+        "n_spans",
+        "dup_tokens",
+        F.md5("text_dedup").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
 def _q_split_assign(spark, sf):
     """Deterministic corpus split assignment (r5): 98/1/1 train/val/test cut
     on the 60-bit id hash line. Membership depends only on the id, so the
@@ -1422,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_chunks": _q_pack_chunks,
         # Gopher paragraph-granularity boilerplate removal (r5)
         "text_paragraph_dedup": _q_paragraph_dedup,
+        # ExactSubstr duplicated-span removal (r5)
+        "text_substring_dedup": _q_substring_dedup,
         # Gopher line-shape signals: bullet/ellipsis/dup-line/alpha (r5)
         "text_line_shape_profile": _q_line_shape,
         # deterministic train/val/test split assignment (r5)
@@ -2365,6 +2406,57 @@ def oracle_sql() -> dict[str, str]:
                                                    s -> NOT list_contains(hs, md5(s))),
                                        chr(10) || chr(10))) AS clean_md5
             FROM m, bpl ORDER BY doc_id
+        """,
+        # ExactSubstr oracle (r5): full replay of tokenize -> 8-token
+        # window hash -> global >=2 count -> max-end/cumsum span merge ->
+        # range-join reassembly; every decision is integer math on md5
+        # hashes so span sets and the kept stream match bit-for-bit
+        "text_substring_dedup": f"""
+            WITH m AS (SELECT doc_id,
+                              CASE WHEN doc_id % 2 = 0
+                                   THEN concat_ws(' ', text, '{_SUBSTR_BOILER}')
+                                   ELSE text END AS text
+                       FROM documents WHERE text IS NOT NULL),
+                 toks AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+                          FROM (SELECT doc_id,
+                                       string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+') AS t
+                                FROM m WHERE NOT regexp_matches(text, '^{_WS}*$'))),
+                 wins AS (SELECT doc_id, pos, md5(array_to_string(w, ' ')) AS wh
+                          FROM (SELECT doc_id, pos,
+                                       list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                                                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS w,
+                                       count(*) OVER (PARTITION BY doc_id) AS n
+                                FROM toks)
+                          WHERE pos + 8 <= n),
+                 dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+                 cov AS (SELECT doc_id, pos FROM wins WHERE wh IN (SELECT wh FROM dup)),
+                 brk AS (SELECT doc_id, pos,
+                                CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                     THEN 1 ELSE 0 END AS b
+                         FROM cov),
+                 sp AS (SELECT doc_id, span_id, count(*) AS n_windows, min(pos) AS spos, max(pos) + 8 AS epos
+                        FROM (SELECT doc_id, pos,
+                                     sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+                              FROM brk)
+                        GROUP BY doc_id, span_id),
+                 tagged AS (SELECT t.doc_id, t.pos, t.tok, s.spos
+                            FROM toks t LEFT JOIN sp s
+                              ON t.doc_id = s.doc_id AND t.pos >= s.spos AND t.pos < s.epos),
+                 perdoc AS (SELECT doc_id,
+                                   CAST(count(*) AS BIGINT) AS n_tokens,
+                                   CAST(count(*) FILTER (WHERE spos IS NOT NULL) AS BIGINT) AS dup_tokens,
+                                   md5(coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE spos IS NULL), '')) AS dedup_md5
+                            FROM tagged GROUP BY doc_id),
+                 spd AS (SELECT doc_id, CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+                                CAST(count(*) AS BIGINT) AS n_spans
+                         FROM sp GROUP BY doc_id)
+            SELECT p.doc_id, p.n_tokens,
+                   coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+                   coalesce(s.n_spans, 0) AS n_spans,
+                   p.dup_tokens, p.dedup_md5
+            FROM perdoc p LEFT JOIN spd s USING (doc_id) ORDER BY p.doc_id
         """,
         # line-shape oracle (r5): planted bullet/ellipsis/dup lines; every
         # fraction is small-int / small-int -> bit-identical doubles

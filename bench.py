@@ -64,6 +64,8 @@ HEADLINE = [
     "text_ppl_buckets",
     "text_pack_chunks",
     "text_dsir_scores",
+    # r5 third wave: ExactSubstr duplicated-span removal
+    "text_substring_dedup",
 ]
 
 

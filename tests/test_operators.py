@@ -1462,3 +1462,86 @@ def test_assign_split_deterministic_and_stable(spark):
         assign_split(df, "doc_id", {"train": 0.5, "val": 0.4})  # sums to 0.9
     with pytest.raises(ValueError):
         assign_split(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_exact_substring_dedup(spark):
+    """Cross-doc and within-doc duplicated k-token windows merge into
+    maximal spans and are removed from the token stream; short/unique
+    docs survive intact; blank docs are absent; results are partition-
+    independent and the min_count threshold is a global occurrence count."""
+    from data_quality_framework_spark.operators.substrdedup import (
+        exact_substring_dedup,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 toks
+    tail = "copyright footer all rights reserved by the site owner"  # 9 toks
+    docs = [
+        (1, "alpha beta " + boiler + " gamma delta"),
+        (2, "one two three " + boiler),
+        (3, "unique words only here nothing shared at all friends"),
+        # 10x the same token: windows at pos 0..2 are identical -> self-dup
+        (4, " ".join(["selfrep"] * 10) + " x"),
+        (5, "short doc"),
+        (6, None),
+        (7, "   "),
+        # two disjoint duplicated regions -> two spans
+        (8, boiler + " own middle words here " + tail),
+        (9, tail + " trailing original content beyond it"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = exact_substring_dedup(df, window=8, min_count=2)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    assert set(got) == {1, 2, 3, 4, 5, 8, 9}  # blank/null docs absent
+    assert got[1]["text_dedup"] == "alpha beta gamma delta"
+    assert got[1]["dup_tokens"] == 10 and got[1]["n_spans"] == 1
+    assert got[2]["text_dedup"] == "one two three"
+    assert got[3]["dup_tokens"] == 0 and got[3]["text_dedup"] == docs[2][1]
+    assert got[4]["text_dedup"] == "x" and got[4]["n_dup_windows"] == 3
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 2, "n_dup_windows": 0, "n_spans": 0,
+        "dup_tokens": 0, "text_dedup": "short doc",
+    }
+    assert got[8]["n_spans"] == 2 and got[8]["dup_tokens"] == 19
+    assert got[8]["text_dedup"] == "own middle words here"
+    assert got[9]["text_dedup"] == "trailing original content beyond it"
+
+    again = {r["doc_id"]: r.asDict()
+             for r in exact_substring_dedup(
+                 df.repartition(7), window=8, min_count=2).collect()}
+    assert again == got
+
+    # min_count=3: the footer (docs 8+9, two occurrences) drops below the
+    # threshold while the banner (docs 1+2+8) and doc 4's self-repeats
+    # (three occurrences each) are still cut
+    strict = {r["doc_id"]: r["dup_tokens"]
+              for r in exact_substring_dedup(df, window=8, min_count=3).collect()}
+    assert strict == {1: 10, 2: 10, 3: 0, 4: 10, 5: 0, 8: 10, 9: 0}
+
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, window=0)
+    with pytest.raises(ValueError):
+        exact_substring_dedup(df, min_count=1)
+
+
+def test_exact_substring_dedup_single_corpus_pass_per_stage(spark):
+    """The final action's plan explodes the corpus exactly once — the
+    span frame is pre-materialized (localCheckpoint), so reassembly and
+    doc stats share one token pass instead of re-running the window
+    subtree per consumer."""
+    from data_quality_framework_spark.operators.substrdedup import (
+        exact_substring_dedup,
+    )
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa w"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = exact_substring_dedup(df, window=8, min_count=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Generate") == 1
