@@ -1095,6 +1095,47 @@ def _q_paragraph_dedup(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_html_extract(spark, sf):
+    """HTML -> text extraction (r5): each doc's text is entity-encoded and
+    wrapped in realistic page furniture (head/style block, optional h1,
+    optional script, a footer div with <br/>) IN-QUERY; the extractor must
+    drop the furniture subtrees, restore entities, and hand back the
+    original text bytes between block-boundary newlines. byte_identical
+    re-derives the north rule's per-url invariant row by row; the oracle
+    replays the identical regex chain (functions/htmltext.py keeps ONE
+    pattern list for both engines)."""
+    from data_quality_framework_spark.functions.htmltext import (
+        extract_html_binary,
+    )
+    from data_quality_framework_spark.functions.textstats import is_blank
+
+    d = _t(spark, sf, "documents").filter(~is_blank(F.col("text")))
+    enc = F.replace(F.col("text"), F.lit("&"), F.lit("&amp;"))
+    enc = F.replace(enc, F.lit("<"), F.lit("&lt;"))
+    enc = F.replace(enc, F.lit(">"), F.lit("&gt;"))
+    html_str = F.concat(
+        F.lit("<html><head><title>doc</title><style>p{margin:0}</style></head><body>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<h1>Top Stories &amp; More</h1>")).otherwise(F.lit("")),
+        F.lit("<p>"), enc, F.lit("</p>"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<script>track();</script>")).otherwise(F.lit("")),
+        F.lit('<div class="footer">(c) 2026 Example<br/>All rights reserved</div></body></html>'),
+    )
+    extracted = extract_html_binary(F.encode(html_str, "UTF-8"))
+    expected = F.concat_ws(
+        "\n",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Top Stories & More")),
+        F.col("text"),
+        F.lit("(c) 2026 Example"),
+        F.lit("All rights reserved"),
+    )
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars_extracted"),
+        (extracted == expected).alias("byte_identical"),
+        F.md5(extracted).alias("extract_md5"),
+    ).orderBy("doc_id")
+
+
 #: 10-token banner appended to even docs — guarantees cross-doc duplicated
 #: 8-token windows on top of the generator's own planted exact/near dups
 _SUBSTR_BOILER = "sign up now for our free newsletter and daily updates"
@@ -1463,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup": _q_paragraph_dedup,
         # ExactSubstr duplicated-span removal (r5)
         "text_substring_dedup": _q_substring_dedup,
+        # html -> text extraction, byte-identity invariant (r5)
+        "text_html_extract": _q_html_extract,
         # Gopher line-shape signals: bullet/ellipsis/dup-line/alpha (r5)
         "text_line_shape_profile": _q_line_shape,
         # deterministic train/val/test split assignment (r5)
@@ -1931,6 +1974,10 @@ def _oracle_sf_dir() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from data_quality_framework_spark.functions.htmltext import (
+        duckdb_extract_sql,
+    )
+
     out = {
         "s1_project_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45"
@@ -2406,6 +2453,31 @@ def oracle_sql() -> dict[str, str]:
                                                    s -> NOT list_contains(hs, md5(s))),
                                        chr(10) || chr(10))) AS clean_md5
             FROM m, bpl ORDER BY doc_id
+        """,
+        # html-extraction oracle (r5): the SAME page furniture built in SQL,
+        # then functions/htmltext.duckdb_extract_sql — the identical
+        # pattern chain — recovers the text; byte_identical and the md5
+        # must agree with the JVM extraction bit-for-bit
+        "text_html_extract": f"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND NOT regexp_matches(text, '^{_WS}*$')),
+                 h AS (SELECT doc_id, text,
+                              '<html><head><title>doc</title><style>p{{margin:0}}</style></head><body>'
+                              || CASE WHEN doc_id % 3 = 0 THEN '<h1>Top Stories &amp; More</h1>' ELSE '' END
+                              || '<p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>'
+                              || CASE WHEN doc_id % 4 = 0 THEN '<script>track();</script>' ELSE '' END
+                              || '<div class="footer">(c) 2026 Example<br/>All rights reserved</div></body></html>'
+                              AS html
+                       FROM d),
+                 x AS (SELECT doc_id, text, {duckdb_extract_sql('html')} AS ext FROM h)
+            SELECT doc_id,
+                   CAST(length(ext) AS BIGINT) AS n_chars_extracted,
+                   ext = concat_ws(chr(10),
+                                   CASE WHEN doc_id % 3 = 0 THEN 'Top Stories & More' END,
+                                   text, '(c) 2026 Example', 'All rights reserved')
+                     AS byte_identical,
+                   md5(ext) AS extract_md5
+            FROM x ORDER BY doc_id
         """,
         # ExactSubstr oracle (r5): full replay of tokenize -> 8-token
         # window hash -> global >=2 count -> max-end/cumsum span merge ->

@@ -1,0 +1,123 @@
+"""HTML -> text extraction as a pure JVM Column chain (no UDF).
+
+The north rule's input contract carries raw page bytes (``html: binary``)
+next to the extracted ``text``; this module closes that loop — the engine
+can ingest pages that only have html and derive the text column itself,
+with the SAME byte-determinism contract as the scrubber
+(``functions/scrub.py``): the whole extraction is one ordered chain of
+regex/literal replacements executed in ONE engine (Spark's JVM regex),
+using only dialect-portable constructs (inline ``(?is)`` flags, ``\\b``,
+non-greedy ``.*?``, character classes — NO lookaround), so the identical
+pattern strings double as the DuckDB oracle via
+:func:`duckdb_extract_sql`.
+
+Extraction semantics (bounded, documented, deterministic — a regex
+extractor, not a browser):
+
+1. drop non-content subtrees wholesale: ``<script>``/``<style>``
+   elements, the ``<head>`` element, HTML comments;
+2. closing block-level tags and ``<br>`` become newlines (paragraph /
+   heading / list / table / blockquote boundaries survive as line
+   breaks);
+3. every remaining tag is stripped;
+4. the bounded entity set ``&lt; &gt; &quot; &#34; &apos; &#39; &nbsp;``
+   is decoded literally, with ``&amp;`` LAST (so ``&amp;lt;`` decodes to
+   the literal text ``&lt;``, per HTML semantics);
+5. whitespace around newlines collapses to a single ``\\n`` and the ends
+   are trimmed. Intra-line spacing is preserved byte-for-byte — the
+   extractor never rewrites bytes it did not create, so content that was
+   plain text inside the markup round-trips byte-identical (the north
+   rule's per-url invariant).
+
+Unknown entities pass through untouched (they are content bytes we cannot
+prove are markup). Malformed markup degrades safely: an unclosed tag's
+``<...`` run up to the next ``>`` is stripped; a bare ``<`` with no ``>``
+survives as text.
+
+Reference parity: the reference has no extraction surface (its tables are
+already text); north-rule scope — "pages(url, warc_ts, html, text, lang)"
+with byte-identical extracted text per url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Java \s includes \x0b, RE2 \s does not — explicit class, same everywhere.
+_WS = r"[ \t\n\f\r\x0b]"
+_HWS = r"[ \t\f\r\x0b]"  # horizontal whitespace (no \n)
+
+#: stage 1 — subtree drops (regex -> ''), order irrelevant within the stage
+DROP_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?is)<head\b[^>]*>.*?</head\s*>",  # \b: does NOT match <header>
+    r"(?s)<!--.*?-->",
+)
+
+#: stage 2 — block boundaries -> newline
+BLOCK_BREAK_PATTERN = (
+    r"(?i)<br\b[^>]*>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote|section|article"
+    r"|header|footer|nav|main|aside|pre)\s*>"
+)
+
+#: stage 3 — any remaining tag
+TAG_STRIP_PATTERN = r"<[^>]*>"
+
+#: stage 4 — bounded entity set, LITERAL replaces, && must come last
+ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: &amp;lt; -> &lt; (literal), not <
+)
+
+#: stage 5 — newline squash + trim
+NEWLINE_SQUASH_PATTERN = rf"{_HWS}*\n[ \t\f\r\x0b\n]*"
+TRIM_PATTERN = rf"^{_WS}+|{_WS}+$"
+
+
+def extract_text(html: Column) -> Column:
+    """Extracted text from an html STRING column (one codegen stage)."""
+    out = F.coalesce(html, F.lit(""))
+    for pat in DROP_PATTERNS:
+        out = F.regexp_replace(out, pat, "")
+    out = F.regexp_replace(out, BLOCK_BREAK_PATTERN, "\n")
+    out = F.regexp_replace(out, TAG_STRIP_PATTERN, "")
+    for ent, ch in ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, NEWLINE_SQUASH_PATTERN, "\n")
+    return F.regexp_replace(out, TRIM_PATTERN, "")
+
+
+def extract_html_binary(html: Column) -> Column:
+    """Extracted text from the contract's ``html: binary`` column (UTF-8)."""
+    return extract_text(F.decode(html, "UTF-8"))
+
+
+def duckdb_extract_sql(expr: str) -> str:
+    """The identical extraction chain as a DuckDB SQL expression.
+
+    Same pattern strings, same order; DuckDB regexp_replace needs the
+    global 'g' flag to match Java's replace-all semantics, and literal
+    entity decodes use plain ``replace``.
+    """
+    out = f"coalesce({expr}, '')"
+    for pat in DROP_PATTERNS:
+        out = f"regexp_replace({out}, '{_sq(pat)}', '', 'g')"
+    out = f"regexp_replace({out}, '{_sq(BLOCK_BREAK_PATTERN)}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '{_sq(TAG_STRIP_PATTERN)}', '', 'g')"
+    for ent, ch in ENTITIES:
+        out = f"replace({out}, '{_sq(ent)}', '{_sq(ch)}')"
+    out = f"regexp_replace({out}, '{_sq(NEWLINE_SQUASH_PATTERN)}', chr(10), 'g')"
+    return f"regexp_replace({out}, '{_sq(TRIM_PATTERN)}', '', 'g')"
+
+
+def _sq(s: str) -> str:
+    """Escape for a single-quoted SQL literal."""
+    return s.replace("'", "''")

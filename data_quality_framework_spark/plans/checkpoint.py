@@ -42,6 +42,7 @@ from data_quality_framework_spark.plans.pipeline import (
     compute_enriched,
     drop_reason_expr,
     maybe_canonicalize,
+    maybe_extract_text,
     sort_key_expr,
 )
 from data_quality_framework_spark.functions.scrub import scrub_text
@@ -75,7 +76,11 @@ _FP_LINEAGE_ONLY = {"account_lsh_overflow"}
 #: sandbox deliberately does not do. Production path: a migration step that
 #: recomputes each stored manifest's fingerprint as (old blob minus the
 #: newly-excluded keys) before the first post-upgrade resume.
-_FP_OMIT_AT_DEFAULT = {"canonicalize_urls": False, "ppl_model": "unigram"}
+_FP_OMIT_AT_DEFAULT = {
+    "canonicalize_urls": False,
+    "ppl_model": "unigram",
+    "text_source": "text",
+}
 
 
 def cfg_fingerprint(cfg) -> str:
@@ -223,9 +228,11 @@ def resumable_pipeline(
     # config fails fast instead of silently mixing signature/flag regimes
     ckpt.cfg_fp = cfg_fingerprint(cfg)
 
-    # canonicalization must precede url-hash bucketing: raw variants of one
-    # canonical url must share a bucket or Phase A's collapse misses them
-    pages = maybe_canonicalize(pages, cfg)
+    # extraction precedes everything (dedup keys/stats read the extracted
+    # text); canonicalization must precede url-hash bucketing: raw variants
+    # of one canonical url must share a bucket or Phase A's collapse misses
+    # them
+    pages = maybe_canonicalize(maybe_extract_text(pages, cfg), cfg)
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
 
     # ---- Phase A: per-bucket metadata -------------------------------------

@@ -81,6 +81,13 @@ class FilterConfig:
     #: table, the KenLM seam (scoring.PPL_MODELS). NB max_ppl is calibrated
     #: PER MODEL — the two families score on different scales.
     ppl_model: str = "unigram"
+    #: where the text column comes from (r5): "text" — already extracted
+    #: upstream (the default; matches the reference's tables); "html" —
+    #: derive it from the contract's raw ``html: binary`` page bytes via
+    #: ``functions/htmltext.extract_html_binary`` (regex chain, no UDF).
+    #: Runs BEFORE canonicalization/bucketing so every downstream stage —
+    #: stats, scores, dedup keys, scrub — sees the extracted text.
+    text_source: str = "text"
 
 
 #: (flag column, drop_reason, rule metadata) — precedence = list order; must
@@ -196,6 +203,23 @@ def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
     )
 
 
+def maybe_extract_text(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Apply ``cfg.text_source`` — shared by the batch entry point AND the
+    checkpoint path, where it must run BEFORE url bucketing/canonicalization
+    so dedup keys and stats are computed over the extracted text."""
+    if cfg.text_source == "html":
+        from data_quality_framework_spark.functions.htmltext import (
+            extract_html_binary,
+        )
+
+        return pages.withColumn("text", extract_html_binary(F.col("html")))
+    if cfg.text_source != "text":
+        raise ValueError(
+            f"text_source must be 'text' or 'html', got {cfg.text_source!r}"
+        )
+    return pages
+
+
 def maybe_canonicalize(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     """Apply ``cfg.canonicalize_urls`` — shared by the batch entry point AND
     the checkpoint path, where it must run BEFORE url-hash bucketing (two
@@ -247,7 +271,9 @@ def run_pipeline(
     )
 
     rules = _flag_rules(cfg)
-    base = compute_enriched(maybe_canonicalize(pages, cfg), cfg)
+    base = compute_enriched(
+        maybe_canonicalize(maybe_extract_text(pages, cfg), cfg), cfg
+    )
 
     # One wide pass feeds heuristics lineage AND dedup; cache to avoid
     # recomputing the Arrow-UDF scoring for the downstream jobs.

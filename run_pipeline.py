@@ -52,6 +52,13 @@ def main() -> None:
         "measured ~77s of scale-independent JVM warm-up per cold run)",
     )
     ap.add_argument(
+        "--text-source", choices=["text", "html"], default="text",
+        help="'html' derives the text column from the raw html bytes via "
+        "the regex extraction chain (functions/htmltext) before any stats, "
+        "dedup keying, or scrubbing — the launch path for page archives "
+        "that ship only markup",
+    )
+    ap.add_argument(
         "--no-lsh-accounting", action="store_true",
         help="skip the per-band LSH cap-overflow accounting (on by default "
         "so a capped near-dup run quantifies its dropped candidate pairs in "
@@ -82,7 +89,10 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
 
-    cfg = FilterConfig(account_lsh_overflow=not args.no_lsh_accounting)
+    cfg = FilterConfig(
+        account_lsh_overflow=not args.no_lsh_accounting,
+        text_source=args.text_source,
+    )
 
     if args.warmup > 0 and not args.resume:
         # repartition the warm-up slice across every core: a bare limit() is a

@@ -454,3 +454,80 @@ def test_ngram_repetition_equal_n(spark):
     # make every gram look repeated -> 1.0)
     assert row["dup_ngram_char_fraction"] == 0.0
     assert row["top_ngram_char_fraction"] < 0.1
+
+
+def test_html_extract_text(spark):
+    """Regex HTML->text extraction: script/style/head/comment subtrees
+    dropped, block boundaries become newlines, bounded entity decode with
+    &amp; last, intra-line bytes preserved; DuckDB replays the identical
+    chain byte-for-byte (the oracle seam)."""
+    import duckdb
+
+    from data_quality_framework_spark.functions.htmltext import (
+        duckdb_extract_sql,
+        extract_html_binary,
+        extract_text,
+    )
+
+    cases = [
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><p>hello world</p></body></html>",
+        "<html><body><h1>Featured &amp; Fresh</h1><p>a &lt;b&gt; c</p>"
+        "<script>var x=1;</script></body></html>",
+        "<div>line one<br/>line two</div><div>  spaced   intact  </div>",
+        "plain text no markup",
+        "double &amp;lt; encode",  # HTML semantics: literal '&lt;' text
+        "<ul><li>one</li><li>two</li></ul>",
+        "bare < not a tag",
+        "<header>site nav</header><p>body text</p>",
+        "<p>nb&nbsp;sp</p>",
+        None,
+        "",
+        "<!-- hidden --><P>UPPER tags</P>",
+        "<pre>  kept   spacing</pre>tail",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", extract_text(F.col("html")).alias("t")).collect()
+    }
+    assert got[0] == "hello world"
+    assert got[1] == "Featured & Fresh\na <b> c"
+    assert got[2] == "line one\nline two\nspaced   intact"
+    assert got[3] == "plain text no markup"
+    assert got[4] == "double &lt; encode"
+    assert got[5] == "one\ntwo"
+    assert got[6] == "bare < not a tag"
+    assert got[7] == "site nav\nbody text"
+    assert got[8] == "nb sp"
+    assert got[9] == "" and got[10] == ""
+    assert got[11] == "UPPER tags"
+    assert got[12] == "kept   spacing\ntail"
+
+    # binary-column entry point (the contract's html: binary)
+    bin_got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i",
+            extract_html_binary(F.encode(F.coalesce("html", F.lit("")), "UTF-8")).alias("t"),
+        ).collect()
+    }
+    assert bin_got == got
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, "
+            + ("NULL" if c is None else "'" + c.replace("'", "''") + "'")
+            + ")"
+            for i, c in enumerate(cases)
+        )
+        + ") t(i, html)"
+    )
+    duck = dict(
+        con.execute(f"SELECT i, {duckdb_extract_sql('html')} FROM c").fetchall()
+    )
+    assert duck == got  # byte-identical across engines

@@ -322,3 +322,32 @@ def test_pipeline_overflow_accounting_on_by_default(spark, pages_10k):
             assert band["n_buckets"] > 0
     finally:
         out.unpersist()
+
+
+def test_pipeline_html_text_source_matches_text_mode(spark, pages_10k):
+    """North-rule loop closed: with text_source='html' the pipeline derives
+    its text column from the raw page bytes, and — because the generator's
+    html wraps the text verbatim — every decision and every kept scrubbed
+    byte matches the text-mode run exactly."""
+    out_t = run_pipeline(spark, pages_10k, FilterConfig(),
+                         per_partition_lineage=False)
+    out_h = run_pipeline(spark, pages_10k, FilterConfig(text_source="html"),
+                         per_partition_lineage=False)
+    try:
+        dec_t = out_t.decisions.select("url", "keep", "drop_reason")
+        dec_h = out_h.decisions.select("url", "keep", "drop_reason")
+        assert dec_t.exceptAll(dec_h).count() == 0
+        assert dec_h.exceptAll(dec_t).count() == 0
+
+        kept_t = out_t.kept.select("url", "text_scrubbed")
+        kept_h = out_h.kept.select("url", "text_scrubbed")
+        assert kept_t.exceptAll(kept_h).count() == 0  # byte-identical
+        assert kept_h.exceptAll(kept_t).count() == 0
+    finally:
+        out_t.unpersist()
+        out_h.unpersist()
+
+
+def test_pipeline_text_source_validated(spark, pages_10k):
+    with pytest.raises(ValueError):
+        run_pipeline(spark, pages_10k, FilterConfig(text_source="warc"))
