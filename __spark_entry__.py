@@ -1136,6 +1136,39 @@ def _q_html_extract(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_card_scrub(spark, sf):
+    """Luhn-gated card scrub (r5): valid numbers (spaced/dashed/contiguous
+    13-19 digits) planted on doc residues must mask to <CARD>; an invalid
+    checksum and a 20-digit run planted alongside must survive byte-intact.
+    The oracle replays candidate regex + Luhn + fold-replace in SQL;
+    no_leak re-checks the scrubbed bytes with the checksum-aware
+    predicate."""
+    from data_quality_framework_spark.functions.scrub import (
+        _valid_cards,
+        has_raw_card,
+        scrub_cards,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" pay 4111 1111 1111 1111 now")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ref 4111-1111-1111-1112 order")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" acct 12345678901234567890 id")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" amex 378282246310005 ok")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = scrub_cards(F.col("text"))
+    return m.select(
+        "doc_id",
+        F.size(_valid_cards(F.col("text"))).cast("long").alias("n_masked"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (~has_raw_card(scrubbed)).alias("no_leak"),
+    ).orderBy("doc_id")
+
+
 #: 10-token banner appended to even docs — guarantees cross-doc duplicated
 #: 8-token windows on top of the generator's own planted exact/near dups
 _SUBSTR_BOILER = "sign up now for our free newsletter and daily updates"
@@ -1506,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_substring_dedup": _q_substring_dedup,
         # html -> text extraction, byte-identity invariant (r5)
         "text_html_extract": _q_html_extract,
+        # Luhn-validated payment-card scrub (r5)
+        "text_pii_card_scrub": _q_card_scrub,
         # Gopher line-shape signals: bullet/ellipsis/dup-line/alpha (r5)
         "text_line_shape_profile": _q_line_shape,
         # deterministic train/val/test split assignment (r5)
@@ -1976,6 +2011,10 @@ def _oracle_sf_dir() -> str:
 def oracle_sql() -> dict[str, str]:
     from data_quality_framework_spark.functions.htmltext import (
         duckdb_extract_sql,
+    )
+    from data_quality_framework_spark.functions.scrub import (
+        duckdb_scrub_cards_sql,
+        duckdb_valid_cards_sql,
     )
 
     out = {
@@ -2478,6 +2517,26 @@ def oracle_sql() -> dict[str, str]:
                      AS byte_identical,
                    md5(ext) AS extract_md5
             FROM x ORDER BY doc_id
+        """,
+        # card-scrub oracle (r5): same planted numbers, candidate regex +
+        # Luhn + fold-replace replayed via functions/scrub's SQL builders;
+        # the scrubbed bytes and the post-scrub leak probe must agree
+        "text_pii_card_scrub": f"""
+            WITH m AS (SELECT doc_id,
+                              text
+                              || CASE WHEN doc_id % 5 = 0 THEN ' pay 4111 1111 1111 1111 now' ELSE '' END
+                              || CASE WHEN doc_id % 7 = 0 THEN ' ref 4111-1111-1111-1112 order' ELSE '' END
+                              || CASE WHEN doc_id % 11 = 0 THEN ' acct 12345678901234567890 id' ELSE '' END
+                              || CASE WHEN doc_id % 13 = 0 THEN ' amex 378282246310005 ok' ELSE '' END
+                              AS text
+                       FROM documents WHERE text IS NOT NULL),
+                 s AS (SELECT doc_id,
+                              CAST(len({duckdb_valid_cards_sql('text')}) AS BIGINT) AS n_masked,
+                              {duckdb_scrub_cards_sql('text')} AS scrubbed
+                       FROM m)
+            SELECT doc_id, n_masked, md5(scrubbed) AS scrubbed_md5,
+                   NOT len({duckdb_valid_cards_sql('scrubbed')}) > 0 AS no_leak
+            FROM s ORDER BY doc_id
         """,
         # ExactSubstr oracle (r5): full replay of tokenize -> 8-token
         # window hash -> global >=2 count -> max-end/cumsum span merge ->

@@ -60,6 +60,94 @@ def duckdb_scrub_sql(expr: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Luhn-validated payment-card scrub (r5)
+# --------------------------------------------------------------------------
+#
+# Card numbers can't be scrubbed by regex alone: a bare 13-19-digit pattern
+# masks order ids, timestamps and EANs wholesale. The scrub therefore (1)
+# extracts candidates — 13-19 digits with optional single space/hyphen
+# separators, word-bounded so digit runs >19 are never carved up (\b fails
+# inside a longer run; RE2-compatible: no lookaround) — and (2) masks ONLY
+# candidates that pass the Luhn mod-10 checksum, as pure JVM array math
+# (zip_with digits x positions, double-every-second-from-right, fold). The
+# oracle replays candidate extraction + Luhn + fold-replace in SQL
+# (list_filter/list_transform/list_reduce), byte-identical output.
+
+CARD_CANDIDATE_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+CARD_MASK = "<CARD>"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn mod-10 check of a candidate (separators stripped first)."""
+    ds = F.regexp_replace(cand, "[ -]", "")
+    # split-on-every-boundary keeps a trailing '' in Spark — slice it off
+    rev = F.slice(F.split(F.reverse(ds), "(?!^)"), 1, F.length(ds))
+    contribs = F.zip_with(
+        rev,
+        F.sequence(F.lit(0), F.length(ds) - 1),
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(
+                ch.cast("int") * 2
+            ),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(contribs, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
+
+
+def _valid_cards(text: Column) -> Column:
+    """Array of Luhn-valid card candidates in the text (repeats kept)."""
+    cands = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(CARD_CANDIDATE_PATTERN), 0
+    )
+    return F.filter(cands, _luhn_valid)
+
+
+def scrub_cards(text: Column) -> Column:
+    """Mask every Luhn-valid card candidate with ``<CARD>`` (literal
+    fold-replace over the candidate list; invalid checksums untouched)."""
+    return F.aggregate(
+        _valid_cards(text),
+        F.coalesce(text, F.lit("")).cast("string"),
+        lambda acc, c: F.replace(acc, c, F.lit(CARD_MASK)),
+    )
+
+
+def has_raw_card(text: Column) -> Column:
+    """Leak predicate: an unmasked Luhn-VALID card remains (checksum-aware —
+    a regex-only probe would flag harmless order ids)."""
+    return F.size(_valid_cards(text)) > 0
+
+
+def duckdb_valid_cards_sql(expr: str) -> str:
+    """Luhn-valid candidate LIST as a DuckDB SQL expression (oracle parity
+    for ``_valid_cards``; also the building block of the scrub + leak
+    oracles)."""
+    pat = CARD_CANDIDATE_PATTERN.replace("'", "''")
+    luhn = (
+        "list_sum(list_transform(range(1, length(regexp_replace(c, '[ -]', '', 'g')) + 1), "
+        "i -> CASE WHEN i % 2 = 0 THEN "
+        "CASE WHEN 2 * CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS INT) > 9 "
+        "THEN 2 * CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS INT) - 9 "
+        "ELSE 2 * CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS INT) END "
+        "ELSE CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS INT) END)) % 10 = 0"
+    )
+    return (
+        f"list_filter(regexp_extract_all(coalesce({expr}, ''), '{pat}'), c -> {luhn})"
+    )
+
+
+def duckdb_scrub_cards_sql(expr: str) -> str:
+    """The same card scrub as a DuckDB SQL expression (oracle parity)."""
+    return (
+        f"list_reduce(list_prepend(CAST(coalesce({expr}, '') AS VARCHAR), "
+        f"{duckdb_valid_cards_sql(expr)}), "
+        f"(acc, x) -> replace(acc, x, '{CARD_MASK}'))"
+    )
+
+
+# --------------------------------------------------------------------------
 # leak-check predicates (did the scrub actually apply?) — P12-P15 analogs
 # --------------------------------------------------------------------------
 

@@ -43,9 +43,9 @@ from data_quality_framework_spark.plans.pipeline import (
     drop_reason_expr,
     maybe_canonicalize,
     maybe_extract_text,
+    scrub_chain,
     sort_key_expr,
 )
-from data_quality_framework_spark.functions.scrub import scrub_text
 from data_quality_framework_spark.functions.textstats import fingerprint
 from data_quality_framework_spark.core.planner import results_to_df
 
@@ -80,6 +80,7 @@ _FP_OMIT_AT_DEFAULT = {
     "canonicalize_urls": False,
     "ppl_model": "unigram",
     "text_source": "text",
+    "scrub_payment_cards": False,
 }
 
 
@@ -284,7 +285,7 @@ def resumable_pipeline(
             .withColumn("content_md5", fingerprint(F.col("text")))
             .join(kept_keys, ["url", "sort_key", "content_md5"])
             .dropDuplicates(["url"])  # residual ties are byte-identical rows
-            .withColumn("text_scrubbed", scrub_text(F.col("text")))
+            .withColumn("text_scrubbed", scrub_chain(F.col("text"), cfg))
             .select("url", "warc_ts", "lang", "text_scrubbed")
         )
         kept.write.mode("overwrite").parquet(

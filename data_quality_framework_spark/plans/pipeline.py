@@ -29,7 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_quality_framework_spark.core.rules import (
@@ -81,6 +81,11 @@ class FilterConfig:
     #: table, the KenLM seam (scoring.PPL_MODELS). NB max_ppl is calibrated
     #: PER MODEL — the two families score on different scales.
     ppl_model: str = "unigram"
+    #: opt-in (r5): Luhn-validated payment-card masking appended to the
+    #: scrub chain (functions/scrub.scrub_cards). Off by default: the
+    #: reference's masking vocabulary (SSN/phone/email) defines the base
+    #: byte-parity contract, and card masking rewrites additional bytes.
+    scrub_payment_cards: bool = False
     #: where the text column comes from (r5): "text" — already extracted
     #: upstream (the default; matches the reference's tables); "html" —
     #: derive it from the contract's raw ``html: binary`` page bytes via
@@ -201,6 +206,18 @@ def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
         # url (out of contract but possible in raw ingestion) must not
         # produce a NULL key either
     )
+
+
+def scrub_chain(text: Column, cfg: FilterConfig) -> Column:
+    """The configured scrub: reference masking vocabulary always, plus the
+    Luhn-validated card mask when opted in — shared by the batch pipeline
+    and the checkpoint path so scrubbed bytes are identical under resume."""
+    out = scrub_text(text)
+    if cfg.scrub_payment_cards:
+        from data_quality_framework_spark.functions.scrub import scrub_cards
+
+        out = scrub_cards(out)
+    return out
 
 
 def maybe_extract_text(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -390,7 +407,7 @@ def run_pipeline(
             .otherwise(F.lit(None)),
         )
     )
-    scrubbed = F.when(F.col("keep"), scrub_text(F.col("text")))  # scrub kept docs only
+    scrubbed = F.when(F.col("keep"), scrub_chain(F.col("text"), cfg))  # kept docs only
     annotated = (
         dropped_heur.withColumn("text_scrubbed", scrubbed).select(*out_cols)
         .unionByName(surv.withColumn("text_scrubbed", scrubbed).select(*out_cols))

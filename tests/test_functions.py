@@ -531,3 +531,62 @@ def test_html_extract_text(spark):
         con.execute(f"SELECT i, {duckdb_extract_sql('html')} FROM c").fetchall()
     )
     assert duck == got  # byte-identical across engines
+
+
+def test_card_scrub_luhn(spark):
+    """Payment-card masking is checksum-gated: Luhn-valid 13-19-digit
+    candidates (spaced/dashed/contiguous) become <CARD>; invalid checksums,
+    >19-digit runs, and short numbers are untouched; DuckDB replays the
+    identical extraction + Luhn + fold-replace byte-for-byte."""
+    import duckdb
+
+    from data_quality_framework_spark.functions.scrub import (
+        duckdb_scrub_cards_sql,
+        has_raw_card,
+        scrub_cards,
+    )
+
+    cases = [
+        "pay 4111 1111 1111 1111 today",                  # valid, spaced
+        "ref 4111 1111 1111 1112 order",                  # bad checksum
+        "amex 378282246310005 and visa13 4222222222222",  # two valid
+        "id 12345678901234567890 long run",               # 20 digits
+        "dashed 5500-0055-5555-5559 mc",                  # valid, dashed
+        "no cards here at all",
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: (r["s"], r["leak"])
+        for r in df.select(
+            "i",
+            scrub_cards(F.col("t")).alias("s"),
+            has_raw_card(F.col("t")).alias("leak"),
+        ).collect()
+    }
+    assert got[0] == ("pay <CARD> today", True)
+    assert got[1] == ("ref 4111 1111 1111 1112 order", False)
+    assert got[2] == ("amex <CARD> and visa13 <CARD>", True)
+    assert got[3] == ("id 12345678901234567890 long run", False)
+    assert got[4] == ("dashed <CARD> mc", True)
+    assert got[5] == ("no cards here at all", False)
+    assert got[6] == ("", False) and got[7] == ("", False)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, "
+            + ("NULL" if c is None else "'" + c.replace("'", "''") + "'")
+            + ")"
+            for i, c in enumerate(cases)
+        )
+        + ") t(i, t)"
+    )
+    duck = dict(
+        con.execute(f"SELECT i, {duckdb_scrub_cards_sql('t')} FROM c").fetchall()
+    )
+    assert duck == {i: s for i, (s, _) in got.items()}

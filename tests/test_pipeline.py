@@ -351,3 +351,36 @@ def test_pipeline_html_text_source_matches_text_mode(spark, pages_10k):
 def test_pipeline_text_source_validated(spark, pages_10k):
     with pytest.raises(ValueError):
         run_pipeline(spark, pages_10k, FilterConfig(text_source="warc"))
+
+
+def test_pipeline_card_scrub_opt_in(spark, pages_10k):
+    """scrub_payment_cards=True masks Luhn-valid cards in kept output while
+    leaving invalid checksums byte-intact; the checksum-aware leak predicate
+    finds nothing after the scrub."""
+    from data_quality_framework_spark.functions.scrub import has_raw_card
+
+    pages = pages_10k.withColumn(
+        "text",
+        F.when(
+            F.xxhash64("url") % 100 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" card 4111 1111 1111 1111 and ref 4111 1111 1111 1112 kept"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = run_pipeline(
+        spark, pages, FilterConfig(scrub_payment_cards=True),
+        per_partition_lineage=False,
+    )
+    try:
+        kept = out.kept.select("url", "text_scrubbed")
+        assert kept.filter(has_raw_card(F.col("text_scrubbed"))).count() == 0
+        masked = kept.filter(F.col("text_scrubbed").contains("<CARD>"))
+        n = masked.count()
+        assert n > 0
+        assert masked.filter(
+            F.col("text_scrubbed").contains("4111 1111 1111 1112")
+        ).count() == n  # invalid checksum untouched
+    finally:
+        out.unpersist()
