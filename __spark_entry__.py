@@ -1268,6 +1268,34 @@ def _q_line_shape(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_line_quality(spark, sf):
+    """RefinedWeb line-wise corrections (r5): boilerplate lines are PLANTED
+    in-query (documents are single-line) — a nav phrase on every doc, a
+    social counter on doc_id%3, an all-caps shout on %4, a numeric-only
+    line on %5; the operator must strip exactly the boilerplate lines,
+    keep each doc's own prose byte-intact, and flag docs whose removed
+    lines carried > 5% of their words."""
+    from data_quality_framework_spark.operators.filtering import line_quality_filter
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Read more"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("12 comments")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("SUBSCRIBE TO OUR NEWSLETTER TODAY")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("2024, 03/15: 99")),
+        ).alias("text"),
+    )
+    out = line_quality_filter(m, id_col="doc_id")
+    return out.select(
+        "doc_id", "n_lines", "n_removed", "words_total", "words_removed",
+        "keep", F.md5("text_clean").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1543,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_card_scrub": _q_card_scrub,
         # Gopher line-shape signals: bullet/ellipsis/dup-line/alpha (r5)
         "text_line_shape_profile": _q_line_shape,
+        # RefinedWeb line-wise corrections: per-line boilerplate removal (r5)
+        "text_line_quality_filter": _q_line_quality,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -1560,6 +1590,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ==========================================================================
 # oracle SQL (DuckDB dialect where ANSI is insufficient)
 # ==========================================================================
+
+# nav-phrase list literal for the line-quality oracle — built from the SAME
+# tuple the operator matches against, so the two can never desynchronize
+from data_quality_framework_spark.operators.filtering import NAV_PHRASES  # noqa: E402
+
+_NAV_SQL = "[" + ", ".join(f"'{p}'" for p in NAV_PHRASES) + "]"
 
 _MARKER_SQL = {
     lang: rx.replace("'", "''") for lang, rx in LANG_MARKERS.items()
@@ -1582,6 +1618,8 @@ _LANGID_CASE = (
 # Spark expressions use Java regexes, so every oracle whitespace class must be
 # this explicit superset — bare \s in an oracle silently diverges on \x0b.
 _WS = r"[\s\x0b]"
+#: the same superset for use INSIDE a larger RE2 character class
+_WS_IN = r"\s\x0b"
 _WS_TOKENS = (
     f"len(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'))"
 )
@@ -2623,6 +2661,49 @@ def oracle_sql() -> dict[str, str]:
                          THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-zÀ-ɏ一-鿿]'))) * 1.0 / len(w)
                          ELSE 0.0 END, 6) AS alpha_word_frac
             FROM s ORDER BY doc_id
+        """,
+        # line-wise-corrections oracle (r5): the SAME planted boilerplate
+        # lines, each Spark predicate replicated in RE2 ([\\s\\x0b] = Java \\s;
+        # integer cross-multiplication for the uppercase-dominance and the
+        # 5%-of-words keep rule -> no float anywhere)
+        "text_line_quality_filter": f"""
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10), 'Read more', text,
+                                        CASE WHEN doc_id % 3 = 0 THEN '12 comments' END,
+                                        CASE WHEN doc_id % 4 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER TODAY' END,
+                                        CASE WHEN doc_id % 5 = 0 THEN '2024, 03/15: 99' END) AS mtext
+                       FROM documents WHERE text IS NOT NULL),
+                 s AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m),
+                 t AS (SELECT doc_id, lines,
+                              list_filter(lines, ln -> NOT (
+                                  (length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) >= 4
+                                   AND length(regexp_replace(ln, '[^A-Z]', '', 'g')) * 5
+                                       >= length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) * 4)
+                                  OR regexp_matches(ln, '^[{_WS_IN}0-9.,:/%-]*[0-9][{_WS_IN}0-9.,:/%-]*$')
+                                  OR regexp_matches(ln, '(?i)^{_WS}*[0-9][0-9,.]* ?(likes?|comments?|shares?|views?|votes?|points?|upvotes?|retweets?|followers?|subscribers?){_WS}*$')
+                                  OR list_contains({_NAV_SQL}, lower(trim(ln))))) AS kept,
+                              list_filter(lines, ln ->
+                                  (length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) >= 4
+                                   AND length(regexp_replace(ln, '[^A-Z]', '', 'g')) * 5
+                                       >= length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) * 4)
+                                  OR regexp_matches(ln, '^[{_WS_IN}0-9.,:/%-]*[0-9][{_WS_IN}0-9.,:/%-]*$')
+                                  OR regexp_matches(ln, '(?i)^{_WS}*[0-9][0-9,.]* ?(likes?|comments?|shares?|views?|votes?|points?|upvotes?|retweets?|followers?|subscribers?){_WS}*$')
+                                  OR list_contains({_NAV_SQL}, lower(trim(ln)))) AS removed
+                       FROM s),
+                 a AS (SELECT doc_id,
+                              CAST(len(lines) AS BIGINT) AS n_lines,
+                              CAST(len(removed) AS BIGINT) AS n_removed,
+                              CAST(coalesce(list_sum(list_transform(lines, ln ->
+                                  CASE WHEN regexp_matches(ln, '^{_WS}*$') THEN 0
+                                       ELSE len(string_split_regex(trim(ln), '{_WS}+')) END)), 0) AS BIGINT) AS words_total,
+                              CAST(coalesce(list_sum(list_transform(removed, ln ->
+                                  CASE WHEN regexp_matches(ln, '^{_WS}*$') THEN 0
+                                       ELSE len(string_split_regex(trim(ln), '{_WS}+')) END)), 0) AS BIGINT) AS words_removed,
+                              md5(array_to_string(kept, chr(10))) AS clean_md5
+                       FROM t)
+            SELECT doc_id, n_lines, n_removed, words_total, words_removed,
+                   words_removed * 10000 <= 500 * words_total AS keep, clean_md5
+            FROM a ORDER BY doc_id
         """,
         "text_token_counts": f"""
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,

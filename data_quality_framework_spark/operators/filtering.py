@@ -124,3 +124,110 @@ def domain_blocklist_filter(
         host_col="__dbf_host", flag_col="__dbf_blocked",
     )
     return flagged.filter(~F.col("__dbf_blocked")).drop("__dbf_host", "__dbf_blocked")
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style line-wise corrections (Penedo et al. 2023, §3.3): remove
+# boilerplate LINES within each page (nav crumbs, social counters, all-caps
+# shouting, numeric-only separators), then drop pages that lose too much of
+# their content — the remnant is likely nav-dominated, not prose.
+# ---------------------------------------------------------------------------
+
+#: exact-match (lowercased, space-trimmed) nav/boilerplate phrases — the
+#: curated-list miniature; extend per deployment. Matching is whole-line
+#: equality, never substring, so prose mentioning "home" survives.
+NAV_PHRASES = (
+    "home", "menu", "search", "sign in", "sign up", "log in", "login",
+    "register", "subscribe", "read more", "click here", "learn more",
+    "next", "previous", "back to top", "share", "tweet", "print",
+    "accept cookies", "accept all cookies", "cookie settings",
+    "privacy policy", "terms of service", "skip to content",
+    "advertisement",
+)
+
+#: social-counter line: an integer + a counter noun and nothing else
+_COUNTER_RE = (
+    r"(?i)^\s*[0-9][0-9,.]* ?"
+    r"(likes?|comments?|shares?|views?|votes?|points?|upvotes?|retweets?|"
+    r"followers?|subscribers?)\s*$"
+)
+
+#: digits/date-ish punctuation only (and at least one digit)
+_NUMERIC_RE = r"^[\s0-9.,:/%-]*[0-9][\s0-9.,:/%-]*$"
+
+
+def _line_wc(line: Column) -> Column:
+    """ASCII-whitespace word count of one line; blank-safe (a tab-only line
+    counts 0, not 2 — TRIM strips spaces only, in Spark AND DuckDB)."""
+    return (
+        F.when(line.rlike(r"^\s*$"), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(line), r"\s+")))
+    )
+
+
+def _line_is_boilerplate(line: Column) -> Column:
+    """True when a line is nav/counter/shouting/numeric boilerplate.
+
+    Uppercase dominance uses INTEGER cross-multiplication (upper*5 >=
+    alpha*4, i.e. >= 0.8) — no float in any predicate, so a DuckDB replica
+    is bit-exact by construction.
+    """
+    upper = F.length(F.regexp_replace(line, "[^A-Z]", ""))
+    alpha = F.length(F.regexp_replace(line, "[^A-Za-z]", ""))
+    return (
+        ((alpha >= F.lit(4)) & (upper * 5 >= alpha * 4))
+        | line.rlike(_NUMERIC_RE)
+        | line.rlike(_COUNTER_RE)
+        | F.lower(F.trim(line)).isin(*NAV_PHRASES)
+    )
+
+
+def line_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_removed_bp: int = 500,
+) -> DataFrame:
+    """RefinedWeb line-wise corrections as a ZERO-SHUFFLE projection.
+
+    Splits each non-null document into lines, removes lines that are
+    (a) uppercase-dominated (>= 80% of alpha chars, min 4 alpha),
+    (b) numeric/date-punctuation only, (c) social counters ("12 comments"),
+    or (d) an exact curated nav phrase (:data:`NAV_PHRASES`); reassembles
+    the remaining lines byte-intact in order, and flags ``keep = False``
+    when the removed lines carried more than ``max_removed_bp`` basis
+    points (default 5.00%) of the document's words — integer arithmetic
+    (``words_removed * 10000 <= max_removed_bp * words_total``), no float
+    anywhere.
+
+    Returns (id, n_lines, n_removed, words_total, words_removed,
+    text_clean, keep).
+
+    Scale shape: every predicate and the reassembly are higher-order
+    Column functions over the split array — row-local, whole-stage
+    codegen, ZERO shuffles, trivially partition-parallel at 10^12 docs
+    (contrast :func:`~..dedup.line_dedup`, whose cross-CORPUS boilerplate
+    vote needs a segment-hash shuffle). A doc with zero words keeps
+    (0 <= 0); empty-after-filter docs return ``text_clean = ''``.
+
+    Beyond-reference north-rule scope: the reference framework has no
+    text-rewriting surface; predicate family from RefinedWeb §3.3 /
+    Gopher's doc-shape rules (public papers, PAPERS.md).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.filter(lines, lambda l: ~_line_is_boilerplate(l))
+    removed = F.filter(lines, _line_is_boilerplate)
+    out = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(removed).cast("long").alias("n_removed"),
+        F.aggregate(lines, F.lit(0), lambda a, l: a + _line_wc(l))
+        .cast("long").alias("words_total"),
+        F.aggregate(removed, F.lit(0), lambda a, l: a + _line_wc(l))
+        .cast("long").alias("words_removed"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("words_removed") * 10000 <= F.lit(max_removed_bp) * F.col("words_total"),
+    )

@@ -1545,3 +1545,58 @@ def test_exact_substring_dedup_single_corpus_pass_per_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Generate") == 1
+
+
+def test_line_quality_filter_refinedweb_corrections(spark):
+    """Per-line boilerplate predicates (uppercase-dominated, numeric-only,
+    counter, nav phrase) each fire exactly on their planted line; clean
+    prose survives byte-intact in order; the 5%-of-words doc rule uses
+    integer arithmetic; the whole operator is a zero-shuffle projection."""
+    from data_quality_framework_spark.operators.filtering import (
+        line_quality_filter,
+    )
+
+    rows = [
+        # nav + counter around a real sentence (4 of 15 words removed -> drop)
+        (1, "Read more\nThe quick brown fox jumps over the lazy dog every single day.\n12 comments"),
+        # all-caps shout + numeric/date line
+        (2, "SUBSCRIBE TO OUR NEWSLETTER TODAY\na plain sentence with several perfectly normal words here today ok\n2024, 03/15: 99"),
+        # pure prose, nothing removed -> keep
+        (3, "only normal prose lines in this document\nanother perfectly fine content line follows"),
+        # nav-dominated short doc -> keep False
+        (4, "Home\nMenu\nshort doc"),
+        (5, None),                            # null text -> excluded
+        (6, ""),                              # empty: 0 words, keeps (0 <= 0)
+        # tab-only line is NOT boilerplate (0 words); ABCD is (4 caps)
+        (7, "\t\nABCD\nok line with plenty of words here to stay under the cut yes truly"),
+        # prose MENTIONING a nav phrase survives (whole-line match only)
+        (8, "click here is a phrase inside prose not a nav line at all friends"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in line_quality_filter(df).collect()}
+
+    assert sorted(out) == [1, 2, 3, 4, 6, 7, 8]          # null text dropped
+    assert (out[1]["n_removed"], out[1]["words_removed"]) == (2, 4)
+    assert out[1]["text_clean"] == "The quick brown fox jumps over the lazy dog every single day."
+    assert not out[1]["keep"]                             # 4/16 > 5%
+    assert out[2]["n_removed"] == 2 and out[2]["words_removed"] == 8
+    assert out[3]["n_removed"] == 0 and out[3]["keep"]
+    assert out[3]["text_clean"].count("\n") == 1          # order + bytes kept
+    assert not out[4]["keep"] and out[4]["text_clean"] == "short doc"
+    assert out[6] ["keep"] and out[6]["text_clean"] == "" # 0 <= 0
+    assert out[7]["n_removed"] == 1                       # ABCD only
+    assert out[7]["text_clean"].startswith("\t\n")        # tab line kept
+    assert out[8]["n_removed"] == 0 and out[8]["keep"]
+
+    # exactly 5%: 1 word removed of 20 total -> keep stays True (<=)
+    twenty = " ".join(["w%d" % i for i in range(19)])
+    df2 = spark.createDataFrame([(9, "Menu\n" + twenty)], "doc_id int, text string")
+    r9 = line_quality_filter(df2).collect()[0]
+    assert (r9["words_total"], r9["words_removed"], r9["keep"]) == (20, 1, True)
+
+    # zero-shuffle plan: one projection, no Exchange, no Join
+    plan = (
+        line_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head and "Join" not in head
