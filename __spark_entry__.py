@@ -1296,6 +1296,33 @@ def _q_line_quality(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_bloom_seen(spark, sf):
+    """Distributed Bloom-filter URL seen-set (r5): the prior crawl is the
+    doc_id%3==0 slice (urls synthesized deterministically from source +
+    doc_id), the probe is every url. m is deliberately small (4096 bits)
+    so the gate tiers exercise REAL false positives; zero false negatives
+    is structural (every built key's bits are set). The oracle replays
+    the md5-salted hashes, 32-bit word packing, bit_or build and
+    bool_and probe bit-for-bit."""
+    from data_quality_framework_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    bl = bloom_build(d.filter(F.col("doc_id") % 3 == 0), "url", m_bits=4096, k=3)
+    probed = bloom_probe(d, bl, "url", m_bits=4096, k=3)
+    return probed.select(
+        "doc_id",
+        "maybe_seen",
+        (F.col("doc_id") % 3 == 0).alias("actually_seen"),
+        (F.col("maybe_seen") & (F.col("doc_id") % 3 != 0)).alias("is_fp"),
+    ).orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1573,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_shape_profile": _q_line_shape,
         # RefinedWeb line-wise corrections: per-line boilerplate removal (r5)
         "text_line_quality_filter": _q_line_quality,
+        # distributed Bloom-filter URL seen-set with quantified FPs (r5)
+        "url_bloom_seen": _q_bloom_seen,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2704,6 +2733,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_lines, n_removed, words_total, words_removed,
                    words_removed * 10000 <= 500 * words_total AS keep, clean_md5
             FROM a ORDER BY doc_id
+        """,
+        # bloom seen-set oracle (r5): identical salted md5_60 hashes, 32-bit
+        # word packing (masks stay positive in BIGINT on both engines),
+        # bit_or build, bool_and probe; `//` = Spark's double-div + long
+        # cast (exact for pos < 2^53)
+        "url_bloom_seen": """
+            WITH d AS (SELECT doc_id,
+                              'https://' || source || '.example.org/doc/' ||
+                              CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+                 prior AS (SELECT url FROM d WHERE doc_id % 3 = 0 AND url IS NOT NULL),
+                 bp AS (SELECT (('0x' || substr(md5(url || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096) AS pos
+                        FROM prior, range(3) s(j)),
+                 words AS (SELECT pos // 32 AS word_idx,
+                                  bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                           FROM bp GROUP BY 1),
+                 pp AS (SELECT url,
+                               (('0x' || substr(md5(url || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096) AS pos
+                        FROM (SELECT DISTINCT url FROM d WHERE url IS NOT NULL), range(3) s(j)),
+                 hits AS (SELECT url,
+                                 coalesce(bits & (1::BIGINT << CAST(pos % 32 AS INT)), 0) <> 0 AS hit
+                          FROM pp LEFT JOIN words ON pp.pos // 32 = words.word_idx),
+                 v AS (SELECT url, bool_and(hit) AS maybe_seen FROM hits GROUP BY url)
+            SELECT doc_id,
+                   coalesce(v.maybe_seen, FALSE) AS maybe_seen,
+                   doc_id % 3 = 0 AS actually_seen,
+                   (coalesce(v.maybe_seen, FALSE) AND doc_id % 3 <> 0) AS is_fp
+            FROM d LEFT JOIN v USING (url) ORDER BY doc_id
         """,
         "text_token_counts": f"""
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,129 @@
+"""Distributed Bloom filter for crawl-frontier URL seen-sets.
+
+At 10^12 documents the "have we crawled this url before" question cannot be
+answered with an exact anti-join against the full history on every batch —
+the history side alone is tens of TB of keys. The standard production answer
+is an approximate-membership sketch: a Bloom filter over the seen keys is
+~1.2 bits/key/percent-FP, so a 10^12-key seen-set at 1% FP is ~1.5 TB of
+BITS — which this module keeps DISTRIBUTED as (word_idx, bits) rows, never
+driver-side, so both build and probe scale with partition parallelism:
+
+* **build**: each key hashes to ``k`` bit positions (md5-derived 60-bit
+  hashes — SQL-replayable, engine-independent); positions pack into 32-bit
+  words (``bits`` stays positive in an int64 — no sign/overflow divergence
+  between engines) and one ``bit_or`` aggregation produces the populated
+  words. Shuffle: one, on ``word_idx`` (uniform by construction — md5).
+* **probe**: candidate keys explode to their k (word_idx, mask) probes and
+  join the filter on ``word_idx`` — AQE broadcasts a small filter and
+  shuffle-joins a TB-scale one on the same uniform key; ``maybe_seen`` =
+  every probed word has its mask bit set. A missing word row is a miss
+  (the filter stores only non-zero words).
+
+False positives are *quantified, never silent*: :func:`bloom_fp_rate` gives
+the analytic rate for (n, m, k) so callers size ``m_bits`` for their batch;
+``maybe_seen`` rows are candidates for an EXACT check against the (much
+smaller) matched slice — the sketch prunes, the exact path confirms, same
+two-tier shape as the MinHash-then-exact-Jaccard dedup path.
+
+Beyond-reference north-rule scope (the reference has no approximate
+structures); standard Bloom construction (Bloom 1970, public).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import md5_60
+
+#: bits per packed word — 32 keeps every mask/word value strictly positive
+#: in an int64, so Spark BIGINT and DuckDB BIGINT arithmetic agree bit-bit
+WORD_BITS = 32
+
+
+def _positions(key, m_bits: int, k: int):
+    """The k (word_idx, mask) probes of one key: hash_j = md5_60(key || ':'
+    || j) mod m — independent salted hashes, each SQL-replayable."""
+    out = []
+    for j in range(k):
+        pos = F.pmod(md5_60(F.concat(key, F.lit(f":{j}"))), F.lit(m_bits))
+        out.append(
+            F.struct(
+                (pos / WORD_BITS).cast("long").alias("word_idx"),
+                # F.shiftleft's wrapper only takes a literal shift — call the
+                # SQL function directly for a column shift amount
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    F.pmod(pos, F.lit(WORD_BITS)).cast("int"),
+                ).alias("mask"),
+            )
+        )
+    return F.array(*out)
+
+
+def bloom_fp_rate(n_items: int, m_bits: int, k: int) -> float:
+    """Analytic false-positive rate (1 - e^(-kn/m))^k — the sizing formula;
+    report it next to any probe so approximation is never silent."""
+    return (1.0 - math.exp(-k * n_items / m_bits)) ** k
+
+
+def bloom_build(
+    df: DataFrame,
+    id_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build the filter: (word_idx long, bits long) rows, only populated
+    words. ``m_bits`` must be a multiple of :data:`WORD_BITS`. NULL keys
+    are ignored (a NULL url is not a member of anything)."""
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    probes = df.filter(F.col(id_col).isNotNull()).select(
+        F.explode(_positions(F.col(id_col).cast("string"), m_bits, k)).alias("p")
+    )
+    return (
+        probes.select("p.word_idx", "p.mask")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    id_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """``df`` + a ``maybe_seen`` boolean: True iff ALL k probed bits are
+    set (definite-no semantics: False means certainly never built-in;
+    True is approximate, FP rate per :func:`bloom_fp_rate`).
+
+    The k probes explode from each key (k rows, not k joins) and join the
+    filter on ``word_idx`` once; verdicts re-aggregate on the key. NULL
+    keys probe as ``False``. Scale shape: two uniform-key shuffles
+    (word_idx, then the id re-aggregation); a small filter side is
+    AQE-broadcast so the corpus never moves.
+    """
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    key = F.col("__bp_key")
+    probes = (
+        df.select(F.col(id_col).cast("string").alias("__bp_key"))
+        .filter(key.isNotNull())
+        .distinct()
+        .select("__bp_key", F.explode(_positions(key, m_bits, k)).alias("p"))
+        .select("__bp_key", "p.word_idx", "p.mask")
+    )
+    hits = probes.join(bloom, "word_idx", "left").select(
+        "__bp_key",
+        (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).alias("__bp_hit"),
+    )
+    verdict = hits.groupBy("__bp_key").agg(F.min("__bp_hit").alias(flag_col))
+    out = df.join(
+        verdict, F.col(id_col).cast("string") == F.col("__bp_key"), "left"
+    ).drop("__bp_key")
+    return out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))

@@ -1600,3 +1600,43 @@ def test_line_quality_filter_refinedweb_corrections(spark):
     )
     head = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in head and "Join" not in head
+
+
+def test_bloom_seen_set(spark):
+    """Bloom build/probe: zero false negatives (structural), false
+    positives observable at a deliberately small m and bounded near the
+    analytic rate, NULL keys probe False, and the word table stays
+    distributed (word_idx rows, positive 32-bit masks in int64)."""
+    from data_quality_framework_spark.operators.bloom import (
+        WORD_BITS,
+        bloom_build,
+        bloom_fp_rate,
+        bloom_probe,
+    )
+
+    prior = spark.createDataFrame(
+        [(f"https://ex.com/{i}",) for i in range(0, 3000, 3)], "url string"
+    )
+    probe = spark.createDataFrame(
+        [(f"https://ex.com/{i}",) for i in range(1000)] + [(None,)],
+        "url string",
+    )
+    m, k = 1 << 14, 3
+    bl = bloom_build(prior, m_bits=m, k=k).cache()
+    words = bl.collect()
+    assert all(r["bits"] > 0 and 0 <= r["word_idx"] < m // WORD_BITS for r in words)
+
+    rows = bloom_probe(probe, bl, m_bits=m, k=k).collect()
+    assert len(rows) == 1001
+    by_url = {r["url"]: r["maybe_seen"] for r in rows}
+    assert by_url[None] is False
+    fn = [u for u, s in by_url.items() if u and int(u.rsplit("/", 1)[1]) % 3 == 0 and not s]
+    assert fn == []                                    # never a false negative
+    fp = sum(1 for u, s in by_url.items() if u and int(u.rsplit("/", 1)[1]) % 3 and s)
+    # 667 unseen probes at the analytic rate — allow generous slack, the
+    # point is "quantified and small", not an exact binomial draw
+    assert fp <= max(10, 8 * bloom_fp_rate(1000, m, k) * 667)
+
+    with pytest.raises(ValueError):
+        bloom_build(prior, m_bits=100, k=k)            # not a word multiple
+    bl.unpersist()
