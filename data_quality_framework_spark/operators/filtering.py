@@ -231,3 +231,21 @@ def line_quality_filter(
         "keep",
         F.col("words_removed") * 10000 <= F.lit(max_removed_bp) * F.col("words_total"),
     )
+
+
+def line_corrections_exprs(
+    text: Column, max_removed_bp: int = 500
+) -> tuple[Column, Column]:
+    """(text_clean, keep) Column pair of :func:`line_quality_filter` for
+    COLUMN-LEVEL composition (the pipeline's opt-in line_corrections stage
+    rewrites ``text`` in place and keeps every other column) — same
+    predicates, same basis-point integer keep rule, still zero-shuffle."""
+    lines = F.split(text, "\n", -1)
+    kept = F.filter(lines, lambda l: ~_line_is_boilerplate(l))
+    removed = F.filter(lines, _line_is_boilerplate)
+    words_total = F.aggregate(lines, F.lit(0), lambda a, l: a + _line_wc(l))
+    words_removed = F.aggregate(removed, F.lit(0), lambda a, l: a + _line_wc(l))
+    return (
+        F.array_join(kept, "\n"),
+        words_removed * 10000 <= F.lit(max_removed_bp) * words_total,
+    )

@@ -41,8 +41,7 @@ from data_quality_framework_spark.plans.pipeline import (
     FilterConfig,
     compute_enriched,
     drop_reason_expr,
-    maybe_canonicalize,
-    maybe_extract_text,
+    prepare_pages,
     scrub_chain,
     sort_key_expr,
 )
@@ -54,6 +53,12 @@ META_COLS = [
     "f_empty", "f_short", "f_symbol", "f_lowstop", "f_langmismatch", "f_ppl", "f_badts",
     "word_count", "lang_detected", "ppl", "sig",
 ]
+
+
+def meta_cols(cfg: FilterConfig) -> list[str]:
+    """Phase-A metadata columns — config-aware: opt-in rule families add
+    their flag column so Phase C's drop_reason / lineage can read it."""
+    return META_COLS + (["f_lineheavy"] if cfg.line_corrections else [])
 
 
 #: FilterConfig fields that do NOT affect checkpoint artifacts — excluded
@@ -81,6 +86,7 @@ _FP_OMIT_AT_DEFAULT = {
     "ppl_model": "unigram",
     "text_source": "text",
     "scrub_payment_cards": False,
+    "line_corrections": False,
 }
 
 
@@ -184,7 +190,7 @@ def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfi
         k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).withColumnRenamed("id", "sort_key")
     docs = docs.join(sigs, "sort_key", "left")
-    return docs.select(*META_COLS)
+    return docs.select(*meta_cols(cfg))
 
 
 def _phase_b_losers(spark: SparkSession, meta: DataFrame, cfg: FilterConfig) -> DataFrame:
@@ -229,11 +235,12 @@ def resumable_pipeline(
     # config fails fast instead of silently mixing signature/flag regimes
     ckpt.cfg_fp = cfg_fingerprint(cfg)
 
-    # extraction precedes everything (dedup keys/stats read the extracted
-    # text); canonicalization must precede url-hash bucketing: raw variants
-    # of one canonical url must share a bucket or Phase A's collapse misses
-    # them
-    pages = maybe_canonicalize(maybe_extract_text(pages, cfg), cfg)
+    # extraction -> line corrections -> canonicalization, the SAME chain as
+    # the batch path (prepare_pages): dedup keys/stats read the extracted,
+    # line-corrected text, and canonicalization must precede url-hash
+    # bucketing (raw variants of one canonical url must share a bucket or
+    # Phase A's collapse misses them)
+    pages = prepare_pages(pages, cfg)
     tagged = pages.withColumn("__bucket", bucket_col(ckpt.n_buckets))
 
     # ---- Phase A: per-bucket metadata -------------------------------------

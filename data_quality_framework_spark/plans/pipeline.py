@@ -81,6 +81,14 @@ class FilterConfig:
     #: table, the KenLM seam (scoring.PPL_MODELS). NB max_ppl is calibrated
     #: PER MODEL — the two families score on different scales.
     ppl_model: str = "unigram"
+    #: opt-in (r5): RefinedWeb line-wise corrections BEFORE stats/dedup —
+    #: boilerplate lines (all-caps, numeric-only, counters, nav phrases)
+    #: are removed from the text, so fingerprints, minhash and word stats
+    #: see the cleaned prose; docs whose removed lines carried > 5% of
+    #: their words gain the line_boilerplate_heavy drop rule (WT-LINE-001).
+    #: Off by default: rewriting text changes content_md5 / dedup keys and
+    #: the byte-parity contract vs the reference's unmodified text.
+    line_corrections: bool = False
     #: opt-in (r5): Luhn-validated payment-card masking appended to the
     #: scrub chain (functions/scrub.scrub_cards). Off by default: the
     #: reference's masking vocabulary (SSN/phone/email) defines the base
@@ -124,7 +132,12 @@ def _flag_rules(cfg: FilterConfig) -> list[tuple[str, str, Rule]]:
         ("f_badts", "bad_timestamp",
          mk("WT-TS-001", "date_range", "warc_ts within crawl window + not future",
             "warc_ts", min_date=cfg.min_ts, max_date=cfg.max_ts, run_ts=cfg.run_ts)),
-    ]
+    ] + ([
+        ("f_lineheavy", "line_boilerplate_heavy",
+         mk("WT-LINE-001", "predicate",
+            "line-wise corrections removed > 5% of the doc's words", "text",
+            predicate="line_removal_exceeded")),
+    ] if cfg.line_corrections else [])
 
 
 DEDUP_RULES = [
@@ -178,11 +191,16 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
         | (F.col("warc_ts") > F.lit(cfg.max_ts).cast("timestamp"))
         | (F.col("warc_ts") > F.lit(cfg.run_ts).cast("timestamp")),
     }
+    if cfg.line_corrections:
+        # computed at rewrite time (maybe_line_corrections); null text is
+        # not flagged here — f_empty owns it
+        flags["f_lineheavy"] = ~F.col("__line_keep")
     # NULL flag (e.g. null lang making f_langmismatch NULL) = violation, made
     # definite HERE so f_any_heuristic and drop_reason_expr see the same
     # boolean — previously a null-flag row got keep=false with NULL reason.
     flags = {name: F.coalesce(expr, F.lit(True)) for name, expr in flags.items()}
-    return df.withColumns(flags)
+    out = df.withColumns(flags)
+    return out.drop("__line_keep") if cfg.line_corrections else out
 
 
 def sort_key_expr(url_col: str = "url", ts_col: str = "warc_ts"):
@@ -237,6 +255,37 @@ def maybe_extract_text(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     return pages
 
 
+def maybe_line_corrections(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """Apply ``cfg.line_corrections`` — RefinedWeb line-wise boilerplate
+    removal, rewriting ``text`` IN PLACE plus a ``__line_keep`` scratch
+    flag (consumed by ``_with_flags`` as WT-LINE-001). Runs after text
+    extraction and BEFORE any keying/stats in BOTH the batch and the
+    checkpoint path: fingerprints, minhash and word stats must see the
+    cleaned prose, and resume must rewrite identically (the knob is
+    checkpoint-fingerprinted, omit-at-default)."""
+    if not cfg.line_corrections:
+        return pages
+    from data_quality_framework_spark.operators.filtering import (
+        line_corrections_exprs,
+    )
+
+    t = F.col("text")
+    clean, keep = line_corrections_exprs(t)
+    return pages.withColumns({
+        "text": F.when(t.isNotNull(), clean),
+        "__line_keep": F.when(t.isNotNull(), keep).otherwise(F.lit(True)),
+    })
+
+
+def prepare_pages(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
+    """The shared pre-enrichment chain (extract -> line corrections ->
+    url canonicalization) — ONE definition for the batch entry point and
+    the checkpoint path, so the two can never diverge stage order."""
+    return maybe_canonicalize(
+        maybe_line_corrections(maybe_extract_text(pages, cfg), cfg), cfg
+    )
+
+
 def maybe_canonicalize(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     """Apply ``cfg.canonicalize_urls`` — shared by the batch entry point AND
     the checkpoint path, where it must run BEFORE url-hash bucketing (two
@@ -288,9 +337,7 @@ def run_pipeline(
     )
 
     rules = _flag_rules(cfg)
-    base = compute_enriched(
-        maybe_canonicalize(maybe_extract_text(pages, cfg), cfg), cfg
-    )
+    base = compute_enriched(prepare_pages(pages, cfg), cfg)
 
     # One wide pass feeds heuristics lineage AND dedup; cache to avoid
     # recomputing the Arrow-UDF scoring for the downstream jobs.

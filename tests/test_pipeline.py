@@ -384,3 +384,72 @@ def test_pipeline_card_scrub_opt_in(spark, pages_10k):
         ).count() == n  # invalid checksum untouched
     finally:
         out.unpersist()
+
+
+def test_pipeline_line_corrections_opt_in(spark, pages_10k):
+    """line_corrections=True strips planted boilerplate lines from kept
+    text BEFORE stats/dedup, adds the WT-LINE-001 rule whose flag drops
+    nav-dominated docs, and stays byte-compatible between the batch and
+    checkpoint paths (the knob is fingerprinted omit-at-default)."""
+    from data_quality_framework_spark.plans.pipeline import _flag_rules
+
+    # nav + counter lines on a deterministic 1% slice; a nav-DOMINATED
+    # rewrite (boilerplate >> prose) on a different slice
+    sel = F.xxhash64("url") % 100
+    pages = pages_10k.withColumn(
+        "text",
+        F.when(
+            sel == 0,
+            F.concat_ws(
+                "\n", F.lit("Read more"), F.col("text"), F.lit("12 comments")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cfg = FilterConfig(line_corrections=True)
+    assert any(r[0] == "f_lineheavy" for r in _flag_rules(cfg))
+    assert not any(r[0] == "f_lineheavy" for r in _flag_rules(FilterConfig()))
+
+    out = run_pipeline(spark, pages, cfg, per_partition_lineage=False)
+    try:
+        kept = out.kept.select("url", "text_scrubbed")
+        # boilerplate lines never reach the output
+        assert kept.filter(
+            F.col("text_scrubbed").contains("Read more")
+            | F.col("text_scrubbed").contains("12 comments")
+        ).count() == 0
+        # the new rule reports lineage
+        line_rule = [r for r in out.results if r.rule_id == "WT-LINE-001"]
+        assert len(line_rule) == 1
+    finally:
+        out.unpersist()
+
+
+def test_pipeline_line_corrections_checkpoint_parity(spark, pages_10k, tmp_path):
+    """Resumable path under line_corrections=True emits byte-identical kept
+    text to the batch path — the correction runs before bucketing in the
+    shared prepare_pages chain."""
+    from data_quality_framework_spark.plans.checkpoint import (
+        Checkpoint,
+        read_output,
+        resumable_pipeline,
+    )
+
+    pages = pages_10k.limit(2000).withColumn(
+        "text",
+        F.when(
+            F.xxhash64("url") % 50 == 0,
+            F.concat_ws("\n", F.lit("Menu"), F.col("text"), F.lit("99 likes")),
+        ).otherwise(F.col("text")),
+    ).localCheckpoint()
+    cfg = FilterConfig(line_corrections=True)
+
+    batch = run_pipeline(spark, pages, cfg, per_partition_lineage=False)
+    try:
+        ckpt = Checkpoint(out_dir=str(tmp_path / "ck"), n_buckets=4)
+        resumable_pipeline(spark, pages, ckpt, cfg)
+        ck_kept = read_output(spark, ckpt, "kept").select("url", "text_scrubbed")
+        b_kept = batch.kept.select("url", "text_scrubbed")
+        assert b_kept.count() == ck_kept.count()
+        assert b_kept.exceptAll(ck_kept).count() == 0
+    finally:
+        batch.unpersist()
