@@ -1323,6 +1323,46 @@ def _q_bloom_seen(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_bloom_incremental(spark, sf):
+    """Cross-run Bloom seen-set (r5): even doc_ids are crawl batch 1, odd
+    are batch 2; batch 2 probes the PERSISTED word table batch 1 left in a
+    fresh store (merge-on-read bit_or path). Batch 1 must flag nothing
+    (empty store); batch 2's flags replicate the same bit math the
+    single-shot bloom oracle proves, through a parquet round-trip."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.bloom import incremental_bloom_probe
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    store = tempfile.mkdtemp(prefix="dq_bloom_store_")
+    shutil.rmtree(store, ignore_errors=True)  # operator owns the layout
+    try:
+        rows = []
+        for bid, batch in (
+            ("1", d.filter(F.col("doc_id") % 2 == 0)),
+            ("2", d.filter(F.col("doc_id") % 2 != 0)),
+        ):
+            out = incremental_bloom_probe(
+                spark, batch, store, bid, "url", m_bits=4096, k=3
+            )
+            rows.extend(
+                (int(bid), r["doc_id"], r["maybe_seen"])
+                for r in out.select("doc_id", "maybe_seen").collect()
+            )
+        return spark.createDataFrame(
+            rows, "batch int, doc_id long, maybe_seen boolean"
+        ).orderBy("doc_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1602,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_quality_filter": _q_line_quality,
         # distributed Bloom-filter URL seen-set with quantified FPs (r5)
         "url_bloom_seen": _q_bloom_seen,
+        # cross-run Bloom store: persisted per-batch word tables (r5)
+        "url_bloom_incremental": _q_bloom_incremental,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2760,6 +2802,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(v.maybe_seen, FALSE) AS maybe_seen,
                    doc_id % 3 = 0 AS actually_seen,
                    (coalesce(v.maybe_seen, FALSE) AND doc_id % 3 <> 0) AS is_fp
+            FROM d LEFT JOIN v USING (url) ORDER BY doc_id
+        """,
+        # incremental-bloom oracle (r5): batch 1 (even doc_ids) probes an
+        # empty store -> all False; batch 2 (odd) probes the filter batch 1
+        # persisted — the identical bit math as url_bloom_seen with the
+        # even slice as the prior set
+        "url_bloom_incremental": """
+            WITH d AS (SELECT doc_id,
+                              'https://' || source || '.example.org/doc/' ||
+                              CAST(doc_id AS VARCHAR) AS url
+                       FROM documents),
+                 prior AS (SELECT url FROM d WHERE doc_id % 2 = 0 AND url IS NOT NULL),
+                 bp AS (SELECT (('0x' || substr(md5(url || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096) AS pos
+                        FROM prior, range(3) s(j)),
+                 words AS (SELECT pos // 32 AS word_idx,
+                                  bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                           FROM bp GROUP BY 1),
+                 pp AS (SELECT url,
+                               (('0x' || substr(md5(url || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096) AS pos
+                        FROM (SELECT DISTINCT url FROM d WHERE doc_id % 2 <> 0 AND url IS NOT NULL), range(3) s(j)),
+                 hits AS (SELECT url,
+                                 coalesce(bits & (1::BIGINT << CAST(pos % 32 AS INT)), 0) <> 0 AS hit
+                          FROM pp LEFT JOIN words ON pp.pos // 32 = words.word_idx),
+                 v AS (SELECT url, bool_and(hit) AS maybe_seen FROM hits GROUP BY url)
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS batch,
+                   doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN FALSE
+                        ELSE coalesce(v.maybe_seen, FALSE) END AS maybe_seen
             FROM d LEFT JOIN v USING (url) ORDER BY doc_id
         """,
         "text_token_counts": f"""

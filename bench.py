@@ -66,6 +66,9 @@ HEADLINE = [
     "text_dsir_scores",
     # r5 third wave: ExactSubstr duplicated-span removal
     "text_substring_dedup",
+    # r5 fourth wave: RefinedWeb line corrections, Bloom seen-set
+    "text_line_quality_filter",
+    "url_bloom_seen",
 ]
 
 

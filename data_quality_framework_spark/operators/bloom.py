@@ -127,3 +127,64 @@ def bloom_probe(
         verdict, F.col(id_col).cast("string") == F.col("__bp_key"), "left"
     ).drop("__bp_key")
     return out.withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+
+
+def bloom_merge(words: DataFrame) -> DataFrame:
+    """OR together per-batch word tables into one filter: a second
+    ``bit_or`` over the (already tiny) word rows."""
+    return words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def incremental_bloom_probe(
+    spark,
+    df: DataFrame,
+    store_path: str,
+    batch_id: str,
+    id_col: str = "url",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """Cross-RUN approximate seen-set: probe a new crawl batch against the
+    union of EVERY prior batch's keys without rescanning any of them.
+
+    The incremental sibling of ``dedup.incremental_exact_dedup``, traded
+    exact for approximate where exactness is not required (frontier
+    dedup, recrawl scheduling): the store holds per-batch Bloom WORD
+    tables — ``m_bits/32`` rows max per batch regardless of batch size —
+    and a probe reads words, never keys. Per batch:
+
+    1. prior batches' words merge with one ``bit_or`` (:func:`bloom_merge`
+       over rows whose total is bounded by m, not by corpus size);
+    2. ``flag_col`` = :func:`bloom_probe` against the merged filter
+       ("maybe seen in SOME prior batch"; False = certainly first crawl —
+       false negatives impossible, false-positive rate per
+       :func:`bloom_fp_rate` against the total distinct keys ever added);
+    3. THIS batch's full word table lands under ``batch_id=<id>/``
+       (directory overwrite -> idempotent re-runs). Within-batch repeats
+       are NOT flagged — this is a membership sketch, not a dedup;
+       compose with ``exact_dedup`` for intra-batch canonical picks.
+
+    ``m_bits``/``k`` are pinned to the store on first use and a later
+    batch with different knobs is REFUSED (different hash positions make
+    every historic bit meaningless — the same guard as the signature
+    stores). Sequential batches only (cron semantics)."""
+    from data_quality_framework_spark.operators.dedup import (
+        _pin_store_params,
+        _read_prior_store,
+    )
+
+    _pin_store_params(spark, store_path, {"m_bits": m_bits, "k": k})
+    prior = _read_prior_store(spark, store_path, batch_id)
+    batch_words = bloom_build(df, id_col=id_col, m_bits=m_bits, k=k)
+    if prior is None:
+        out = df.withColumn(flag_col, F.lit(False))
+    else:
+        merged = bloom_merge(prior.select("word_idx", "bits"))
+        out = bloom_probe(
+            df, merged, id_col=id_col, m_bits=m_bits, k=k, flag_col=flag_col
+        )
+    batch_words.write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    return out

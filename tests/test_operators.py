@@ -1640,3 +1640,47 @@ def test_bloom_seen_set(spark):
     with pytest.raises(ValueError):
         bloom_build(prior, m_bits=100, k=k)            # not a word multiple
     bl.unpersist()
+
+
+def test_incremental_bloom_probe(spark, tmp_path):
+    """Cross-run seen-set: batch 1 probes all-False (empty store), batch 2
+    flags every batch-1 repeat (no false negatives), the store holds one
+    word table per batch, re-running a batch is idempotent, and changed
+    m/k knobs are refused against a populated store."""
+    import pytest as _pytest
+
+    from data_quality_framework_spark.operators.bloom import (
+        incremental_bloom_probe,
+    )
+
+    store = str(tmp_path / "bloom_store")
+    b1 = spark.createDataFrame(
+        [(f"https://ex.com/{i}",) for i in range(0, 200, 2)], "url string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"https://ex.com/{i}",) for i in range(100)], "url string"
+    )
+    m, k = 1 << 14, 3
+
+    out1 = incremental_bloom_probe(spark, b1, store, "1", m_bits=m, k=k)
+    assert out1.filter(F.col("maybe_seen")).count() == 0     # empty store
+
+    out2 = incremental_bloom_probe(spark, b2, store, "2", m_bits=m, k=k)
+    got = {r["url"]: r["maybe_seen"] for r in out2.collect()}
+    evens = [u for u in got if int(u.rsplit("/", 1)[1]) % 2 == 0]
+    assert all(got[u] for u in evens)                        # zero FN
+    fp = sum(1 for u, s in got.items() if int(u.rsplit("/", 1)[1]) % 2 and s)
+    assert fp <= 5                                           # tiny at this m
+
+    # store layout: one word table per batch; idempotent re-run of batch 2
+    import os
+
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("batch_id=")
+    ) == ["batch_id=1", "batch_id=2"]
+    out2b = incremental_bloom_probe(spark, b2, store, "2", m_bits=m, k=k)
+    got2 = {r["url"]: r["maybe_seen"] for r in out2b.collect()}
+    assert got2 == got                                       # batch 2 excluded from its own probe
+
+    with _pytest.raises(ValueError, match="refusing"):
+        incremental_bloom_probe(spark, b2, store, "3", m_bits=m, k=k + 1)
