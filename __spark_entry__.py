@@ -1363,6 +1363,29 @@ def _q_bloom_incremental(spark, sf):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def _q_domain_cap(spark, sf):
+    """Per-domain quota sampling (r5): hosts synthesized Zipf-style from
+    doc_id residues (one host owns half the corpus), cap=40. The operator's
+    two-phase range-split selection must equal the oracle's naive
+    ``row_number() OVER (PARTITION BY host ORDER BY hash60, id) <= cap``
+    exactly — same hash, same tiebreak."""
+    from data_quality_framework_spark.operators.sampling import domain_cap_flags
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 4 <= 1, F.lit("big.example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("mid.example.org"))
+        .otherwise(
+            F.concat(F.lit("site"), (F.col("doc_id") % 16).cast("string"), F.lit(".net"))
+        )
+    )
+    m = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id")).alias("url"),
+    )
+    return domain_cap_flags(m, cap=40).select("doc_id", "quota_keep").orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1644,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_bloom_seen": _q_bloom_seen,
         # cross-run Bloom store: persisted per-batch word tables (r5)
         "url_bloom_incremental": _q_bloom_incremental,
+        # per-domain quota via skew-safe two-phase range split (r5)
+        "text_domain_cap": _q_domain_cap,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2831,6 +2856,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 THEN FALSE
                         ELSE coalesce(v.maybe_seen, FALSE) END AS maybe_seen
             FROM d LEFT JOIN v USING (url) ORDER BY doc_id
+        """,
+        # domain-cap oracle (r5): the NAIVE window the operator's two-phase
+        # range split must equal exactly — same md5-derived hash60(':42'
+        # salt), same (hash, id) tiebreak
+        "text_domain_cap": """
+            WITH m AS (SELECT doc_id,
+                              CASE WHEN doc_id % 4 <= 1 THEN 'big.example.com'
+                                   WHEN doc_id % 4 = 2 THEN 'mid.example.org'
+                                   ELSE 'site' || CAST(doc_id % 16 AS VARCHAR) || '.net'
+                              END AS host
+                       FROM documents),
+                 r AS (SELECT doc_id,
+                              row_number() OVER (
+                                  PARTITION BY host
+                                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT,
+                                           doc_id) AS rn
+                       FROM m)
+            SELECT doc_id, rn <= 40 AS quota_keep FROM r ORDER BY doc_id
         """,
         "text_token_counts": f"""
             SELECT CAST(sum(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END) AS BIGINT) AS ws_tokens,

@@ -216,3 +216,105 @@ def assign_split(
     for name, thr in reversed(conds):
         expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def domain_cap_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    seed: int = 42,
+    bucket_bits: int = 12,
+    flag_col: str = "quota_keep",
+) -> DataFrame:
+    """Per-domain quota (C4/Gopher practice: no single host may dominate
+    the corpus): at most ``cap`` docs keep per url host, selected as the
+    ``cap`` smallest ``(hash60(id, seed), id)`` — i.e. a deterministic
+    uniform sample per host, stable under corpus growth ONLY in its
+    ordering rule (adding docs can displace hash-larger ones, which is the
+    point of a quota). Docs with NULL/malformed urls have no host to
+    attribute and keep their flag True.
+
+    Scale shape — the whole reason this is not ``row_number() OVER
+    (PARTITION BY host)``: web hosts are Zipfian, and a window would sort
+    a 10^9-row hot host in ONE task. Instead:
+
+    1. per-host counts (map-side partial agg; skew-immune) find the
+       over-cap hosts;
+    2. over-cap rows split into 2^``bucket_bits`` ranges by their hash's
+       HIGH bits; per-(host, range) counts + a metadata-sized cumulative
+       window locate each host's BOUNDARY range — the one holding its
+       cap-th smallest hash;
+    3. only boundary-range rows (~1/4096 of a host) are ranked with a
+       real window to fill the remaining slots — everything below the
+       boundary keeps outright, everything above drops outright.
+
+    The corpus itself never shuffles: the over-set, the range table and
+    the boundary verdicts are all metadata-sized joins (AQE broadcasts
+    them). Selection is EXACT — identical to the naive window's
+    ``rank <= cap`` — because the range split is monotone in the hash.
+    """
+    from data_quality_framework_spark.operators.filtering import host_of
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    d = df.withColumn("__host", host_of(F.col(url_col))).withColumn(
+        "__h", hash60(F.col(id_col), seed)
+    )
+    counts = d.groupBy("__host").agg(F.count(F.lit(1)).alias("__n"))
+    over = (
+        counts.filter(F.col("__n") > cap)
+        .filter(F.col("__host").isNotNull())
+        .select("__host", F.lit(True).alias("__over"))
+    )
+    t = d.join(over, "__host", "left")
+
+    # high-bit range split: monotone in __h, so "ranges below the boundary"
+    # == "hashes below the boundary"
+    rng = F.shiftright(F.col("__h"), _HASH_BITS - bucket_bits)
+    oc = t.filter(F.col("__over").isNotNull()).withColumn("__b", rng)
+    bc = oc.groupBy("__host", "__b").agg(F.count(F.lit(1)).alias("__bn"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__host").orderBy("__b")
+    bc = bc.withColumn("__before", F.sum("__bn").over(w) - F.col("__bn"))
+
+    boundary = bc.filter(
+        (F.col("__before") < cap) & (F.col("__before") + F.col("__bn") > cap)
+    )
+    wb = Window.partitionBy("__host", "__b").orderBy("__h", id_col)
+    bverdict = (
+        oc.join(boundary.select("__host", "__b", "__before"), ["__host", "__b"])
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.lit(cap) - F.col("__before"))
+        .select(F.col(id_col).alias("__bid"), F.lit(True).alias("__bkeep"))
+    )
+
+    out = (
+        t.withColumn("__b", rng)
+        .join(bc.select("__host", "__b", "__before", "__bn"), ["__host", "__b"], "left")
+        .join(bverdict, F.col(id_col) == F.col("__bid"), "left")
+        .withColumn(
+            flag_col,
+            F.when(F.col("__over").isNull(), F.lit(True))            # under-cap / no host
+            .when(F.col("__before") + F.col("__bn") <= cap, F.lit(True))   # below boundary
+            .when(F.col("__before") >= cap, F.lit(False))            # above boundary
+            .otherwise(F.coalesce(F.col("__bkeep"), F.lit(False))),  # boundary rank
+        )
+    )
+    return out.drop("__host", "__h", "__over", "__b", "__before", "__bn", "__bid", "__bkeep")
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Rows surviving the per-domain quota (original columns only)."""
+    return (
+        domain_cap_flags(df, url_col=url_col, id_col=id_col, cap=cap, seed=seed)
+        .filter(F.col("quota_keep"))
+        .drop("quota_keep")
+    )

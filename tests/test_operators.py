@@ -1684,3 +1684,48 @@ def test_incremental_bloom_probe(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing"):
         incremental_bloom_probe(spark, b2, store, "3", m_bits=m, k=k + 1)
+
+
+def test_domain_cap_two_phase_exact(spark):
+    """The skew-safe two-phase range-split quota equals the naive
+    per-host window rank exactly (including boundary-range ties by id),
+    under-cap/tail hosts and NULL/malformed urls keep everything, and the
+    corpus itself never hash-shuffles (no Exchange on the full input —
+    only the metadata aggregations shuffle)."""
+    import hashlib
+
+    from data_quality_framework_spark.operators.sampling import (
+        domain_cap_flags,
+        domain_cap_sample,
+    )
+
+    rows = []
+    for i in range(1000):
+        if i < 600:
+            host = "big.example.com"
+        elif i < 900:
+            host = "mid.example.org"
+        else:
+            host = f"site{i % 10}.net"
+        rows.append((i, f"https://{host}/p/{i}"))
+    rows += [(2000, None), (2001, "not a url")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    res = {r["doc_id"]: r["quota_keep"] for r in domain_cap_flags(df, cap=50).collect()}
+    assert res[2000] and res[2001]                       # no host -> keep
+    assert all(res[i] for i in range(900, 1000))         # tail under cap
+
+    def h60(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+
+    for lo, hi in ((0, 600), (600, 900)):                # exact window truth
+        ids = list(range(lo, hi))
+        truth = set(sorted(ids, key=lambda i: (h60(i), i))[:50])
+        assert {i for i in ids if res[i]} == truth
+
+    kept = domain_cap_sample(df, cap=50)
+    assert kept.count() == 2 + 100 + 50 + 50
+    assert kept.columns == ["doc_id", "url"]
+
+    with pytest.raises(ValueError):
+        domain_cap_flags(df, cap=0)
