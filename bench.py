@@ -66,9 +66,11 @@ HEADLINE = [
     "text_dsir_scores",
     # r5 third wave: ExactSubstr duplicated-span removal
     "text_substring_dedup",
-    # r5 fourth wave: RefinedWeb line corrections, Bloom seen-set
+    # r5 fourth wave: RefinedWeb line corrections, Bloom seen-set,
+    # skew-safe per-domain quota
     "text_line_quality_filter",
     "url_bloom_seen",
+    "text_domain_cap",
 ]
 
 
