@@ -1386,6 +1386,19 @@ def _q_domain_cap(spark, sf):
     return domain_cap_flags(m, cap=40).select("doc_id", "quota_keep").orderBy("doc_id")
 
 
+def _q_bigram_fit(spark, sf):
+    """Distributed char-bigram LM fitting (r5): corpus-wide pair counts as
+    pure integers — the training half of the KenLM seam (the serving UDF
+    consumes the driver-side log-prob conversion of exactly these rows).
+    Oracle recounts every pair with the SAME 28-class map the perplexity
+    oracles already prove unicode-equivalent."""
+    from data_quality_framework_spark.functions.scoring import fit_char_bigram_lm
+
+    return fit_char_bigram_lm(_t(spark, sf, "documents"), "text").orderBy(
+        "prev_class", "next_class"
+    )
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1669,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_bloom_incremental": _q_bloom_incremental,
         # per-domain quota via skew-safe two-phase range split (r5)
         "text_domain_cap": _q_domain_cap,
+        # distributed char-bigram LM fitting: integer pair counts (r5)
+        "text_bigram_lm_fit": _q_bigram_fit,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2856,6 +2871,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 THEN FALSE
                         ELSE coalesce(v.maybe_seen, FALSE) END AS maybe_seen
             FROM d LEFT JOIN v USING (url) ORDER BY doc_id
+        """,
+        # bigram-fit oracle (r5): the same 28-class map as _ppl_bigram_sql,
+        # every pair recounted; integers only, no smoothing in the gate
+        "text_bigram_lm_fit": """
+            WITH d AS (SELECT coalesce(text, '') AS t FROM documents),
+                 p AS (SELECT unnest(list_transform(range(1, length(t)), i ->
+                           (CASE WHEN unicode(substr(t, i, 1)) BETWEEN 97 AND 122 THEN unicode(substr(t, i, 1)) - 97
+                                 WHEN unicode(substr(t, i, 1)) BETWEEN 65 AND 90 THEN unicode(substr(t, i, 1)) - 65
+                                 WHEN substr(t, i, 1) = ' ' THEN 26 ELSE 27 END) * 28 +
+                           (CASE WHEN unicode(substr(t, i + 1, 1)) BETWEEN 97 AND 122 THEN unicode(substr(t, i + 1, 1)) - 97
+                                 WHEN unicode(substr(t, i + 1, 1)) BETWEEN 65 AND 90 THEN unicode(substr(t, i + 1, 1)) - 65
+                                 WHEN substr(t, i + 1, 1) = ' ' THEN 26 ELSE 27 END))) AS pair
+                       FROM d WHERE length(t) >= 2)
+            SELECT CAST(pair // 28 AS INTEGER) AS prev_class,
+                   CAST(pair % 28 AS INTEGER) AS next_class,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

@@ -291,3 +291,76 @@ def with_scores(df, text_col: str = "text", ppl_model: str = "unigram"):
         .withColumn("ppl", F.col("__scores.ppl"))
         .drop("__scores")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed LM FITTING (r5): the KenLM seam's training half. The serving
+# path above ships a trained char-bigram table to executors as literals;
+# this fits that table FROM a corpus as a Spark job — at 10^12 docs the
+# counting is the expensive part and it reduces to a metadata shuffle
+# (<= 784 distinct pair keys survive map-side partial aggregation, however
+# many trillions of character pairs feed them).
+# ---------------------------------------------------------------------------
+
+
+def _cls_col(ch):
+    """JVM replica of :func:`_char_classes` for ONE character column —
+    identical 28-class mapping, so fitting (here) and serving (the Arrow
+    UDF) can never disagree on tokenization."""
+    code = F.ascii(ch)
+    return (
+        F.when((code >= 97) & (code <= 122), code - 97)
+        .when((code >= 65) & (code <= 90), code - 65)
+        .when(code == 32, F.lit(26))
+        .otherwise(F.lit(27))
+    )
+
+
+def fit_char_bigram_lm(df, text_col: str = "text"):
+    """Corpus-wide char-bigram pair counts: (prev_class, next_class, n)
+    rows, observed pairs only — pure integers, so the distributed fit is
+    bit-identical on any engine/partitioning (the float log-prob
+    conversion happens driver-side on <= 784 numbers, see
+    :func:`bigram_counts_to_logp`).
+
+    Shape: per-doc pair codes are a higher-order Column expression (no
+    Python in the scan), exploded and counted — partial aggregation
+    collapses each partition to <= 784 rows before the only shuffle.
+    Docs with < 2 chars (and NULL texts) contribute nothing, exactly like
+    the serving UDF's scorable cutoff."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(t)
+    pairs = F.when(
+        L >= 2,
+        F.transform(
+            F.sequence(F.lit(1), L - 1),
+            lambda i: (
+                _cls_col(t.substr(i, F.lit(1))) * _N_CLASSES
+                + _cls_col(t.substr(i + F.lit(1), F.lit(1)))
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.floor(F.col("pair") / _N_CLASSES).cast("int").alias("prev_class"),
+            F.pmod(F.col("pair"), F.lit(_N_CLASSES)).cast("int").alias("next_class"),
+            "n",
+        )
+    )
+
+
+def bigram_counts_to_logp(rows, alpha: float = 1.0) -> "np.ndarray":
+    """(784,) add-alpha log p(next | prev) from collected fit rows — the
+    driver-side tail of the fit, same smoothing as
+    :func:`_train_bigram_logp`; drop-in for ``_BIGRAM_LOGP`` so a
+    corpus-fitted model serves through the existing Arrow UDF machinery."""
+    counts = np.zeros((_N_CLASSES, _N_CLASSES), dtype=np.float64)
+    for r in rows:
+        counts[int(r["prev_class"]), int(r["next_class"])] = float(r["n"])
+    probs = (counts + alpha) / (
+        counts.sum(axis=1, keepdims=True) + alpha * _N_CLASSES
+    )
+    return np.log(probs).reshape(-1)

@@ -590,3 +590,39 @@ def test_card_scrub_luhn(spark):
         con.execute(f"SELECT i, {duckdb_scrub_cards_sql('t')} FROM c").fetchall()
     )
     assert duck == {i: s for i, (s, _) in got.items()}
+
+
+def test_fit_char_bigram_lm_distributed(spark):
+    """Distributed pair counting equals the serving UDF's numpy class map
+    exactly; the driver-side smoothing normalizes rows and reproduces
+    _train_bigram_logp when fitted on the same seed text; short/null docs
+    contribute nothing; the count shuffle is metadata-sized."""
+    import numpy as np
+
+    from data_quality_framework_spark.functions.scoring import (
+        _BIGRAM_TRAIN_TEXT,
+        _char_classes,
+        _train_bigram_logp,
+        bigram_counts_to_logp,
+        fit_char_bigram_lm,
+    )
+
+    texts = ["Hello World", "abc", "a", "", None, "Zebra jumps! 42"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = fit_char_bigram_lm(df).collect()
+    got = {(r["prev_class"], r["next_class"]): r["n"] for r in rows}
+    truth = {}
+    for t in texts:
+        if not t or len(t) < 2:
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        cls = _char_classes(codes.astype(np.int64))
+        for a, b in zip(cls[:-1], cls[1:]):
+            truth[(int(a), int(b))] = truth.get((int(a), int(b)), 0) + 1
+    assert got == truth
+
+    # fitting on the seed text reproduces the shipped serving table
+    seed = spark.createDataFrame([(_BIGRAM_TRAIN_TEXT,)], "text string")
+    tbl = bigram_counts_to_logp(fit_char_bigram_lm(seed).collect())
+    assert np.array_equal(tbl, _train_bigram_logp())
+    assert np.allclose(np.exp(tbl).reshape(28, 28).sum(axis=1), 1.0)
