@@ -1399,6 +1399,27 @@ def _q_bigram_fit(spark, sf):
     )
 
 
+def _q_rule_ablation(spark, sf):
+    """Drop attribution (r5): the four text-quality rule flags computed
+    over documents, then per-rule flagged/uniquely-flagged counts in ONE
+    aggregation — the rescue count a rule-tuning pass reads. The oracle
+    recomputes every flag from the same stats SQL the quality/pipeline
+    oracles prove, then the same conditional sums."""
+    from data_quality_framework_spark.functions.textstats import with_text_stats
+    from data_quality_framework_spark.operators.filtering import rule_ablation
+
+    s = with_text_stats(_t(spark, sf, "documents").select("doc_id", "text"))
+    flagged = s.select(
+        F.col("is_blank_text").alias("f_empty"),
+        ((F.col("word_count") < 50) | (F.col("word_count") > 100000)).alias("f_short"),
+        (F.col("symbol_ratio") > 0.10).alias("f_symbol"),
+        (F.col("stopword_fraction") < 0.06).alias("f_lowstop"),
+    )
+    return rule_ablation(
+        flagged, ["f_empty", "f_short", "f_symbol", "f_lowstop"]
+    ).orderBy("rule")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1684,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_cap": _q_domain_cap,
         # distributed char-bigram LM fitting: integer pair counts (r5)
         "text_bigram_lm_fit": _q_bigram_fit,
+        # one-pass drop attribution: per-rule flagged/unique counts (r5)
+        "text_rule_ablation": _q_rule_ablation,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2888,6 +2911,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pair % 28 AS INTEGER) AS next_class,
                    CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # rule-ablation oracle (r5): the four flags recomputed from the
+        # same stats SQL as the quality/pipeline oracles (identical integer
+        # numerators/denominators -> bit-identical ratios), then the same
+        # 2xN conditional sums, unpivoted
+        "text_rule_ablation": f"""
+            WITH st AS (SELECT
+                    NOT {_NONBLANK} AS f_empty,
+                    CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS wc,
+                    CASE WHEN coalesce(length(text), 0) > 0
+                         THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END AS sr,
+                    CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+                         THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
+                                              w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
+                         ELSE 0.0 END AS sf
+                 FROM documents),
+                 fl AS (SELECT f_empty,
+                               (wc < 50 OR wc > 100000) AS f_short,
+                               sr > 0.10 AS f_symbol,
+                               sf < 0.06 AS f_lowstop
+                        FROM st),
+                 s AS (SELECT
+                    CAST(sum(CASE WHEN f_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                    CAST(sum(CASE WHEN f_empty AND NOT (f_short OR f_symbol OR f_lowstop) THEN 1 ELSE 0 END) AS BIGINT) AS u_empty,
+                    CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                    CAST(sum(CASE WHEN f_short AND NOT (f_empty OR f_symbol OR f_lowstop) THEN 1 ELSE 0 END) AS BIGINT) AS u_short,
+                    CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+                    CAST(sum(CASE WHEN f_symbol AND NOT (f_empty OR f_short OR f_lowstop) THEN 1 ELSE 0 END) AS BIGINT) AS u_symbol,
+                    CAST(sum(CASE WHEN f_lowstop THEN 1 ELSE 0 END) AS BIGINT) AS n_lowstop,
+                    CAST(sum(CASE WHEN f_lowstop AND NOT (f_empty OR f_short OR f_symbol) THEN 1 ELSE 0 END) AS BIGINT) AS u_lowstop
+                 FROM fl)
+            SELECT 'f_empty' AS rule, n_empty AS n_flagged, u_empty AS n_unique FROM s
+            UNION ALL SELECT 'f_lowstop', n_lowstop, u_lowstop FROM s
+            UNION ALL SELECT 'f_short', n_short, u_short FROM s
+            UNION ALL SELECT 'f_symbol', n_symbol, u_symbol FROM s
+            ORDER BY rule
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

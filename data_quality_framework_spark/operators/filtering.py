@@ -249,3 +249,39 @@ def line_corrections_exprs(
         F.array_join(kept, "\n"),
         words_removed * 10000 <= F.lit(max_removed_bp) * words_total,
     )
+
+
+def rule_ablation(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
+    """Drop-attribution over boolean rule flags: per rule, how many docs it
+    flags and how many it flags UNIQUELY (no other rule fires) — the number
+    a rule-tuning pass actually cares about, since removing a rule only
+    rescues its unique drops. ONE aggregation job over all rules (a
+    single-row agg of 2xN conditional sums, unpivoted to (rule, n_flagged,
+    n_unique) rows) — no per-rule scans, no shuffle beyond the final
+    single-row reduce; NULL flags count as not firing (callers that want
+    null=violation semantics coalesce first, as the pipeline does)."""
+    from functools import reduce
+    from operator import or_
+
+    cols = list(flag_cols)
+    if not cols:
+        raise ValueError("flag_cols must be non-empty")
+    aggs = []
+    for c in cols:
+        others = reduce(or_, [F.coalesce(F.col(o), F.lit(False)) for o in cols if o != c]) \
+            if len(cols) > 1 else F.lit(False)
+        fired = F.coalesce(F.col(c), F.lit(False))
+        aggs.append(F.sum(fired.cast("int")).cast("long").alias(f"__n_{c}"))
+        aggs.append(
+            F.sum((fired & ~others).cast("int")).cast("long").alias(f"__u_{c}")
+        )
+    agg = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("rule"),
+            F.coalesce(F.col(f"__n_{c}"), F.lit(0)).alias("n_flagged"),
+            F.coalesce(F.col(f"__u_{c}"), F.lit(0)).alias("n_unique"),
+        )
+        for c in cols
+    ])
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

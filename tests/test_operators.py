@@ -1729,3 +1729,30 @@ def test_domain_cap_two_phase_exact(spark):
 
     with pytest.raises(ValueError):
         domain_cap_flags(df, cap=0)
+
+
+def test_rule_ablation_unique_attribution(spark):
+    """One-pass drop attribution: flagged and uniquely-flagged counts per
+    rule, NULL flags count as not firing, single-rule edge works, and the
+    whole thing is ONE aggregation job."""
+    from data_quality_framework_spark.operators.filtering import rule_ablation
+
+    rows = [
+        (True, False, False),    # a only           -> unique a
+        (True, True, False),     # a+b overlap      -> unique neither
+        (False, True, False),    # b only           -> unique b
+        (False, False, False),   # clean
+        (None, False, True),     # null a, c only   -> unique c
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    got = {
+        r["rule"]: (r["n_flagged"], r["n_unique"])
+        for r in rule_ablation(df, ["a", "b", "c"]).collect()
+    }
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (1, 1)}
+
+    solo = rule_ablation(df, ["a"]).collect()[0]
+    assert (solo["n_flagged"], solo["n_unique"]) == (2, 2)
+
+    with pytest.raises(ValueError):
+        rule_ablation(df, [])
