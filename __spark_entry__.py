@@ -1420,6 +1420,32 @@ def _q_rule_ablation(spark, sf):
     ).orderBy("rule")
 
 
+def _q_ip_scrub(spark, sf):
+    """Bounded-IPv4 scrub (r5): real quads planted on doc residues must
+    mask to <IP> (including sentence-final "10.0.0.1." and back-to-back
+    quads, the two-pass case); version strings ("v1.2.3.4", "1.2.3.4.5")
+    and invalid octets planted alongside must survive byte-intact. The
+    oracle replays the identical RE2-subset pattern two-pass."""
+    from data_quality_framework_spark.functions.scrub import has_raw_ip, scrub_ips
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1 and 192.168.7.24 both")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" host 172.16.254.3.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" build v1.2.3.4 tag 1.2.3.4.5 raw 256.1.1.1 kept")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = scrub_ips(F.col("text"))
+    return m.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (~has_raw_ip(scrubbed)).alias("no_leak"),
+    ).orderBy("doc_id")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1707,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm_fit": _q_bigram_fit,
         # one-pass drop attribution: per-rule flagged/unique counts (r5)
         "text_rule_ablation": _q_rule_ablation,
+        # bounded-IPv4 scrub, version-string-safe, byte parity (r5)
+        "text_pii_ip_scrub": _q_ip_scrub,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2185,9 +2213,13 @@ def oracle_sql() -> dict[str, str]:
         duckdb_extract_sql,
     )
     from data_quality_framework_spark.functions.scrub import (
+        _IP_CAND,
         duckdb_scrub_cards_sql,
+        duckdb_scrub_ips_sql,
         duckdb_valid_cards_sql,
     )
+
+    ip_pat = _IP_CAND.replace("'", "''")
 
     out = {
         "s1_project_filter": (
@@ -2708,6 +2740,21 @@ def oracle_sql() -> dict[str, str]:
                        FROM m)
             SELECT doc_id, n_masked, md5(scrubbed) AS scrubbed_md5,
                    NOT len({duckdb_valid_cards_sql('scrubbed')}) > 0 AS no_leak
+            FROM s ORDER BY doc_id
+        """,
+        # IP-scrub oracle (r5): identical RE2-subset pattern, two-pass
+        # replace + leak re-check on the scrubbed bytes
+        "text_pii_ip_scrub": f"""
+            WITH m AS (SELECT doc_id,
+                              text
+                              || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1 and 192.168.7.24 both' ELSE '' END
+                              || CASE WHEN doc_id % 7 = 0 THEN ' host 172.16.254.3.' ELSE '' END
+                              || CASE WHEN doc_id % 11 = 0 THEN ' build v1.2.3.4 tag 1.2.3.4.5 raw 256.1.1.1 kept' ELSE '' END
+                              AS text
+                       FROM documents WHERE text IS NOT NULL),
+                 s AS (SELECT doc_id, {duckdb_scrub_ips_sql('text')} AS scrubbed FROM m)
+            SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+                   NOT regexp_matches(scrubbed, '{ip_pat}') AS no_leak
             FROM s ORDER BY doc_id
         """,
         # ExactSubstr oracle (r5): full replay of tokenize -> 8-token

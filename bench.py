@@ -71,6 +71,8 @@ HEADLINE = [
     "text_line_quality_filter",
     "url_bloom_seen",
     "text_domain_cap",
+    "text_bigram_lm_fit",
+    "text_rule_ablation",
 ]
 
 

@@ -182,3 +182,42 @@ def phone_mask_applied(col: Column) -> Column:
 def sha256_format_ok(col: Column) -> Column:
     """64-char hex check (masking_checker.py:181-189)."""
     return (F.length(col) == F.lit(64)) & ~col.rlike("[^0-9a-fA-F]")
+
+
+# ---------------------------------------------------------------------------
+# IPv4 scrubbing (r5): dotted quads with octet validation, masked to <IP>.
+# The hard part is BOUNDARIES without lookarounds (RE2/DuckDB has none):
+# context character classes forbid a word char or another dotted-digit
+# segment on either side, so version strings ("v1.2.3.4", "1.2.3.4.5")
+# survive byte-intact while "connect to 10.0.0.1." masks. Consumed context
+# chars are re-emitted via backrefs; the replace runs TWICE because one
+# global pass cannot match an IP whose leading context char was consumed
+# as the previous match's trailing context ("1.1.1.1 2.2.2.2").
+# ---------------------------------------------------------------------------
+
+_IP_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+#: groups: \1 leading context, \2 the quad, \3 trailing context
+_IP_CAND = (
+    rf"(^|[^0-9.A-Za-z_])"
+    rf"({_IP_OCTET}(?:\.{_IP_OCTET}){{3}})"
+    rf"([^0-9.A-Za-z_]|\.(?:[^0-9A-Za-z_]|$)|$)"
+)
+
+
+def scrub_ips(text: Column) -> Column:
+    """Mask bounded IPv4 quads to ``<IP>`` (two-pass, see module note)."""
+    once = F.regexp_replace(text, _IP_CAND, "$1<IP>$3")
+    return F.regexp_replace(once, _IP_CAND, "$1<IP>$3")
+
+
+def has_raw_ip(text: Column) -> Column:
+    """A bounded IPv4 quad survives in ``text`` (leak predicate)."""
+    return text.rlike(_IP_CAND)
+
+
+def duckdb_scrub_ips_sql(expr: str) -> str:
+    """The same two-pass IP scrub as a DuckDB expression — identical
+    pattern (pure RE2 subset by construction), ``\\N`` backref syntax."""
+    pat = _IP_CAND.replace("'", "''")
+    one = f"regexp_replace({expr}, '{pat}', '\\1<IP>\\3', 'g')"
+    return f"regexp_replace({one}, '{pat}', '\\1<IP>\\3', 'g')"

@@ -87,6 +87,7 @@ _FP_OMIT_AT_DEFAULT = {
     "text_source": "text",
     "scrub_payment_cards": False,
     "line_corrections": False,
+    "scrub_ip_addresses": False,
 }
 
 

@@ -89,6 +89,11 @@ class FilterConfig:
     #: Off by default: rewriting text changes content_md5 / dedup keys and
     #: the byte-parity contract vs the reference's unmodified text.
     line_corrections: bool = False
+    #: opt-in (r5): bounded-IPv4 masking appended to the scrub chain
+    #: (functions/scrub.scrub_ips — octet-validated quads, context-class
+    #: boundaries so version strings survive). Off by default for the same
+    #: byte-parity reason as card masking.
+    scrub_ip_addresses: bool = False
     #: opt-in (r5): Luhn-validated payment-card masking appended to the
     #: scrub chain (functions/scrub.scrub_cards). Off by default: the
     #: reference's masking vocabulary (SSN/phone/email) defines the base
@@ -235,6 +240,10 @@ def scrub_chain(text: Column, cfg: FilterConfig) -> Column:
         from data_quality_framework_spark.functions.scrub import scrub_cards
 
         out = scrub_cards(out)
+    if cfg.scrub_ip_addresses:
+        from data_quality_framework_spark.functions.scrub import scrub_ips
+
+        out = scrub_ips(out)
     return out
 
 

@@ -626,3 +626,65 @@ def test_fit_char_bigram_lm_distributed(spark):
     tbl = bigram_counts_to_logp(fit_char_bigram_lm(seed).collect())
     assert np.array_equal(tbl, _train_bigram_logp())
     assert np.allclose(np.exp(tbl).reshape(28, 28).sum(axis=1), 1.0)
+
+
+def test_scrub_ips_bounded_and_version_safe(spark):
+    """Octet-validated IPv4 masking: bounded quads mask (including
+    sentence-final dots, ports, parens, and back-to-back quads — the
+    two-pass case); version strings, 5-part runs, invalid octets,
+    hostname-prefixed quads and filenames survive byte-intact; the leak
+    predicate finds nothing after the scrub."""
+    from data_quality_framework_spark.functions.scrub import (
+        has_raw_ip,
+        scrub_ips,
+    )
+
+    cases = {
+        "connect to 10.0.0.1 now": "connect to <IP> now",
+        "10.0.0.1": "<IP>",
+        "server 10.0.0.1.": "server <IP>.",
+        "1.1.1.1 2.2.2.2 both": "<IP> <IP> both",
+        "port 192.168.0.1:8080 ok": "port <IP>:8080 ok",
+        "(10.20.30.40) parens": "(<IP>) parens",
+        "edge 255.255.255.255!": "edge <IP>!",
+        # survivors
+        "version 1.2.3.4.5 stays": None,
+        "v1.2.3.4 stays": None,
+        "over 256.1.1.1 invalid-octet": None,
+        "file 1.2.3.4.html hmm": None,
+        "a.b.c.10.0.0.1 ambiguous": None,
+        "x 01.2.3.4 leading-zero": None,
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {r["t"]: r["s"] for r in df.select("t", scrub_ips(F.col("t")).alias("s")).collect()}
+    for t, want in cases.items():
+        assert got[t] == (want if want is not None else t), t
+    leaks = df.select(has_raw_ip(scrub_ips(F.col("t"))).alias("leak")).collect()
+    assert not any(r["leak"] for r in leaks)
+
+
+def test_pipeline_ip_scrub_opt_in(spark, pages_10k):
+    """scrub_ip_addresses=True masks planted IPs in kept output through the
+    shared scrub chain; default config leaves them byte-intact."""
+    from data_quality_framework_spark.plans.pipeline import (
+        FilterConfig,
+        run_pipeline,
+    )
+
+    pages = pages_10k.withColumn(
+        "text",
+        F.when(
+            F.xxhash64("url") % 100 == 0,
+            F.concat(F.col("text"), F.lit(" node at 10.1.2.3 responding")),
+        ).otherwise(F.col("text")),
+    )
+    out = run_pipeline(
+        spark, pages, FilterConfig(scrub_ip_addresses=True),
+        per_partition_lineage=False,
+    )
+    try:
+        kept = out.kept.select("text_scrubbed")
+        assert kept.filter(F.col("text_scrubbed").contains("10.1.2.3")).count() == 0
+        assert kept.filter(F.col("text_scrubbed").contains("<IP>")).count() > 0
+    finally:
+        out.unpersist()
