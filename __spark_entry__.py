@@ -2862,24 +2862,24 @@ def oracle_sql() -> dict[str, str]:
                                        >= length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) * 4)
                                   OR regexp_matches(ln, '^[{_WS_IN}0-9.,:/%-]*[0-9][{_WS_IN}0-9.,:/%-]*$')
                                   OR regexp_matches(ln, '(?i)^{_WS}*[0-9][0-9,.]* ?(likes?|comments?|shares?|views?|votes?|points?|upvotes?|retweets?|followers?|subscribers?){_WS}*$')
-                                  OR list_contains({_NAV_SQL}, lower(trim(ln))))) AS kept,
+                                  OR list_contains({_NAV_SQL}, lower(regexp_replace(ln, '^{_WS}+|{_WS}+$', '', 'g'))))) AS kept,
                               list_filter(lines, ln ->
                                   (length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) >= 4
                                    AND length(regexp_replace(ln, '[^A-Z]', '', 'g')) * 5
                                        >= length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) * 4)
                                   OR regexp_matches(ln, '^[{_WS_IN}0-9.,:/%-]*[0-9][{_WS_IN}0-9.,:/%-]*$')
                                   OR regexp_matches(ln, '(?i)^{_WS}*[0-9][0-9,.]* ?(likes?|comments?|shares?|views?|votes?|points?|upvotes?|retweets?|followers?|subscribers?){_WS}*$')
-                                  OR list_contains({_NAV_SQL}, lower(trim(ln)))) AS removed
+                                  OR list_contains({_NAV_SQL}, lower(regexp_replace(ln, '^{_WS}+|{_WS}+$', '', 'g')))) AS removed
                        FROM s),
                  a AS (SELECT doc_id,
                               CAST(len(lines) AS BIGINT) AS n_lines,
                               CAST(len(removed) AS BIGINT) AS n_removed,
                               CAST(coalesce(list_sum(list_transform(lines, ln ->
                                   CASE WHEN regexp_matches(ln, '^{_WS}*$') THEN 0
-                                       ELSE len(string_split_regex(trim(ln), '{_WS}+')) END)), 0) AS BIGINT) AS words_total,
+                                       ELSE len(string_split_regex(regexp_replace(ln, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) END)), 0) AS BIGINT) AS words_total,
                               CAST(coalesce(list_sum(list_transform(removed, ln ->
                                   CASE WHEN regexp_matches(ln, '^{_WS}*$') THEN 0
-                                       ELSE len(string_split_regex(trim(ln), '{_WS}+')) END)), 0) AS BIGINT) AS words_removed,
+                                       ELSE len(string_split_regex(regexp_replace(ln, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')) END)), 0) AS BIGINT) AS words_removed,
                               md5(array_to_string(kept, chr(10))) AS clean_md5
                        FROM t)
             SELECT doc_id, n_lines, n_removed, words_total, words_removed,

@@ -168,7 +168,14 @@ def incremental_bloom_probe(
     ``m_bits``/``k`` are pinned to the store on first use and a later
     batch with different knobs is REFUSED (different hash positions make
     every historic bit meaningless — the same guard as the signature
-    stores). Sequential batches only (cron semantics)."""
+    stores). Sequential batches only (cron semantics), and two contracts
+    the caller owns (r5 review): (a) registration happens at CALL time
+    while the returned probe frame is lazy, so a batch that fails after
+    this call must be RETRIED UNDER THE SAME batch_id — the overwrite is
+    idempotent and a batch never probes its own words; retrying under a
+    NEW id would see the failed attempt's keys as "seen". (b) ``df`` is
+    scanned twice (store build, then the caller's probe action) and must
+    be deterministic — our id-hash design assumes that everywhere."""
     from data_quality_framework_spark.operators.dedup import (
         _pin_store_params,
         _read_prior_store,

@@ -76,22 +76,32 @@ def exact_dedup(
 
 def _read_prior_store(spark, store_path: str, batch_id: str):
     """Prior batches' store rows, or None when this is effectively the FIRST
-    batch: missing dir, or an existing-but-empty dir (pre-created mount,
-    params file only) — Spark raises UNABLE_TO_INFER_SCHEMA there, not
-    PATH_NOT_FOUND (r4 review)."""
-    try:
-        return spark.read.parquet(store_path).filter(F.col("batch_id") != batch_id)
-    except Exception as e:
-        msg = str(e)
-        if not any(
-            tag in msg
-            for tag in (
-                "PATH_NOT_FOUND", "Path does not exist",
-                "UNABLE_TO_INFER_SCHEMA", "Unable to infer schema",
-            )
-        ):
-            raise
+    batch (missing dir, or a dir holding only the params pin).
+
+    Batch dirs are enumerated by NAME and the current batch excluded by
+    string equality BEFORE reading — never via a `batch_id != x` filter on
+    the partition-discovered column: partition-type INFERENCE types that
+    column from the values on disk, so numeric-looking prior ids ('1','2')
+    infer INT and a later non-numeric id ('2024-08-18a') NULLs the
+    inequality out, silently reading an EMPTY prior store — for the bloom
+    store that meant false negatives, the one error Bloom promises
+    impossible (r5 review). Ids must be partition-path-safe (no chars
+    Spark %-escapes in dir names); the digest/signature/bloom callers all
+    use plain alphanumerics."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
         return None
+    prior_dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+        and s.getPath().getName() != f"batch_id={batch_id}"
+    ]
+    if not prior_dirs:
+        return None
+    return spark.read.parquet(*prior_dirs)
 
 
 def _pin_store_params(spark, store_path: str, params: dict) -> None:

@@ -157,11 +157,16 @@ _NUMERIC_RE = r"^[\s0-9.,:/%-]*[0-9][\s0-9.,:/%-]*$"
 
 
 def _line_wc(line: Column) -> Column:
-    """ASCII-whitespace word count of one line; blank-safe (a tab-only line
-    counts 0, not 2 — TRIM strips spaces only, in Spark AND DuckDB)."""
+    """ASCII-whitespace word count of one line; blank-safe. Both ends are
+    REGEX-stripped before splitting — F.trim strips spaces only, so a
+    tab/CR-edged line would otherwise split into phantom empty tokens and
+    inflate the count (r5 review; same edge-strip as the doc-level
+    tokenizer)."""
     return (
         F.when(line.rlike(r"^\s*$"), F.lit(0))
-        .otherwise(F.size(F.split(F.trim(line), r"\s+")))
+        .otherwise(
+            F.size(F.split(F.regexp_replace(line, r"^\s+|\s+$", ""), r"\s+"))
+        )
     )
 
 
@@ -178,7 +183,10 @@ def _line_is_boilerplate(line: Column) -> Column:
         ((alpha >= F.lit(4)) & (upper * 5 >= alpha * 4))
         | line.rlike(_NUMERIC_RE)
         | line.rlike(_COUNTER_RE)
-        | F.lower(F.trim(line)).isin(*NAV_PHRASES)
+        # regex-strip, not F.trim: CRLF text leaves '\r' on every line and
+        # trim strips spaces only, which silently disabled the whole nav
+        # family on Windows-lineended pages (r5 review)
+        | F.lower(F.regexp_replace(line, r"^\s+|\s+$", "")).isin(*NAV_PHRASES)
     )
 
 

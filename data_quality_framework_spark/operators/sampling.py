@@ -264,7 +264,11 @@ def domain_cap_flags(
     counts = d.groupBy("__host").agg(F.count(F.lit(1)).alias("__n"))
     over = (
         counts.filter(F.col("__n") > cap)
-        .filter(F.col("__host").isNotNull())
+        # hostless docs (NULL/malformed url) are un-attributable, never a
+        # quota stratum: host_of returns '' (not NULL) on no match, so the
+        # guard must test the empty string — an isNotNull check silently
+        # capped all hostless docs as one '' pseudo-host (r5 review)
+        .filter(F.col("__host").isNotNull() & (F.col("__host") != ""))
         .select("__host", F.lit(True).alias("__over"))
     )
     t = d.join(over, "__host", "left")

@@ -1594,6 +1594,17 @@ def test_line_quality_filter_refinedweb_corrections(spark):
     r9 = line_quality_filter(df2).collect()[0]
     assert (r9["words_total"], r9["words_removed"], r9["keep"]) == (20, 1, True)
 
+    # CRLF pages: '\r'-ended nav lines still match (regex edge-strip, not
+    # trim); tab-edged lines count no phantom words (r5 review)
+    df3 = spark.createDataFrame(
+        [(10, "Menu\r\nreal prose line here\r\nRead more\r"),
+         (11, "\t12 comments\nplain words stay here")],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x for x in line_quality_filter(df3).collect()}
+    assert r[10]["n_removed"] == 2 and r[10]["text_clean"] == "real prose line here\r"
+    assert (r[11]["n_removed"], r[11]["words_removed"]) == (1, 2)
+
     # zero-shuffle plan: one projection, no Exchange, no Join
     plan = (
         line_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
@@ -1685,6 +1696,29 @@ def test_incremental_bloom_probe(spark, tmp_path):
     with _pytest.raises(ValueError, match="refusing"):
         incremental_bloom_probe(spark, b2, store, "3", m_bits=m, k=k + 1)
 
+    # a NON-NUMERIC batch id after numeric ones must still see the full
+    # prior history (r5 review: partition-type inference typed batch_id as
+    # INT and a string id NULLed the exclusion filter out, silently
+    # probing an EMPTY store -> false negatives)
+    out3 = incremental_bloom_probe(spark, b1, store, "2024-08-18a", m_bits=m, k=k)
+    assert out3.filter(~F.col("maybe_seen")).count() == 0  # all were in batch 1
+
+
+def test_incremental_store_reader_ignores_partition_inference(spark, tmp_path):
+    """The digest-store reader enumerates batch dirs by NAME: numeric prior
+    ids plus a later string id never NULL out the prior-batch read."""
+    from data_quality_framework_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "digests")
+    b = spark.createDataFrame([("a", "same text"), ("b", "other text")], "id string, text string")
+    out1 = incremental_exact_dedup(spark, b, store, "1", "id")
+    assert out1.filter(F.col("is_canonical")).count() == 2
+    # same content under a string batch id: everything is a cross-run dup
+    out2 = incremental_exact_dedup(spark, b, store, "2024-08-18a", "id")
+    assert out2.filter(F.col("is_canonical")).count() == 0
+
 
 def test_domain_cap_two_phase_exact(spark):
     """The skew-safe two-phase range-split quota equals the naive
@@ -1726,6 +1760,24 @@ def test_domain_cap_two_phase_exact(spark):
     kept = domain_cap_sample(df, cap=50)
     assert kept.count() == 2 + 100 + 50 + 50
     assert kept.columns == ["doc_id", "url"]
+
+    # hostless docs are NOT a quota stratum even when numerous: host_of
+    # returns '' (never NULL) on malformed/NULL urls, and more-than-cap of
+    # them must ALL keep (r5 review: an isNotNull guard capped them)
+    hostless = spark.createDataFrame(
+        [(i, None if i % 2 else "no scheme here") for i in range(120)],
+        "doc_id long, url string",
+    )
+    assert domain_cap_flags(hostless, cap=50).filter(~F.col("quota_keep")).count() == 0
+
+    # the corpus-side joins stay broadcast — a SortMergeJoin would mean the
+    # full input hash-shuffled on the Zipfian host key, the straggler this
+    # operator exists to avoid
+    flagged = domain_cap_flags(df, cap=50)
+    flagged.collect()
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in head and "BroadcastHashJoin" in head
 
     with pytest.raises(ValueError):
         domain_cap_flags(df, cap=0)
