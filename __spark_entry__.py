@@ -1446,6 +1446,41 @@ def _q_ip_scrub(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_doc_line_dedup(spark, sf):
+    """Within-doc line dedup (r5): pages repeat their own boilerplate —
+    planted as a footer duplicated at both ends plus a doubled mid-line on
+    doc residues; first occurrences survive in order, bytes intact. Spark
+    side is one array_distinct pass (order pinned by test); the oracle
+    re-derives first-occurrence keeps with an explicit indexed filter
+    (DuckDB's list_distinct promises no order)."""
+    from data_quality_framework_spark.operators.dedup import dedup_doc_lines
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("FOOTER example.org all rights reserved"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")),
+            F.lit("FOOTER example.org all rights reserved"),
+        ).alias("text"),
+    )
+    out = dedup_doc_lines(m, id_col="doc_id")
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text_clean").alias("clean_md5")
+    ).orderBy("doc_id")
+
+
+def _q_vocabulary(spark, sf):
+    """Corpus vocabulary top-k (r5): the wordcount classic with a
+    deterministic (count desc, token asc) boundary; oracle replays
+    tokenize -> lower -> count -> same order -> LIMIT."""
+    from data_quality_framework_spark.functions.textstats import corpus_vocabulary
+
+    return corpus_vocabulary(_t(spark, sf, "documents"), "text", k=50)
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-then-split sequence packing (r5): non-blank docs lay out in
     deterministic (hash60, id) order inside 8 shards; each doc's absolute
@@ -1735,6 +1770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rule_ablation": _q_rule_ablation,
         # bounded-IPv4 scrub, version-string-safe, byte parity (r5)
         "text_pii_ip_scrub": _q_ip_scrub,
+        # within-doc first-occurrence line dedup, zero-shuffle (r5)
+        "text_doc_line_dedup": _q_doc_line_dedup,
+        # corpus top-k token frequencies, deterministic boundary (r5)
+        "text_vocabulary_topk": _q_vocabulary,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -2995,6 +3034,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'f_short', n_short, u_short FROM s
             UNION ALL SELECT 'f_symbol', n_symbol, u_symbol FROM s
             ORDER BY rule
+        """,
+        # within-doc line-dedup oracle (r5): explicit indexed
+        # first-occurrence filter (list_position over the line's prefix) —
+        # DuckDB's list_distinct makes no order promise, Spark's
+        # array_distinct does (test-pinned)
+        "text_doc_line_dedup": """
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10),
+                                        'FOOTER example.org all rights reserved', text,
+                                        CASE WHEN doc_id % 2 = 0 THEN text END,
+                                        'FOOTER example.org all rights reserved') AS mtext
+                       FROM documents WHERE text IS NOT NULL),
+                 s AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m),
+                 t AS (SELECT doc_id, lines,
+                              list_filter(lines, (x, i) -> coalesce(list_position(lines[1:i-1], x), 0) = 0) AS kept
+                       FROM s)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5
+            FROM t ORDER BY doc_id
+        """,
+        # vocabulary oracle (r5): same tokenizer as every stats oracle,
+        # same deterministic (n desc, token asc) boundary
+        "text_vocabulary_topk": f"""
+            WITH w AS (SELECT unnest(CASE WHEN {_NONBLANK}
+                           THEN string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')
+                           ELSE CAST([] AS VARCHAR[]) END) AS tok
+                       FROM documents),
+                 t AS (SELECT lower(tok) AS token FROM w)
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY token ORDER BY n DESC, token LIMIT 50
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

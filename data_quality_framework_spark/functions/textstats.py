@@ -296,3 +296,23 @@ def fingerprint(text: Column) -> Column:
     md5 rather than xxhash64 so a DuckDB oracle reproduces it bit-for-bit.
     """
     return F.md5(F.coalesce(text, F.lit("")))
+
+
+def corpus_vocabulary(
+    df, text_col: str = "text", k: int = 100, min_count: int = 1
+):
+    """Corpus-wide top-``k`` token frequencies — the wordcount classic at
+    10^12-doc scale: tokens explode from :func:`words_col` (blank/null docs
+    contribute nothing), lowercase, ONE count aggregation whose map-side
+    partials collapse each partition to its distinct-token set, then a
+    TakeOrderedAndProject top-k (never a full sort) on the DETERMINISTIC
+    ``(count desc, token asc)`` order, so the boundary of the top-k is
+    engine-reproducible even under count ties. ``min_count`` prunes the
+    hapax tail before the ordering when the caller only wants the head."""
+    toks = df.select(
+        F.explode(words_col(F.col(text_col))).alias("tok")
+    ).select(F.lower(F.col("tok")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)

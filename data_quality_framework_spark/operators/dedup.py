@@ -1065,3 +1065,31 @@ def semantic_dedup(
         .withColumn(keep_col, F.col("__loser").isNull())
         .drop("__loser")
     )
+
+
+def dedup_doc_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document line dedup: keep each line's FIRST occurrence, in
+    order (templated pages repeat their own nav/footer blocks; Gopher's
+    ``dup_line_fraction`` measures this — here the repeats are removed).
+
+    Complement of :func:`line_dedup`, which votes boilerplate across the
+    CORPUS and needs a shuffle; within-doc dedup is row-local —
+    ``array_distinct``, whose Spark implementation is ONE hash-set pass
+    that keeps first occurrences in order (test-pinned; DuckDB's
+    ``list_distinct`` makes no order promise, so the oracle re-derives
+    first-occurrence keeps with an explicit indexed filter instead). A
+    pure projection: ZERO shuffles at any corpus size. Returns (id,
+    n_lines, n_removed, text_clean) for non-null-text docs, bytes intact.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    kept = F.array_distinct(lines)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )

@@ -1808,3 +1808,49 @@ def test_rule_ablation_unique_attribution(spark):
 
     with pytest.raises(ValueError):
         rule_ablation(df, [])
+
+
+def test_dedup_doc_lines_first_occurrence_order(spark):
+    """array_distinct keeps FIRST occurrences in original order (the
+    operator's core assumption, pinned here against Spark changes); within-
+    doc repeats vanish, cross-doc repeats are untouched, nulls excluded,
+    and the plan is a pure projection."""
+    from data_quality_framework_spark.operators.dedup import dedup_doc_lines
+
+    rows = [
+        (1, "foot\nalpha\nbeta\nfoot\nalpha\ngamma"),
+        (2, "foot\nonly once each\nline here"),   # cross-doc 'foot' stays
+        (3, "\n\nx\n\nx"),                        # empty-line dups collapse too
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in dedup_doc_lines(df, id_col="doc_id").collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1]["text_clean"] == "foot\nalpha\nbeta\ngamma"   # order kept
+    assert (got[1]["n_lines"], got[1]["n_removed"]) == (6, 2)
+    assert got[2]["n_removed"] == 0 and got[2]["text_clean"].startswith("foot\n")
+    assert got[3]["text_clean"] == "\nx"                        # '' kept once
+
+    plan = dedup_doc_lines(df)._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head and "Join" not in head
+
+
+def test_corpus_vocabulary_topk_deterministic(spark):
+    """Top-k token frequencies: lowercase merge, blank/null docs ignored,
+    deterministic (count desc, token asc) tie order at the boundary, and
+    the plan takes TakeOrdered (never a full sort)."""
+    from data_quality_framework_spark.functions.textstats import corpus_vocabulary
+
+    rows = [
+        ("the The THE cat", ), ("the dog and cat", ), ("  ", ), (None, ),
+        ("zebra apple apple", ),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [(r["token"], r["n"]) for r in corpus_vocabulary(df, k=4).collect()]
+    assert got == [("the", 4), ("apple", 2), ("cat", 2), ("and", 1)]
+
+    plan = corpus_vocabulary(df, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan.split("== Initial Plan ==")[0]
+
+    assert corpus_vocabulary(df, k=10, min_count=2).count() == 3
