@@ -1033,6 +1033,36 @@ def _q_domain_blocklist(spark, sf):
     return out.select("doc_id", "host", "host_blocked").orderBy("doc_id")
 
 
+def _q_toxicity_filter(spark, sf):
+    """C4/LDNOOBW toxicity filtering (r5): six deterministic text shapes per
+    doc_id — edge-punctuation/case hits, substring TRAPS (assessment /
+    class / hellacious / well-damn must NOT match), a multi-hit doc, an
+    exactly-at-budget doc (strict >), and clean prose — flagged via the
+    zero-shuffle literal path at a 30.00% basis-point budget. The oracle
+    re-derives tokenization, token normalization and the integer threshold
+    in DuckDB SQL."""
+    from data_quality_framework_spark.operators.filtering import toxicity_flags
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    text = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("Damn! that hurt n"), i))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("the assessment of class n"), i))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("damn damn hell fine n"), i))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("a hellacious well-damn ride n"), i))
+        .when(F.col("doc_id") % 6 == 4, F.lit("“hell”, he said"))
+        .otherwise(
+            F.concat(F.lit("damn damn hell x1 x2 x3 x4 x5 x6 n"), i)
+        )
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    out = toxicity_flags(pages, ["Damn", "hell"], max_toxic_bp=3000)
+    return out.select("doc_id", "toxic_count", "is_toxic").orderBy("doc_id")
+
+
 def _q_ppl_buckets(spark, sf):
     """CCNet-style head/middle/tail perplexity split (r5): per-language
     EXACT tercile cutoffs over the 6-dp-rounded char-unigram perplexity,
@@ -1742,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_canonical": _q_url_canonical,
         # domain blocklist filtering (r5): label-suffix host matching
         "text_domain_blocklist": _q_domain_blocklist,
+        "text_toxicity_filter": _q_toxicity_filter,
         # CCNet head/middle/tail perplexity terciles per language (r5)
         "text_ppl_buckets": _q_ppl_buckets,
         # concat-then-split sequence-packing plan (r5)
@@ -2561,6 +2592,37 @@ def oracle_sql() -> dict[str, str]:
                        x -> list_contains(['spam.example.com', 'tracker.net'], x))) > 0
                      AS host_blocked
             FROM s ORDER BY doc_id
+        """,
+        # toxicity oracle (r5): same tokenization (regex-ws split), token
+        # normalization (lower + strip non-alnum edges, 'g' flag — the
+        # pattern matches both edges) and strict integer bp threshold
+        "text_toxicity_filter": f"""
+            WITH m AS (SELECT doc_id,
+                   CASE CAST(doc_id % 6 AS INTEGER)
+                      WHEN 0 THEN 'Damn! that hurt n' || doc_id
+                      WHEN 1 THEN 'the assessment of class n' || doc_id
+                      WHEN 2 THEN 'damn damn hell fine n' || doc_id
+                      WHEN 3 THEN 'a hellacious well-damn ride n' || doc_id
+                      WHEN 4 THEN '“hell”, he said'
+                      ELSE 'damn damn hell x1 x2 x3 x4 x5 x6 n' || doc_id
+                    END AS text
+                 FROM documents),
+            t AS (SELECT doc_id,
+                         string_split_regex(
+                           regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'),
+                           '{_WS}+') AS toks
+                  FROM m),
+            c AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS wc,
+                         CAST(len(list_filter(toks, w -> list_contains(
+                             ['damn', 'hell'],
+                             regexp_replace(lower(w),
+                               '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')))) AS BIGINT)
+                           AS toxic_count
+                  FROM t)
+            SELECT doc_id, toxic_count,
+                   toxic_count * 10000 > 3000 * wc AS is_toxic
+            FROM c ORDER BY doc_id
         """,
         # CCNet ppl-bucket oracle (r5): LM replica + quantile_cont cutoffs
         # over the SAME 6-dp-rounded multiset -> identical bucket membership

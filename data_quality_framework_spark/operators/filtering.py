@@ -293,3 +293,151 @@ def rule_ablation(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
         for c in cols
     ])
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# C4/LDNOOBW-style toxicity (badword) filtering — the "toxicity scrub" half
+# of the north rule's PII/toxicity surface. C4 (Raffel et al. 2020, §2.2)
+# drops any page containing a word from a curated blocklist ("List of Dirty,
+# Naughty, Obscene and Otherwise Bad Words"); RefinedWeb and Gopher use the
+# softer fraction-of-tokens form. Both shapes live here: max_toxic_bp = 0 is
+# the C4 any-hit rule, > 0 is the basis-point fraction threshold.
+# ---------------------------------------------------------------------------
+
+#: demo miniature of the public LDNOOBW-style list (adult/spam vocabulary —
+#: the full curated list is a deployment input, passed as `badwords`).
+#: Matching is whole-TOKEN equality after edge-punctuation stripping, never
+#: substring: "assess" / "class" / "Scunthorpe" can never match.
+BADWORDS_DEMO = (
+    "porn", "xxx", "viagra", "casino", "escort", "erotic", "nude",
+    "damn", "hell", "crap", "sexy", "jackpot", "betting",
+)
+
+#: same config-error bound as the domain blocklist's literal path
+_MAX_LITERAL_BADWORDS = 10_000
+
+
+def _norm_token(w: Column) -> Column:
+    """Lowercase + strip NON-ALPHANUMERIC edges: ``"Damn!"`` -> ``damn``,
+    ``“hell”`` -> ``hell``; interior punctuation is kept (``as-is`` stays
+    ``as-is``, so hyphenated words never collapse into a blocked token).
+    RE2-compatible — the DuckDB oracle replays it verbatim (with the 'g'
+    flag: DuckDB's regexp_replace is first-match-only by default, and this
+    pattern matches BOTH edges)."""
+    return F.regexp_replace(F.lower(w), r"^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+
+def _norm_badwords(badwords: Sequence[str]) -> list[str]:
+    """Python-side mirror of :func:`_norm_token` so a config entry like
+    ``"Damn!"`` still matches — a list entry that normalizes to empty is a
+    config error, not a match-everything wildcard."""
+    import re
+
+    out = set()
+    for w in badwords:
+        n = re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", (w or "").lower())
+        if n:
+            out.add(n)
+    return sorted(out)
+
+
+def toxic_token_count(text: Column, badwords: Sequence[str]) -> Column:
+    """Number of TOKENS of ``text`` whose normalized form is in ``badwords``
+    (repeats counted) — a pure row-local Column expression, zero shuffles.
+    The membership array is a literal for the same per-element-re-evaluation
+    reason as ``textstats._stop_token_count``."""
+    from data_quality_framework_spark.functions.textstats import words_col
+
+    entries = _norm_badwords(badwords)
+    if len(entries) > _MAX_LITERAL_BADWORDS:
+        raise ValueError(
+            f"literal badword list has {len(entries)} entries; pass it as a "
+            f"DataFrame (broadcast join path) above {_MAX_LITERAL_BADWORDS}"
+        )
+    if not entries:
+        raise ValueError("badwords must contain at least one non-empty entry")
+    bad_arr = F.array(*[F.lit(w) for w in entries])
+    return F.size(
+        F.filter(words_col(text), lambda w: F.array_contains(bad_arr, _norm_token(w)))
+    ).cast("long")
+
+
+def toxicity_flags(
+    df: DataFrame,
+    badwords: Sequence[str] | DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    max_toxic_bp: int = 0,
+    count_col: str = "toxic_count",
+    flag_col: str = "is_toxic",
+) -> DataFrame:
+    """``df`` + ``toxic_count`` (matched tokens, repeats counted) + a boolean
+    ``is_toxic`` flag: ``toxic_count * 10000 > max_toxic_bp * word_count`` —
+    integer basis-point arithmetic, no float anywhere. ``max_toxic_bp = 0``
+    (default) is C4's any-hit drop rule; ``500`` flags docs whose toxic
+    tokens exceed 5% of all tokens. Blank/NULL text has zero tokens and is
+    never flagged (the empty-text rule owns those docs).
+
+    Two execution shapes, both UDF-free (same split as the domain
+    blocklist):
+
+    * **literal path** (``badwords`` is a sequence, <= 10k entries): the
+      token array is filtered against a literal array — row-local, ZERO
+      shuffles, whole-stage codegen.
+    * **table path** (``badwords`` is a DataFrame with a ``word`` column,
+      requires ``id_col``): tokens explode to (id, token) rows and
+      broadcast-hash INNER join the normalized list — only the MATCHED
+      occurrences (audit-sized at any sane corpus) reach the per-doc count
+      aggregation, and the count frame joins back by id (AQE broadcasts
+      it). The corpus itself never shuffles, so a multi-million-entry list
+      scales to 10^12 docs.
+
+    Beyond-reference north-rule scope ("toxicity scrub"): filtering family
+    from C4 §2.2 / RefinedWeb §3.3 (public papers, PAPERS.md)."""
+    from data_quality_framework_spark.functions.textstats import words_col
+
+    text = F.col(text_col)
+    wc = F.size(words_col(text)).cast("long")
+    if isinstance(badwords, DataFrame):
+        if id_col is None:
+            raise ValueError("table-path badwords needs id_col to join back")
+        bl = (
+            badwords.select(_norm_token(F.col("word")).alias("__tox_word"))
+            .filter(F.col("__tox_word") != "")
+            .distinct()
+        )
+        hits = (
+            df.select(
+                F.col(id_col).alias("__tox_id"),
+                F.explode(words_col(F.col(text_col))).alias("__tox_tok"),
+            )
+            .select("__tox_id", _norm_token(F.col("__tox_tok")).alias("__tox_word"))
+            .join(F.broadcast(bl), "__tox_word", "inner")
+            .groupBy("__tox_id")
+            .agg(F.count(F.lit(1)).alias("__tox_n"))
+        )
+        out = (
+            df.join(hits, df[id_col] == hits["__tox_id"], "left")
+            .withColumn(count_col, F.coalesce(F.col("__tox_n"), F.lit(0)).cast("long"))
+            .drop("__tox_id", "__tox_n")
+        )
+    else:
+        out = df.withColumn(count_col, toxic_token_count(text, badwords))
+    return out.withColumn(
+        flag_col, F.col(count_col) * 10000 > F.lit(int(max_toxic_bp)) * wc
+    )
+
+
+def toxicity_filter(
+    df: DataFrame,
+    badwords: Sequence[str] | DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    max_toxic_bp: int = 0,
+) -> DataFrame:
+    """Rows of ``df`` that the toxicity rule KEEPS (original columns only)."""
+    flagged = toxicity_flags(
+        df, badwords, text_col=text_col, id_col=id_col,
+        max_toxic_bp=max_toxic_bp, count_col="__tox_cnt", flag_col="__tox_flag",
+    )
+    return flagged.filter(~F.col("__tox_flag")).drop("__tox_cnt", "__tox_flag")

@@ -58,7 +58,11 @@ META_COLS = [
 def meta_cols(cfg: FilterConfig) -> list[str]:
     """Phase-A metadata columns — config-aware: opt-in rule families add
     their flag column so Phase C's drop_reason / lineage can read it."""
-    return META_COLS + (["f_lineheavy"] if cfg.line_corrections else [])
+    return (
+        META_COLS
+        + (["f_lineheavy"] if cfg.line_corrections else [])
+        + (["f_toxic"] if cfg.toxicity_badwords else [])
+    )
 
 
 #: FilterConfig fields that do NOT affect checkpoint artifacts — excluded
@@ -88,6 +92,8 @@ _FP_OMIT_AT_DEFAULT = {
     "scrub_payment_cards": False,
     "line_corrections": False,
     "scrub_ip_addresses": False,
+    "toxicity_badwords": (),
+    "toxicity_max_bp": 0,
 }
 
 

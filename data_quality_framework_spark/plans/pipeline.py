@@ -99,6 +99,16 @@ class FilterConfig:
     #: reference's masking vocabulary (SSN/phone/email) defines the base
     #: byte-parity contract, and card masking rewrites additional bytes.
     scrub_payment_cards: bool = False
+    #: opt-in (r5): C4/LDNOOBW badword toxicity rule (WT-TOX-001) — when
+    #: non-empty, docs whose toxic-token count exceeds ``toxicity_max_bp``
+    #: basis points of their tokens gain the toxic_badword drop reason
+    #: (operators/filtering.toxic_token_count — whole-token matching after
+    #: edge-punctuation stripping, zero shuffles). A tuple so the config
+    #: stays hashable and the checkpoint fingerprint stable; () = rule off.
+    toxicity_badwords: tuple = ()
+    #: basis-point toxic-token budget for WT-TOX-001: 0 = C4's any-hit
+    #: drop, 500 = flag only when toxic tokens exceed 5% of all tokens.
+    toxicity_max_bp: int = 0
     #: where the text column comes from (r5): "text" — already extracted
     #: upstream (the default; matches the reference's tables); "html" —
     #: derive it from the contract's raw ``html: binary`` page bytes via
@@ -142,7 +152,13 @@ def _flag_rules(cfg: FilterConfig) -> list[tuple[str, str, Rule]]:
          mk("WT-LINE-001", "predicate",
             "line-wise corrections removed > 5% of the doc's words", "text",
             predicate="line_removal_exceeded")),
-    ] if cfg.line_corrections else [])
+    ] if cfg.line_corrections else []) + ([
+        ("f_toxic", "toxic_badword",
+         mk("WT-TOX-001", "predicate",
+            "badword tokens within the toxicity budget", "text",
+            predicate="toxic_token_bp_exceeded",
+            max_toxic_bp=cfg.toxicity_max_bp, n_badwords=len(cfg.toxicity_badwords))),
+    ] if cfg.toxicity_badwords else [])
 
 
 DEDUP_RULES = [
@@ -200,6 +216,18 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
         # computed at rewrite time (maybe_line_corrections); null text is
         # not flagged here — f_empty owns it
         flags["f_lineheavy"] = ~F.col("__line_keep")
+    if cfg.toxicity_badwords:
+        from data_quality_framework_spark.operators.filtering import (
+            toxic_token_count,
+        )
+
+        # row-local literal path; word_count is already on the frame
+        # (with_text_stats runs first in compute_enriched). Blank/NULL text
+        # has zero tokens -> never toxic (f_empty owns those docs).
+        flags["f_toxic"] = (
+            toxic_token_count(text, cfg.toxicity_badwords) * 10000
+            > F.lit(int(cfg.toxicity_max_bp)) * F.col("word_count").cast("long")
+        )
     # NULL flag (e.g. null lang making f_langmismatch NULL) = violation, made
     # definite HERE so f_any_heuristic and drop_reason_expr see the same
     # boolean — previously a null-flag row got keep=false with NULL reason.

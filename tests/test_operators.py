@@ -1854,3 +1854,72 @@ def test_corpus_vocabulary_topk_deterministic(spark):
     assert "TakeOrderedAndProject" in plan.split("== Initial Plan ==")[0]
 
     assert corpus_vocabulary(df, k=10, min_count=2).count() == 3
+
+
+def test_toxicity_flags_token_semantics(spark):
+    """C4/LDNOOBW badword matching is whole-TOKEN after edge-punctuation
+    stripping (case/quote noise hits, substrings and hyphenated compounds
+    never), repeats count, the basis-point threshold is strict-integer, the
+    literal path's plan shuffles nothing, and the table path agrees."""
+    from data_quality_framework_spark.operators.filtering import (
+        toxicity_filter,
+        toxicity_flags,
+    )
+
+    rows = [
+        (1, "Damn! that hurt"),            # edge punctuation + case -> hit
+        (2, "the assessment of class"),    # substring traps -> clean
+        (3, "a hellacious well-damn ride"),  # whole-token only -> clean
+        (4, "damn damn damn"),             # repeats counted
+        (5, "plain clean prose here"),     # clean
+        (6, ""),                           # zero tokens -> never toxic
+        (7, None),                         # NULL text -> never toxic
+        (8, "“hell”, he said"),            # unicode-quoted hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bad = ["damn", "hell"]
+
+    flags = toxicity_flags(df, bad)
+    got = {r["doc_id"]: (r["toxic_count"], r["is_toxic"]) for r in flags.collect()}
+    assert got == {
+        1: (1, True), 2: (0, False), 3: (0, False), 4: (3, True),
+        5: (0, False), 6: (0, False), 7: (0, False), 8: (1, True),
+    }
+
+    # literal path is a row-local projection: zero Exchange in the plan
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+    # strict basis-point budget: 1 of 2 tokens at 50.00% is NOT over
+    # (10000 == 10000), 2 of 3 is (20000 > 15000)
+    bp = spark.createDataFrame(
+        [(1, "damn fine"), (2, "damn damn fine")], "doc_id long, text string"
+    )
+    got_bp = {
+        r["doc_id"]: r["is_toxic"]
+        for r in toxicity_flags(bp, bad, max_toxic_bp=5000).collect()
+    }
+    assert got_bp == {1: False, 2: True}
+
+    # filter keeps originals only
+    kept = toxicity_filter(df, bad)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 5, 6, 7]
+    assert kept.columns == ["doc_id", "text"]
+
+    # table path (the >10k-entry shape): same verdicts; config entries are
+    # normalized the same way tokens are ("Damn!" still matches)
+    bldf = spark.createDataFrame([("Damn!",), ("hell",)], "word string")
+    got_tbl = {
+        r["doc_id"]: (r["toxic_count"], r["is_toxic"])
+        for r in toxicity_flags(df, bldf, id_col="doc_id").collect()
+    }
+    assert got_tbl == got
+
+    with pytest.raises(ValueError):
+        toxicity_flags(df, bldf)  # table path without id_col
+    with pytest.raises(ValueError):
+        toxicity_flags(df, [])  # empty list is a config error
+    with pytest.raises(ValueError):
+        toxicity_flags(df, ["!!!"])  # normalizes to empty -> config error
+    with pytest.raises(ValueError):
+        toxicity_flags(df, [f"w{i}" for i in range(10_001)])  # oversized literal

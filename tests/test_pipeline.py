@@ -453,3 +453,55 @@ def test_pipeline_line_corrections_checkpoint_parity(spark, pages_10k, tmp_path)
         assert b_kept.exceptAll(ck_kept).count() == 0
     finally:
         batch.unpersist()
+
+
+def test_pipeline_toxicity_opt_in(spark, pages_10k, tmp_path):
+    """toxicity_badwords=(...) adds the WT-TOX-001 rule: docs with a planted
+    badword token drop with reason toxic_badword, clean docs are untouched,
+    the rule reports lineage, and the checkpoint path reproduces the batch
+    decisions byte-for-byte (the knob is fingerprinted omit-at-default)."""
+    from data_quality_framework_spark.plans.checkpoint import (
+        Checkpoint,
+        cfg_fingerprint,
+        read_output,
+        resumable_pipeline,
+    )
+    from data_quality_framework_spark.plans.pipeline import _flag_rules
+
+    # plant a badword token into a deterministic 2% slice
+    sel = F.xxhash64("url") % 50 == 0
+    pages = pages_10k.limit(4000).withColumn(
+        "text",
+        F.when(sel, F.concat(F.col("text"), F.lit(" Damn!"))).otherwise(F.col("text")),
+    ).localCheckpoint()
+    cfg = FilterConfig(toxicity_badwords=("damn", "hell"))
+    assert any(r[0] == "f_toxic" for r in _flag_rules(cfg))
+    assert not any(r[0] == "f_toxic" for r in _flag_rules(FilterConfig()))
+    # omit-at-default: turning the knob ON changes the fingerprint, leaving
+    # it off keeps pre-knob checkpoints resumable
+    assert cfg_fingerprint(FilterConfig()) != cfg_fingerprint(cfg)
+
+    out = run_pipeline(spark, pages, cfg, per_partition_lineage=False)
+    try:
+        dec = out.decisions.select("url", "keep", "drop_reason")
+        planted = pages.filter(sel).select("url").distinct()
+        n_tox = dec.filter(F.col("drop_reason") == "toxic_badword").count()
+        assert n_tox > 0
+        # every toxic_badword drop is a planted url (the generator's corpus
+        # itself is badword-free)
+        assert (
+            dec.filter(F.col("drop_reason") == "toxic_badword")
+            .join(planted, "url", "left_anti").count() == 0
+        )
+        assert any(r.rule_id == "WT-TOX-001" for r in out.results)
+
+        # checkpoint path: identical decisions under the opt-in knob
+        ckpt = Checkpoint(out_dir=str(tmp_path / "ck"), n_buckets=4)
+        resumable_pipeline(spark, pages, ckpt, cfg)
+        ck_dec = read_output(spark, ckpt, "decisions").select(
+            "url", "keep", "drop_reason"
+        )
+        assert dec.count() == ck_dec.count()
+        assert dec.exceptAll(ck_dec).count() == 0
+    finally:
+        out.unpersist()
