@@ -1581,6 +1581,52 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_media_plan(spark, sf):
+    """Media segmentation plans (r5): deterministic per-doc media metadata
+    (image/audio/video by doc_id%3, bounded durations including a
+    zero-duration video) fan out to one row per video FRAME (1 s grid,
+    frame_sample_plan) or audio CHUNK (2 s windows, 0.5 s ASR overlap,
+    audio_chunk_plan) — the decode-cost planning step that runs on metadata
+    BEFORE any binary is touched. Pure JVM sequence+posexplode; the oracle
+    replays the grids with generate_series in DuckDB."""
+    from data_quality_framework_spark.operators.multimodal import (
+        audio_chunk_plan,
+        frame_sample_plan,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    dur = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit(500) + (F.col("doc_id") % 7) * 1500)
+        .when(F.col("doc_id") % 3 == 2, (F.col("doc_id") % 5) * 1200)
+        .otherwise(F.lit(None))
+    ).cast("int")
+    media = d.select("doc_id", mt.alias("media_type"), dur.alias("duration_ms"))
+    vid = frame_sample_plan(
+        media.filter(F.col("media_type") == "video"), every_ms=1000
+    ).select(
+        "doc_id",
+        "media_type",
+        (F.col("frame_ts_ms") / 1000).cast("long").alias("seg_idx"),
+        F.col("frame_ts_ms").cast("long").alias("seg_start_ms"),
+        F.col("frame_ts_ms").cast("long").alias("seg_end_ms"),
+    )
+    aud = audio_chunk_plan(
+        media.filter(F.col("media_type") == "audio"), chunk_ms=2000, overlap_ms=500
+    ).select(
+        "doc_id",
+        "media_type",
+        F.col("chunk_idx").cast("long").alias("seg_idx"),
+        F.col("chunk_start_ms").cast("long").alias("seg_start_ms"),
+        F.col("chunk_end_ms").cast("long").alias("seg_end_ms"),
+    )
+    return vid.unionByName(aud).orderBy("doc_id", "seg_idx")
+
+
 # --- wt_pipeline_summary: oracle-backed pipeline over derived pages ---------
 #
 # The pages frame is DERIVED from the documents table by pure expressions that
@@ -1811,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_scores": _q_dsir_scores,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
+        # video frame / audio chunk segmentation plans (r5)
+        "multimodal_media_plan": _q_media_plan,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
@@ -3307,6 +3355,34 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS sha256,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # media segmentation oracle (r5): same inclusive grids via
+        # generate_series — frames on the 1 s grid (a zero-duration video
+        # still samples frame 0: sequence(0, greatest(d-1, 0)) semantics),
+        # audio chunk starts every 1500 ms (2000 ms window, 500 ms overlap),
+        # ends clamped to the clip duration
+        "multimodal_media_plan": """
+            WITH m AS (SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 1 THEN 'audio' WHEN 2 THEN 'video' END AS media_type,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 1 THEN 500 + (doc_id % 7) * 1500
+                        WHEN 2 THEN (doc_id % 5) * 1200 END AS d
+                 FROM documents WHERE doc_id % 3 <> 0),
+            v AS (SELECT doc_id, media_type,
+                         CAST(ts // 1000 AS BIGINT) AS seg_idx,
+                         CAST(ts AS BIGINT) AS seg_start_ms,
+                         CAST(ts AS BIGINT) AS seg_end_ms
+                  FROM m, unnest(generate_series(0, greatest(d - 1, 0), 1000)) AS t(ts)
+                  WHERE media_type = 'video'),
+            a AS (SELECT doc_id, media_type,
+                         CAST(ts // 1500 AS BIGINT) AS seg_idx,
+                         CAST(ts AS BIGINT) AS seg_start_ms,
+                         CAST(least(ts + 2000, d) AS BIGINT) AS seg_end_ms
+                  FROM m, unnest(generate_series(0, d - 1, 1500)) AS t(ts)
+                  WHERE media_type = 'audio')
+            SELECT * FROM v UNION ALL SELECT * FROM a
+            ORDER BY doc_id, seg_idx
         """,
         "wt_pipeline_summary": _wt_pipeline_oracle_sql(),
         "wt_pipeline_bigram": _wt_pipeline_oracle_sql(

@@ -106,6 +106,44 @@ def frame_sample_plan(
     )
 
 
+def audio_chunk_plan(
+    df: DataFrame,
+    chunk_ms: int = 10_000,
+    overlap_ms: int = 0,
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Audio chunking plan: one row per (doc, chunk) with ``chunk_idx``,
+    ``chunk_start_ms`` and ``chunk_end_ms`` (end clamped to the clip's
+    duration, so the last chunk is short rather than padded). Chunks start
+    every ``chunk_ms - overlap_ms`` milliseconds; ``overlap_ms > 0`` gives
+    sliding windows (ASR-style context overlap). Pure JVM — ``sequence`` +
+    ``posexplode`` generate the grid, the decode itself is the stubbed
+    ``mapInPandas`` step; a NULL or non-positive duration yields ZERO chunk
+    rows (plain ``posexplode`` drops the NULL grid), mirroring how a
+    malformed clip should vanish from the transcode fan-out rather than
+    produce a phantom chunk.
+
+    Scale shape: row-local generate-then-explode, zero shuffles; output
+    cardinality is sum(ceil(duration/step)) — bounded and known from
+    metadata before any decode cost is paid."""
+    if chunk_ms <= 0:
+        raise ValueError(f"chunk_ms must be positive, got {chunk_ms}")
+    if not (0 <= overlap_ms < chunk_ms):
+        raise ValueError(
+            f"overlap_ms must be in [0, chunk_ms), got {overlap_ms} vs {chunk_ms}"
+        )
+    step = chunk_ms - overlap_ms
+    dur = F.col(duration_col).cast("long")
+    starts = F.when(
+        dur > 0, F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(step).cast("long"))
+    )
+    return df.select(
+        "*", F.posexplode(starts).alias("chunk_idx", "chunk_start_ms")
+    ).withColumn(
+        "chunk_end_ms", F.least(F.col("chunk_start_ms") + chunk_ms, dur)
+    )
+
+
 def media_repartition(
     df: DataFrame, bytes_col: str, target_mb: int = 64, use_plan_stats: bool = True
 ) -> DataFrame:

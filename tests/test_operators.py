@@ -1923,3 +1923,43 @@ def test_toxicity_flags_token_semantics(spark):
         toxicity_flags(df, ["!!!"])  # normalizes to empty -> config error
     with pytest.raises(ValueError):
         toxicity_flags(df, [f"w{i}" for i in range(10_001)])  # oversized literal
+
+
+def test_audio_chunk_plan_grid_and_edges(spark):
+    """Audio chunking fans out one row per (doc, chunk) on the sliding
+    window grid: starts every chunk-overlap ms, ends clamped to the clip
+    duration, NULL / non-positive durations yield ZERO rows, the plan is
+    pure JVM (no Python eval node, no Exchange), and bad knobs are refused."""
+    from data_quality_framework_spark.operators.multimodal import audio_chunk_plan
+
+    rows = [(1, 5000), (2, 1), (3, 0), (4, None), (5, 3000)]
+    df = spark.createDataFrame(rows, "doc_id long, duration_ms int")
+
+    out = audio_chunk_plan(df, chunk_ms=2000, overlap_ms=500)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start_ms"], r["chunk_end_ms"])
+        for r in out.collect()
+    )
+    assert got == [
+        # doc 1 (5000 ms): starts 0/1500/3000/4500, last two clamp to 5000
+        (1, 0, 0, 2000), (1, 1, 1500, 3500), (1, 2, 3000, 5000), (1, 3, 4500, 5000),
+        # doc 2 (1 ms): one sub-window chunk
+        (2, 0, 0, 1),
+        # docs 3 (zero) and 4 (NULL) vanish
+        # doc 5 (3000 ms): exact multiple of the stride
+        (5, 0, 0, 2000), (5, 1, 1500, 3000),
+    ]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head and "Python" not in head
+
+    # no overlap: back-to-back chunks
+    plain = audio_chunk_plan(df.filter("doc_id = 1"), chunk_ms=2000)
+    assert [(r["chunk_start_ms"], r["chunk_end_ms"]) for r in
+            plain.orderBy("chunk_idx").collect()] == [(0, 2000), (2000, 4000), (4000, 5000)]
+
+    with pytest.raises(ValueError):
+        audio_chunk_plan(df, chunk_ms=0)
+    with pytest.raises(ValueError):
+        audio_chunk_plan(df, chunk_ms=1000, overlap_ms=1000)
