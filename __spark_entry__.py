@@ -1581,6 +1581,31 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_dedup_normalize(spark, sf):
+    """CCNet-style dedup normalization (r5): five deterministic messy
+    variants per doc_id (case noise, Latin accents, digit drift, typographic
+    punctuation, CJK with CJK punctuation) -> the normalized keying view,
+    byte-exact vs the DuckDB replay of the SAME shared constants
+    (functions/textnorm.duckdb_normalize_sql)."""
+    from data_quality_framework_spark.functions.textnorm import normalize_for_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    text = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("HeLLo WoRLd n"), i))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("café résumé — naïve n"), i))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("version 2.4.17 build n"), i))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("“quoted” text…  with   spaces n"), i))
+        .otherwise(F.concat(F.lit("中文文本。标点！n"), i))
+    )
+    return (
+        d.select("doc_id", normalize_for_dedup(text).alias("text_norm"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_media_plan(spark, sf):
     """Media segmentation plans (r5): deterministic per-doc media metadata
     (image/audio/video by doc_id%3, bounded durations including a
@@ -1859,6 +1884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": _q_multimodal,
         # video frame / audio chunk segmentation plans (r5)
         "multimodal_media_plan": _q_media_plan,
+        # CCNet-style dedup-normalized keying view, byte-exact (r5)
+        "text_dedup_normalize": _q_dedup_normalize,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
@@ -1874,6 +1901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # nav-phrase list literal for the line-quality oracle — built from the SAME
 # tuple the operator matches against, so the two can never desynchronize
 from data_quality_framework_spark.operators.filtering import NAV_PHRASES  # noqa: E402
+from data_quality_framework_spark.functions.textnorm import (  # noqa: E402
+    duckdb_normalize_sql as _norm_sql,
+)
 
 _NAV_SQL = "[" + ", ".join(f"'{p}'" for p in NAV_PHRASES) + "]"
 
@@ -3355,6 +3385,21 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS sha256,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # dedup-normalization oracle (r5): same variant texts, the chain
+        # replayed from the SAME shared constants (textnorm)
+        "text_dedup_normalize": f"""
+            WITH m AS (SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                      WHEN 0 THEN 'HeLLo WoRLd n' || doc_id
+                      WHEN 1 THEN 'café résumé — naïve n' || doc_id
+                      WHEN 2 THEN 'version 2.4.17 build n' || doc_id
+                      WHEN 3 THEN '“quoted” text…  with   spaces n' || doc_id
+                      ELSE '中文文本。标点！n' || doc_id
+                    END AS text
+                 FROM documents)
+            SELECT doc_id, {_norm_sql('text')} AS text_norm
+            FROM m ORDER BY doc_id
         """,
         # media segmentation oracle (r5): same inclusive grids via
         # generate_series — frames on the 1 s grid (a zero-duration video

@@ -1,0 +1,94 @@
+"""Dedup-oriented text normalization (CCNet / BigScience-style).
+
+Near-identical crawl variants of one page — casing drift, tracking digits,
+smart-quote substitutions, accent-stripped mirrors — defeat EXACT content
+dedup even though the prose is the same. CCNet (Wenzek et al. 2020, §4.1)
+and the BigScience/ROOTS pipeline therefore hash a NORMALIZED view of the
+text while keeping the original bytes as the output: lowercase, fold common
+Latin accents, map every digit to 0, drop punctuation, collapse whitespace.
+
+The whole chain is pure JVM Column expressions (``lower`` / ``translate`` /
+``regexp_replace``) in dialect-portable constructs, so the SAME constants
+drive the DuckDB oracle (:func:`duckdb_normalize_sql`) — normalized bytes
+are engine-exact by construction. Non-Latin scripts (CJK, Cyrillic, ...)
+pass through untouched: accent folding is an explicit 1:1 table, and the
+punctuation class enumerates ASCII + common typographic marks rather than
+using a Unicode property class (Java and RE2 disagree on those).
+
+Reference parity: the reference has no normalization surface; this is
+beyond-reference north-rule scope (the dedup family, next to
+``operators/dedup.py``). Used by the pipeline's opt-in
+``FilterConfig.dedup_normalized_keys`` (exact + MinHash keys only — output
+text stays byte-identical to the input contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 1:1 accent-folding table (lowercase-only: normalization lowers first).
+#: dict form so duplicates are impossible by construction; translate() needs
+#: parallel strings, derived below.
+_ACCENT_MAP = {
+    "a": "àáâãäåāăą",
+    "c": "çćč",
+    "d": "ďđ",
+    "e": "èéêëēĕėęě",
+    "g": "ğģ",
+    "i": "ìíîïĩīĭįı",
+    "l": "ľĺł",
+    "n": "ñńň",
+    "o": "òóôõöøōŏő",
+    "r": "ŕř",
+    "s": "šśş",
+    "t": "ťţ",
+    "u": "ùúûüũūŭůű",
+    "y": "ýÿ",
+    "z": "žźż",
+}
+ACCENT_SRC = "".join("".join(chars) for chars in _ACCENT_MAP.values())
+ACCENT_DST = "".join(base * len(chars) for base, chars in _ACCENT_MAP.items())
+assert len(ACCENT_SRC) == len(ACCENT_DST)
+assert len(set(ACCENT_SRC)) == len(ACCENT_SRC)
+
+#: punctuation replaced by a space: ALL ASCII punctuation (the three
+#: contiguous ranges around the alphanumerics) + common typographic marks.
+#: Explicit enumeration, not \p{Punct}: Java and RE2 resolve property
+#: classes differently, and the oracle must match byte-for-byte.
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~“”‘’«»„‚—–‐…·•¡¿。、，：；！？（）《》「」『』]"
+
+#: Java's \s includes \x0b, RE2's does not — the explicit superset keeps the
+#: two engines identical (same convention as every oracle whitespace class).
+_WS_CLASS = r"[\s\x0b]"
+
+
+def normalize_for_dedup(text: Column) -> Column:
+    """The normalized dedup view of ``text`` (NULL stays NULL):
+
+    1. lowercase;
+    2. fold accents (:data:`ACCENT_SRC` -> :data:`ACCENT_DST`, 1:1);
+    3. every digit -> ``0`` (CCNet: version/date/counter drift is noise);
+    4. punctuation -> space (word boundaries survive: ``a,b`` != ``ab``);
+    5. collapse whitespace runs to one space, strip the edges.
+
+    Scale shape: five codegen string expressions, row-local, zero shuffles —
+    the normalized column is computed on the fly for KEYING (md5 / shingles)
+    and never stored or output."""
+    out = F.lower(text)
+    out = F.translate(out, ACCENT_SRC, ACCENT_DST)
+    out = F.regexp_replace(out, "[0-9]", "0")
+    out = F.regexp_replace(out, _PUNCT_CLASS, " ")
+    out = F.regexp_replace(out, _WS_CLASS + "+", " ")
+    return F.regexp_replace(out, "^ +| +$", "")
+
+
+def duckdb_normalize_sql(expr: str) -> str:
+    """The same chain as a DuckDB SQL expression (oracle parity); the
+    constants are shared, the only dialect delta is the 'g' flag."""
+    out = f"lower({expr})"
+    out = f"translate({out}, '{ACCENT_SRC}', '{ACCENT_DST}')"
+    out = f"regexp_replace({out}, '[0-9]', '0', 'g')"
+    out = f"regexp_replace({out}, '{_PUNCT_CLASS}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_WS_CLASS}+', ' ', 'g')"
+    return f"regexp_replace({out}, '^ +| +$', '', 'g')"

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from data_quality_framework_spark.plans.pipeline import (
     FilterConfig,
     compute_enriched,
+    dedup_key_text,
     drop_reason_expr,
     prepare_pages,
     scrub_chain,
@@ -94,6 +95,7 @@ _FP_OMIT_AT_DEFAULT = {
     "scrub_ip_addresses": False,
     "toxicity_badwords": (),
     "toxicity_max_bp": 0,
+    "dedup_normalized_keys": False,
 }
 
 
@@ -193,7 +195,10 @@ def _phase_a_meta(spark: SparkSession, bucket_pages: DataFrame, cfg: FilterConfi
         F.col("__rn") == 1
     )
     sigs = minhash_signatures(
-        docs.filter(~F.col("f_any_heuristic")), "sort_key", "text",
+        docs.filter(~F.col("f_any_heuristic")).select(
+            "sort_key", dedup_key_text(cfg).alias("text")
+        ),
+        "sort_key", "text",
         k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).withColumnRenamed("id", "sort_key")
     docs = docs.join(sigs, "sort_key", "left")
@@ -296,7 +301,7 @@ def resumable_pipeline(
         bucket_pages = tagged.filter(F.col("__bucket") == b).drop("__bucket")
         kept = (
             bucket_pages.withColumn("sort_key", sort_key_expr())
-            .withColumn("content_md5", fingerprint(F.col("text")))
+            .withColumn("content_md5", fingerprint(dedup_key_text(cfg)))
             .join(kept_keys, ["url", "sort_key", "content_md5"])
             .dropDuplicates(["url"])  # residual ties are byte-identical rows
             .withColumn("text_scrubbed", scrub_chain(F.col("text"), cfg))

@@ -109,6 +109,14 @@ class FilterConfig:
     #: basis-point toxic-token budget for WT-TOX-001: 0 = C4's any-hit
     #: drop, 500 = flag only when toxic tokens exceed 5% of all tokens.
     toxicity_max_bp: int = 0
+    #: opt-in (r5): key exact + MinHash dedup on the CCNet-normalized view
+    #: of the text (functions/textnorm.normalize_for_dedup — lowercase,
+    #: accent fold, digit->0, punctuation strip, whitespace collapse) so
+    #: casing/digit/smart-quote crawl variants collapse. The OUTPUT text is
+    #: untouched (byte-parity contract); only content_md5 and the minhash
+    #: shingles read the normalized view. Off by default: normalized keys
+    #: merge docs the reference's byte-exact dedup keeps separate.
+    dedup_normalized_keys: bool = False
     #: where the text column comes from (r5): "text" — already extracted
     #: upstream (the default; matches the reference's tables); "html" —
     #: derive it from the contract's raw ``html: binary`` page bytes via
@@ -335,6 +343,21 @@ def maybe_canonicalize(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     return pages
 
 
+def dedup_key_text(cfg: FilterConfig) -> Column:
+    """The text VIEW that dedup keys (content_md5, minhash shingles) read —
+    the raw column by default, the CCNet-normalized view under
+    ``cfg.dedup_normalized_keys``. ONE definition shared by the batch
+    pipeline and every checkpoint phase: the Phase-C join-back recomputes
+    content_md5 and must reproduce Phase A's bytes exactly."""
+    if cfg.dedup_normalized_keys:
+        from data_quality_framework_spark.functions.textnorm import (
+            normalize_for_dedup,
+        )
+
+        return normalize_for_dedup(F.col("text"))
+    return F.col("text")
+
+
 def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     """One wide pass: sort_key + content fingerprint + text stats + Arrow-UDF
     scores + per-rule violation flags + f_any_heuristic. This is the
@@ -343,7 +366,7 @@ def compute_enriched(pages: DataFrame, cfg: FilterConfig) -> DataFrame:
     base = (
         pages.drop("html")  # unused downstream; never cache raw page bytes
         .withColumn("sort_key", sort_key_expr())
-        .withColumn("content_md5", fingerprint(F.col("text")))
+        .withColumn("content_md5", fingerprint(dedup_key_text(cfg)))
     )
     base = with_text_stats(base, full=False)
     base = with_scores(base, ppl_model=cfg.ppl_model)
@@ -436,7 +459,8 @@ def run_pipeline(
     # the (dup-tail-sized) pair set stays cached and is released by
     # PipelineOutput.unpersist() once the caller has written its outputs.
     sigs = minhash_signatures(
-        canon, id_col="sort_key", text_col="text",
+        canon.select("sort_key", dedup_key_text(cfg).alias("text")),
+        id_col="sort_key", text_col="text",
         k=cfg.minhash_k, shingle_n=cfg.shingle_n, hash_fn=cfg.minhash_hash,
     ).persist()
     lsh_overflow: list[dict] = []

@@ -688,3 +688,55 @@ def test_pipeline_ip_scrub_opt_in(spark, pages_10k):
         assert kept.filter(F.col("text_scrubbed").contains("<IP>")).count() > 0
     finally:
         out.unpersist()
+
+
+def test_normalize_for_dedup_cross_engine(spark):
+    """CCNet-style dedup normalization: case folds, accents fold via the 1:1
+    table, digits pin to 0, punctuation becomes a word boundary (never a
+    merge), CJK passes through untouched, whitespace collapses, NULL stays
+    NULL — and the DuckDB replay of the SAME constants is byte-identical."""
+    import duckdb
+
+    from data_quality_framework_spark.functions.textnorm import (
+        duckdb_normalize_sql,
+        normalize_for_dedup,
+    )
+
+    rows = [
+        (1, "HeLLo WoRLd"),
+        (2, "café résumé naïve"),
+        (3, "version 2.4.17 build 2024"),
+        (4, "“quoted” text — with…dashes"),
+        (5, "中文文本。标点！测试"),
+        (6, "  spaced \t\t text  "),
+        (7, "a,b c-d e.f"),
+        (8, ""),
+        (9, None),
+        (10, "¡Ångström’s Ψ‑test! №5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_for_dedup(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "cafe resume naive"
+    assert got[3] == "version 0 0 00 build 0000"
+    assert got[4] == "quoted text with dashes"
+    assert got[5] == "中文文本 标点 测试"      # CJK preserved, CJK punct -> boundary
+    assert got[6] == "spaced text"
+    assert got[7] == "a b c d e f"            # punctuation splits, never merges
+    assert got[8] == ""
+    assert got[9] is None
+
+    # byte-for-byte DuckDB parity from the shared constants
+    con = duckdb.connect()
+    pdf = df.toPandas()
+    con.register("t", pdf)
+    oracle = {
+        i: n
+        for i, n in con.execute(
+            f"SELECT doc_id, {duckdb_normalize_sql('text')} FROM t"
+        ).fetchall()
+    }
+    assert oracle == got

@@ -505,3 +505,88 @@ def test_pipeline_toxicity_opt_in(spark, pages_10k, tmp_path):
         assert dec.exceptAll(ck_dec).count() == 0
     finally:
         out.unpersist()
+
+
+_NORM_PARA = (
+    "the cafe near the market was open in the morning and the people came to "
+    "read the report and talk about the growth of the city and the supply of "
+    "water and energy that moves through the region every day while the cost "
+    "of transport stays low and the speed of change is slow"
+)
+
+
+def test_pipeline_dedup_normalized_keys(spark, pages_10k, tmp_path):
+    """dedup_normalized_keys=True keys exact dedup on the CCNet-normalized
+    view: planted case/punct/accent variants of one paragraph (unique raw
+    bytes per url via a fixed-width digit tail) collapse to ONE kept doc +
+    exact_duplicate losers; with the knob off they are NOT exact duplicates
+    (near-dup may still catch them — that is the knob's point); output text
+    stays raw bytes; the checkpoint path reproduces the batch decisions."""
+    from data_quality_framework_spark.plans.checkpoint import (
+        Checkpoint,
+        read_output,
+        resumable_pipeline,
+    )
+
+    sel = F.xxhash64("url") % 50 == 0
+    variant = F.pmod(F.xxhash64("url"), F.lit(3))
+    tail = F.concat(
+        F.lit(" n"), F.lpad(F.pmod(F.xxhash64("url"), F.lit(1000000)).cast("string"), 6, "0")
+    )
+    v0 = F.concat(F.lit(_NORM_PARA), tail)
+    v1 = F.concat(
+        F.lit(_NORM_PARA.replace("market", "MARKET").replace("report", "report.")), tail
+    )
+    v2 = F.concat(
+        F.lit(_NORM_PARA.replace("cafe", "café").replace("morning and", "morning  and")),
+        tail,
+    )
+    pages = (
+        pages_10k.limit(3000)
+        .withColumns({
+            "text": F.when(sel, F.when(variant == 0, v0).when(variant == 1, v1).otherwise(v2))
+            .otherwise(F.col("text")),
+            "lang": F.when(sel, F.lit("en")).otherwise(F.col("lang")),
+            "warc_ts": F.when(
+                sel, F.lit("2024-03-01 12:00:00").cast("timestamp")
+            ).otherwise(F.col("warc_ts")),
+        })
+        .localCheckpoint()
+    )
+    planted = pages.filter(sel).select("url").distinct()
+    n_planted = planted.count()
+    assert n_planted >= 10
+
+    cfg_on = FilterConfig(dedup_normalized_keys=True)
+    out_on = run_pipeline(spark, pages, cfg_on, per_partition_lineage=False)
+    try:
+        dec_on = out_on.decisions.join(planted, "url", "inner")
+        assert dec_on.filter(F.col("keep")).count() == 1
+        assert (
+            dec_on.filter(F.col("drop_reason") == "exact_duplicate").count()
+            == n_planted - 1
+        )
+        # output text is RAW bytes, never the normalized view
+        kept_txt = (
+            out_on.kept.join(planted, "url", "inner")
+            .select("text_scrubbed").head()["text_scrubbed"]
+        )
+        assert kept_txt.startswith("the cafe") or "MARKET" in kept_txt or "café" in kept_txt
+
+        # checkpoint parity under the knob
+        ckpt = Checkpoint(out_dir=str(tmp_path / "ck"), n_buckets=4)
+        resumable_pipeline(spark, pages, ckpt, cfg_on)
+        ck_dec = read_output(spark, ckpt, "decisions").select("url", "keep", "drop_reason")
+        b_dec = out_on.decisions.select("url", "keep", "drop_reason")
+        assert b_dec.count() == ck_dec.count()
+        assert b_dec.exceptAll(ck_dec).count() == 0
+    finally:
+        out_on.unpersist()
+
+    out_off = run_pipeline(spark, pages, FilterConfig(), per_partition_lineage=False)
+    try:
+        dec_off = out_off.decisions.join(planted, "url", "inner")
+        # unique raw bytes -> never exact duplicates without normalization
+        assert dec_off.filter(F.col("drop_reason") == "exact_duplicate").count() == 0
+    finally:
+        out_off.unpersist()
