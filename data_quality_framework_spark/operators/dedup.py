@@ -1093,3 +1093,68 @@ def dedup_doc_lines(
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("text_clean"),
     )
+
+
+def compact_store(spark, store_path: str, compacted_id: str = "compacted") -> dict:
+    """Fold an incremental store's ``batch_id=*`` partitions into ONE.
+
+    Operational complement to the cross-run stores
+    (:func:`incremental_exact_dedup`, :func:`incremental_minhash_dedup`,
+    ``bloom.incremental_bloom_probe``): at a daily cadence the store gains a
+    directory per run, and after a year the merge-on-read union lists and
+    plans ~365 partitions per batch — compaction restores O(1) read cost
+    without changing ANY decision. Merge semantics follow the store's
+    schema: bloom word tables (``word_idx``/``bits``) fold with ``bit_or``
+    (idempotent OR), digest and signature stores deduplicate rows (their
+    writers only ever append globally-fresh keys, so distinct is a no-op on
+    healthy stores and repairs a crash-window double-register on unhealthy
+    ones).
+
+    Crash-safe sequencing — the store is readable and COMPLETE after every
+    step: (1) the merged table is written to a ``_compact_tmp`` dir that
+    readers ignore (they enumerate ``batch_id=`` prefixes only); (2) the
+    target partition is swapped in via delete+rename — from here the union
+    may transiently contain duplicate rows, which every consumer tolerates
+    (anti-joins, ``distinct()`` on pair losers, bit_or merges); (3) the
+    source partitions are deleted. A crash anywhere leaves either the
+    original partitions, or originals + a superset partition — never a
+    store missing keys, which is the one corruption an incremental dedup
+    store cannot tolerate (a lost digest re-admits its duplicates forever).
+    Re-running compaction is idempotent. ``_store_params.json`` is
+    untouched; sequential-batch semantics (no concurrent writers) are the
+    same as the stores themselves. ``compacted_id`` becomes a regular batch
+    partition name — keep it distinct from real batch ids.
+    """
+    if not compacted_id or not all(c.isalnum() or c in "-_." for c in compacted_id):
+        raise ValueError(f"compacted_id must be partition-path-safe, got {compacted_id!r}")
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"batches_in": 0, "compacted": False}
+    dirs = [
+        s.getPath()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    if len(dirs) <= 1:
+        return {"batches_in": len(dirs), "compacted": False}
+    df = spark.read.parquet(*[p.toString() for p in dirs])
+    if {"word_idx", "bits"} <= set(df.columns):
+        from data_quality_framework_spark.operators.bloom import bloom_merge
+
+        merged, mode = bloom_merge(df), "bloom_or"
+    else:
+        merged, mode = df.distinct(), "distinct"
+    tmp = hadoop_path(f"{store_path}/_compact_tmp")
+    fs.delete(tmp, True)
+    merged.write.mode("overwrite").parquet(tmp.toString())
+    rows = spark.read.parquet(tmp.toString()).count()
+    target = hadoop_path(f"{store_path}/batch_id={compacted_id}")
+    fs.delete(target, True)
+    fs.rename(tmp, target)
+    for p in dirs:
+        if p.getName() != f"batch_id={compacted_id}":
+            fs.delete(p, True)
+    return {"batches_in": len(dirs), "compacted": True, "mode": mode, "rows": rows}

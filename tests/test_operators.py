@@ -1963,3 +1963,81 @@ def test_audio_chunk_plan_grid_and_edges(spark):
         audio_chunk_plan(df, chunk_ms=0)
     with pytest.raises(ValueError):
         audio_chunk_plan(df, chunk_ms=1000, overlap_ms=1000)
+
+
+def test_compact_store_preserves_decisions(spark, tmp_path):
+    """Compacting an incremental store folds every batch partition into one
+    without changing ANY later decision: the digest store compacts by row
+    dedup, the bloom store by bit_or, re-compaction is a no-op, and a
+    post-compaction batch sees exactly the pre-compaction state (twin-store
+    comparison)."""
+    from data_quality_framework_spark.operators.bloom import incremental_bloom_probe
+    from data_quality_framework_spark.operators.dedup import (
+        compact_store,
+        incremental_exact_dedup,
+    )
+
+    batches = [
+        ("b1", [(1, "alpha"), (2, "beta")]),
+        ("b2", [(3, "alpha"), (4, "gamma")]),
+        ("b3", [(5, "delta"), (6, "beta")]),
+    ]
+    plain = str(tmp_path / "plain")
+    compacted = str(tmp_path / "compacted")
+    for store in (plain, compacted):
+        for bid, rows in batches:
+            incremental_exact_dedup(
+                spark, spark.createDataFrame(rows, "doc_id long, text string"),
+                store, bid, "doc_id",
+            ).collect()
+
+    stats = compact_store(spark, compacted)
+    assert stats == {"batches_in": 3, "compacted": True, "mode": "distinct", "rows": 4}
+    import os
+    assert sorted(
+        d for d in os.listdir(compacted) if d.startswith("batch_id=")
+    ) == ["batch_id=compacted"]
+    # same store CONTENT, one partition
+    a = spark.read.parquet(plain).select("digest", "canonical_id")
+    b = spark.read.parquet(compacted).select("digest", "canonical_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # re-compaction is a no-op
+    assert compact_store(spark, compacted)["compacted"] is False
+
+    # the NEXT batch decides identically against both stores
+    b4 = spark.createDataFrame(
+        [(7, "alpha"), (8, "epsilon"), (9, "delta")], "doc_id long, text string"
+    )
+    d_plain = {r["doc_id"]: r["is_canonical"]
+               for r in incremental_exact_dedup(spark, b4, plain, "b4", "doc_id").collect()}
+    d_comp = {r["doc_id"]: r["is_canonical"]
+              for r in incremental_exact_dedup(spark, b4, compacted, "b4", "doc_id").collect()}
+    assert d_plain == d_comp == {7: False, 8: True, 9: False}
+
+    # bloom store: bit_or merge, probe verdicts unchanged
+    bl_plain = str(tmp_path / "bl_plain")
+    bl_comp = str(tmp_path / "bl_comp")
+    for store in (bl_plain, bl_comp):
+        for bid, lo, hi in [("b1", 0, 40), ("b2", 40, 80)]:
+            urls = spark.range(lo, hi).select(
+                F.concat(F.lit("https://x.org/"), F.col("id")).alias("url")
+            )
+            incremental_bloom_probe(
+                spark, urls, store, bid, "url", m_bits=4096, k=4
+            ).collect()
+    stats = compact_store(spark, bl_comp)
+    assert stats["compacted"] is True and stats["mode"] == "bloom_or"
+    probe = spark.range(0, 120).select(
+        F.concat(F.lit("https://x.org/"), F.col("id")).alias("url")
+    )
+    p_plain = {r["url"]: r["maybe_seen"] for r in incremental_bloom_probe(
+        spark, probe, bl_plain, "b9", "url", m_bits=4096, k=4).collect()}
+    p_comp = {r["url"]: r["maybe_seen"] for r in incremental_bloom_probe(
+        spark, probe, bl_comp, "b9", "url", m_bits=4096, k=4).collect()}
+    assert p_plain == p_comp
+    # zero false negatives survive compaction (the non-negotiable invariant)
+    assert all(p_comp[f"https://x.org/{i}"] for i in range(80))
+
+    with pytest.raises(ValueError):
+        compact_store(spark, compacted, compacted_id="bad/id")
