@@ -73,6 +73,10 @@ HEADLINE = [
     "text_domain_cap",
     "text_bigram_lm_fit",
     "text_rule_ablation",
+    # r5 sixth wave: badword toxicity, dedup-key normalization, media plans
+    "text_toxicity_filter",
+    "text_dedup_normalize",
+    "multimodal_media_plan",
 ]
 
 
