@@ -1581,6 +1581,45 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_quality_fit_stats(spark, sf):
+    """Sufficient statistics for the distributed quality-classifier fit
+    (r5): the corpus compressed to distinct (features, label) rows with
+    counts — the ONE aggregation `textstats.fit_logistic_weights` shuffles
+    before deterministic driver-side GD. The label is INTEGER-exact (cross-
+    multiplied thresholds: wc in [50, 100000], symbols <= 10% of chars,
+    stopwords >= 6% of tokens, non-blank), so no float boundary can diverge
+    engines; the ratio features are rounded at 6 dp on both sides."""
+    text = F.col("text")
+    words = TS.words_col(text)
+    wc = F.size(words)
+    char_cnt = F.coalesce(F.length(text), F.lit(0))
+    sym_cnt = char_cnt - F.length(
+        F.regexp_replace(F.coalesce(text, F.lit("")), r"[#*…]|\.{3}", "")
+    )
+    stop_cnt = TS._stop_token_count(words)
+    label = (
+        ~TS.is_blank(text)
+        & (wc >= 50) & (wc <= 100000)
+        & (sym_cnt * 10 <= char_cnt)
+        & (stop_cnt * 100 >= 6 * wc)
+    )
+    d = _t(spark, sf, "documents").select(
+        F.round(
+            F.when(wc > 0, stop_cnt.cast("double") / wc).otherwise(0.0), 6
+        ).alias("swf"),
+        (F.least(wc.cast("double"), F.lit(500.0)) / 500.0).alias("wc_norm"),
+        F.round(
+            F.when(char_cnt > 0, sym_cnt.cast("double") / char_cnt).otherwise(0.0), 6
+        ).alias("symr"),
+        F.coalesce(label, F.lit(False)).cast("int").alias("label"),
+    )
+    return (
+        d.groupBy("swf", "wc_norm", "symr", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("swf", "wc_norm", "symr", "label")
+    )
+
+
 def _q_dedup_normalize(spark, sf):
     """CCNet-style dedup normalization (r5): five deterministic messy
     variants per doc_id (case noise, Latin accents, digit drift, typographic
@@ -1886,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_plan": _q_media_plan,
         # CCNet-style dedup-normalized keying view, byte-exact (r5)
         "text_dedup_normalize": _q_dedup_normalize,
+        # sufficient-stats compression for the distributed logistic fit (r5)
+        "text_quality_fit_stats": _q_quality_fit_stats,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
@@ -3385,6 +3426,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS sha256,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # quality-fit sufficient-stats oracle (r5): integer-exact label
+        # (cross-multiplied thresholds), 6-dp-rounded ratio features, the
+        # same groupBy-count reduction in SQL
+        "text_quality_fit_stats": f"""
+            WITH s AS (SELECT
+                   CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS wc,
+                   coalesce(length(text), 0) AS cc,
+                   length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g')) AS sym,
+                   CASE WHEN {_NONBLANK}
+                        THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
+                                             w -> list_contains({_STOP_SQL}, lower(w))))
+                        ELSE 0 END AS stop,
+                   {_NONBLANK} AS nonblank
+                 FROM documents),
+            f AS (SELECT
+                   round(CASE WHEN wc > 0 THEN stop * 1.0 / wc ELSE 0.0 END, 6) AS swf,
+                   least(CAST(wc AS DOUBLE), 500.0) / 500.0 AS wc_norm,
+                   round(CASE WHEN cc > 0 THEN sym * 1.0 / cc ELSE 0.0 END, 6) AS symr,
+                   CAST(nonblank AND wc >= 50 AND wc <= 100000
+                        AND sym * 10 <= cc AND stop * 100 >= 6 * wc AS INTEGER) AS label
+                  FROM s)
+            SELECT swf, wc_norm, symr, label, count(*) AS n
+            FROM f GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
         """,
         # dedup-normalization oracle (r5): same variant texts, the chain
         # replayed from the SAME shared constants (textnorm)

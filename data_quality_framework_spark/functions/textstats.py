@@ -316,3 +316,73 @@ def corpus_vocabulary(
     if min_count > 1:
         counts = counts.filter(F.col("n") >= min_count)
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def fit_logistic_weights(
+    df,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 20_000,
+    lr: float = 10.0,
+    round_dp: int | None = None,
+    max_distinct: int = 1_000_000,
+) -> dict:
+    """Distributed logistic-regression fit via EXACT sufficient-statistics
+    compression — the training half of :data:`QUALITY_WEIGHTS`' serve path
+    (the same shape as ``scoring.fit_char_bigram_lm``: Spark reduces the
+    corpus to a bounded table, deterministic driver-side math finishes).
+
+    Full-batch gradient descent only ever reads the data through weighted
+    sums over DISTINCT (features, label) rows, so one ``groupBy().count()``
+    — map-side partials collapse each partition to its distinct vectors,
+    ONE shuffle of at most ``max_distinct`` rows — captures everything the
+    optimizer needs. 10^12 docs with a low-cardinality feature grid train
+    at the cost of one aggregation; ``round_dp`` quantizes continuous
+    features onto a grid when raw cardinality would exceed the cap (the
+    documented approximation knob — refused loudly via ``max_distinct``
+    rather than silently sampled). The GD loop itself is fixed-iteration,
+    zero-RNG numpy on the collected table: same inputs -> bit-identical
+    weights on every run, partitioning, and cluster size.
+
+    ``label_col`` must be boolean/int 0-1 with no NULLs (raise upstream —
+    a NULL label is a data bug, not a class). Returns
+    ``{feature: weight, ..., "bias": b}``, drop-in for
+    :data:`QUALITY_WEIGHTS` when fitted on the three quality features.
+    """
+    import numpy as np
+
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    feats = [F.col(c).cast("double") for c in feature_cols]
+    if round_dp is not None:
+        feats = [F.round(c, round_dp) for c in feats]
+    g = (
+        df.select(
+            *[c.alias(name) for c, name in zip(feats, feature_cols)],
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy(*feature_cols, "__y")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rows = g.limit(max_distinct + 1).collect()
+    if len(rows) > max_distinct:
+        raise ValueError(
+            f"more than {max_distinct} distinct (features, label) rows; "
+            "quantize with round_dp or raise max_distinct"
+        )
+    if any(r["__y"] is None or any(r[c] is None for c in feature_cols) for r in rows):
+        raise ValueError("NULL feature/label values — clean or impute upstream")
+    # deterministic row order: float sums depend on addition order, and the
+    # collect order depends on partitioning — sort so the fit is bit-stable
+    rows.sort(key=lambda r: tuple([*(r[c] for c in feature_cols), r["__y"]]))
+    X = np.array([[r[c] for c in feature_cols] + [1.0] for r in rows], dtype=np.float64)
+    y = np.array([r["__y"] for r in rows], dtype=np.float64)
+    n = np.array([r["__n"] for r in rows], dtype=np.float64)
+    total = n.sum()
+    w = np.zeros(X.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= lr * (X.T @ ((p - y) * n)) / total
+    out = dict(zip(feature_cols, (float(v) for v in w[:-1])))
+    out["bias"] = float(w[-1])
+    return out

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_quality_framework_spark.functions.scrub import (
@@ -740,3 +742,86 @@ def test_normalize_for_dedup_cross_engine(spark):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_fit_logistic_weights_distributed(spark, pages_10k, labels_10k):
+    """The distributed logistic fit closes the quality-score train-serve
+    loop: sufficient-stats compression (one groupBy) + deterministic
+    driver-side GD reproduces the tool-fitted shipped QUALITY_WEIGHTS'
+    decisions on the full generator corpus (F1 and agreement >= 0.999),
+    runs bit-identically twice, and refuses NULL labels / blown cardinality."""
+    import numpy as np
+
+    from data_quality_framework_spark.functions.textstats import (
+        QUALITY_WEIGHTS,
+        fit_logistic_weights,
+        quality_score,
+        with_text_stats,
+    )
+
+    tq = {"empty_text", "too_short", "high_symbol_ratio", "low_stopword"}
+    base = with_text_stats(
+        pages_10k.join(labels_10k.select("url", "drop_reason"), "url", "inner"),
+        full=False,
+    ).withColumns({
+        # zero-word docs have NULL ratio stats; the offline tool scores them
+        # 0.0 — mirror it so the two fits see the same feature space
+        "stopword_fraction": F.coalesce(F.col("stopword_fraction"), F.lit(0.0)),
+        "symbol_ratio": F.coalesce(F.col("symbol_ratio"), F.lit(0.0)),
+        "wc_norm": F.least(F.col("word_count").cast("double"), F.lit(500.0)) / 500.0,
+        # NULL drop_reason = kept doc = positive label
+        "label": (~F.coalesce(F.col("drop_reason").isin(*tq), F.lit(False))).cast("int"),
+    })
+    feats = ["stopword_fraction", "wc_norm", "symbol_ratio"]
+
+    w1 = fit_logistic_weights(base, feats, "label")
+    w2 = fit_logistic_weights(base, feats, "label")
+    assert w1 == w2  # bit-identical across runs (sorted sums, fixed iters)
+
+    # decisions of the fitted weights vs the shipped constants and the truth
+    score_fit = (
+        F.lit(w1["stopword_fraction"]) * F.col("stopword_fraction")
+        + F.lit(w1["wc_norm"]) * F.col("wc_norm")
+        + F.lit(w1["symbol_ratio"]) * F.col("symbol_ratio")
+        + F.lit(w1["bias"])
+    )
+    agg = base.select(
+        (score_fit > 0).alias("pred"),
+        (quality_score() > 0).alias("pred_shipped"),
+        F.col("label").cast("boolean").alias("truth"),
+    ).agg(
+        F.sum(F.when(F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("truth"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("pred") == F.col("pred_shipped"), 1).otherwise(0)).alias("agree"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    precision = agg["tp"] / max(agg["tp"] + agg["fp"], 1)
+    recall = agg["tp"] / max(agg["tp"] + agg["fn"], 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.999, (f1, agg.asDict())
+    assert agg["agree"] / agg["n"] >= 0.999
+
+    # numpy reference on the SAME compressed rows is exact (shared arithmetic)
+    small = spark.createDataFrame(
+        [(0.0, 0.0, 0), (0.0, 0.0, 0), (1.0, 1.0, 1), (1.0, 0.5, 1)],
+        "a double, b double, label int",
+    )
+    got = fit_logistic_weights(small, ["a", "b"], "label", iters=500, lr=1.0)
+    X = np.array([[0.0, 0.0, 1.0], [1.0, 0.5, 1.0], [1.0, 1.0, 1.0]])
+    y = np.array([0.0, 1.0, 1.0])
+    n = np.array([2.0, 1.0, 1.0])
+    w = np.zeros(3)
+    for _ in range(500):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= 1.0 * (X.T @ ((p - y) * n)) / n.sum()
+    assert got == {"a": w[0], "b": w[1], "bias": w[2]}
+
+    with pytest.raises(ValueError):
+        fit_logistic_weights(small, [], "label")
+    with pytest.raises(ValueError):
+        fit_logistic_weights(
+            small.withColumn("label", F.lit(None).cast("int")), ["a", "b"], "label"
+        )
+    with pytest.raises(ValueError):
+        fit_logistic_weights(base, feats, "label", max_distinct=10)
