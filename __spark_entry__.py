@@ -1581,6 +1581,34 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_component_sizes(spark, sf):
+    """Near-dup connected components (r5): a deterministic pair graph
+    derived from doc_id arithmetic (per-8-block chains of varying length
+    plus a cycle-closing edge) is clustered by the ITERATIVE min-label
+    propagation the dedup tail uses at scale, and the per-component size
+    profile is compared against a REAL recursive CTE in DuckDB computing
+    min-reachable-id components — two fundamentally different executions
+    (bounded-round label propagation vs transitive closure) agreeing on the
+    exact clustering."""
+    from data_quality_framework_spark.operators.dedup import near_dup_components
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = F.floor(i / 8) % 8  # this 8-block's chain length (0..7)
+    chain = d.filter((i % 8) < s).select(
+        i.alias("id_a"), (i + 1).alias("id_b")
+    )
+    cycle = d.filter(((i % 8) == 0) & (s > 1)).select(
+        i.alias("id_a"), (i + s).alias("id_b")
+    )
+    comp = near_dup_components(chain.unionByName(cycle))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy("component")
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -1927,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_normalize": _q_dedup_normalize,
         # sufficient-stats compression for the distributed logistic fit (r5)
         "text_quality_fit_stats": _q_quality_fit_stats,
+        # near-dup connected components vs a recursive-CTE ground truth (r5)
+        "dedup_component_sizes": _q_component_sizes,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
@@ -3426,6 +3456,32 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS sha256,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # connected-components oracle (r5): the SAME derived edge set, but
+        # clustered by a genuine recursive CTE (transitive closure -> min
+        # reachable id) instead of iterative label propagation
+        "dedup_component_sizes": """
+            WITH RECURSIVE
+            e0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+              FROM documents WHERE doc_id % 8 < (doc_id // 8) % 8
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT), CAST(doc_id + (doc_id // 8) % 8 AS BIGINT)
+              FROM documents WHERE doc_id % 8 = 0 AND (doc_id // 8) % 8 > 1
+            ),
+            und AS (
+              SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+            ),
+            r AS (
+              SELECT a AS id, b AS x FROM und
+              UNION
+              SELECT r.id, und.b FROM r JOIN und ON und.a = r.x
+            ),
+            comp AS (
+              SELECT id, least(id, min(x)) AS component FROM r GROUP BY id
+            )
+            SELECT component, count(*) AS n_members
+            FROM comp GROUP BY component ORDER BY component
         """,
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the

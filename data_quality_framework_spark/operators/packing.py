@@ -137,3 +137,58 @@ def pack_greedy(
         )
 
     return s.groupBy("shard").applyInPandas(fit, out_schema)
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str,
+    seed: int = 42,
+    files_per_shard: int = 1,
+) -> dict:
+    """Write ``df`` as ``n_shards`` deterministic training shards:
+    ``{out_dir}/shard=<k>/`` with ``files_per_shard`` parquet files each.
+
+    Shard membership is ``hash60(id) % n_shards`` — the same pure
+    md5-derived assignment the deterministic samplers use, so a document
+    lands in the SAME shard under any partitioning, retry, cluster size, or
+    engine (the training-reproducibility contract: re-materializing the
+    corpus never reshuffles examples between shards, so dataloader
+    checkpoints stay valid). The write repartitions by the shard column
+    (+ a within-shard salt when ``files_per_shard > 1`` — lifting the
+    ~2 GB/task ceiling for fat shards) so each leaf directory holds its own
+    files, never one file per (input-partition x shard): exactly 1 file at
+    ``files_per_shard=1``, and UP TO ``files_per_shard`` otherwise (two
+    salts of one shard hashing into the same shuffle partition coalesce
+    into one file — raise ``spark.sql.shuffle.partitions`` well above
+    ``n_shards * files_per_shard`` to make the split effective).
+
+    ONE shuffle total; no driver-side collection. Returns
+    ``{"n_shards": ..., "rows": ...}`` (row count read back from parquet
+    metadata — cheap, and doubles as a write barrier)."""
+    from data_quality_framework_spark.operators.sampling import hash60
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if files_per_shard <= 0:
+        raise ValueError(f"files_per_shard must be positive, got {files_per_shard}")
+    shard = F.pmod(hash60(F.col(id_col), seed), F.lit(n_shards)).cast("int")
+    tagged = df.withColumn("shard", shard)
+    if files_per_shard == 1:
+        parts = ["shard"]
+    else:
+        tagged = tagged.withColumn(
+            "__salt",
+            F.pmod(hash60(F.col(id_col), seed + 1), F.lit(files_per_shard)).cast("int"),
+        )
+        parts = ["shard", "__salt"]
+    (
+        tagged.repartition(*[F.col(c) for c in parts])
+        .drop(*[c for c in parts if c.startswith("__")])
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    rows = df.sparkSession.read.parquet(out_dir).count()
+    return {"n_shards": n_shards, "rows": rows}

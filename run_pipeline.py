@@ -59,6 +59,22 @@ def main() -> None:
         "that ship only markup",
     )
     ap.add_argument(
+        "--toxicity-badwords", default=None,
+        help="comma-separated badword list enabling the WT-TOX-001 toxicity "
+        "rule (C4/LDNOOBW whole-token matching); pass 'demo' for the "
+        "built-in miniature list",
+    )
+    ap.add_argument(
+        "--toxicity-max-bp", type=int, default=0,
+        help="basis-point toxic-token budget for WT-TOX-001 "
+        "(0 = any-hit drop, 500 = drop above 5%% toxic tokens)",
+    )
+    ap.add_argument(
+        "--normalize-dedup-keys", action="store_true",
+        help="key exact + MinHash dedup on the CCNet-normalized text view "
+        "(case/accent/digit/punctuation-invariant) — output text stays raw",
+    )
+    ap.add_argument(
         "--no-lsh-accounting", action="store_true",
         help="skip the per-band LSH cap-overflow accounting (on by default "
         "so a capped near-dup run quantifies its dropped candidate pairs in "
@@ -89,9 +105,24 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
 
+    badwords: tuple = ()
+    if args.toxicity_badwords:
+        if args.toxicity_badwords == "demo":
+            from data_quality_framework_spark.operators.filtering import (
+                BADWORDS_DEMO,
+            )
+
+            badwords = BADWORDS_DEMO
+        else:
+            badwords = tuple(
+                w.strip() for w in args.toxicity_badwords.split(",") if w.strip()
+            )
     cfg = FilterConfig(
         account_lsh_overflow=not args.no_lsh_accounting,
         text_source=args.text_source,
+        toxicity_badwords=badwords,
+        toxicity_max_bp=args.toxicity_max_bp,
+        dedup_normalized_keys=args.normalize_dedup_keys,
     )
 
     if args.warmup > 0 and not args.resume:

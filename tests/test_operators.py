@@ -2041,3 +2041,53 @@ def test_compact_store_preserves_decisions(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_store(spark, compacted, compacted_id="bad/id")
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard membership is a pure function of the id (same shard under any
+    partitioning / re-materialization), every leaf dir holds exactly one
+    file at files_per_shard=1 (at most files_per_shard otherwise), no rows
+    are lost, and re-writing is idempotent."""
+    import os
+
+    from data_quality_framework_spark.operators.packing import write_training_shards
+
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    stats = write_training_shards(df, out, n_shards=8, id_col="doc_id")
+    assert stats == {"n_shards": 8, "rows": 2000}
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(8)]
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert back.select("doc_id").distinct().count() == 2000
+
+    # determinism: the same ids land in the same shards when the input is
+    # re-partitioned arbitrarily and re-written
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df.repartition(13), out2, n_shards=8, id_col="doc_id")
+    a = spark.read.parquet(out).select("doc_id", "shard")
+    b = spark.read.parquet(out2).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # fat shards split into at most files_per_shard files, rows intact
+    out3 = str(tmp_path / "shards3")
+    write_training_shards(df, out3, n_shards=2, id_col="doc_id", files_per_shard=4)
+    for d in ("shard=0", "shard=1"):
+        files = [f for f in os.listdir(os.path.join(out3, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 4, (d, files)
+    assert spark.read.parquet(out3).count() == 2000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        write_training_shards(df, out, n_shards=0, id_col="doc_id")
+    with _pytest.raises(ValueError):
+        write_training_shards(df, out, n_shards=2, id_col="doc_id", files_per_shard=0)
