@@ -1581,6 +1581,41 @@ def _q_multimodal(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_length_drift(spark, sf):
+    """Snapshot drift monitoring (r5): word-count distribution of snapshot A
+    (even doc_ids) defines decile bucket edges; snapshot B (odd doc_ids,
+    planted +doc_id%13 token shift) is bucketed on A's grid; the gate
+    compares the two INTEGER count vectors per bucket — the engine-exact
+    distributed 99% of a PSI check (the float PSI itself is pytest-gated in
+    psi_from_counts). The oracle recomputes edges via quantile_cont over
+    the same integers (the ccnet-precedent cross-engine interpolation) and
+    re-buckets with the same strictly-less-than counting rule."""
+    from data_quality_framework_spark.operators.drift import bucket_edges, bucket_of
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    wc = F.size(TS.words_col(F.col("text")))
+    a = d.filter(F.col("doc_id") % 2 == 0).select(wc.cast("double").alias("m"))
+    b = d.filter(F.col("doc_id") % 2 == 1).select(
+        (wc + F.col("doc_id") % 13).cast("double").alias("m")
+    )
+    edges = bucket_edges(a, "m", n_buckets=10, exact=True)
+    ca = a.select(bucket_of(F.col("m"), edges).alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    cb = b.select(bucket_of(F.col("m"), edges).alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    return (
+        ca.join(cb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _q_component_sizes(spark, sf):
     """Near-dup connected components (r5): a deterministic pair graph
     derived from doc_id arithmetic (per-8-block chains of varying length
@@ -1957,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_fit_stats": _q_quality_fit_stats,
         # near-dup connected components vs a recursive-CTE ground truth (r5)
         "dedup_component_sizes": _q_component_sizes,
+        # PSI drift bucket counts on snapshot-A decile grid (r5)
+        "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
         # pages, recomputed stage-by-stage in DuckDB (see _wt_pipeline_oracle_sql)
         "wt_pipeline_summary": _q_pipeline,
@@ -3456,6 +3493,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256(coalesce(text, '')) AS sha256,
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # drift oracle (r5): decile edges via quantile_cont over snapshot
+        # A's integer word counts (duplicates collapsed sorted-distinct),
+        # bucket = #edges strictly below the value, full-outer count join
+        "text_length_drift": f"""
+            WITH w AS (SELECT doc_id,
+                              CAST(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END AS DOUBLE) AS wc
+                       FROM documents),
+            a AS (SELECT wc AS m FROM w WHERE doc_id % 2 = 0),
+            b AS (SELECT wc + CAST(doc_id % 13 AS DOUBLE) AS m FROM w WHERE doc_id % 2 = 1),
+            e AS (SELECT list_sort(list_distinct(
+                     quantile_cont(m, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                  )) AS edges FROM a),
+            ba AS (SELECT CAST(len(list_filter(e.edges, x -> x < m)) AS INTEGER) AS bucket,
+                          count(*) AS n_a
+                   FROM a, e GROUP BY 1),
+            bb AS (SELECT CAST(len(list_filter(e.edges, x -> x < m)) AS INTEGER) AS bucket,
+                          count(*) AS n_b
+                   FROM b, e GROUP BY 1)
+            SELECT coalesce(ba.bucket, bb.bucket) AS bucket,
+                   coalesce(n_a, 0) AS n_a,
+                   coalesce(n_b, 0) AS n_b
+            FROM ba FULL JOIN bb ON ba.bucket = bb.bucket
+            ORDER BY bucket
         """,
         # connected-components oracle (r5): the SAME derived edge set, but
         # clustered by a genuine recursive CTE (transitive closure -> min

@@ -1,0 +1,119 @@
+"""Distribution-drift monitoring between two corpus snapshots (PSI).
+
+The reference framework's compare family (count compare, sum compare,
+per-group compare — SURVEY §2.4) checks that two tables AGREE; production
+crawl pipelines also need the opposite question: has this week's crawl
+DRIFTED from last week's — length distributions shifting, a language mix
+changing, quality scores collapsing — before the damage reaches training.
+The standard monitoring statistic is the Population Stability Index
+(PSI = sum over buckets of (p_b - p_a) * ln(p_b / p_a), with the usual
+rule-of-thumb verdicts: < 0.1 stable, 0.1-0.25 moderate, > 0.25 major
+drift).
+
+Execution shape: bucket edges come from snapshot A's quantiles (exact
+``percentile`` at gate tiers, ``approx_percentile`` sketch for the 10^12
+path — the same exact/approx split as ``operators/ccnet.py``); each
+snapshot then pays ONE row-local bucket-assignment projection and ONE
+count aggregation (map-side partials collapse to <= n_buckets rows per
+partition). Nothing but the tiny per-bucket count tables ever shuffles.
+Counts are integers (engine-exact); the PSI float math runs on those
+integers, with Laplace-style +1 smoothing so an empty bucket cannot
+produce log(0) (documented, applied identically in the DuckDB oracle).
+
+Beyond-reference north-rule scope: monitoring layer next to the lineage
+records; PSI definition from standard model-monitoring practice (public).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_edges(
+    df: DataFrame, col: str, n_buckets: int = 10, exact: bool = True
+) -> list[float]:
+    """Interior quantile edges of ``col`` from the reference snapshot —
+    ``n_buckets - 1`` cutpoints (deciles by default). ``exact=False`` uses
+    the t-digest sketch (one pass, mergeable — the 10^12-row path)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    row = df.select(
+        F.expr(f"{fn}({col}, array({', '.join(repr(p) for p in probs)}))").alias("e")
+    ).head()
+    edges = [float(v) for v in row["e"]]
+    # collapse duplicate cutpoints (heavily discrete columns): a zero-width
+    # bucket would always be empty in BOTH snapshots and only add noise
+    out: list[float] = []
+    for e in edges:
+        if not out or e > out[-1]:
+            out.append(e)
+    return out
+
+
+def bucket_of(col: Column, edges: list[float]) -> Column:
+    """Bucket index (0..len(edges)) by literal CASE over the edges —
+    row-local, shuffle-free; boundary inclusive on the left bucket
+    (value <= edge -> lower bucket), NULL value -> NULL bucket."""
+    expr = F.lit(len(edges))
+    for i in reversed(range(len(edges))):
+        expr = F.when(col <= F.lit(edges[i]), F.lit(i)).otherwise(expr)
+    return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(expr.cast("int"))
+
+
+def bucket_counts(df: DataFrame, col: str, edges: list[float]) -> list[int]:
+    """Per-bucket row counts (NULLs excluded) as a plain list — one
+    projection + one <= (len(edges)+1)-row aggregation."""
+    n = len(edges) + 1
+    rows = (
+        df.select(bucket_of(F.col(col), edges).alias("__b"))
+        .filter(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    got = {int(r["__b"]): int(r["__n"]) for r in rows}
+    return [got.get(i, 0) for i in range(n)]
+
+
+def psi_from_counts(counts_a: list[int], counts_b: list[int]) -> dict:
+    """PSI from two integer count vectors, +1-smoothed (so empty buckets
+    are defined); pure driver-side float math on engine-exact integers.
+    Returns the index, the per-bucket contributions, and the standard
+    verdict band."""
+    if len(counts_a) != len(counts_b) or not counts_a:
+        raise ValueError("count vectors must be equal-length and non-empty")
+    n = len(counts_a)
+    ta = sum(counts_a) + n
+    tb = sum(counts_b) + n
+    contrib = []
+    for ca, cb in zip(counts_a, counts_b):
+        pa = (ca + 1) / ta
+        pb = (cb + 1) / tb
+        contrib.append((pb - pa) * math.log(pb / pa))
+    psi = sum(contrib)
+    verdict = "stable" if psi < 0.1 else ("moderate" if psi <= 0.25 else "major")
+    return {"psi": psi, "contributions": contrib, "verdict": verdict}
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+) -> dict:
+    """End-to-end drift check of ``col`` between snapshot A (reference,
+    defines the bucket grid) and snapshot B: two bounded aggregations, one
+    tiny driver-side PSI. Returns edges, both count vectors, per-bucket
+    contributions, ``psi`` and the verdict."""
+    edges = bucket_edges(df_a, col, n_buckets=n_buckets, exact=exact)
+    ca = bucket_counts(df_a, col, edges)
+    cb = bucket_counts(df_b, col, edges)
+    out = psi_from_counts(ca, cb)
+    out.update({"edges": edges, "counts_a": ca, "counts_b": cb})
+    return out

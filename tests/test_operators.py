@@ -1,5 +1,7 @@
 """Operator-level tests: dedup variants, ANN similarity, multimodal plumbing."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -2091,3 +2093,53 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         write_training_shards(df, out, n_shards=0, id_col="doc_id")
     with _pytest.raises(ValueError):
         write_training_shards(df, out, n_shards=2, id_col="doc_id", files_per_shard=0)
+
+
+def test_distribution_drift_psi(spark):
+    """PSI drift monitoring: identical snapshots are stable (~0), a shifted
+    snapshot is major drift, empty buckets survive via +1 smoothing, a
+    near-constant reference collapses duplicate quantile edges instead of
+    emitting zero-width buckets, boundary values take the LOWER bucket, and
+    counts are conserved."""
+    from data_quality_framework_spark.operators.drift import (
+        bucket_edges,
+        bucket_of,
+        distribution_drift,
+        psi_from_counts,
+    )
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = distribution_drift(a, a, "v", n_buckets=10)
+    assert same["verdict"] == "stable" and abs(same["psi"]) < 1e-9
+    assert sum(same["counts_a"]) == 1000 == sum(same["counts_b"])
+
+    shifted = spark.range(0, 1000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    drift = distribution_drift(a, shifted, "v", n_buckets=10)
+    assert drift["verdict"] == "major" and drift["psi"] > 0.25
+    # top bucket gained mass, bottom buckets emptied — both contribute
+    assert drift["counts_b"][-1] > drift["counts_a"][-1]
+    assert drift["counts_b"][0] == 0
+
+    # duplicate quantile edges collapse (90% of the mass at one value)
+    lumpy = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 < 9, 5.0).otherwise(F.col("id").cast("double")).alias("v")
+    )
+    edges = bucket_edges(lumpy, "v", n_buckets=10)
+    assert edges == sorted(set(edges))
+
+    # boundary inclusive: value == edge -> lower bucket; NULL -> NULL
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "v double")
+    got = [r["b"] for r in df.select(bucket_of(F.col("v"), [2.0]).alias("b")).collect()]
+    assert got == [0, 0, 1, None]
+
+    # smoothing: an empty bucket never produces log(0)
+    out = psi_from_counts([10, 0], [0, 10])
+    assert math.isfinite(out["psi"]) and out["verdict"] == "major"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psi_from_counts([1, 2], [1])
+    with _pytest.raises(ValueError):
+        bucket_edges(a, "v", n_buckets=1)
