@@ -117,3 +117,42 @@ def distribution_drift(
     out = psi_from_counts(ca, cb)
     out.update({"edges": edges, "counts_a": ca, "counts_b": cb})
     return out
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    max_categories: int = 10_000,
+) -> dict:
+    """PSI over a CATEGORICAL column (language mix, drop_reason mix, domain
+    TLD mix): one count aggregation per snapshot (map-side partials collapse
+    to the category cardinality), categories aligned by full union, NULL kept
+    as its own category (a lang column going NULL-heavy IS drift, not data to
+    discard). Same +1 smoothing and verdict bands as the numeric path — a
+    category present in only one snapshot contributes finitely.
+
+    ``max_categories`` refuses accidental high-cardinality columns (urls,
+    ids) loudly instead of collecting them."""
+    def counts(df: DataFrame) -> dict:
+        rows = (
+            df.select(F.col(col).cast("string").alias("__c"))
+            .groupBy("__c")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .limit(max_categories + 1)
+            .collect()
+        )
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"{col} has more than {max_categories} categories; "
+                "categorical PSI is for low-cardinality mixes"
+            )
+        return {r["__c"]: int(r["__n"]) for r in rows}
+
+    ca, cb = counts(df_a), counts(df_b)
+    cats = sorted(set(ca) | set(cb), key=lambda c: (c is None, c))
+    va = [ca.get(c, 0) for c in cats]
+    vb = [cb.get(c, 0) for c in cats]
+    out = psi_from_counts(va, vb)
+    out.update({"categories": cats, "counts_a": va, "counts_b": vb})
+    return out

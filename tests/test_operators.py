@@ -2143,3 +2143,35 @@ def test_distribution_drift_psi(spark):
         psi_from_counts([1, 2], [1])
     with _pytest.raises(ValueError):
         bucket_edges(a, "v", n_buckets=1)
+
+
+def test_categorical_drift_psi(spark):
+    """Categorical PSI: identical language mixes are stable, a collapsed mix
+    is major drift, single-snapshot categories and NULLs are aligned (NULL
+    is a category, not dropped), and high-cardinality columns are refused."""
+    from data_quality_framework_spark.operators.drift import categorical_drift
+
+    a = spark.range(0, 900).select(
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr").alias("lang")
+    )
+    same = categorical_drift(a, a, "lang")
+    assert same["verdict"] == "stable" and abs(same["psi"]) < 1e-9
+
+    b = spark.range(0, 900).select(
+        F.when(F.col("id") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("en")).alias("lang")
+    )
+    drift = categorical_drift(a, b, "lang")
+    assert drift["verdict"] == "major"
+    assert drift["categories"][-1] is None  # NULL aligned as its own category
+    assert sum(drift["counts_a"]) == 900 == sum(drift["counts_b"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        categorical_drift(
+            spark.range(0, 50).select(F.col("id").cast("string").alias("c")),
+            spark.range(0, 50).select(F.col("id").cast("string").alias("c")),
+            "c", max_categories=10,
+        )
