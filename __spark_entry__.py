@@ -1267,6 +1267,37 @@ def _split_assign_oracle_sql() -> str:
     """
 
 
+def _split_leakage_oracle_sql() -> str:
+    """50/30/20 thresholds from the operator's own cumulative-integer code
+    path; the group aggregate replayed over md5(content)."""
+    from data_quality_framework_spark.operators.sampling import _threshold
+
+    t1 = _threshold(min(0.5, 1.0))
+    t2 = _threshold(min(0.5 + 0.3, 1.0))
+    return f"""
+        WITH m AS (SELECT doc_id,
+                          CASE WHEN doc_id % 4 = 0 THEN text
+                               ELSE 'GROUP-' || CAST(doc_id % 50 AS VARCHAR)
+                          END AS content
+                   FROM documents),
+        s AS (SELECT doc_id, content,
+                     CASE WHEN h < {t1} THEN 'train'
+                          WHEN h < {t2} THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id, content,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15) AS BIGINT) AS h
+                    FROM m WHERE content IS NOT NULL) t),
+        g AS (SELECT md5(content) AS content_md5,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                     array_to_string(list_sort(list_distinct(list(split))), ',') AS splits,
+                     CAST(min(doc_id) AS BIGINT) AS min_doc_id
+              FROM s GROUP BY 1)
+        SELECT content_md5, n_docs, n_splits, splits, min_doc_id
+        FROM g WHERE n_splits > 1 ORDER BY content_md5
+    """
+
+
 def _q_line_shape(spark, sf):
     """Gopher line-shape signals (r5): bullet-start / ellipsis-end /
     duplicate-line / alpha-word fractions over multi-line docs built
@@ -1644,6 +1675,117 @@ def _q_component_sizes(spark, sf):
     )
 
 
+def _component_edges(d):
+    """The deterministic doc_id pair graph shared by the component-size and
+    soft-dedup gates: per-8-block chains of varying length + a cycle edge."""
+    i = F.col("doc_id")
+    s = F.floor(i / 8) % 8
+    chain = d.filter((i % 8) < s).select(i.alias("id_a"), (i + 1).alias("id_b"))
+    cycle = d.filter(((i % 8) == 0) & (s > 1)).select(
+        i.alias("id_a"), (i + s).alias("id_b")
+    )
+    return chain.unionByName(cycle)
+
+
+def _q_soft_dedup(spark, sf):
+    """Soft deduplication (r5): instead of dropping near-duplicates, every
+    doc is weighted 1/|its dup cluster| so each family contributes one
+    document's worth of sampling mass. Clusters come from the iterative
+    min-label propagation; the oracle re-derives them with a genuine
+    recursive CTE and replays the same 1/size division (rounded 6 dp on
+    both sides). Singletons take weight 1.0 via the left join's null path."""
+    from data_quality_framework_spark.operators.dedup import soft_dedup_weights
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = soft_dedup_weights(d, _component_edges(d), "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round("sample_weight", 6).alias("weight"),
+    ).orderBy("doc_id")
+
+
+def _q_split_leakage(spark, sf):
+    """Cross-split contamination audit (r5): content groups are planted so
+    3 of 4 docs share one of 50 boilerplate texts (the rest keep their own
+    prose); under a 50/30/20 split, shared groups straddle splits. The
+    operator re-derives membership from the id hash and reports each leaked
+    content group; the oracle replays the md5-threshold split and the same
+    group aggregate."""
+    from data_quality_framework_spark.operators.sampling import split_leakage
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    m = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .otherwise(F.concat(F.lit("GROUP-"), (F.col("doc_id") % 50).cast("string")))
+        .alias("content"),
+    )
+    out = split_leakage(
+        m, "doc_id", "content", {"train": 0.5, "val": 0.3, "test": 0.2}
+    )
+    return out.orderBy("content_md5")
+
+
+def _q_domain_reputation(spark, sf):
+    """Domain-level reputation gating (r5): hosts are doc_id%16 buckets, a
+    doc is 'good' iff lang='en' and n_chars>=200; hosts with >=20 docs and
+    strictly under 29% good are dropped wholesale. The verdict is integer-
+    exact (100*n_good < 29*n_docs) and the evidence counts ship only on
+    failing hosts' rows — the oracle recomputes the per-host aggregate and
+    the same cross-multiplied cut."""
+    from data_quality_framework_spark.operators.domains import domain_reputation_flags
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 16).cast("string")).alias("host"),
+        "lang",
+        "n_chars",
+    )
+    good = (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    out = domain_reputation_flags(d, "host", good, min_support=20, min_good_pct=29)
+    return out.select(
+        "doc_id", "host", "domain_keep", "domain_n_docs", "domain_n_good"
+    ).orderBy("doc_id")
+
+
+def _q_global_rank(spark, sf):
+    """Distributed global ranking (r5): a total order over the corpus by
+    (n_chars DESC NULLS LAST, doc_id) WITHOUT a single-partition sort —
+    range repartition + within-partition row_number + broadcast offsets.
+    The oracle is the single-node truth: row_number() OVER the same order."""
+    from data_quality_framework_spark.operators.ranking import global_rank
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = global_rank(
+        d,
+        [F.col("n_chars").desc_nulls_last(), F.col("doc_id")],
+        rank_col="global_rank",
+        num_partitions=8,
+    )
+    return out.select("doc_id", "n_chars", "global_rank").orderBy("doc_id")
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (r5): the events stream cut into per-user
+    sessions at 6 h of inactivity — two stacked windows over ONE (user)
+    shuffle + the per-session rollup. All boundary arithmetic is integer
+    microseconds with the event id as tiebreak; the oracle replays
+    lag/sum-over windows in DuckDB on epoch_us."""
+    from data_quality_framework_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf, "events").select("event_id", "ts", "user_id")
+    out = sessionize(e, gap_seconds=21600)
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "duration_us",
+    ).orderBy("user_id", "session_idx")
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -1992,6 +2134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_fit_stats": _q_quality_fit_stats,
         # near-dup connected components vs a recursive-CTE ground truth (r5)
         "dedup_component_sizes": _q_component_sizes,
+        # soft dedup: 1/|cluster| sampling weights instead of drops (r5)
+        "dedup_soft_weights": _q_soft_dedup,
+        # cross-split contamination audit on the id-hash split line (r5)
+        "text_split_leakage": _q_split_leakage,
+        # per-host reputation feedback into per-row verdicts (r5)
+        "text_domain_reputation": _q_domain_reputation,
+        # two-pass range-sort global ranking, no single-partition sort (r5)
+        "text_global_rank": _q_global_rank,
+        # gap-based sessionization of the events stream (r5)
+        "events_sessionize": _q_sessionize,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -3543,6 +3695,88 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT component, count(*) AS n_members
             FROM comp GROUP BY component ORDER BY component
+        """,
+        # soft-dedup oracle (r5): recursive-CTE components (vs the operator's
+        # label propagation), weight = round(1/size, 6), singletons via the
+        # left join's null path
+        "dedup_soft_weights": """
+            WITH RECURSIVE
+            e0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+              FROM documents WHERE doc_id % 8 < (doc_id // 8) % 8
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT), CAST(doc_id + (doc_id // 8) % 8 AS BIGINT)
+              FROM documents WHERE doc_id % 8 = 0 AND (doc_id // 8) % 8 > 1
+            ),
+            und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            r AS (
+              SELECT a AS id, b AS x FROM und
+              UNION
+              SELECT r.id, und.b FROM r JOIN und ON und.a = r.x
+            ),
+            comp AS (SELECT id, least(id, min(x)) AS component FROM r GROUP BY id),
+            sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+                   FROM comp GROUP BY component),
+            w AS (SELECT comp.id, sz.csize FROM comp JOIN sz USING (component))
+            SELECT d.doc_id,
+                   coalesce(w.csize, 1) AS cluster_size,
+                   round(CAST(1 AS DOUBLE) / coalesce(w.csize, 1), 6) AS weight
+            FROM documents d LEFT JOIN w ON w.id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        # split-leakage oracle (r5): the md5-threshold split replayed from
+        # the operator's own cumulative integer thresholds, one group-by
+        # over the content hash
+        "text_split_leakage": _split_leakage_oracle_sql(),
+        # domain-reputation oracle (r5): per-host counts + the same
+        # cross-multiplied integer cut; evidence only on failing hosts
+        "text_domain_reputation": """
+            WITH d AS (SELECT doc_id,
+                              'h' || CAST(doc_id % 16 AS VARCHAR) AS host,
+                              coalesce(lang = 'en' AND n_chars >= 200, FALSE) AS good
+                       FROM documents),
+            rep AS (SELECT host,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(CAST(good AS BIGINT)) AS BIGINT) AS n_good
+                    FROM d GROUP BY host
+                    HAVING count(*) >= 20
+                       AND sum(CAST(good AS BIGINT)) * 100 < 29 * count(*))
+            SELECT d.doc_id, d.host,
+                   rep.host IS NULL AS domain_keep,
+                   rep.n_docs AS domain_n_docs,
+                   rep.n_good AS domain_n_good
+            FROM d LEFT JOIN rep ON d.host = rep.host
+            ORDER BY d.doc_id
+        """,
+        # global-rank oracle (r5): the single-node truth the two-pass range
+        # sort must equal exactly — row_number over the same strict order
+        "text_global_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM documents ORDER BY doc_id
+        """,
+        # sessionize oracle (r5): lag + running-sum windows over epoch_us
+        # with the same 6 h integer gap and event-id tiebreak
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+            l AS (SELECT user_id, ts, event_id, us,
+                         lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM e),
+            i AS (SELECT user_id, us,
+                         CAST(sum(CASE WHEN prev IS NULL OR us - prev > 21600000000
+                                       THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS session_idx
+                  FROM l)
+            SELECT user_id, session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   CAST(max(us) - min(us) AS BIGINT) AS duration_us
+            FROM i GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx
         """,
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the

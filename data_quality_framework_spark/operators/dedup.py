@@ -1158,3 +1158,40 @@ def compact_store(spark, store_path: str, compacted_id: str = "compacted") -> di
         if p.getName() != f"batch_id={compacted_id}":
             fs.delete(p, True)
     return {"batches_in": len(dirs), "compacted": True, "mode": mode, "rows": rows}
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weight_col: str = "sample_weight",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, weight every
+    document by 1 / |its near-dup cluster| so a family of N near-copies
+    contributes ONE document's worth of sampling mass (the repetition-
+    without-deletion middle ground — hard dedup loses the natural frequency
+    signal entirely; no dedup lets boilerplate dominate the loss).
+
+    ``pairs`` is the verified near-dup edge list (id_a, id_b) — the
+    MinHash/SimHash tail. Clusters come from :func:`near_dup_components`
+    (iterative min-label propagation over the tail-sized graph); weights are
+    1.0 / cluster_size, exact in both engines (one IEEE division of two
+    small integers); singletons (docs in no pair) weigh 1.0 via the left
+    join's null path. The join back to the corpus is broadcast-sized in
+    practice (the dup tail ≪ the corpus) but left as a plain equi-join so
+    AQE can pick broadcast vs shuffle from the measured tail size.
+    """
+    comp = near_dup_components(pairs, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__csize"))
+    weights = comp.join(sizes, "component").select(
+        F.col("id").alias("__wid"),
+        (F.lit(1.0) / F.col("__csize")).alias("__w"),
+        F.col("__csize").alias("cluster_size"),
+    )
+    return (
+        docs.join(weights, docs[id_col] == weights["__wid"], "left")
+        .withColumn(weight_col, F.coalesce(F.col("__w"), F.lit(1.0)))
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)).cast("long"))
+        .drop("__wid", "__w")
+    )

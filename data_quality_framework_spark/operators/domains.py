@@ -1,0 +1,71 @@
+"""Domain-level reputation aggregation and gating.
+
+Web-text pipelines score DOMAINS, not just documents: a host whose pages
+are consistently low-quality (link farms, parked domains, boilerplate
+mills) is dropped wholesale even when an individual page squeaks past the
+per-doc rules (the C4/Gopher pipelines' domain blocklists were built this
+way). The reference's closest analog is the per-group aggregate compare
+(statistics_checker.py's GROUP BY reports); here the aggregate FEEDS BACK
+into a per-row verdict.
+
+Shape at scale: the per-host aggregate is one map-side-combinable shuffle
+keyed by host (cardinality millions, not trillions); the verdict join back
+to docs broadcasts only the BAD-host list, which is smaller still — no
+second full-corpus shuffle. The keep decision is INTEGER-exact
+(cross-multiplied fraction threshold), so no float summation order can
+flip a verdict between engines or between cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["domain_reputation_flags"]
+
+
+def domain_reputation_flags(
+    df: DataFrame,
+    host_col: str,
+    good_col: Column,
+    min_support: int = 20,
+    min_good_pct: int = 50,
+    flag_col: str = "domain_keep",
+) -> DataFrame:
+    """Flag each row with ``flag_col``: False iff its host has at least
+    ``min_support`` docs and STRICTLY fewer than ``min_good_pct`` percent
+    of them satisfy ``good_col`` (a boolean per-doc quality verdict —
+    null counts as not-good).
+
+    Low-support hosts always keep: with < ``min_support`` observations the
+    fraction is noise, and the cold-start bias should be keep-leaning (the
+    per-doc rules still apply downstream). The decision is evaluated as
+    ``100 * n_good < min_good_pct * n_docs`` in integers.
+
+    Returns the input plus ``flag_col`` and the host's ``domain_n_docs`` /
+    ``domain_n_good`` evidence columns — populated ONLY for rows of failing
+    hosts (null for kept rows): the drop lineage needs the evidence, and
+    shipping counts for every healthy host would turn the broadcast of a
+    small blocklist into a broadcast of the whole host table.
+    """
+    if not 0 <= min_good_pct <= 100:
+        raise ValueError(f"min_good_pct must be in [0, 100], got {min_good_pct}")
+    rep = (
+        df.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("domain_n_docs"),
+            F.sum(F.coalesce(good_col, F.lit(False)).cast("long"))
+            .cast("long")
+            .alias("domain_n_good"),
+        )
+        .filter(
+            (F.col("domain_n_docs") >= min_support)
+            & (F.col("domain_n_good") * 100 < min_good_pct * F.col("domain_n_docs"))
+        )
+    )
+    bad = F.broadcast(rep.withColumn("__bad", F.lit(True)))
+    return (
+        df.join(bad, on=host_col, how="left")
+        .withColumn(flag_col, F.col("__bad").isNull())
+        .drop("__bad")
+    )

@@ -322,3 +322,49 @@ def domain_cap_sample(
         .filter(F.col("quota_keep"))
         .drop("quota_keep")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-split contamination audit: content groups whose members landed
+    in MORE THAN ONE split.
+
+    A held-out split is only held out if no near-copy of its documents sits
+    in train — the eval-leakage failure mode of web corpora (duplicated
+    boilerplate, syndicated articles, recrawls). This operator runs AFTER
+    :func:`assign_split` semantics: membership is re-derived from the id
+    hash (so the audit never trusts a possibly-stale split column), content
+    identity is the md5 of ``content_col`` (plug in a normalized text or a
+    MinHash-component id for near-dup leakage), and one hash-aggregate per
+    content group yields the leaked ones.
+
+    Returns (content_md5, n_docs, n_splits, splits, min_doc_id) for groups
+    with ``n_splits > 1``; ``splits`` is the sorted comma-joined distinct
+    split list. Null content rows are excluded (they are a nullity problem,
+    not a leakage problem). Scale shape: ONE shuffle keyed by content hash
+    — the same key the exact-dedup pass already shuffles on, so in a fused
+    pipeline this audit rides that exchange for free.
+    """
+    s = assign_split(
+        df.filter(F.col(content_col).isNotNull()), id_col, fractions, seed=seed
+    )
+    return (
+        s.select(
+            F.md5(F.encode(F.col(content_col), "UTF-8")).alias("content_md5"),
+            F.col(id_col).cast("long").alias("__id"),
+            "split",
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min("__id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -1,0 +1,82 @@
+"""Gap-based sessionization of event streams.
+
+Crawl/interaction logs arrive as flat (user, ts, ...) rows; downstream
+quality analysis wants SESSIONS (a crawl visit, a user browse session): a
+new session opens when the gap since the user's previous event exceeds a
+threshold. The distributed shape is two stacked window functions over the
+SAME (user) partitioning — Catalyst plans a single shuffle + sort feeding
+both — followed by an aggregate that reuses the (user, session) keys:
+
+    lag(ts)  →  is_new = gap > threshold  →  session_idx = running sum
+
+This is the reference's daily-summary idea (statistics_checker.py's
+per-day GROUP BY compare) generalized to data-driven windows. All gap
+arithmetic is integer microseconds (``unix_micros``), so engines can never
+disagree on a boundary; the event ordering is made strict with the event
+id as tiebreak (equal timestamps would otherwise make lag() nondetermin-
+istic under retries/partitioning).
+
+Skew note: window partitions are per-user — a bot user with 10^8 events
+serializes onto one task. For web-scale logs pre-split such users by
+(user, day) first, then stitch day-boundary sessions with a second, much
+smaller pass over per-day head/tail rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize"]
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign each event a per-user ``session_idx`` (1-based, in time
+    order) and return per-session rollups:
+
+    (user, session_idx, n_events, session_start, session_end,
+    duration_us) — duration in integer microseconds.
+
+    Null timestamps are rejected loudly (a null ts cannot be gap-compared;
+    upstream should route them to a quarantine rule first) rather than
+    silently sorted to one end.
+    """
+    # parquet web logs surface as TIMESTAMP_NTZ; interpret the wall clock in
+    # the session timezone (gap arithmetic only ever sees differences, so a
+    # constant offset cannot move a session boundary)
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    # the null guard lives INSIDE the epoch expression the windows consume —
+    # a standalone withColumn+drop would be pruned by Catalyst and never fire
+    us = F.when(
+        F.col(ts_col).isNull(),
+        F.assert_true(F.lit(False), F.lit("sessionize: null ts")).cast("long"),
+    ).otherwise(F.unix_micros(ts))
+    order = [F.col(ts_col), F.col(id_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | (us - prev > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_idx = events.withColumn(
+        "session_idx",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
+        )
+    )

@@ -2175,3 +2175,173 @@ def test_categorical_drift_psi(spark):
             spark.range(0, 50).select(F.col("id").cast("string").alias("c")),
             "c", max_categories=10,
         )
+
+
+def test_soft_dedup_weights_cluster_mass(spark):
+    """Soft dedup: every near-dup family contributes exactly one document's
+    worth of mass (weights sum to the number of distinct clusters +
+    singletons), singletons weigh 1.0 via the left join's null path, and
+    the corpus row count is preserved (nothing is dropped)."""
+    from data_quality_framework_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = soft_dedup_weights(docs, pairs, "doc_id").collect()
+    assert len(out) == 10  # soft: no row is dropped
+    by_id = {r["doc_id"]: r for r in out}
+    for i in (0, 1, 2):
+        assert by_id[i]["cluster_size"] == 3
+        assert abs(by_id[i]["sample_weight"] - 1 / 3) < 1e-12
+    for i in (5, 6):
+        assert by_id[i]["cluster_size"] == 2
+        assert abs(by_id[i]["sample_weight"] - 0.5) < 1e-12
+    for i in (3, 4, 7, 8, 9):
+        assert by_id[i]["cluster_size"] == 1
+        assert by_id[i]["sample_weight"] == 1.0
+    # one document's worth of mass per cluster: 2 clusters + 5 singletons
+    assert abs(sum(r["sample_weight"] for r in out) - 7.0) < 1e-9
+
+
+def test_split_leakage_finds_cross_split_groups(spark):
+    """The audit reports exactly the content groups whose members straddle
+    splits (re-derived independently from assign_split), excludes null
+    content, and its plan is ONE exchange (the content-hash groupBy)."""
+    from data_quality_framework_spark.operators.sampling import (
+        assign_split,
+        split_leakage,
+    )
+
+    d = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 7, F.lit(None).cast("string"))
+        .when(F.col("id") % 2 == 0, F.concat(F.lit("G"), (F.col("id") % 20).cast("string")))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("content"),
+    )
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    got = {
+        r["content_md5"]: r
+        for r in split_leakage(d, "doc_id", "content", fr).collect()
+    }
+    # independent expectation: group (content -> set of splits) in Python
+    rows = assign_split(d.filter(F.col("content").isNotNull()), "doc_id", fr).collect()
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: {"splits": set(), "n": 0, "min_id": None})
+    for r in rows:
+        g = groups[hashlib.md5(r["content"].encode()).hexdigest()]
+        g["splits"].add(r["split"])
+        g["n"] += 1
+        g["min_id"] = r["doc_id"] if g["min_id"] is None else min(g["min_id"], r["doc_id"])
+    want = {k: v for k, v in groups.items() if len(v["splits"]) > 1}
+    assert set(got) == set(want) and len(want) > 0
+    for k, v in want.items():
+        assert got[k]["n_docs"] == v["n"]
+        assert got[k]["n_splits"] == len(v["splits"])
+        assert got[k]["splits"] == ",".join(sorted(v["splits"]))
+        assert got[k]["min_doc_id"] == v["min_id"]
+    # unique-content docs must not be reported even when n_docs == 1 spans
+    # nothing; null-content rows contribute no group at all
+    assert not any(g["n_docs"] == 1 for g in got.values())
+    plan = split_leakage(d, "doc_id", "content", fr)._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[0].count("Exchange") <= 1
+
+
+def test_domain_reputation_flags_support_and_cut(spark):
+    """Hosts under min_support always keep; a host strictly under the good
+    cut drops with evidence columns populated ONLY on its rows; the
+    blocklist join is a broadcast (no full second shuffle of the corpus)."""
+    from data_quality_framework_spark.operators.domains import domain_reputation_flags
+
+    rows = (
+        [("bad", i, i % 10 == 0) for i in range(30)]     # 10% good
+        + [("ok", i, i % 10 != 0) for i in range(30)]    # 90% good
+        + [("tiny", i, False) for i in range(5)]          # below support
+        + [("edge", i, i < 15) for i in range(30)]        # exactly 50% good
+    )
+    d = spark.createDataFrame(rows, "host string, i long, good boolean")
+    out = domain_reputation_flags(
+        d, "host", F.col("good"), min_support=20, min_good_pct=50
+    )
+    got = out.collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    assert all(not r["domain_keep"] for r in by_host["bad"])
+    assert all(r["domain_keep"] for r in by_host["ok"])
+    assert all(r["domain_keep"] for r in by_host["tiny"])  # below support
+    assert all(r["domain_keep"] for r in by_host["edge"])  # strict <, 50% keeps
+    for r in by_host["bad"]:
+        assert r["domain_n_docs"] == 30 and r["domain_n_good"] == 3
+    for h in ("ok", "tiny", "edge"):
+        assert all(r["domain_n_docs"] is None for r in by_host[h])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError):
+        domain_reputation_flags(d, "host", F.col("good"), min_good_pct=101)
+
+
+def test_global_rank_equals_single_node_truth(spark):
+    """The two-pass range sort reproduces row_number() OVER (ORDER BY ...)
+    exactly — ties broken by the id make the order strict — across a
+    partition count that forces non-trivial offsets."""
+    from data_quality_framework_spark.operators.ranking import global_rank
+
+    d = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 37) % 101).alias("key")
+    )
+    out = global_rank(
+        d, [F.col("key"), F.col("doc_id")], rank_col="r", num_partitions=7
+    ).collect()
+    assert sorted(r["r"] for r in out) == list(range(1, 501))
+    want = {
+        row[0]: i + 1
+        for i, row in enumerate(
+            sorted(((r["doc_id"], r["key"]) for r in out), key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert all(want[r["doc_id"]] == r["r"] for r in out)
+    with pytest.raises(ValueError):
+        global_rank(d, [])
+
+
+def test_sessionize_boundaries_and_null_guard(spark):
+    """A gap exactly at the threshold stays in-session (strict >); one
+    microsecond over opens a new session; equal timestamps order by event
+    id; null timestamps raise instead of silently sorting to one end."""
+    from data_quality_framework_spark.operators.sessions import sessionize
+
+    base = 1_700_000_000_000_000  # epoch micros
+    gap = 600 * 1_000_000
+    rows = [
+        # user 1: 3 events in one session (gaps exactly == threshold), then
+        # one event gap+1us later -> second session
+        (1, 1, base),
+        (2, 1, base + gap),
+        (3, 1, base + 2 * gap),
+        (4, 1, base + 3 * gap + 1),
+        # user 2: two events at the SAME ts (tiebreak by id), one later
+        (5, 2, base),
+        (6, 2, base),
+        (7, 2, base + gap + 1),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, us long").select(
+        "event_id", "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = sessionize(e, gap_seconds=600).collect()
+    got = {(r["user_id"], r["session_idx"]): r for r in out}
+    assert set(got) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    assert got[(1, 1)]["n_events"] == 3
+    assert got[(1, 1)]["duration_us"] == 2 * gap
+    assert got[(1, 2)]["n_events"] == 1 and got[(1, 2)]["duration_us"] == 0
+    assert got[(2, 1)]["n_events"] == 2 and got[(2, 1)]["duration_us"] == 0
+    assert got[(2, 2)]["n_events"] == 1
+
+    bad = spark.createDataFrame(
+        [(1, 1, None)], "event_id long, user_id long, ts timestamp"
+    )
+    with pytest.raises(Exception, match="null ts"):
+        sessionize(bad, gap_seconds=600).collect()
