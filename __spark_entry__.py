@@ -1786,6 +1786,50 @@ def _q_sessionize(spark, sf):
     ).orderBy("user_id", "session_idx")
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (r5): every purchase event picks up the most recent prior
+    (or simultaneous) view by the same user — the union-tag sweep (one
+    shuffle, one sort, NO join node) vs DuckDB's genuinely independent
+    native ASOF LEFT JOIN."""
+    from data_quality_framework_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        p, v, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], right_id_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.col("asof_ts_us").alias("view_ts_us"),
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_value").alias("view_value"),
+    ).orderBy("purchase_id")
+
+
+def _q_topk_per_group(spark, sf):
+    """Skew-safe per-group top-k (r5): the 3 longest docs per language by
+    (n_chars DESC, doc_id) via the two-phase partial top-k (no group ever
+    sorts in one task) vs the single-node row_number truth."""
+    from data_quality_framework_spark.operators.ranking import topk_per_group
+
+    d = _t(spark, sf, "documents").select("lang", "doc_id", "n_chars")
+    out = topk_per_group(
+        d, ["lang"], [(-F.col("n_chars")).alias("neg"), F.col("doc_id")], 3,
+        payload_cols=["doc_id", "n_chars"],
+    )
+    return out.select("lang", "group_rank", "doc_id", "n_chars").orderBy(
+        "lang", "group_rank"
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2144,6 +2188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_global_rank": _q_global_rank,
         # gap-based sessionization of the events stream (r5)
         "events_sessionize": _q_sessionize,
+        # as-of join without a join node vs DuckDB native ASOF (r5)
+        "events_asof_join": _q_asof_join,
+        # skew-safe two-phase per-group top-k (r5)
+        "text_topk_per_group": _q_topk_per_group,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -3777,6 +3825,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(us) - min(us) AS BIGINT) AS duration_us
             FROM i GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx
+        """,
+        # as-of oracle (r5): DuckDB's NATIVE ASOF LEFT JOIN — a genuinely
+        # independent implementation of the same temporal semantics
+        "events_asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'view')
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   epoch_us(v.ts) AS view_ts_us,
+                   v.event_id AS view_id,
+                   v.value AS view_value
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY purchase_id
+        """,
+        # per-group top-k oracle (r5): the single-node row_number truth the
+        # two-phase partial top-k must reproduce exactly
+        "text_topk_per_group": """
+            SELECT lang, group_rank, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank
+              FROM documents) t
+            WHERE group_rank <= 3
+            ORDER BY lang, group_rank
         """,
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank"]
+__all__ = ["global_rank", "topk_per_group"]
 
 
 def global_rank(
@@ -86,3 +86,66 @@ def global_rank(
         out = out.localCheckpoint(eager=True)
         part.unpersist()
     return out
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    payload_cols: list[str] | None = None,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Top-``k`` rows per group under ``order_by`` (a STRICT total order
+    within each group — include a unique tiebreak), skew-safely.
+
+    The textbook ``row_number() OVER (PARTITION BY group)`` + filter
+    shuffles EVERY row and sorts each group in one task — a Zipfian hot
+    group (one host with 10^9 docs) serializes the stage. This instead runs
+    the two-phase partial top-k:
+
+    1. per (physical partition, group): sort_array(collect_list(struct))
+       truncated to k — ``spark_partition_id()`` in the key makes every
+       group partition-local, so no task ever sorts more than one
+       partition's slice of a group;
+    2. per group: merge the <= num_partitions * k survivors and slice k.
+
+    Byte-for-byte phase 1's exchange carries the same rows a window would
+    (packed into lists) — the win is WHERE they land: keyed by (pid,
+    group), a hot group spreads across all reducers instead of
+    serializing one task, and the per-group exchange that follows moves
+    <= P * k rows per group regardless of group size.
+    ``order_by`` columns must be expressible as struct fields — pass
+    ``payload_cols`` to carry extra columns through (default: all columns).
+    Ranks are 1..k in ``order_by`` order, ties impossible by contract
+    (strict order), asserted cheaply by construction (sort_array on the
+    full struct).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not group_cols or not order_by:
+        raise ValueError("group_cols and order_by must be non-empty")
+    payload = payload_cols or [c for c in df.columns if c not in group_cols]
+    # encode desc orders as negated sort keys inside the struct: sort_array
+    # sorts ascending on field order, so each order_by Column becomes one
+    # leading struct field; callers express direction via the Column itself
+    # (e.g. (-F.col("score")) for desc) — documented contract
+    row = F.struct(
+        *[c.alias(f"__o{i}") for i, c in enumerate(order_by)],
+        *[F.col(c).alias(c) for c in payload],
+    )
+    partial = (
+        df.groupBy(F.spark_partition_id().alias("__pid"), *group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list(row)), 1, k).alias("__top"))
+        .select(*group_cols, F.explode("__top").alias("__row"))
+    )
+    merged = (
+        partial.groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("__row")), 1, k).alias("__top"))
+        .select(*group_cols, F.posexplode("__top").alias("__pos", "__row"))
+    )
+    return merged.select(
+        *group_cols,
+        (F.col("__pos") + 1).cast("long").alias(rank_col),
+        *[F.col(f"__row.{c}").alias(c) for c in payload],
+    )

@@ -1,0 +1,118 @@
+"""As-of (temporal) joins without a join node.
+
+Web-scale logs constantly ask "the most recent X before this Y": the last
+crawl of a url before a labeling pass, the view that preceded a purchase,
+the config snapshot active when a page was fetched. Spark has no ASOF JOIN
+operator (DuckDB/kdb/pandas do), and the naive emulations both collapse at
+scale: an inequality join (`l.ts >= r.ts`) is a per-key cartesian that
+Catalyst can only nest-loop, and a windowed subquery per left row re-sorts
+the right side once per query.
+
+The scalable recipe is the classic UNION-TAG sweep, expressed declaratively
+so Catalyst plans ONE Exchange + ONE Sort shared by both streams:
+
+1. tag rows (right=carrier, left=probe) and union them on (key, ts);
+2. sort per key by (ts, side, right-id) — side ordering encodes the
+   inclusive/strict boundary (right before left at equal ts iff ``ts >=``
+   matches);
+3. ``last(right_payload, ignorenulls=True)`` over the running window
+   carries the most recent right row forward onto every left row;
+4. keep the probe rows; optionally null out matches older than a
+   ``tolerance``.
+
+Cost: one shuffle of |L| + |R| rows keyed by the join key, one sort — the
+same price as a regular sort-merge join, with none of the range-join blowup.
+Skewed keys (a bot user with 10^8 events) are a window-partition problem
+like any other; pre-split by (key, day) and stitch, as in sessions.py.
+
+Reference parity: the reference joins tables only on equality keys
+(fk_checker.py's anti joins); as-of is beyond-reference north-rule scope.
+DuckDB's native ASOF JOIN makes the oracle genuinely independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    right_id_col: str | None = None,
+    allow_equal: bool = True,
+    tolerance_us: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the most recent ``right``
+    row with the same ``on`` key and ``right.ts <= left.ts`` (strictly
+    ``<`` when ``allow_equal=False``), or nulls when none exists.
+
+    ``right_cols`` are the right columns to carry (returned as
+    ``{prefix}{col}``; ``{prefix}{ts_col}`` is always included so callers
+    can compute staleness). Among right rows sharing one timestamp the
+    winner is the largest ``right_id_col`` (required then — unpinned ties
+    would make the result partition-order-dependent). ``tolerance_us``
+    nulls out matches staler than that many microseconds — pandas
+    ``merge_asof(tolerance=...)`` semantics; the timestamps must be
+    integer microseconds or a type ``unix_micros`` accepts after an NTZ
+    cast (the same convention as sessions.py).
+    """
+    if not right_cols:
+        raise ValueError("right_cols must name at least one column to carry")
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
+
+    def _us(df: DataFrame):
+        ts = F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            ts = ts.cast("timestamp")
+        if dict(df.dtypes).get(ts_col) in ("bigint", "long"):
+            return ts.cast("long")
+        return F.unix_micros(ts)
+
+    tie = (
+        F.col(right_id_col).cast("long")
+        if right_id_col is not None
+        else F.lit(0).cast("long")
+    )
+    payload = F.struct(
+        _us(right).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on), _us(right).alias("__us"), tie.alias("__tie"),
+        F.lit(0 if allow_equal else 1).alias("__side"),
+        payload.alias("__carry"),
+    )
+    lt = left.select(
+        "*",
+        _us(left).alias("__us"),
+        F.lit(1 if allow_equal else 0).alias("__side"),
+        F.lit((1 << 62)).alias("__tie"),  # probe sorts after carriers at its instant
+        F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__us", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(lt, allowMissingColumns=True).withColumn(
+        "__m", F.last("__carry", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == (1 if allow_equal else 0))
+    match = F.col("__m")
+    if tolerance_us is not None:
+        match = F.when(
+            F.col("__us") - F.col("__m.__rts") <= F.lit(tolerance_us), F.col("__m")
+        )
+    out = out.select(
+        *[c for c in left.columns],
+        match["__rts"].alias(f"{prefix}{ts_col}_us"),
+        *[match[c].alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out

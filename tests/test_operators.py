@@ -2345,3 +2345,101 @@ def test_sessionize_boundaries_and_null_guard(spark):
     )
     with pytest.raises(Exception, match="null ts"):
         sessionize(bad, gap_seconds=600).collect()
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive vs strict boundary, tolerance nulling, same-ts right ties
+    pinned to the largest right id, unmatched lefts get nulls — and the
+    plan is ONE exchange with NO join node (the union-tag sweep)."""
+    from data_quality_framework_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 200), (3, "k", 50), (4, "z", 10)],
+        "lid long, k string, us long",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100, 1.0), (11, "k", 100, 2.0), (12, "k", 150, 3.0)],
+        "rid long, k string, us long, v double",
+    )
+    incl = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", ts_col="us",
+            right_cols=["rid", "v"], right_id_col="rid",
+        ).collect()
+    }
+    # at ts 100 two right rows tie -> largest rid (11) wins; ts 200 sees 150
+    assert incl[1] == (11, 2.0)
+    assert incl[2] == (12, 3.0)
+    assert incl[3] == (None, None)     # nothing at or before 50
+    assert incl[4] == (None, None)     # key with no right rows at all
+    strict = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on="k", ts_col="us",
+            right_cols=["rid", "v"], right_id_col="rid", allow_equal=False,
+        ).collect()
+    }
+    assert strict[1] is None           # equal ts excluded under strict
+    assert strict[2] == 12
+    tol = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on="k", ts_col="us",
+            right_cols=["rid", "v"], right_id_col="rid", tolerance_us=40,
+        ).collect()
+    }
+    assert tol[1] == 11                # gap 0 <= 40
+    assert tol[2] is None              # gap 50 > 40 -> nulled
+    out = asof_join(
+        left, right, on="k", ts_col="us", right_cols=["rid"], right_id_col="rid"
+    )
+    head = (
+        out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert head.count("Exchange") == 1 and "Join" not in head
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", ts_col="us", right_cols=[])
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="k", ts_col="us", right_cols=["rid"], tolerance_us=-1)
+
+
+def test_topk_per_group_matches_window_truth(spark):
+    """The two-phase partial top-k reproduces row_number() OVER (PARTITION
+    BY group ORDER BY ...) exactly, on skewed groups spanning many input
+    partitions, including groups smaller than k."""
+    from pyspark.sql import Window
+
+    from data_quality_framework_spark.operators.ranking import topk_per_group
+
+    d = (
+        spark.range(0, 2000, 1, 16)
+        .select(
+            F.col("id"),
+            # skew: 80% of rows in group 'hot'
+            F.when(F.col("id") % 5 != 0, "hot")
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+            .alias("g"),
+            ((F.col("id") * 131) % 997).alias("score"),
+        )
+    )
+    got = topk_per_group(
+        d, ["g"], [(-F.col("score")).alias("neg"), F.col("id")], 5,
+        payload_cols=["id", "score"],
+    ).collect()
+    w = Window.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+    want = (
+        d.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5).collect()
+    )
+    assert {(r["g"], r["group_rank"], r["id"], r["score"]) for r in got} == {
+        (r["g"], r["r"], r["id"], r["score"]) for r in want
+    }
+    # a group with fewer than k members yields all its rows
+    tiny = spark.createDataFrame([("t", 1, 9)], "g string, id long, score long")
+    assert topk_per_group(
+        tiny, ["g"], [(-F.col("score")).alias("n"), F.col("id")], 5
+    ).count() == 1
+    with pytest.raises(ValueError):
+        topk_per_group(d, ["g"], [F.col("id")], 0)
+    with pytest.raises(ValueError):
+        topk_per_group(d, [], [F.col("id")], 5)
