@@ -1830,6 +1830,68 @@ def _q_topk_per_group(spark, sf):
     )
 
 
+def _host_rank_oracle_sql(
+    iterations: int = 5, damping_bp: int = 8500, scale: int = 1_000_000
+) -> str:
+    """Unrolled-iteration SQL replay of `graphrank.host_rank`: the same
+    synthesized edge list, then one chained CTE per power step with `//`
+    integer division — DuckDB's floor-div equals Spark's `div` because every
+    intermediate here is non-negative. Integer arithmetic makes the result
+    partitioning- and engine-exact, so the comparison is bit-for-bit."""
+    base = scale * (10000 - damping_bp) // 10000
+    ctes = [
+        f"""edges AS (
+            SELECT 'h' || CAST(doc_id % 64 AS VARCHAR) AS src,
+                   'h' || CAST((doc_id * 37 + coalesce(n_chars, 0)) % 64
+                               AS VARCHAR) AS dst
+            FROM documents),
+        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.id,
+                   CAST({base} + ({damping_bp} * coalesce(s.s, 0)) // 10000
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(r.rank // o.d) AS s
+                FROM edges e JOIN outdeg o ON e.src = o.src
+                             JOIN r{i - 1} r ON r.id = e.src
+                GROUP BY e.dst) s ON n.id = s.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS host, rank FROM r{iterations} ORDER BY host"
+    )
+
+
+def _q_host_rank(spark, sf):
+    """Host-graph PageRank (r5): a deterministic 64-host link graph is
+    synthesized from the corpus (src = doc_id mod 64; dst = (37*doc_id +
+    n_chars) mod 64, so in-degree inherits the length distribution's skew
+    and multi-edges are real), then ranked by 5 integer fixed-point power
+    steps (`operators/graphrank.host_rank`). All arithmetic is integer
+    (scale units, basis-point damping, `div`), so Spark and the unrolled
+    DuckDB CTE oracle agree bit-for-bit at every tier."""
+    from data_quality_framework_spark.operators.graphrank import host_rank
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 64).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (
+                (F.col("doc_id") * 37 + F.coalesce(F.col("n_chars"), F.lit(0))) % 64
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    out = host_rank(e, iterations=5, damping_bp=8500, scale=1_000_000)
+    return out.select(F.col("id").alias("host"), "rank").orderBy("host")
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2192,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_asof_join,
         # skew-safe two-phase per-group top-k (r5)
         "text_topk_per_group": _q_topk_per_group,
+        "graph_host_rank": _q_host_rank,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -3854,6 +3917,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE group_rank <= 3
             ORDER BY lang, group_rank
         """,
+        # host-rank oracle (r5): the 5 power steps unrolled as chained CTEs
+        # with // integer division — bit-exact vs the Spark fixed-point loop
+        "graph_host_rank": _host_rank_oracle_sql(),
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the
         # same groupBy-count reduction in SQL

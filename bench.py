@@ -77,6 +77,15 @@ HEADLINE = [
     "text_toxicity_filter",
     "text_dedup_normalize",
     "multimodal_media_plan",
+    # r5 seventh wave: soft dedup, domain reputation, global rank,
+    # sessionization, as-of join, per-group top-k
+    "dedup_soft_weights",
+    "text_domain_reputation",
+    "text_global_rank",
+    "events_sessionize",
+    "events_asof_join",
+    "text_topk_per_group",
+    "graph_host_rank",
 ]
 
 

@@ -2443,3 +2443,84 @@ def test_topk_per_group_matches_window_truth(spark):
         topk_per_group(d, ["g"], [F.col("id")], 0)
     with pytest.raises(ValueError):
         topk_per_group(d, [], [F.col("id")], 5)
+
+
+def test_host_rank_integer_exact(spark):
+    """host_rank reproduces a pure-Python integer replay bit-for-bit on a
+    hand-checked triangle AND a pseudo-random multigraph, is invariant to
+    input partitioning (the whole point of fixed-point arithmetic), counts
+    duplicate edges per occurrence, truncates lineage per iteration, and
+    rejects out-of-range knobs."""
+    from collections import defaultdict
+
+    from data_quality_framework_spark.operators.graphrank import host_rank
+
+    def replay(edges, iterations, damping_bp, scale):
+        nodes, outdeg = set(), defaultdict(int)
+        for s, d in edges:
+            nodes.add(s)
+            nodes.add(d)
+            outdeg[s] += 1
+        base = scale * (10000 - damping_bp) // 10000
+        rank = {n: scale for n in nodes}
+        for _ in range(iterations):
+            inc = defaultdict(int)
+            for s, d in edges:
+                inc[d] += rank[s] // outdeg[s]
+            rank = {
+                n: base + (damping_bp * inc.get(n, 0)) // 10000 for n in nodes
+            }
+        return rank
+
+    # hand-checked triangle: A->B, A->C, B->C, C->A at damping 0.5, scale 1000
+    tri = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")]
+    e = spark.createDataFrame(tri, "src string, dst string")
+    got = {
+        r["id"]: r["rank"]
+        for r in host_rank(e, iterations=1, damping_bp=5000, scale=1000).collect()
+    }
+    assert got == {"A": 1000, "B": 750, "C": 1250}
+    assert got == replay(tri, 1, 5000, 1000)
+
+    # pseudo-random multigraph (LCG), 60 nodes / 300 edges incl. duplicates
+    x, edges = 7, []
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        edges.append((f"n{s}", f"n{x % 60}"))
+    want = replay(edges, 4, 8500, 1_000_000)
+    for parts in (1, 13):
+        e = spark.createDataFrame(
+            edges, "src string, dst string"
+        ).repartition(parts)
+        out = host_rank(e, iterations=4)
+        got = {r["id"]: r["rank"] for r in out.collect()}
+        assert got == want
+    # localCheckpoint truncates lineage: the final plan has no Join node
+    head = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Join" not in head
+
+    # duplicate edges count per occurrence: doubling an edge doubles its
+    # contribution (B receives 2x A's share)
+    dup = spark.createDataFrame(
+        [("A", "B"), ("A", "B")], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in host_rank(dup, iterations=1, damping_bp=10000, scale=1000).collect()
+    }
+    # A: no inbound -> 0; B: 2 * (1000 div 2) = 1000
+    assert got == {"A": 0, "B": 1000}
+
+    for kw in (
+        {"damping_bp": 10001},
+        {"damping_bp": -1},
+        {"iterations": 0},
+        {"scale": 0},
+    ):
+        with pytest.raises(ValueError):
+            host_rank(e, **kw)
