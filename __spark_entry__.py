@@ -1892,6 +1892,47 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _q_exact_quantiles(spark, sf):
+    """Exact distributed order statistics (r5): p25/p50/p90/p99 of the
+    length distribution WITHOUT a global sort — one (value, count) shuffle,
+    then cumulative counts at distinct-value cardinality; rank positions
+    are integer basis points (k = ceil(q_bp*n/10000)) so the selected
+    element is engine-exact. Oracle: the single-node row_number truth at
+    the same integer ranks."""
+    from data_quality_framework_spark.operators.quantiles import exact_quantiles
+
+    d = _t(spark, sf, "documents")
+    out = exact_quantiles(d, "n_chars", [2500, 5000, 9000, 9900])
+    return out.orderBy("q_bp")
+
+
+def _hll_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cardinality import duckdb_hll_sql
+
+    inner = duckdb_hll_sql("SELECT doc_id AS v FROM documents", p=6)
+    return f"""
+        SELECT h.*, e.exact_distinct FROM ({inner}) h,
+        (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+         FROM documents) e
+    """
+
+
+def _q_hll_distinct(spark, sf):
+    """Engine-exact HyperLogLog distinct count (r5): m=64 integer registers
+    over md5-derived 60-bit hashes; the harmonic sum stays integer (powers
+    of two in 2^55 fixed point) and the raw estimate is one double divide,
+    so Spark and the DuckDB replay agree bit-for-bit. exact_distinct rides
+    along so the estimate's error is auditable in the gate record."""
+    from data_quality_framework_spark.operators.cardinality import hll_distinct
+
+    d = _t(spark, sf, "documents")
+    est = hll_distinct(d, "doc_id", p=6)
+    exact = d.select(
+        F.countDistinct("doc_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2255,6 +2296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew-safe two-phase per-group top-k (r5)
         "text_topk_per_group": _q_topk_per_group,
         "graph_host_rank": _q_host_rank,
+        "text_exact_quantiles": _q_exact_quantiles,
+        "text_hll_distinct": _q_hll_distinct,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -3920,6 +3963,25 @@ def oracle_sql() -> dict[str, str]:
         # host-rank oracle (r5): the 5 power steps unrolled as chained CTEs
         # with // integer division — bit-exact vs the Spark fixed-point loop
         "graph_host_rank": _host_rank_oracle_sql(),
+        # exact-quantiles oracle (r5): the single-node row_number truth at
+        # the same integer basis-point ranks (k = ceil(q_bp*n/10000))
+        "text_exact_quantiles": """
+            WITH v AS (SELECT n_chars AS value FROM documents
+                       WHERE n_chars IS NOT NULL),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn
+                  FROM v),
+            qs(q_bp) AS (VALUES (2500), (5000), (9000), (9900)),
+            k AS (SELECT q_bp,
+                         CAST((q_bp * n.n + 9999) // 10000 AS BIGINT) AS k,
+                         n.n AS n FROM qs, n)
+            SELECT k.q_bp, s.value, k.k, k.n AS n_rows
+            FROM k JOIN s ON s.rn = k.k
+            ORDER BY k.q_bp
+        """,
+        # HLL oracle (r5): the register + integer-harmonic-sum replay from
+        # cardinality.duckdb_hll_sql (shared constants), exact count joined
+        "text_hll_distinct": _hll_oracle_sql(),
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the
         # same groupBy-count reduction in SQL

@@ -86,6 +86,8 @@ HEADLINE = [
     "events_asof_join",
     "text_topk_per_group",
     "graph_host_rank",
+    "text_exact_quantiles",
+    "text_hll_distinct",
 ]
 
 

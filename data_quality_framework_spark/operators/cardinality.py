@@ -1,0 +1,160 @@
+"""Cross-engine-exact HyperLogLog distinct counting.
+
+"How many distinct urls / hosts / n-gram values does this 100 TB corpus
+have?" is the first question every crawl audit asks, and an exact
+COUNT(DISTINCT) shuffles every distinct key. HyperLogLog answers it with
+m = 2^p integer registers — the shuffle carries AT MOST m rows per map
+partition (map-side combinable max), the state is ~m bytes, and the
+relative error is ~1.04/sqrt(m).
+
+Spark's built-in ``approx_count_distinct`` is an opaque HLL++ whose
+result no other engine reproduces — useless for a correctness gate. This
+implementation pins EVERY step to engine-neutral integer arithmetic so
+Spark and DuckDB (see ``duckdb_hll_sql``) produce bit-identical registers
+AND bit-identical estimates:
+
+* hash = first 15 hex chars of md5(value) parsed as a 60-bit integer
+  (md5 is byte-identical everywhere; 60 bits keeps the int positive);
+* register index = top p bits (integer div), suffix w = low (60-p) bits;
+* rho = leading-zero count + 1 = (60-p) + 1 - bit_length(w), with
+  bit_length computed as length(bin(w)) — both engines print binary
+  without leading zeros — and the w = 0 case pinned to (60-p) + 1;
+* the harmonic sum is kept INTEGER in 2^(61-p) fixed point: each term
+  2^(61-p-rho) and each empty register's 2^(61-p) are exact powers of
+  two, rho <= 61-p makes every exponent non-negative, and the total is
+  <= 2^61 — no float summation-order hazard, no overflow at any p;
+* the raw estimate alpha * m^2 * 2^(61-p) / S is one double divide of
+  identical operands — deterministic; the small-range linear-counting
+  branch (E <= 2.5m with empty registers) uses ln(), which is libm- vs
+  JVM-dependent in the last ulp, so gated queries should stay in the raw
+  regime (documented; the pytest covers the branch with a tolerance).
+
+Reference parity: the reference's duplicate_checker COUNT(DISTINCT)
+family (src/checkers/duplicate_checker.py) at cardinalities where exact
+counting is the bottleneck; beyond-reference north-rule scope otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_registers", "hll_distinct", "duckdb_hll_sql"]
+
+#: total hash bits taken from md5 (15 hex chars -> positive in int64)
+HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    # canonical HLL bias constant; identical float literal arithmetic on
+    # both engines (one multiply chain) -> identical double
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """The non-empty HLL registers of ``col`` (nulls excluded): one row per
+    present register index, (idx, rho) with rho = max over the index's
+    hashes. The shuffle carries at most 2^p rows per map partition."""
+    _check_p(p)
+    w_bits = HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    rho = (
+        F.when(F.col("__w") > 0, F.lit(w_bits + 1) - F.length(F.bin("__w")))
+        .otherwise(F.lit(w_bits + 1))
+        .cast("int")
+    )
+    return (
+        df.select(F.col(col))
+        .filter(F.col(col).isNotNull())
+        .select(h.alias("__h"))
+        .select(
+            F.expr(f"__h div {1 << w_bits}").cast("int").alias("idx"),
+            (F.col("__h") % (1 << w_bits)).alias("__w"),
+        )
+        .select("idx", rho.alias("__rho"))
+        .groupBy("idx")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One-row distinct-count estimate of ``col``: (m, nonzero_regs,
+    s_scaled, est_q) with est_q = floor(estimate * 10000) / 10000.
+
+    ``s_scaled`` is the integer harmonic sum in 2^(61-p) fixed point, so
+    rows/schema/estimate are all engine-exact in the raw-estimate regime
+    (true cardinality >> m); the small-range linear-counting branch uses
+    ln() and is last-ulp engine-dependent — see module docstring."""
+    _check_p(p)
+    m = 1 << p
+    scale_pow = 61 - p
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - rho)")),
+            F.lit(0).cast("long"),
+        ).alias("__s_present"),
+    )
+    zeros = F.lit(m).cast("long") - F.col("nonzero_regs")
+    s = (F.col("__s_present") + zeros * F.lit(1 << scale_pow).cast("long")).alias(
+        "s_scaled"
+    )
+    raw = F.lit(_alpha(m) * m * m * float(1 << scale_pow)) / F.col("s_scaled")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
+    return agg.select(F.lit(m).cast("long").alias("m"), "nonzero_regs", s).select(
+        "m",
+        "nonzero_regs",
+        "s_scaled",
+        (F.floor(est * 10000) / 10000.0).alias("est_q"),
+    )
+
+
+def duckdb_hll_sql(input_sql: str, p: int = 12) -> str:
+    """DuckDB replay of ``hll_distinct`` over ``input_sql`` (a query
+    producing one column ``v``) — shares every constant with the Spark
+    path. RAW-REGIME ONLY (no linear-counting branch): use it where the
+    true cardinality exceeds 2.5 * 2^p, where results are bit-identical."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    scale = 1 << (61 - p)
+    a = _alpha(m) * m * m * float(scale)
+    return f"""
+        WITH vals AS ({input_sql}),
+        h AS (SELECT CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h
+              FROM vals WHERE v IS NOT NULL),
+        regs AS (SELECT h // {1 << w_bits} AS idx,
+                        max(CASE WHEN h % {1 << w_bits} > 0
+                                 THEN {w_bits + 1} - length(bin(h % {1 << w_bits}))
+                                 ELSE {w_bits + 1} END) AS rho
+                 FROM h GROUP BY 1),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS nonzero_regs,
+                       coalesce(sum(CAST({scale} AS BIGINT)
+                                    // (CAST(1 AS BIGINT) << rho)), 0)
+                           AS s_present
+                FROM regs)
+        SELECT CAST({m} AS BIGINT) AS m,
+               nonzero_regs,
+               CAST(s_present + ({m} - nonzero_regs) * CAST({scale} AS BIGINT)
+                    AS BIGINT) AS s_scaled,
+               floor({a!r} / (s_present + ({m} - nonzero_regs)
+                              * CAST({scale} AS BIGINT)) * 10000) / 10000
+                   AS est_q
+        FROM agg
+    """

@@ -1,0 +1,114 @@
+"""Exact distributed quantiles (order statistics) without a global sort.
+
+Length/score distribution cutoffs ("drop the shortest 5%", "cap at the
+p99 length") need ORDER STATISTICS over 10^12 rows. `approxQuantile` is
+rank-error-bounded, not exact — two runs (or two engines) can disagree at
+a percentile boundary and flip keep/drop decisions near the cut. A global
+``row_number() OVER (ORDER BY v)`` is exact but serializes 100 TB into
+one window partition. The scalable exact recipe exploits that quality
+signals are LOW-CARDINALITY relative to the corpus (doc lengths, integer
+scores, quantized ratios):
+
+1. ONE corpus-wide shuffle to (value, count) — cardinality = distinct
+   values (~10^5 lengths for 10^12 docs), map-side combinable;
+2. cumulative counts over the distinct-value table via the two-pass range
+   sort of `ranking.global_rank` (range partition + within-partition
+   running sum + K broadcast offsets) — nothing sorts more than one
+   partition's slice of the value domain;
+3. each requested rank k = ceil(q * n) lands in exactly one value's
+   interval (prev_cum, cum]; a broadcast interval join of the tiny
+   quantile spec picks it out.
+
+Quantile positions are INTEGER basis points (k = (q_bp * n + 9999) div
+10000 = ceil), so the selected element is engine- and partitioning-exact;
+no float rank arithmetic can straddle a boundary.
+
+Reference parity: distribution cutoffs generalize the reference's
+row_count_checker MIN/MAX range evidence (src/checkers/row_count_checker.py)
+to full order statistics; beyond-reference north-rule scope otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["exact_quantiles"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    q_bp: list[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact q-th order statistics of ``col`` (nulls excluded) for each
+    quantile in ``q_bp`` (basis points, 1..10000; 5000 = median). Returns
+    (q_bp, value, k, n_rows) where ``value`` is the k-th smallest element,
+    k = ceil(q_bp * n / 10000) — i.e. the smallest value whose cumulative
+    count reaches the rank, matching ``ORDER BY v LIMIT 1 OFFSET k-1``.
+
+    Scale contract: one (value)-keyed count shuffle over the corpus, then
+    all work happens at DISTINCT-VALUE cardinality. Right-shaped for
+    length-like and quantized-score columns; for unbounded-cardinality
+    float columns, quantize first (the caller owns the bucket width).
+    """
+    if not q_bp:
+        raise ValueError("q_bp must name at least one quantile")
+    for q in q_bp:
+        if not 1 <= q <= 10000:
+            raise ValueError(f"q_bp entries must be in [1, 10000], got {q}")
+    if len(set(q_bp)) != len(q_bp):
+        raise ValueError("q_bp entries must be distinct")
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    counts = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    part = (
+        counts.repartitionByRange(n_parts, F.col("value"))
+        .sortWithinPartitions("value")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # K-row driver action (K = partitions), same shape as global_rank's
+    # offset pass — the only data leaving the cluster is one sum per part
+    per_part = sorted(
+        part.groupBy("__pid").agg(F.sum("__c").alias("__n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in per_part:
+        offsets.append((r["__pid"], acc))
+        acc += r["__n"]
+    n = acc
+    ranks = [(q, (q * n + 9999) // 10000) for q in sorted(q_bp)]
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+    spec = F.broadcast(spark.createDataFrame(ranks, "q_bp int, k long"))
+    w = Window.partitionBy("__pid").orderBy("value")
+    cum = (
+        part.join(off, "__pid")
+        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
+    )
+    out = (
+        cum.join(
+            spec,
+            (spec["k"] > cum["__cum"] - cum["__c"]) & (spec["k"] <= cum["__cum"]),
+        )
+        .select(
+            "q_bp",
+            "value",
+            "k",
+            F.lit(n).cast("long").alias("n_rows"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out

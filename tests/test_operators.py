@@ -2524,3 +2524,94 @@ def test_host_rank_integer_exact(spark):
     ):
         with pytest.raises(ValueError):
             host_rank(e, **kw)
+
+
+def test_exact_quantiles_matches_sorted_truth(spark):
+    """exact_quantiles returns the k-th smallest element (k = integer
+    basis-point ceil rank) bit-exactly vs Python's sorted truth, across
+    duplicates, skewed value counts, and input partitioning; boundary
+    quantiles q=1bp and q=10000bp hit the min and max; bad specs raise."""
+    from data_quality_framework_spark.operators.quantiles import exact_quantiles
+
+    # skewed multiset: value v appears v times, v in 1..40 (n = 820)
+    rows = [(v,) for v in range(1, 41) for _ in range(v)]
+    truth = sorted(r[0] for r in rows)
+    n = len(truth)
+    qs = [1, 2500, 5000, 9000, 9900, 10000]
+    want = {q: truth[(q * n + 9999) // 10000 - 1] for q in qs}
+    for parts in (1, 9):
+        d = spark.createDataFrame(rows, "x long").repartition(parts)
+        got = {
+            r["q_bp"]: (r["value"], r["k"], r["n_rows"])
+            for r in exact_quantiles(d, "x", qs, num_partitions=5).collect()
+        }
+        assert {q: v[0] for q, v in got.items()} == want
+        assert all(v[2] == n for v in got.values())
+        assert got[1][1] == 1 and got[10000][1] == n
+    # nulls excluded from both rank and n
+    dn = spark.createDataFrame([(1,), (None,), (3,)], "x long")
+    out = {r["q_bp"]: r for r in exact_quantiles(dn, "x", [5000]).collect()}
+    assert out[5000]["value"] == 1 and out[5000]["n_rows"] == 2
+    # empty input -> empty result
+    assert exact_quantiles(dn.filter("x > 99"), "x", [5000]).count() == 0
+    for bad in ([], [0], [10001], [5000, 5000]):
+        with pytest.raises(ValueError):
+            exact_quantiles(dn, "x", bad)
+
+
+def test_hll_distinct_matches_python_replay(spark):
+    """HLL registers and the raw-regime estimate are bit-identical to a
+    pure-Python replay of the md5/60-bit/integer-harmonic-sum spec; the
+    estimate lands within 3 sigma of the true cardinality; the linear-
+    counting branch engages at tiny cardinalities; nulls are excluded;
+    out-of-range p raises."""
+    import hashlib
+    import math
+
+    from data_quality_framework_spark.operators.cardinality import (
+        _alpha,
+        hll_distinct,
+        hll_registers,
+    )
+
+    def replay_regs(vals, p):
+        w_bits = 60 - p
+        regs = {}
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            idx, w = h >> w_bits, h & ((1 << w_bits) - 1)
+            rho = (w_bits + 1) - w.bit_length() if w else w_bits + 1
+            regs[idx] = max(regs.get(idx, 0), rho)
+        return regs
+
+    p, n = 8, 1000
+    m, scale_pow = 1 << p, 61 - p
+    vals = [v * 7919 + 13 for v in range(n)]  # distinct longs
+    d = spark.createDataFrame([(v,) for v in vals], "x long").repartition(6)
+    got = {r["idx"]: r["rho"] for r in hll_registers(d, "x", p).collect()}
+    want = replay_regs(vals, p)
+    assert got == want
+
+    row = hll_distinct(d, "x", p).collect()[0]
+    s = sum(1 << (scale_pow - r) for r in want.values())
+    s += (m - len(want)) << scale_pow
+    assert row["m"] == m and row["nonzero_regs"] == len(want)
+    assert row["s_scaled"] == s
+    est = _alpha(m) * m * m * float(1 << scale_pow) / s
+    assert est > 2.5 * m  # raw regime, the engine-exact branch
+    assert row["est_q"] == math.floor(est * 10000) / 10000
+    assert abs(est - n) / n < 3 * 1.04 / math.sqrt(m)
+
+    # tiny cardinality -> linear counting (ln is libm-dependent: tolerance)
+    tiny = spark.createDataFrame([(v,) for v in range(10)], "x long")
+    trow = hll_distinct(tiny, "x", p).collect()[0]
+    zeros = m - trow["nonzero_regs"]
+    lin = m * math.log(m / zeros)
+    assert abs(trow["est_q"] - math.floor(lin * 10000) / 10000) <= 1e-4
+
+    # nulls excluded entirely: all-null input estimates 0
+    nul = spark.createDataFrame([(None,), (None,)], "x string")
+    assert hll_distinct(nul, "x", p).collect()[0]["est_q"] == 0.0
+    for bad_p in (3, 15):
+        with pytest.raises(ValueError):
+            hll_distinct(d, "x", bad_p)
