@@ -1933,6 +1933,30 @@ def _q_hll_distinct(spark, sf):
     return est.crossJoin(exact)
 
 
+def _q_mixture_budget(spark, sf):
+    """Explicit-share token-mixture selection (r5): the 20 generator
+    sources fold into 4 families targeted at 40/30/20/10% of a token
+    mixture; the plan (largest feasible corpus T, per-family budgets) is
+    integer basis-point math and the kept set is the deterministic
+    hash-prefix rule — the oracle replays the totals, the plan arithmetic,
+    and the running-sum cut in SQL, so the exact kept set matches."""
+    from data_quality_framework_spark.operators.mixing import mixture_flags
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("fam"),
+            (F.expr("CAST(substring(source, 4) AS INT)") % 4).cast("string"),
+        ).alias("fam"),
+        F.greatest(F.lit(1).cast("long"), F.expr("n_chars div 4")).alias("tok"),
+    )
+    out = mixture_flags(
+        d, "fam", "tok", "doc_id",
+        {"fam0": 4000, "fam1": 3000, "fam2": 2000, "fam3": 1000},
+    )
+    return out.select("doc_id", "fam", "tok", "mix_keep").orderBy("doc_id")
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2298,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_rank": _q_host_rank,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
+        "text_mixture_budget": _q_mixture_budget,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -3982,6 +4007,29 @@ def oracle_sql() -> dict[str, str]:
         # HLL oracle (r5): the register + integer-harmonic-sum replay from
         # cardinality.duckdb_hll_sql (shared constants), exact count joined
         "text_hll_distinct": _hll_oracle_sql(),
+        # mixture-budget oracle (r5): totals -> integer plan (T = min
+        # a*10000//bp, budget = bp*T//10000) -> hash-prefix running-sum cut
+        "text_mixture_budget": """
+            WITH d AS (SELECT doc_id,
+                              'fam' || CAST(CAST(substring(source, 4) AS INT) % 4
+                                            AS VARCHAR) AS fam,
+                              greatest(CAST(1 AS BIGINT), n_chars // 4) AS tok,
+                              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                   || ':42'), 1, 15) AS BIGINT) AS h
+                       FROM documents),
+            tot AS (SELECT fam, CAST(sum(tok) AS BIGINT) AS a FROM d GROUP BY fam),
+            shares(fam, bp) AS (VALUES ('fam0', 4000), ('fam1', 3000),
+                                       ('fam2', 2000), ('fam3', 1000)),
+            tmax AS (SELECT min(a * 10000 // bp) AS t
+                     FROM tot JOIN shares USING (fam)),
+            bud AS (SELECT fam, CAST(bp * (SELECT t FROM tmax) // 10000
+                                     AS BIGINT) AS b FROM shares),
+            c AS (SELECT d.*, sum(tok) OVER (PARTITION BY fam
+                                             ORDER BY h, doc_id) AS cum FROM d)
+            SELECT c.doc_id, c.fam, c.tok, (c.cum <= bud.b) AS mix_keep
+            FROM c JOIN bud USING (fam)
+            ORDER BY c.doc_id
+        """,
         # quality-fit sufficient-stats oracle (r5): integer-exact label
         # (cross-multiplied thresholds), 6-dp-rounded ratio features, the
         # same groupBy-count reduction in SQL

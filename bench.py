@@ -88,6 +88,7 @@ HEADLINE = [
     "graph_host_rank",
     "text_exact_quantiles",
     "text_hll_distinct",
+    "text_mixture_budget",
 ]
 
 

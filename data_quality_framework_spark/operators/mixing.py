@@ -1,0 +1,214 @@
+"""Integer-exact multi-source token-mixture planning and selection.
+
+Pretraining curricula are specified as EXPLICIT mixture shares ("40% web,
+30% code, 20% books, 10% wiki" — the C4/Pile/Dolma recipe), not as
+temperature flattening (`sampling.temperature_rates` covers that). Given
+per-source available token mass a_s and target shares in basis points,
+the largest achievable corpus is
+
+    T = min_s floor(a_s * 10000 / share_s)
+
+(the binding source is kept whole; every other source contributes a
+prefix), and each source's kept budget is share_s * T div 10000. All
+arithmetic is integer, so the plan — and the exact set of kept documents
+— is engine- and partitioning-exact.
+
+Selection is the deterministic hash-prefix rule: order each source's docs
+by (hash60(id, seed), id) and keep while the running token sum stays
+within the budget. That equals ``sum(tok) OVER (PARTITION BY source
+ORDER BY h, id) <= budget`` — but the window form sorts each source in
+ONE task, and sources are few and huge (a 100 TB corpus may have 5
+sources). The skew-safe shape mirrors `sampling.domain_cap_flags`: split
+each over-budget source into 2^bucket_bits hash ranges (monotone in the
+hash, so range order refines hash order), locate the ONE boundary range
+where the cumulative token mass crosses the budget via a metadata-sized
+window, and run a real running-sum window only over boundary-range rows
+(~1/4096 of a source). The corpus never shuffles; every join the rows see
+is metadata-sized (AQE broadcasts).
+
+Token weights must be POSITIVE integers (every real tokenizer emits >= 1
+token per non-empty doc; enforced in-plan) — positivity is what makes
+"drop every bucket at/past the budget" exactly equal the global prefix
+rule.
+
+Reference parity: beyond-reference north-rule scope (the reference has no
+sampling surface); the plan arithmetic parallels the reference's
+threshold cross-multiplication style (PASS/WARN/FAIL in
+src/core/check_result.py), cited for the integer-verdict convention.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.operators.sampling import _HASH_BITS, hash60
+
+__all__ = ["mixture_plan", "token_budget_flags", "mixture_flags"]
+
+
+def mixture_plan(
+    totals: Mapping[str, int],
+    shares_bp: Mapping[str, int],
+    total_budget: int | None = None,
+) -> tuple[dict[str, int], int]:
+    """Per-source kept-token budgets for target ``shares_bp`` (basis
+    points, must sum to 10000) given available masses ``totals``. Returns
+    ``(budgets, T)`` where T is the achieved corpus size (capped by
+    ``total_budget`` when given). Pure integer driver math — an external
+    replay on the same totals reproduces it bit-for-bit."""
+    if sum(shares_bp.values()) != 10000:
+        raise ValueError(
+            f"shares_bp must sum to 10000, got {sum(shares_bp.values())}"
+        )
+    for s, bp in shares_bp.items():
+        if bp <= 0:
+            raise ValueError(f"share for {s!r} must be positive, got {bp}")
+        if not totals.get(s):
+            raise ValueError(
+                f"source {s!r} has a target share but no available mass"
+            )
+    t = min(int(totals[s]) * 10000 // bp for s, bp in shares_bp.items())
+    if total_budget is not None:
+        if total_budget < 0:
+            raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+        t = min(t, total_budget)
+    return {s: bp * t // 10000 for s, bp in shares_bp.items()}, t
+
+
+def token_budget_flags(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    id_col: str,
+    budgets: Mapping[str, int],
+    seed: int = 42,
+    bucket_bits: int = 12,
+    flag_col: str = "mix_keep",
+) -> DataFrame:
+    """Flag each row True iff it survives its source's token budget under
+    the deterministic hash-prefix rule (running token sum ordered by
+    (hash60(id, seed), id) stays <= budget). Sources absent from
+    ``budgets`` — and NULL sources — flag False. Token weights must be
+    positive integers (raised in-plan otherwise)."""
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    tok_raw = F.col(token_col)
+    tok = (
+        F.when(tok_raw.isNotNull() & (tok_raw >= 1), tok_raw.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"token_budget_flags: {token_col} must be a positive "
+                        "integer, got "
+                    ),
+                    F.coalesce(tok_raw.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+    )
+    spark = df.sparkSession
+    bud = F.broadcast(
+        spark.createDataFrame(
+            list(budgets.items()) or [("", 0)], "__src string, __b long"
+        )
+    )
+    d = (
+        df.withColumn("__tok", tok)
+        .withColumn("__h", hash60(F.col(id_col), seed))
+        .join(bud, F.col(source_col) == F.col("__src"), "left")
+    )
+    totals = d.groupBy("__src").agg(F.sum("__tok").alias("__a"))
+    over = (
+        totals.filter(F.col("__src").isNotNull() & (F.col("__a") > F.lit(0)))
+        .join(bud, "__src")
+        .filter(F.col("__a") > F.col("__b"))
+        .select("__src", F.lit(True).alias("__over"))
+    )
+    # `over`, `bc` and `boundary` are metadata-sized BY CONSTRUCTION
+    # (<= #sources, <= #sources * 2^bucket_bits, <= 1 per source): broadcast
+    # them explicitly so the corpus side never sort-merge-shuffles on the
+    # (few, huge) source keys — AQE alone declined the conversion here
+    t = d.join(F.broadcast(over), "__src", "left")
+
+    rng = F.shiftright(F.col("__h"), _HASH_BITS - bucket_bits)
+    oc = t.filter(F.col("__over").isNotNull()).withColumn("__bk", rng)
+    bc = oc.groupBy("__src", "__bk").agg(F.sum("__tok").alias("__bn"))
+    w = Window.partitionBy("__src").orderBy("__bk")
+    bc = bc.withColumn("__before", F.sum("__bn").over(w) - F.col("__bn"))
+    bc = bc.join(bud, "__src").withColumnRenamed("__b", "__bud")
+
+    boundary = bc.filter(
+        (F.col("__before") < F.col("__bud"))
+        & (F.col("__before") + F.col("__bn") > F.col("__bud"))
+    )
+    wb = (
+        Window.partitionBy("__src", "__bk")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bverdict = (
+        oc.join(
+            F.broadcast(boundary.select("__src", "__bk", "__before", "__bud")),
+            ["__src", "__bk"],
+        )
+        .withColumn("__run", F.sum("__tok").over(wb))
+        .filter(F.col("__before") + F.col("__run") <= F.col("__bud"))
+        .select(F.col(id_col).alias("__bid"), F.lit(True).alias("__bkeep"))
+    )
+
+    out = (
+        t.withColumn("__bk", rng)
+        .join(
+            F.broadcast(bc.select("__src", "__bk", "__before", "__bn", "__bud")),
+            ["__src", "__bk"],
+            "left",
+        )
+        .join(bverdict, F.col(id_col) == F.col("__bid"), "left")
+        .withColumn(
+            flag_col,
+            F.when(F.col("__src").isNull(), F.lit(False))  # not in the mixture
+            .when(F.col("__over").isNull(), F.lit(True))  # whole source fits
+            .when(
+                F.col("__before") + F.col("__bn") <= F.col("__bud"), F.lit(True)
+            )  # range fully below the budget
+            .when(F.col("__before") >= F.col("__bud"), F.lit(False))  # past it
+            .otherwise(F.coalesce(F.col("__bkeep"), F.lit(False))),  # boundary
+        )
+    )
+    return out.drop(
+        "__tok", "__h", "__src", "__b", "__over", "__bk", "__before", "__bn",
+        "__bud", "__bid", "__bkeep",
+    )
+
+
+def mixture_flags(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    id_col: str,
+    shares_bp: Mapping[str, int],
+    total_budget: int | None = None,
+    seed: int = 42,
+    bucket_bits: int = 12,
+    flag_col: str = "mix_keep",
+) -> DataFrame:
+    """End-to-end mixture selection: ONE per-source token aggregate (a
+    driver-side list of sources, metadata-sized) -> :func:`mixture_plan`
+    -> :func:`token_budget_flags`."""
+    totals = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("t"))
+        .collect()
+        if r["s"] is not None and r["t"] is not None
+    }
+    budgets, _ = mixture_plan(totals, shares_bp, total_budget)
+    return token_budget_flags(
+        df, source_col, token_col, id_col, budgets,
+        seed=seed, bucket_bits=bucket_bits, flag_col=flag_col,
+    )

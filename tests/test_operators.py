@@ -2615,3 +2615,80 @@ def test_hll_distinct_matches_python_replay(spark):
     for bad_p in (3, 15):
         with pytest.raises(ValueError):
             hll_distinct(d, "x", bad_p)
+
+
+def test_mixture_budget_exact_prefix(spark):
+    """mixture_plan does exact integer share math (binding source kept
+    whole, budgets = bp*T//10000, total_budget clamp); token_budget_flags
+    reproduces the global hash-prefix rule bit-exactly at any bucket_bits
+    (window truth == two-phase), flags off-mixture and NULL sources False,
+    keeps the corpus off SortMergeJoins, and raises in-plan on non-positive
+    tokens."""
+    import hashlib
+
+    from data_quality_framework_spark.operators.mixing import (
+        mixture_flags,
+        mixture_plan,
+        token_budget_flags,
+    )
+
+    rows = [(i, "a", (i % 7) + 1) for i in range(100)]
+    rows += [(i, "b", 5) for i in range(100, 150)]
+    rows += [(i, "c", 3) for i in range(150, 160)]
+    rows += [(900, "x", 4), (901, None, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, tok long")
+    shares = {"a": 5000, "b": 3000, "c": 2000}
+
+    totals = {"a": 395, "b": 250, "c": 30}
+    budgets, t = mixture_plan(totals, shares)
+    assert t == 150 and budgets == {"a": 75, "b": 45, "c": 30}
+    b2, t2 = mixture_plan(totals, shares, total_budget=100)
+    assert t2 == 100 and b2 == {"a": 50, "b": 30, "c": 20}
+
+    def h60(i):
+        return int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+
+    want = {900: False, 901: False}
+    by_src = {"a": range(100), "b": range(100, 150), "c": range(150, 160)}
+    toks = {i: r[2] for r in rows for i in [r[0]]}
+    for s, ids in by_src.items():
+        run = 0
+        for i in sorted(ids, key=lambda i: (h60(i), i)):
+            run += toks[i]
+            want[i] = run <= budgets[s]
+    for bits in (0, 12):
+        got = {
+            r["doc_id"]: r["mix_keep"]
+            for r in mixture_flags(
+                df, "src", "tok", "doc_id", shares, bucket_bits=bits
+            ).collect()
+        }
+        assert got == want
+    # source c's total equals its budget -> kept whole
+    assert all(want[i] for i in by_src["c"])
+    # kept token mass never exceeds the budget and fills it within one doc
+    for s, ids in by_src.items():
+        kept = sum(toks[i] for i in ids if want[i])
+        assert kept <= budgets[s]
+
+    flagged = mixture_flags(df, "src", "tok", "doc_id", shares)
+    flagged.collect()
+    head = (
+        flagged._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in head
+
+    bad = spark.createDataFrame([(1, "a", 0)], "doc_id long, src string, tok long")
+    with pytest.raises(Exception, match="positive"):
+        token_budget_flags(bad, "src", "tok", "doc_id", {"a": 10}).collect()
+    with pytest.raises(ValueError):
+        mixture_plan(totals, {"a": 5000, "b": 4000})        # sums to 9000
+    with pytest.raises(ValueError):
+        mixture_plan(totals, {"a": 10000, "zzz": 0})        # zero share
+    with pytest.raises(ValueError):
+        mixture_plan({"a": 10}, {"a": 5000, "zzz": 5000})   # share w/o mass
+    with pytest.raises(ValueError):
+        mixture_plan(totals, shares, total_budget=-1)
+    with pytest.raises(ValueError):
+        token_budget_flags(df, "src", "tok", "doc_id", {"a": -1})
