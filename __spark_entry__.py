@@ -1957,6 +1957,39 @@ def _q_mixture_budget(spark, sf):
     return out.select("doc_id", "fam", "tok", "mix_keep").orderBy("doc_id")
 
 
+def _q_interval_join(spark, sf):
+    """Binned interval join (r5): every event joined back to the session
+    interval containing it (sessions from `sessionize`, non-overlapping by
+    construction) via the (key, time-bin) equi-join with the exact BETWEEN
+    in the join condition — vs DuckDB's NATIVE IEJoin range join, a
+    genuinely independent implementation of the same semantics."""
+    from data_quality_framework_spark.operators.sessions import sessionize
+    from data_quality_framework_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    s = sessionize(
+        _t(spark, sf, "events").select("event_id", "ts", "user_id"),
+        gap_seconds=21600,
+    ).select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("e_us"),
+    )
+    out = interval_join(
+        e, s, on="user_id", ts_col="us",
+        start_col="s_us", end_col="e_us",
+        granularity=86_400_000_000, right_cols=["session_idx"],
+    )
+    return out.select(
+        "event_id", "user_id", "us", F.col("iv_session_idx").alias("session_idx")
+    ).orderBy("event_id")
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2323,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
+        "events_interval_join": _q_interval_join,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4007,6 +4041,32 @@ def oracle_sql() -> dict[str, str]:
         # HLL oracle (r5): the register + integer-harmonic-sum replay from
         # cardinality.duckdb_hll_sql (shared constants), exact count joined
         "text_hll_distinct": _hll_oracle_sql(),
+        # interval-join oracle (r5): sessions replayed via lag/sum windows,
+        # then DuckDB's NATIVE range join (IEJoin) — independent semantics
+        "events_interval_join": """
+            WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+                       FROM events),
+            l AS (SELECT user_id, ts, event_id, us,
+                         lag(us) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+                  FROM e),
+            i AS (SELECT user_id, us,
+                         CAST(sum(CASE WHEN prev IS NULL
+                                        OR us - prev > 21600000000
+                                       THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                              AS BIGINT) AS session_idx
+                  FROM l),
+            s AS (SELECT user_id, session_idx,
+                         min(us) AS s_us, max(us) AS e_us
+                  FROM i GROUP BY user_id, session_idx)
+            SELECT e.event_id, e.user_id, e.us, s.session_idx
+            FROM e JOIN s ON e.user_id = s.user_id
+                         AND e.us BETWEEN s.s_us AND s.e_us
+            ORDER BY e.event_id
+        """,
         # mixture-budget oracle (r5): totals -> integer plan (T = min
         # a*10000//bp, budget = bp*T//10000) -> hash-prefix running-sum cut
         "text_mixture_budget": """

@@ -89,6 +89,7 @@ HEADLINE = [
     "text_exact_quantiles",
     "text_hll_distinct",
     "text_mixture_budget",
+    "events_interval_join",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_join"]
 
 
 def asof_join(
@@ -116,3 +116,101 @@ def asof_join(
         *[match[c].alias(f"{prefix}{c}") for c in right_cols],
     )
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    granularity: int,
+    right_cols: list[str],
+    how: str = "inner",
+    max_bins_per_interval: int = 4096,
+    prefix: str = "iv_",
+) -> DataFrame:
+    """Interval (range) join: each ``left`` row matches every ``right``
+    row with the same ``on`` key whose ``[start_col, end_col]`` (INCLUSIVE
+    integer bounds, same units as ``ts_col`` — e.g. epoch micros) contains
+    ``left.ts_col``. Spark has no range-join operator: the naive
+    ``l.key = r.key AND l.ts BETWEEN r.s AND r.e`` plans the BETWEEN as a
+    post-filter on a per-key join that degenerates to a nested loop under
+    hot keys, and a keyless BETWEEN is a full cartesian. The scalable
+    recipe is BINNING: quantize time to ``granularity`` units, explode
+    each right interval into the bins it covers (bounded by
+    ``max_bins_per_interval`` — raised IN-PLAN when an interval would
+    explode, so a corrupt open-ended interval fails loudly instead of
+    materializing 10^6 rows), tag each left row with its single bin, and
+    run a plain EQUI-join on (key, bin) with the exact BETWEEN kept in the
+    join condition. Cost: one shuffle of |L| + |R| * avg_bins rows, all
+    hash-joinable; pick ``granularity`` near the typical interval length
+    so avg_bins stays O(1).
+
+    ``how`` is ``inner`` or ``left`` (unmatched left rows keep nulls; a
+    left row can still match SEVERAL overlapping intervals — standard
+    range-join multiplicity). Right payload columns arrive as
+    ``{prefix}{col}``; ``{prefix}{start_col}``/``{prefix}{end_col}`` are
+    always carried. NULL left timestamps never match (null-safe), NULL or
+    inverted right bounds raise in-plan.
+
+    Reference parity: beyond-reference north-rule scope (the reference has
+    equality joins only); DuckDB's native IEJoin range join makes the
+    oracle genuinely independent.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if granularity < 1:
+        raise ValueError(f"granularity must be >= 1, got {granularity}")
+    if max_bins_per_interval < 1:
+        raise ValueError(
+            f"max_bins_per_interval must be >= 1, got {max_bins_per_interval}"
+        )
+    if not right_cols:
+        raise ValueError("right_cols must name at least one column")
+    g = int(granularity)
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    b0 = F.expr(f"CAST({start_col} AS BIGINT) div {g}")
+    b1 = F.expr(f"CAST({end_col} AS BIGINT) div {g}")
+    bad = (
+        s.isNull()
+        | e.isNull()
+        | (e < s)
+        | (b1 - b0 + 1 > F.lit(max_bins_per_interval))
+    )
+    # fold the guard into the sequence's start bound: raise_error is typed
+    # via the long cast, and Catalyst cannot prune it because the sequence
+    # consumes it
+    b0_guarded = F.when(~bad, b0).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: [{start_col}, {end_col}] must be a "
+                    f"non-null, non-inverted interval covering <= "
+                    f"{max_bins_per_interval} bins at granularity {g}; got ["
+                ),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+                F.lit(", "),
+                F.coalesce(e.cast("string"), F.lit("NULL")),
+                F.lit("]"),
+            )
+        ).cast("long")
+    )
+    carry = list(dict.fromkeys(right_cols + [start_col, end_col]))
+    r = right.select(
+        F.col(on).alias("__rk"),
+        s.alias("__s"),
+        e.alias("__e"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in carry],
+        F.explode(F.sequence(b0_guarded, b1)).alias("__bin"),
+    )
+    lt = F.col(ts_col).cast("long")
+    l2 = left.withColumn("__bin", F.expr(f"CAST({ts_col} AS BIGINT) div {g}"))
+    cond = (
+        (l2[on] == r["__rk"])
+        & (l2["__bin"] == r["__bin"])
+        & (lt >= r["__s"])
+        & (lt <= r["__e"])
+    )
+    return l2.join(r, cond, how).drop("__bin", "__rk", "__s", "__e")

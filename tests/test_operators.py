@@ -2692,3 +2692,61 @@ def test_mixture_budget_exact_prefix(spark):
         mixture_plan(totals, shares, total_budget=-1)
     with pytest.raises(ValueError):
         token_budget_flags(df, "src", "tok", "doc_id", {"a": -1})
+
+
+def test_interval_join_binned_equi(spark):
+    """interval_join matches inclusive integer bounds exactly, supports
+    overlapping-interval multiplicity and left-outer nulls, crosses bin
+    boundaries correctly, stays an EQUI hash join (no nested-loop node),
+    and raises in-plan on inverted/null/exploding intervals."""
+    from data_quality_framework_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 150), (3, "k", 199), (4, "k", 200),
+         (5, "k", 250), (6, "z", 10), (7, "k", None)],
+        "lid long, key string, us long",
+    )
+    right = spark.createDataFrame(
+        # [100, 200] and [150, 160] overlap; [205, 240] matches nothing;
+        # granularity 50 puts [100, 200] across 3 bins
+        [(10, "k", 100, 200), (11, "k", 150, 160), (12, "k", 205, 240)],
+        "rid long, key string, s long, e long",
+    )
+    out = interval_join(
+        left, right, on="key", ts_col="us", start_col="s", end_col="e",
+        granularity=50, right_cols=["rid"],
+    )
+    got = sorted((r["lid"], r["iv_rid"]) for r in out.collect())
+    # ts=100 and 200: inclusive both ends; ts=150 matches BOTH intervals;
+    # ts=250 sits past every interval
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 10), (4, 10)]
+
+    lo = interval_join(
+        left, right, on="key", ts_col="us", start_col="s", end_col="e",
+        granularity=50, right_cols=["rid"], how="left",
+    )
+    lgot = {r["lid"]: r["iv_rid"] for r in lo.collect() if r["lid"] in (5, 6, 7)}
+    assert lgot == {5: None, 6: None, 7: None}  # gap / no key / NULL ts
+    assert lo.count() == 8                      # 5 matches + 3 null rows
+
+    head = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "NestedLoop" not in head and "Cartesian" not in head
+
+    inv = spark.createDataFrame([(9, "k", 300, 200)], "rid long, key string, s long, e long")
+    with pytest.raises(Exception, match="non-inverted"):
+        interval_join(left, inv, on="key", ts_col="us", start_col="s",
+                      end_col="e", granularity=50, right_cols=["rid"]).collect()
+    wide = spark.createDataFrame([(9, "k", 0, 10_000_000)], "rid long, key string, s long, e long")
+    with pytest.raises(Exception, match="bins"):
+        interval_join(left, wide, on="key", ts_col="us", start_col="s",
+                      end_col="e", granularity=50, right_cols=["rid"],
+                      max_bins_per_interval=100).collect()
+    for kw in ({"how": "full"}, {"granularity": 0}, {"right_cols": []},
+               {"max_bins_per_interval": 0}):
+        with pytest.raises(ValueError):
+            interval_join(left, right, on="key", ts_col="us", start_col="s",
+                          end_col="e",
+                          **{"granularity": 50, "right_cols": ["rid"], **kw})
