@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_distinct", "duckdb_hll_sql"]
+__all__ = [
+    "hll_registers",
+    "hll_distinct",
+    "finalize_hll_estimates",
+    "duckdb_hll_sql",
+]
 
 #: total hash bits taken from md5 (15 hex chars -> positive in int64)
 HASH_BITS = 60
@@ -62,11 +67,10 @@ def _check_p(p: int) -> None:
         raise ValueError(f"p must be in [4, 14], got {p}")
 
 
-def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
-    """The non-empty HLL registers of ``col`` (nulls excluded): one row per
-    present register index, (idx, rho) with rho = max over the index's
-    hashes. The shuffle carries at most 2^p rows per map partition."""
-    _check_p(p)
+def _register_frame(df: DataFrame, col: str, p: int, keep_cols: list[str]):
+    """(keep_cols..., idx, __rho) rows, one per non-null input row — the
+    pre-aggregation register stream shared by the batch and streaming
+    paths."""
     w_bits = HASH_BITS - p
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -77,32 +81,44 @@ def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         .cast("int")
     )
     return (
-        df.select(F.col(col))
-        .filter(F.col(col).isNotNull())
-        .select(h.alias("__h"))
+        df.filter(F.col(col).isNotNull())
+        .select(*keep_cols, h.alias("__h"))
         .select(
+            *keep_cols,
             F.expr(f"__h div {1 << w_bits}").cast("int").alias("idx"),
             (F.col("__h") % (1 << w_bits)).alias("__w"),
         )
-        .select("idx", rho.alias("__rho"))
+        .select(*keep_cols, "idx", rho.alias("__rho"))
+    )
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """The non-empty HLL registers of ``col`` (nulls excluded): one row per
+    present register index, (idx, rho) with rho = max over the index's
+    hashes. The shuffle carries at most 2^p rows per map partition."""
+    _check_p(p)
+    return (
+        _register_frame(df, col, p, [])
         .groupBy("idx")
         .agg(F.max("__rho").alias("rho"))
     )
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
-    """One-row distinct-count estimate of ``col``: (m, nonzero_regs,
-    s_scaled, est_q) with est_q = floor(estimate * 10000) / 10000.
-
-    ``s_scaled`` is the integer harmonic sum in 2^(61-p) fixed point, so
-    rows/schema/estimate are all engine-exact in the raw-estimate regime
-    (true cardinality >> m); the small-range linear-counting branch uses
-    ln() and is last-ulp engine-dependent — see module docstring."""
+def finalize_hll_estimates(
+    regs: DataFrame, p: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold a register frame (group_cols..., idx, rho) into per-group
+    estimates (group_cols..., m, nonzero_regs, s_scaled, est_q) — the
+    batch finalization shared by :func:`hll_distinct` and the streaming
+    register sink (`streaming.stream.streaming_hll_registers`). Registers
+    merge by MAX, so finalizing a union of partial register frames equals
+    finalizing the whole input (the HLL merge property)."""
     _check_p(p)
     m = 1 << p
     scale_pow = 61 - p
-    regs = hll_registers(df, col, p)
-    agg = regs.agg(
+    gc = list(group_cols or [])
+    merged = regs.groupBy(*gc, "idx").agg(F.max("rho").alias("rho"))
+    agg = merged.groupBy(*gc).agg(
         F.count(F.lit(1)).cast("long").alias("nonzero_regs"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - rho)")),
@@ -116,12 +132,26 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     raw = F.lit(_alpha(m) * m * m * float(1 << scale_pow)) / F.col("s_scaled")
     lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= 2.5 * m) & (zeros > 0), lin).otherwise(raw)
-    return agg.select(F.lit(m).cast("long").alias("m"), "nonzero_regs", s).select(
+    return agg.select(
+        *gc, F.lit(m).cast("long").alias("m"), "nonzero_regs", s
+    ).select(
+        *gc,
         "m",
         "nonzero_regs",
         "s_scaled",
         (F.floor(est * 10000) / 10000.0).alias("est_q"),
     )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One-row distinct-count estimate of ``col``: (m, nonzero_regs,
+    s_scaled, est_q) with est_q = floor(estimate * 10000) / 10000.
+
+    ``s_scaled`` is the integer harmonic sum in 2^(61-p) fixed point, so
+    rows/schema/estimate are all engine-exact in the raw-estimate regime
+    (true cardinality >> m); the small-range linear-counting branch uses
+    ln() and is last-ulp engine-dependent — see module docstring."""
+    return finalize_hll_estimates(hll_registers(df, col, p), p)
 
 
 def duckdb_hll_sql(input_sql: str, p: int = 12) -> str:

@@ -283,3 +283,38 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_hll_registers(
+    pages: DataFrame,
+    col: str = "url",
+    ts_col: str = "warc_ts",
+    window_duration: str = "10 minutes",
+    p: int = 12,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window HLL register stream: append-mode rows
+    (w, idx, rho) estimating distinct ``col`` values per window — "how
+    many distinct urls did each crawl window see" with O(2^p) state per
+    open window instead of per-url state.
+
+    The register math is `operators.cardinality`'s engine-exact spec (md5
+    60-bit hash, integer rho), so a window's streamed registers are
+    IDENTICAL to the batch registers of the same slice, and finalizing the
+    sink with ``finalize_hll_estimates(regs, p, ["w"])`` equals running
+    ``hll_distinct`` per window (the HLL max-merge property; pytest
+    asserts bit-equality). The watermark closes windows for append output;
+    late rows beyond it are dropped like any watermarked aggregation.
+    """
+    from data_quality_framework_spark.operators.cardinality import (
+        _check_p,
+        _register_frame,
+    )
+
+    _check_p(p)
+    src = pages.withWatermark(ts_col, watermark)
+    return (
+        _register_frame(src, col, p, [ts_col])
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("idx"))
+        .agg(F.max("__rho").alias("rho"))
+    )

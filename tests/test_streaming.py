@@ -387,3 +387,82 @@ def test_streaming_decisions_honor_ppl_model(spark):
     lo, hi = ("unigram", "bigram") if uni < big else ("bigram", "unigram")
     assert keep(FilterConfig(ppl_model=lo, max_ppl=mid)) is True
     assert keep(FilterConfig(ppl_model=hi, max_ppl=mid)) is False
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streamed per-window HLL registers are bit-identical to the
+    batch registers of each window's slice, and finalizing the streamed
+    sink equals running hll_distinct per window (max-merge property) —
+    including windows whose url sets overlap."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.cardinality import (
+        finalize_hll_estimates,
+        hll_distinct,
+        hll_registers,
+    )
+    from data_quality_framework_spark.streaming.stream import (
+        stream_pages,
+        streaming_hll_registers,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # three 10-min windows; window 0 and 1 share half their urls, window 2
+    # repeats urls internally (distinct < rows)
+    for w in range(3):
+        for i in range(300):
+            url = f"https://ex.com/{(w * 150 + i) % 450}" if w < 2 else (
+                f"https://ex.com/rep/{i % 37}"
+            )
+            rows.append((url, base + dt.timedelta(minutes=10 * w, seconds=i % 600 // 2)))
+    # sentinel far past window 2: advances the watermark so all three
+    # observed windows CLOSE and emit in append mode (its own window stays
+    # open and unemitted, and the batch comparisons never look at it)
+    rows.append(("https://ex.com/sentinel", base + dt.timedelta(minutes=45)))
+    pdf = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    # pad to the PAGES_SCHEMA shape stream_pages expects
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+
+    pages = pdf.select(
+        "url", "warc_ts",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in PAGES_SCHEMA.fields
+            if f.name not in ("url", "warc_ts")
+        ],
+    ).select([f.name for f in PAGES_SCHEMA.fields])
+    input_dir = str(tmp_path / "hll_in")
+    pages.write.mode("overwrite").parquet(input_dir)
+
+    q = (
+        streaming_hll_registers(stream_pages(spark, input_dir), p=8,
+                                watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("hll_regs_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("select * from hll_regs_test")
+    got_regs = {
+        (r["w"]["start"], r["idx"]): r["rho"] for r in streamed.collect()
+    }
+    assert len({k[0] for k in got_regs}) == 3
+
+    for w in range(3):
+        lo = base + dt.timedelta(minutes=10 * w)
+        hi = lo + dt.timedelta(minutes=10)
+        sl = pdf.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
+        want = {r["idx"]: r["rho"] for r in hll_registers(sl, "url", 8).collect()}
+        assert {k[1]: v for k, v in got_regs.items() if k[0] == lo} == want
+        # finalized sink == batch hll_distinct, column for column
+        fin = {
+            r["w"]["start"]: (r["m"], r["nonzero_regs"], r["s_scaled"], r["est_q"])
+            for r in finalize_hll_estimates(streamed, 8, ["w"]).collect()
+        }
+        brow = hll_distinct(sl, "url", 8).collect()[0]
+        assert fin[lo] == (
+            brow["m"], brow["nonzero_regs"], brow["s_scaled"], brow["est_q"]
+        )
