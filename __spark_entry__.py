@@ -1990,6 +1990,24 @@ def _q_interval_join(spark, sf):
     ).orderBy("event_id")
 
 
+def _q_skew_profile(spark, sf):
+    """Shuffle-skew diagnosis (r5): the per-key frequency distribution's
+    exact p50/p90/p99/max — the numbers that size salting factors and AQE
+    skew thresholds BEFORE a join ships 10^12 rows. Composition demo:
+    `exact_quantiles` over a per-user count aggregate; everything after
+    the first shuffle runs at key cardinality."""
+    from data_quality_framework_spark.operators.quantiles import exact_quantiles
+
+    e = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return exact_quantiles(e, "n_events", [5000, 9000, 9900, 10000]).orderBy(
+        "q_bp"
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2357,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
         "events_interval_join": _q_interval_join,
+        "events_skew_profile": _q_skew_profile,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4066,6 +4085,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN s ON e.user_id = s.user_id
                          AND e.us BETWEEN s.s_us AND s.e_us
             ORDER BY e.event_id
+        """,
+        # skew-profile oracle (r5): per-key counts, then the single-node
+        # row_number truth at the same integer basis-point ranks
+        "events_skew_profile": """
+            WITH v AS (SELECT CAST(count(*) AS BIGINT) AS value
+                       FROM events GROUP BY user_id),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            s AS (SELECT value, row_number() OVER (ORDER BY value) AS rn
+                  FROM v),
+            qs(q_bp) AS (VALUES (5000), (9000), (9900), (10000)),
+            k AS (SELECT q_bp,
+                         CAST((q_bp * n.n + 9999) // 10000 AS BIGINT) AS k,
+                         n.n AS n FROM qs, n)
+            SELECT k.q_bp, s.value, k.k, k.n AS n_rows
+            FROM k JOIN s ON s.rn = k.k
+            ORDER BY k.q_bp
         """,
         # mixture-budget oracle (r5): totals -> integer plan (T = min
         # a*10000//bp, budget = bp*T//10000) -> hash-prefix running-sum cut
