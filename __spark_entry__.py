@@ -2008,6 +2008,57 @@ def _q_skew_profile(spark, sf):
     )
 
 
+def _hll_incremental_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cardinality import duckdb_hll_sql
+
+    even = duckdb_hll_sql(
+        "SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0", p=6
+    )
+    full = duckdb_hll_sql("SELECT doc_id AS v FROM documents", p=6)
+    return f"""
+        SELECT 1 AS batch_id, h.*, CAST(1 AS BIGINT) AS n_batches
+        FROM ({even}) h
+        UNION ALL
+        SELECT 2 AS batch_id, h.*, CAST(2 AS BIGINT) AS n_batches
+        FROM ({full}) h
+        ORDER BY batch_id
+    """
+
+
+def _q_hll_incremental(spark, sf):
+    """Cross-run cumulative distinct counting (r5): the two-batch split of
+    `dedup_incremental_batches` run through `incremental_hll` — each batch
+    folds its ~2^p-row register frame into a persisted store and reports
+    the cumulative estimate, bit-identical (HLL max-merge) to a
+    from-scratch estimate over every batch so far, which is exactly what
+    the oracle recomputes in SQL."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.cardinality import incremental_hll
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="dq_hll_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        rows = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            r = incremental_hll(spark, batch, "doc_id", store, bid, p=6).collect()[0]
+            rows.append(
+                (int(bid), r["m"], r["nonzero_regs"], r["s_scaled"],
+                 r["est_q"], r["n_batches"])
+            )
+        return spark.createDataFrame(
+            rows,
+            "batch_id int, m long, nonzero_regs long, s_scaled long, "
+            "est_q double, n_batches long",
+        ).orderBy("batch_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2376,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mixture_budget": _q_mixture_budget,
         "events_interval_join": _q_interval_join,
         "events_skew_profile": _q_skew_profile,
+        "text_hll_incremental": _q_hll_incremental,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4102,6 +4154,10 @@ def oracle_sql() -> dict[str, str]:
             FROM k JOIN s ON s.rn = k.k
             ORDER BY k.q_bp
         """,
+        # incremental-HLL oracle (r5): cumulative estimate after each batch
+        # recomputed from scratch over the batches' union (max-merge ==
+        # concatenated-corpus registers, so this is bit-exact)
+        "text_hll_incremental": _hll_incremental_oracle_sql(),
         # mixture-budget oracle (r5): totals -> integer plan (T = min
         # a*10000//bp, budget = bp*T//10000) -> hash-prefix running-sum cut
         "text_mixture_budget": """

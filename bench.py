@@ -90,6 +90,7 @@ HEADLINE = [
     "text_hll_distinct",
     "text_mixture_budget",
     "events_interval_join",
+    "text_hll_incremental",
 ]
 
 

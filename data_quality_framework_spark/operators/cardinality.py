@@ -43,6 +43,7 @@ __all__ = [
     "hll_registers",
     "hll_distinct",
     "finalize_hll_estimates",
+    "incremental_hll",
     "duckdb_hll_sql",
 ]
 
@@ -188,3 +189,53 @@ def duckdb_hll_sql(input_sql: str, p: int = 12) -> str:
                    AS est_q
         FROM agg
     """
+
+
+def incremental_hll(
+    spark,
+    df: DataFrame,
+    col: str,
+    store_path: str,
+    batch_id: str,
+    p: int = 12,
+) -> DataFrame:
+    """Cross-RUN distinct counting: fold a new crawl batch into a persisted
+    register store and return the CUMULATIVE estimate over every batch
+    processed so far — "how many distinct urls has this crawl EVER seen"
+    without rescanning history.
+
+    The store holds one (idx, rho) register frame per batch under
+    ``batch_id=<id>/`` (~2^p rows, a few KB — vs the corpus it summarizes),
+    written as a directory-level overwrite so re-running a failed batch is
+    idempotent. The cumulative estimate max-merges ALL stored frames (the
+    HLL merge property: merged registers == registers of the concatenated
+    corpora, so the result is bit-identical to a from-scratch
+    ``hll_distinct`` over every batch's rows — SQL-replayable). The result
+    derives from the on-disk store AFTER the write, so reruns are
+    self-consistent. ``p`` is pinned to the store like the dedup stores'
+    signature knobs (mixed p would merge incompatible register spaces).
+
+    Returns one row: (m, nonzero_regs, s_scaled, est_q, n_batches).
+    Sequential-batch contract as for `dedup.incremental_exact_dedup`.
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    _check_p(p)
+    _pin_store_params(
+        spark, store_path, {"p": p, "hash": f"md5/{HASH_BITS}bit"}
+    )
+    hll_registers(df, col, p).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    regs = spark.read.parquet(*dirs).select("idx", "rho")
+    return finalize_hll_estimates(regs, p).withColumn(
+        "n_batches", F.lit(len(dirs)).cast("long")
+    )

@@ -2750,3 +2750,34 @@ def test_interval_join_binned_equi(spark):
             interval_join(left, right, on="key", ts_col="us", start_col="s",
                           end_col="e",
                           **{"granularity": 50, "right_cols": ["rid"], **kw})
+
+
+def test_incremental_hll_store(spark, tmp_path):
+    """Each batch's cumulative estimate equals a from-scratch hll_distinct
+    over all rows so far (max-merge, bit-exact); re-running a batch is
+    idempotent; a store pinned at one p refuses another."""
+    from data_quality_framework_spark.operators.cardinality import (
+        hll_distinct,
+        incremental_hll,
+    )
+
+    store = str(tmp_path / "hll_store")
+    b1 = spark.range(0, 400).select(F.col("id").alias("v"))
+    b2 = spark.range(300, 900).select(F.col("id").alias("v"))  # overlaps b1
+    r1 = incremental_hll(spark, b1, "v", store, "1", p=8).collect()[0]
+    want1 = hll_distinct(b1, "v", p=8).collect()[0]
+    assert (r1["s_scaled"], r1["est_q"], r1["n_batches"]) == (
+        want1["s_scaled"], want1["est_q"], 1
+    )
+    r2 = incremental_hll(spark, b2, "v", store, "2", p=8).collect()[0]
+    want12 = hll_distinct(b1.unionByName(b2), "v", p=8).collect()[0]
+    assert (r2["s_scaled"], r2["est_q"], r2["n_batches"]) == (
+        want12["s_scaled"], want12["est_q"], 2
+    )
+    # idempotent rerun of batch 2: same cumulative state
+    r2b = incremental_hll(spark, b2, "v", store, "2", p=8).collect()[0]
+    assert (r2b["s_scaled"], r2b["est_q"], r2b["n_batches"]) == (
+        r2["s_scaled"], r2["est_q"], 2
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_hll(spark, b1, "v", store, "3", p=9)
