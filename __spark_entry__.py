@@ -2008,6 +2008,25 @@ def _q_skew_profile(spark, sf):
     )
 
 
+def _cms_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cms import duckdb_cms_sql
+
+    inner = duckdb_cms_sql(
+        "SELECT source AS v FROM documents",
+        "SELECT DISTINCT source AS v FROM documents",
+        d=4,
+        w=256,
+    )
+    return f"""
+        WITH ex AS (SELECT CAST(source AS VARCHAR) AS value,
+                           CAST(count(*) AS BIGINT) AS n_exact
+                    FROM documents WHERE source IS NOT NULL GROUP BY 1)
+        SELECT e.value, e.est, ex.n_exact
+        FROM ({inner}) e JOIN ex USING (value)
+        ORDER BY value
+    """
+
+
 def _hll_incremental_oracle_sql() -> str:
     from data_quality_framework_spark.operators.cardinality import duckdb_hll_sql
 
@@ -2057,6 +2076,26 @@ def _q_hll_incremental(spark, sf):
         ).orderBy("batch_id")
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_cms_freq(spark, sf):
+    """Engine-exact count-min frequency estimation (r5): a d=4 x w=256
+    integer sketch over the source column, point-estimated for every
+    distinct source with the exact count alongside (est >= exact always;
+    equal here because 20 keys rarely collide in 256 columns — and any
+    collision is deterministic, so the oracle reproduces it bit-for-bit
+    either way)."""
+    from data_quality_framework_spark.operators.cms import cms_estimate, cms_sketch
+
+    d_ = _t(spark, sf, "documents").select("source")
+    sk = cms_sketch(d_, "source", d=4, w=256)
+    est = cms_estimate(sk, d_.distinct(), "source", 4, 256)
+    exact = (
+        d_.filter(F.col("source").isNotNull())
+        .groupBy(F.col("source").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "value").orderBy("value")
 
 
 def _q_quality_fit_stats(spark, sf):
@@ -2428,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_interval_join,
         "events_skew_profile": _q_skew_profile,
         "text_hll_incremental": _q_hll_incremental,
+        "text_cms_freq": _q_cms_freq,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4154,6 +4194,9 @@ def oracle_sql() -> dict[str, str]:
             FROM k JOIN s ON s.rn = k.k
             ORDER BY k.q_bp
         """,
+        # count-min oracle (r5): sketch cells + integer-min point estimates
+        # replayed from shared constants; exact counts joined for audit
+        "text_cms_freq": _cms_oracle_sql(),
         # incremental-HLL oracle (r5): cumulative estimate after each batch
         # recomputed from scratch over the batches' union (max-merge ==
         # concatenated-corpus registers, so this is bit-exact)

@@ -91,6 +91,7 @@ HEADLINE = [
     "text_mixture_budget",
     "events_interval_join",
     "text_hll_incremental",
+    "text_cms_freq",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Engine-exact count-min sketch frequency estimation.
+
+"How often does each host / boilerplate line / template appear?" needs
+per-key counts, but at 10^9+ distinct keys an exact groupBy shuffles
+every key. A count-min sketch bounds the state at d x w INTEGER counters
+(d hash rows, w columns): estimates are exact for heavy keys with high
+probability and never under-count (est >= true, over-count bounded by
+2N/w with prob 1 - 2^-d). The shuffle carries at most d*w rows per map
+partition — map-side combinable integer sums, like `cardinality`'s HLL
+registers.
+
+Everything is pinned engine-neutral, same discipline as
+`operators/cardinality`: hash j of value v = md5(str(v) || ':cms<j>')
+taken as the 60-bit hex prefix, column = h mod w, counters are integer
+sums, the point estimate is an integer min — so sketch AND estimates are
+bit-identical between Spark and the DuckDB replay (`duckdb_cms_sql`),
+under any partitioning, ordering, or retry. Sketches MERGE by cellwise
+addition (counts are sums), so per-shard sketches fold into the corpus
+sketch exactly.
+
+Reference parity: the reference's duplicate_checker GROUP BY frequency
+reports (src/checkers/duplicate_checker.py) at cardinalities where the
+exact groupBy is the bottleneck; beyond-reference north-rule scope
+otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_sketch", "cms_estimate", "duckdb_cms_sql"]
+
+#: 60-bit md5 hex prefix, as everywhere else in the repo
+_HEX_CHARS = 15
+
+
+def _check_dw(d: int, w: int) -> None:
+    if not 1 <= d <= 8:
+        raise ValueError(f"d must be in [1, 8], got {d}")
+    if not 2 <= w <= 1 << 20:
+        raise ValueError(f"w must be in [2, 2^20], got {w}")
+
+
+def _col_expr(value_col, j: int, w: int):
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(value_col.cast("string"), F.lit(f":cms{j}"))),
+            1,
+            _HEX_CHARS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % w
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """The (j, col, cnt) counter cells of ``col``'s count-min sketch
+    (nulls excluded; absent cells are zero). At most d*w rows total."""
+    _check_dw(d, w)
+    v = F.col(col)
+    cells = df.filter(v.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _col_expr(v, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, values: DataFrame, col: str, d: int, w: int
+) -> DataFrame:
+    """Point-estimate each value in ``values[col]`` against ``sketch``:
+    (value, est) with est = min over the d cells — an integer, never below
+    the true count. ``values`` is broadcast (point queries are few by
+    contract; for bulk re-scoring join the corpus against the sketch the
+    same way)."""
+    _check_dw(d, w)
+    v = F.col(col)
+    q = values.filter(v.isNotNull()).select(
+        v.cast("string").alias("value"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _col_expr(v, j, w).alias("col"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c"),
+    )
+    q = F.broadcast(
+        q.select("value", F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+    )
+    return (
+        q.join(sketch, ["j", "col"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
+
+
+def duckdb_cms_sql(
+    input_sql: str, query_sql: str, d: int = 4, w: int = 1024
+) -> str:
+    """DuckDB replay of sketch + point estimates: ``input_sql`` and
+    ``query_sql`` each produce one column ``v``; returns (value, est) —
+    bit-identical to Spark's (integer arithmetic throughout)."""
+    _check_dw(d, w)
+    js = ", ".join(f"({j})" for j in range(d))
+    cell = (
+        "CAST('0x' || substr(md5(CAST(v AS VARCHAR) || ':cms' "
+        f"|| CAST(j AS VARCHAR)), 1, {_HEX_CHARS}) AS BIGINT) % {w}"
+    )
+    return f"""
+        WITH js(j) AS (VALUES {js}),
+        sk AS (SELECT j, {cell} AS col, CAST(count(*) AS BIGINT) AS cnt
+               FROM ({input_sql}), js WHERE v IS NOT NULL GROUP BY 1, 2),
+        q AS (SELECT CAST(v AS VARCHAR) AS value, j, {cell} AS col
+              FROM ({query_sql}), js WHERE v IS NOT NULL)
+        SELECT q.value, min(coalesce(sk.cnt, 0)) AS est
+        FROM q LEFT JOIN sk USING (j, col)
+        GROUP BY q.value
+    """

@@ -2781,3 +2781,62 @@ def test_incremental_hll_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="refusing"):
         incremental_hll(spark, b1, "v", store, "3", p=9)
+
+
+def test_cms_sketch_exact_replay(spark):
+    """The count-min cells and integer-min point estimates are bit-exact
+    vs a pure-Python replay under a deliberately tiny w (forced
+    collisions); estimates never under-count; shard sketches merge by
+    cellwise addition into the corpus sketch; bad knobs raise."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from data_quality_framework_spark.operators.cms import cms_estimate, cms_sketch
+
+    d_, w_ = 3, 8
+    vals = [str(i % 13) for i in range(200)] + ["hot"] * 57
+    exact = Counter(vals)
+
+    def cell(v, j):
+        h = int(hashlib.md5(f"{v}:cms{j}".encode()).hexdigest()[:15], 16)
+        return h % w_
+
+    cells = defaultdict(int)
+    for v in vals:
+        for j in range(d_):
+            cells[(j, cell(v, j))] += 1
+
+    df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(7)
+    sk = cms_sketch(df, "x", d=d_, w=w_)
+    got_cells = {(r["j"], r["col"]): r["cnt"] for r in sk.collect()}
+    assert got_cells == dict(cells)
+
+    q = spark.createDataFrame([(v,) for v in exact], "x string")
+    got = {r["value"]: r["est"] for r in cms_estimate(sk, q, "x", d_, w_).collect()}
+    want = {
+        v: min(cells[(j, cell(v, j))] for j in range(d_)) for v in exact
+    }
+    assert got == want
+    assert all(got[v] >= exact[v] for v in exact)       # never under-counts
+    assert any(got[v] > exact[v] for v in exact)        # w=8 DID collide
+
+    # merge property: shard sketches sum cellwise into the corpus sketch
+    half = len(vals) // 2
+    s1 = cms_sketch(
+        spark.createDataFrame([(v,) for v in vals[:half]], "x string"), "x", d_, w_
+    )
+    s2 = cms_sketch(
+        spark.createDataFrame([(v,) for v in vals[half:]], "x string"), "x", d_, w_
+    )
+    merged = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in s1.unionByName(s2)
+        .groupBy("j", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == got_cells
+
+    for kw in ({"d": 0}, {"d": 9}, {"w": 1}, {"w": (1 << 20) + 1}):
+        with pytest.raises(ValueError):
+            cms_sketch(df, "x", **{"d": d_, "w": w_, **kw})
