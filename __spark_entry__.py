@@ -2098,6 +2098,17 @@ def _q_cms_freq(spark, sf):
     return est.join(exact, "value").orderBy("value")
 
 
+def _q_sim_topk_int8(spark, sf):
+    """Int8-quantized ANN re-rank (r5): the corpus and the vec_id=0 probe
+    are symmetric-int8 quantized in-engine (pinned floor-half-up spec) and
+    ranked by EXACT INTEGER dot product — a total order no float summation
+    can perturb; the oracle replays quantization + integer dot in SQL."""
+    from data_quality_framework_spark.operators.quantize import topk_int8
+
+    e = _t(spark, sf, "embeddings")
+    return topk_int8(e, 0, k=10)
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2468,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": _q_skew_profile,
         "text_hll_incremental": _q_hll_incremental,
         "text_cms_freq": _q_cms_freq,
+        "sim_topk_int8": _q_sim_topk_int8,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4193,6 +4205,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.q_bp, s.value, k.k, k.n AS n_rows
             FROM k JOIN s ON s.rn = k.k
             ORDER BY k.q_bp
+        """,
+        # int8 ANN oracle (r5): pinned quantization spec replayed in SQL,
+        # exact-integer dot ranking (no float order dependence anywhere)
+        "sim_topk_int8": """
+            WITH base AS (SELECT vec_id, embedding,
+                                 list_max(list_transform(embedding,
+                                          x -> abs(x))) AS amax
+                          FROM embeddings),
+            qt AS (SELECT vec_id,
+                          CASE WHEN amax IS NULL OR amax = 0
+                               THEN list_transform(embedding, x -> 0)
+                               ELSE list_transform(embedding,
+                                    x -> CAST(greatest(-127, least(127,
+                                         floor(CAST(x AS DOUBLE) * 127.0
+                                               / CAST(amax AS DOUBLE) + 0.5)))
+                                         AS INT)) END AS q_vec
+                   FROM base),
+            probe AS (SELECT q_vec AS pv FROM qt WHERE vec_id = 0)
+            SELECT qt.vec_id,
+                   CAST(list_sum(list_transform(list_zip(qt.q_vec, probe.pv),
+                        x -> CAST(x[1] AS BIGINT) * x[2])) AS BIGINT) AS dot_q
+            FROM qt, probe
+            ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
         # count-min oracle (r5): sketch cells + integer-min point estimates
         # replayed from shared constants; exact counts joined for audit

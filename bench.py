@@ -92,6 +92,7 @@ HEADLINE = [
     "events_interval_join",
     "text_hll_incremental",
     "text_cms_freq",
+    "sim_topk_int8",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Engine-exact int8 embedding quantization + integer dot-product re-rank.
+
+Serving ANN over 10^12 float32 embeddings is memory-bound: symmetric int8
+quantization cuts the index 4x (and the scan bandwidth with it) at ~1%
+cosine error — the standard FAISS/ScaNN serving trade. The catch for a
+correctness-gated engine is determinism: float dot products are
+summation-order-dependent, but INT8 dot products are exact integers under
+any order. So the quantized re-rank path is MORE reproducible than the
+float path it approximates — rank lists are bit-stable across engines,
+partitionings and retries.
+
+Quantization spec (pinned, both engines):
+
+* per-vector symmetric scale: amax = max(|x_i|) (float32 max — exact);
+* q_i = clamp(floor(x_i * 127.0 / amax + 0.5), -127, 127) — the two
+  double operations see IDENTICAL operands on both engines (float32
+  widens exactly), floor is exact, so every code is bit-identical;
+* amax = 0 or NULL (zero/empty vector) quantizes to all zeros, scale 0;
+* dequantization factor per PAIR of vectors: scale_a * scale_b / 127^2
+  (callers re-rank on the integer dot and only dequantize for display).
+
+Reference parity: beyond-reference north-rule scope; completes the ANN
+serving family in `operators/similarity` (the stored-index bucket path)
+with the compressed-vector scan tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_embeddings", "int8_dot", "topk_int8"]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qvec_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """(id, q_scale, q_vec): per-vector symmetric int8 codes (see module
+    docstring for the pinned rounding spec). Pure Column expressions —
+    no UDF, one projection, no shuffle."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    code = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(
+            F.lit(127),
+            F.floor(
+                x.cast("double") * F.lit(127.0) / amax.cast("double") + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).cast("int")
+    q = (
+        F.when(
+            amax.isNull() | (amax == 0),
+            F.transform(v, lambda x: F.lit(0)),
+        )
+        .otherwise(F.transform(v, code))
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(amax.cast("double"), F.lit(0.0)).alias(scale_col),
+        q.alias(qvec_col),
+    )
+
+
+def int8_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 code vectors (fits a long for
+    any dim < 2^48)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_int8(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` by integer dot product against the quantized vector of
+    row ``query_id`` (quantized in-engine, so no driver float math):
+    (id, dot_q) ordered by (dot_q DESC, id) — an exact-integer total
+    order, bit-stable everywhere. TakeOrderedAndProject keeps the sort
+    distributed (per-partition top-k, k-row merge)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qt = quantize_embeddings(df, vec_col, id_col)
+    probe = (
+        qt.filter(F.col(id_col) == query_id)
+        .select(F.col("q_vec").alias("__probe"))
+        .limit(1)
+    )
+    return (
+        qt.crossJoin(F.broadcast(probe))
+        .select(
+            F.col(id_col),
+            int8_dot(F.col("q_vec"), F.col("__probe")).alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2840,3 +2840,64 @@ def test_cms_sketch_exact_replay(spark):
     for kw in ({"d": 0}, {"d": 9}, {"w": 1}, {"w": (1 << 20) + 1}):
         with pytest.raises(ValueError):
             cms_sketch(df, "x", **{"d": d_, "w": w_, **kw})
+
+
+def test_int8_quantization_exact_spec(spark):
+    """Quantization codes equal the pinned floor-half-up spec replayed in
+    Python over float32-widened doubles (negatives and exact-.5 cases
+    included), zero vectors code to zeros with scale 0, and topk_int8's
+    integer ranking equals the brute-force Python ranking."""
+    import math
+
+    from data_quality_framework_spark.operators.quantize import (
+        quantize_embeddings,
+        topk_int8,
+    )
+
+    import numpy as np
+
+    vecs = {
+        0: [1.0, -1.0, 0.5, -0.25],
+        1: [127.0, -2.5, 2.5, 0.3],        # exact .5 cases round half-up
+        2: [0.0, 0.0, 0.0, 0.0],           # zero vector
+        3: [1e-3, -1e-3, 3.3e-4, 9.9e-1],
+        4: [-5.0, 4.0, -3.0, 2.0],
+    }
+
+    def replay(vec):
+        f32 = np.array(vec, dtype=np.float32)
+        a = float(np.abs(f32).max())
+        if a == 0.0:
+            return [0] * len(vec), 0.0
+        return [
+            int(max(-127, min(127, math.floor(float(x) * 127.0 / a + 0.5))))
+            for x in f32
+        ], a
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (list(r["q_vec"]), r["q_scale"])
+        for r in quantize_embeddings(df).collect()
+    }
+    for i, v in vecs.items():
+        codes, scale = replay(v)
+        assert got[i] == (codes, scale), f"vec {i}"
+    # spot-check the documented half-up: -2.5/127-scaled -> -2, +2.5 -> +3
+    assert got[1][0][1] == -2 and got[1][0][2] == 3
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = replay(vecs[0])[0]
+    want = sorted(
+        ((dot(replay(v)[0], probe), i) for i, v in vecs.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    got_k = [
+        (r["dot_q"], r["vec_id"]) for r in topk_int8(df, 0, k=3).collect()
+    ]
+    assert got_k == want
+    with pytest.raises(ValueError):
+        topk_int8(df, 0, k=0)
