@@ -2109,6 +2109,53 @@ def _q_sim_topk_int8(spark, sf):
     return topk_int8(e, 0, k=10)
 
 
+def _q_fd_violations(spark, sf):
+    """Functional-dependency audit (r5): does the 100-doc id block
+    determine the language? Violating blocks only (the classic
+    denormalization/join-corruption symptom), one groupBy, audit-sized
+    output; oracle recomputes the same grouped distinct counts."""
+    from data_quality_framework_spark.operators.profiling import fd_violations
+
+    d = _t(spark, sf, "documents").select(
+        F.expr("doc_id div 100").alias("block"), "lang"
+    )
+    return fd_violations(d, ["block"], "lang").orderBy("block")
+
+
+def _q_column_corr(spark, sf):
+    """Integer-exact Pearson correlation (r5): length vs whitespace word
+    count from integer sufficient statistics folded in ONE pass — sums are
+    exact under any order, the final formula is mult/div/sqrt over
+    identical doubles (sqrt is correctly rounded, unlike ln), floor-
+    quantized at 1e-6; the oracle recomputes the same stats in SQL."""
+    from data_quality_framework_spark.operators.profiling import column_corr
+
+    text = F.col("text")
+    wc = F.when(~TS.is_blank(text), F.size(TS.words_col(text))).otherwise(0)
+    d = _t(spark, sf, "documents").select(
+        F.col("n_chars").alias("x"), wc.alias("y")
+    )
+    return column_corr(d, "x", "y")
+
+
+def _q_uniform_sample_k(spark, sf):
+    """Exact-k uniform sample (r5): the 50 hash-smallest doc ids — a
+    deterministic simple random sample of EXACTLY k docs (rate sampling
+    only hits k in expectation), via TakeOrderedAndProject (per-partition
+    top-k + k-row merge, no global sort); oracle = the same hash order in
+    SQL."""
+    from data_quality_framework_spark.operators.sampling import hash60
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return (
+        d.withColumn("__h", hash60(F.col("doc_id")))
+        .orderBy("__h", "doc_id")
+        .limit(50)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2480,6 +2527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_incremental": _q_hll_incremental,
         "text_cms_freq": _q_cms_freq,
         "sim_topk_int8": _q_sim_topk_int8,
+        "text_fd_violations": _q_fd_violations,
+        "text_column_corr": _q_column_corr,
+        "text_uniform_sample_k": _q_uniform_sample_k,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4205,6 +4255,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.q_bp, s.value, k.k, k.n AS n_rows
             FROM k JOIN s ON s.rn = k.k
             ORDER BY k.q_bp
+        """,
+        # FD-violation oracle (r5): grouped distinct counts, violators only
+        "text_fd_violations": """
+            SELECT doc_id // 100 AS block,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_rhs_values,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents
+            GROUP BY 1
+            HAVING count(DISTINCT lang) > 1
+            ORDER BY block
+        """,
+        # correlation oracle (r5): the same integer sufficient statistics
+        # + the same double formula (sqrt is correctly rounded IEEE)
+        "text_column_corr": f"""
+            WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                              CAST(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS}
+                                        ELSE 0 END AS BIGINT) AS y
+                       FROM documents
+                       WHERE n_chars IS NOT NULL),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM d)
+            SELECT n, sx, sy, sxx, syy, sxy,
+                   CASE WHEN n >= 2
+                             AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+                        THEN floor((CAST(n AS DOUBLE) * sxy
+                                    - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx
+                                     - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy
+                                       - CAST(sy AS DOUBLE) * sy))
+                             * 1000000) / 1000000
+                        ELSE NULL END AS corr_q
+            FROM s
+        """,
+        # exact-k uniform sample oracle (r5): the same hash order in SQL
+        "text_uniform_sample_k": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                            || ':42'), 1, 15) AS BIGINT) AS h
+                FROM documents
+                ORDER BY h, doc_id LIMIT 50
+            ) s ORDER BY doc_id
         """,
         # int8 ANN oracle (r5): pinned quantization spec replayed in SQL,
         # exact-integer dot ranking (no float order dependence anywhere)

@@ -93,6 +93,8 @@ HEADLINE = [
     "text_hll_incremental",
     "text_cms_freq",
     "sim_topk_int8",
+    "text_fd_violations",
+    "text_column_corr",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Relational data-quality profiling: functional dependencies and
+integer-exact correlation.
+
+The reference's check registry validates columns one at a time (nulls,
+ranges, enums — src/checkers/*.py); the classic CROSS-column checks it
+lacks are (a) functional dependencies — "host determines language",
+"order id determines customer" — whose violations are the canonical
+denormalization/join-corruption symptom, and (b) numeric association
+between columns, the profiler's drift companion.
+
+Both are single-aggregation shapes that scale by construction:
+
+* ``fd_violations``: one groupBy on the LHS (map-side combinable
+  count-distinct via a two-level aggregate), output only the violating
+  groups — audit-sized;
+* ``column_corr``: Pearson r from INTEGER sufficient statistics (n, Sx,
+  Sy, Sxx, Syy, Sxy) folded in one pass. Integer sums are exact under
+  any partitioning/order; the final formula is a handful of double ops
+  over identical operands plus sqrt — which IEEE 754 rounds correctly
+  (unlike ln/exp), so the result is bit-identical across engines. The
+  int64 sums overflow past ~10^6-scale values x 10^13 rows; at that
+  scale switch the sums to decimal(38) — documented, not silently wrong
+  (sum overflow raises under ANSI mode).
+
+Reference parity: extends the §2 rule family (fk/duplicate checkers,
+src/checkers/) with the cross-column tier; beyond-reference otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fd_violations", "column_corr"]
+
+
+def fd_violations(
+    df: DataFrame, lhs_cols: list[str], rhs_col: str
+) -> DataFrame:
+    """Groups violating the functional dependency lhs -> rhs: one row per
+    LHS value with MORE than one distinct (non-null) RHS value —
+    (lhs..., n_rhs_values, n_rows), audit-sized (violating groups only).
+    NULL RHS values are excluded from the distinct count (both engines
+    agree); NULL LHS values form their own group, like SQL GROUP BY."""
+    if not lhs_cols:
+        raise ValueError("lhs_cols must name at least one column")
+    if rhs_col in lhs_cols:
+        raise ValueError(f"rhs_col {rhs_col!r} cannot be part of the LHS")
+    return (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.countDistinct(rhs_col).cast("long").alias("n_rhs_values"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .filter(F.col("n_rhs_values") > 1)
+    )
+
+
+def column_corr(
+    df: DataFrame, x_col, y_col, out_col: str = "corr_q"
+) -> DataFrame:
+    """One-row Pearson correlation of two INTEGER-valued column
+    expressions, engine-exact: (n, sx, sy, sxx, syy, sxy, corr_q) with
+    corr_q = floor(r * 10^6) / 10^6 (NULL when either variance is zero
+    or fewer than 2 rows). Rows where either side is NULL are excluded
+    (pairwise deletion). The sums are integer (exact under any order);
+    r itself is mult/div/sqrt over identical doubles — deterministic."""
+    x = F.col(x_col).cast("long") if isinstance(x_col, str) else x_col.cast("long")
+    y = F.col(y_col).cast("long") if isinstance(y_col, str) else y_col.cast("long")
+    d = df.select(x.alias("__x"), y.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("__x"), F.lit(0)).cast("long").alias("sx"),
+        F.coalesce(F.sum("__y"), F.lit(0)).cast("long").alias("sy"),
+        F.coalesce(F.sum(F.col("__x") * F.col("__x")), F.lit(0)).cast("long").alias("sxx"),
+        F.coalesce(F.sum(F.col("__y") * F.col("__y")), F.lit(0)).cast("long").alias("syy"),
+        F.coalesce(F.sum(F.col("__x") * F.col("__y")), F.lit(0)).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    r = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.floor(r * 1_000_000) / 1_000_000.0,
+        ).alias(out_col),
+    )

@@ -2901,3 +2901,54 @@ def test_int8_quantization_exact_spec(spark):
     assert got_k == want
     with pytest.raises(ValueError):
         topk_int8(df, 0, k=0)
+
+
+def test_fd_violations_and_column_corr(spark):
+    """fd_violations reports exactly the LHS groups with >1 distinct
+    non-null RHS (nulls excluded from the distinct count, null LHS is its
+    own group); column_corr reproduces numpy's Pearson r at 1e-6
+    quantization from integer sufficient stats, handles constant columns
+    (NULL), pairwise-deletes nulls, and both refuse bad specs."""
+    import math
+
+    import numpy as np
+
+    from data_quality_framework_spark.operators.profiling import (
+        column_corr,
+        fd_violations,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"),              # consistent -> not reported
+        ("b", "x"), ("b", "y"), ("b", "y"),  # violated: 2 values, 3 rows
+        ("c", None), ("c", "z"),             # null rhs excluded -> 1 value
+        (None, "x"), (None, "y"),            # null lhs is a real group
+    ]
+    d = spark.createDataFrame(rows, "k string, v string")
+    got = {
+        r["k"]: (r["n_rhs_values"], r["n_rows"])
+        for r in fd_violations(d, ["k"], "v").collect()
+    }
+    assert got == {"b": (2, 3), None: (2, 2)}
+    with pytest.raises(ValueError):
+        fd_violations(d, [], "v")
+    with pytest.raises(ValueError):
+        fd_violations(d, ["k", "v"], "v")
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+    cd = spark.createDataFrame(list(zip(xs, ys)), "x long, y long").repartition(4)
+    row = column_corr(cd, "x", "y").collect()[0]
+    r_np = float(np.corrcoef(xs, ys)[0, 1])
+    assert row["n"] == 10 and row["sx"] == sum(xs) and row["sxy"] == sum(
+        a * b for a, b in zip(xs, ys)
+    )
+    assert abs(row["corr_q"] - math.floor(r_np * 1e6) / 1e6) <= 1e-6
+    # constant column -> zero variance -> NULL (not NaN, not a crash)
+    const = spark.createDataFrame([(1, 5), (2, 5)], "x long, y long")
+    assert column_corr(const, "x", "y").collect()[0]["corr_q"] is None
+    # pairwise null deletion
+    nul = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 3), (4, 4)], "x long, y long"
+    )
+    assert column_corr(nul, "x", "y").collect()[0]["n"] == 2
