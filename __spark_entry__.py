@@ -2156,6 +2156,26 @@ def _q_uniform_sample_k(spark, sf):
     )
 
 
+def _q_group_sample_k(spark, sf):
+    """Per-group exact-k uniform sample (r5): 5 docs per language, drawn
+    as each group's k hash-smallest ids through the skew-safe two-phase
+    `topk_per_group` — a deterministic stratified SRS with EXACT per-group
+    counts (rate sampling only hits them in expectation); oracle = the
+    per-group hash order in SQL."""
+    from data_quality_framework_spark.operators.ranking import topk_per_group
+    from data_quality_framework_spark.operators.sampling import hash60
+
+    d = _t(spark, sf, "documents").select(
+        "lang", "doc_id", hash60(F.col("doc_id")).alias("h")
+    )
+    out = topk_per_group(
+        d, ["lang"], [F.col("h"), F.col("doc_id")], 5, payload_cols=["doc_id"]
+    )
+    return out.select("lang", "group_rank", "doc_id").orderBy(
+        "lang", "group_rank"
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2530,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fd_violations": _q_fd_violations,
         "text_column_corr": _q_column_corr,
         "text_uniform_sample_k": _q_uniform_sample_k,
+        "text_group_sample_k": _q_group_sample_k,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4304,6 +4325,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 ORDER BY h, doc_id LIMIT 50
             ) s ORDER BY doc_id
+        """,
+        # per-group exact-k sample oracle (r5): per-group hash order
+        "text_group_sample_k": """
+            SELECT lang, group_rank, doc_id FROM (
+                SELECT lang, doc_id,
+                       CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':42'), 1, 15) AS BIGINT),
+                                     doc_id) AS BIGINT) AS group_rank
+                FROM documents) t
+            WHERE group_rank <= 5
+            ORDER BY lang, group_rank
         """,
         # int8 ANN oracle (r5): pinned quantization spec replayed in SQL,
         # exact-integer dot ranking (no float order dependence anywhere)

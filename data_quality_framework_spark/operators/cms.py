@@ -55,12 +55,12 @@ def _col_expr(value_col, j: int, w: int):
     return h % w
 
 
-def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
-    """The (j, col, cnt) counter cells of ``col``'s count-min sketch
-    (nulls excluded; absent cells are zero). At most d*w rows total."""
-    _check_dw(d, w)
+def _cell_frame(df: DataFrame, col: str, d: int, w: int, keep_cols: list[str]):
+    """(keep_cols..., j, col) rows, d per non-null input row — the
+    pre-aggregation cell stream shared by the batch and streaming paths."""
     v = F.col(col)
     cells = df.filter(v.isNotNull()).select(
+        *keep_cols,
         F.explode(
             F.array(
                 *[
@@ -71,10 +71,19 @@ def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
                     for j in range(d)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
     )
+    return cells.select(
+        *keep_cols, F.col("c.j").alias("j"), F.col("c.col").alias("col")
+    )
+
+
+def cms_sketch(df: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """The (j, col, cnt) counter cells of ``col``'s count-min sketch
+    (nulls excluded; absent cells are zero). At most d*w rows total."""
+    _check_dw(d, w)
     return (
-        cells.select(F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+        _cell_frame(df, col, d, w, [])
         .groupBy("j", "col")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

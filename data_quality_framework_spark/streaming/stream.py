@@ -318,3 +318,35 @@ def streaming_hll_registers(
         .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("idx"))
         .agg(F.max("__rho").alias("rho"))
     )
+
+
+def streaming_cms_cells(
+    pages: DataFrame,
+    col: str = "url",
+    ts_col: str = "warc_ts",
+    window_duration: str = "10 minutes",
+    d: int = 4,
+    w: int = 1024,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window count-min sketch stream: append-mode rows
+    (w, j, col, cnt) — per-window url/host frequency estimation with
+    O(d * 2^w_bits... d*w) integer state per open window instead of one
+    state row per key. Cells follow `operators.cms`'s engine-exact spec,
+    and because sketches merge by cellwise ADDITION, a window's streamed
+    cells equal the batch `cms_sketch` of that window's slice exactly
+    (the sum aggregation is the merge — pytest asserts bit-equality);
+    point-estimate a sink window with `cms_estimate`."""
+    from data_quality_framework_spark.operators.cms import _cell_frame, _check_dw
+
+    _check_dw(d, w)
+    src = pages.withWatermark(ts_col, watermark)
+    return (
+        _cell_frame(src, col, d, w, [ts_col])
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.col("j"),
+            F.col("col"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

@@ -466,3 +466,78 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         assert fin[lo] == (
             brow["m"], brow["nonzero_regs"], brow["s_scaled"], brow["est_q"]
         )
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """Each emitted window's streamed count-min cells are bit-identical to
+    the batch cms_sketch of that window's slice, and point estimates off
+    the streamed sink equal the batch estimates."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.cms import cms_estimate, cms_sketch
+    from data_quality_framework_spark.sources.generator import PAGES_SCHEMA
+    from data_quality_framework_spark.streaming.stream import (
+        stream_pages,
+        streaming_cms_cells,
+    )
+
+    base = dt.datetime(2026, 2, 1)
+    rows = []
+    for wdw in range(2):
+        for i in range(240):
+            url = f"https://ex.com/{i % (11 if wdw == 0 else 29)}"
+            rows.append((url, base + dt.timedelta(minutes=10 * wdw, seconds=i)))
+    rows.append(("https://ex.com/sentinel", base + dt.timedelta(minutes=45)))
+    pdf = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    pages = pdf.select(
+        "url", "warc_ts",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in PAGES_SCHEMA.fields
+            if f.name not in ("url", "warc_ts")
+        ],
+    ).select([f.name for f in PAGES_SCHEMA.fields])
+    input_dir = str(tmp_path / "cms_in")
+    pages.write.mode("overwrite").parquet(input_dir)
+
+    q = (
+        streaming_cms_cells(
+            stream_pages(spark, input_dir), d=3, w=16, watermark="1 second"
+        )
+        .writeStream.format("memory")
+        .queryName("cms_cells_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("select * from cms_cells_test")
+    by_w = {}
+    for r in streamed.collect():
+        by_w.setdefault(r["w"]["start"], {})[(r["j"], r["col"])] = r["cnt"]
+    assert len(by_w) == 2
+    for wdw in range(2):
+        lo = base + dt.timedelta(minutes=10 * wdw)
+        hi = lo + dt.timedelta(minutes=10)
+        sl = pdf.filter((F.col("warc_ts") >= lo) & (F.col("warc_ts") < hi))
+        want = {
+            (r["j"], r["col"]): r["cnt"]
+            for r in cms_sketch(sl, "url", d=3, w=16).collect()
+        }
+        assert by_w[lo] == want
+        # point estimates off the streamed sink == batch estimates
+        sink_sketch = streamed.filter(
+            F.col("w.start") == lo
+        ).select("j", "col", "cnt")
+        qv = sl.select("url").distinct().limit(5)
+        got_est = {
+            r["value"]: r["est"]
+            for r in cms_estimate(sink_sketch, qv, "url", 3, 16).collect()
+        }
+        want_est = {
+            r["value"]: r["est"]
+            for r in cms_estimate(
+                cms_sketch(sl, "url", d=3, w=16), qv, "url", 3, 16
+            ).collect()
+        }
+        assert got_est == want_est
