@@ -31,6 +31,7 @@ FAMILY_CHECK_TYPES = {
     "range_rules": None,       # per-rule check_type (range/date_range/fk/...)
     "transform_rules": "transform",
     "masking_rules": "masking",
+    "fd_rules": "fd",
 }
 
 

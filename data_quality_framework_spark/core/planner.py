@@ -685,6 +685,50 @@ def run_outlier_rule(df: DataFrame, rule: Rule) -> CheckResult:
 # orchestrator
 # --------------------------------------------------------------------------
 
+def run_fd_rule(df: DataFrame, rule: Rule, sample_limit: int = 5) -> CheckResult:
+    """Functional-dependency check: ``columns`` (LHS) must determine
+    ``params.determines`` (RHS). Verdict basis is GROUPS (an LHS value is
+    one fact): total = distinct LHS values, violation = LHS values with
+    >1 distinct non-null RHS. One grouped aggregation; samples are the
+    worst offenders. Shares semantics with `operators.profiling.
+    fd_violations` (NULL RHS excluded, NULL LHS a real group)."""
+    lhs = list(rule.columns or ([rule.column] if rule.column else []))
+    rhs = rule.p("determines")
+    if not lhs or not rhs:
+        raise ValueError(f"{rule.rule_id}: fd rule needs columns (lhs) and params.determines (rhs)")
+    full = df.groupBy(*lhs).agg(
+        F.countDistinct(rhs).alias("n_rhs_values"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    stats = full.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rhs_values") > 1, 1)), F.lit(0)
+        ).alias("viol_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rhs_values") > 1, F.col("n_rows"))), F.lit(0)
+        ).alias("viol_rows"),
+    ).collect()[0]
+    samples = [
+        row.asDict()
+        for row in full.filter(F.col("n_rhs_values") > 1)
+        .orderBy(F.desc("n_rhs_values"), *lhs)
+        .limit(sample_limit)
+        .collect()
+    ]
+    viol = int(stats["viol_groups"])
+    return make_result(
+        rule, "fd", zero_violation_verdict(viol),
+        total_rows=int(stats["groups"]), violation_count=viol,
+        details={
+            "lhs": lhs,
+            "rhs": rhs,
+            "violating_rows": int(stats["viol_rows"]),
+            "sample_groups": samples,
+        },
+    )
+
+
 def run_rules(
     tables: Mapping[str, DataFrame],
     rules: Iterable[Rule],
@@ -720,6 +764,8 @@ def run_rules(
             )
         elif ct == "outlier_3sigma":
             results.append(run_outlier_rule(tables[rule.table], rule))
+        elif ct == "fd":
+            results.append(run_fd_rule(tables[rule.table], rule))
         elif ct == "hierarchy":
             results.append(run_hierarchy_rule(tables[rule.table], rule))
         elif ct == "transform":

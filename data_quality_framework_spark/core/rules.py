@@ -169,6 +169,8 @@ CHECK_TYPES = frozenset(
                            # cycle/membership template (J12) -> iterative BFS
         "derived_range",   # (+) Gopher/C4 heuristic: range over a derived metric column
         "predicate",       # (+) arbitrary boolean SQL predicate, violation when true
+        "fd",              # (+) functional dependency lhs columns -> rhs column
+                           # (cross-column tier the reference registry lacks)
     }
 )
 

@@ -37,7 +37,7 @@ logging.basicConfig(
 log = logging.getLogger("dq.main")
 
 #: family execution order — reference main.py:117-152
-FAMILIES = ("count", "null", "duplicate", "range", "transform", "masking")
+FAMILIES = ("count", "null", "duplicate", "range", "transform", "masking", "fd")
 
 
 def parse_args(argv=None):

@@ -353,3 +353,33 @@ def test_cli_shipped_masking_rules_end_to_end(spark, tmp_path):
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
     assert "summary=" in proc.stdout
+
+
+def test_cli_shipped_fd_rules_end_to_end(spark, tmp_path):
+    """The SHIPPED config/rules/fd_rules.yml (cross-column functional
+    dependencies, r5) loads from disk and runs end-to-end against a demo
+    nation table: the pk FD holds (PASS), the region->name FD is violated
+    by every multi-nation region (FAIL) with group-basis counts."""
+    rows = [(n, f"NATION{n}", n % 3) for n in range(9)]
+    data_dir = tmp_path / "fd_data"
+    data_dir.mkdir()
+    spark.createDataFrame(
+        rows, "n_nationkey long, n_name string, n_regionkey long"
+    ).coalesce(1).write.parquet(str(data_dir / "nation.parquet"))
+
+    args = parse_args([
+        "--env", "development", "--checks", "fd",
+        "--config-dir", os.path.join(REPO, "config"),
+        "--data-dir", str(data_dir), "--report", "none",
+    ])
+    results, summary = run_validation(args, spark=spark)
+    by_id = {r.rule_id: r for r in results}
+    assert set(by_id) == {"FD-001", "FD-002"}
+    assert all(r.check_type == "fd" for r in results)
+    assert by_id["FD-001"].status.value == "PASS"
+    assert by_id["FD-001"].total_rows == 9 and by_id["FD-001"].violation_count == 0
+    # 3 regions, each with 3 distinct names -> all 3 groups violate
+    assert by_id["FD-002"].status.value == "FAIL"
+    assert by_id["FD-002"].total_rows == 3 and by_id["FD-002"].violation_count == 3
+    assert by_id["FD-002"].details["violating_rows"] == 9
+    assert len(by_id["FD-002"].details["sample_groups"]) == 3
