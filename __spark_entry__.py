@@ -2176,6 +2176,62 @@ def _q_group_sample_k(spark, sf):
     )
 
 
+def _q_key_candidates(spark, sf):
+    """Candidate-key discovery (r5): per-column distinct/total ratios over
+    orders in ONE fused aggregation (count_distinct partials share the
+    scan) — the profiling question every schema audit starts with; ratio
+    in integer basis points so the verdict is engine-exact."""
+    d = _t(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.countDistinct(c).cast("long").alias(f"d_{c}") for c in cols],
+    )
+    parts = [
+        agg.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col("n").alias("n_rows"),
+            F.expr(f"d_{c} * 10000 div n").alias("unique_bp"),
+            (F.col(f"d_{c}") == F.col("n")).alias("is_key"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
+def _q_monotonic_audit(spark, sf):
+    """Event-order audit (r5): within each user, is the timestamp
+    non-decreasing in event_id (the append-log invariant)? ONE (user)
+    window pass; reports only the violation tally + affected users —
+    audit-sized output over any event volume."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flag = (
+        e.withColumn("__prev", F.lag("us").over(w))
+        .withColumn(
+            "__viol",
+            F.when(
+                F.col("__prev").isNotNull() & (F.col("us") < F.col("__prev")), 1
+            ).otherwise(0),
+        )
+    )
+    return flag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__viol").cast("long").alias("n_violations"),
+        F.countDistinct(F.when(F.col("__viol") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("n_bad_users"),
+    )
+
+
 def _q_quality_fit_stats(spark, sf):
     """Sufficient statistics for the distributed quality-classifier fit
     (r5): the corpus compressed to distinct (features, label) rows with
@@ -2551,6 +2607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_column_corr": _q_column_corr,
         "text_uniform_sample_k": _q_uniform_sample_k,
         "text_group_sample_k": _q_group_sample_k,
+        "a18_key_candidates": _q_key_candidates,
+        "events_monotonic_audit": _q_monotonic_audit,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4325,6 +4383,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
                 ORDER BY h, doc_id LIMIT 50
             ) s ORDER BY doc_id
+        """,
+        # key-candidate oracle (r5): same distinct ratios + integer bp cut
+        "a18_key_candidates": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+            cols(column_name, n_distinct) AS (
+                SELECT 'o_orderkey', CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+                UNION ALL
+                SELECT 'o_custkey', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+                UNION ALL
+                SELECT 'o_orderdate', CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders)
+            SELECT column_name, n_distinct, n.n AS n_rows,
+                   CAST(n_distinct * 10000 // n.n AS BIGINT) AS unique_bp,
+                   n_distinct = n.n AS is_key
+            FROM cols, n
+            ORDER BY column_name
+        """,
+        # monotonicity-audit oracle (r5): the same lag window in SQL
+        "events_monotonic_audit": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                       FROM events),
+            l AS (SELECT user_id, us,
+                         lag(us) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS prev
+                  FROM e),
+            v AS (SELECT user_id,
+                         CASE WHEN prev IS NOT NULL AND us < prev
+                              THEN 1 ELSE 0 END AS viol
+                  FROM l)
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(viol) AS BIGINT) AS n_violations,
+                   CAST(count(DISTINCT CASE WHEN viol = 1 THEN user_id END)
+                        AS BIGINT) AS n_bad_users
+            FROM v
         """,
         # per-group exact-k sample oracle (r5): per-group hash order
         "text_group_sample_k": """
