@@ -2008,6 +2008,22 @@ def _q_skew_profile(spark, sf):
     )
 
 
+def _cms_incremental_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cms import duckdb_cms_sql
+
+    q = "SELECT DISTINCT source AS v FROM documents"
+    after1 = duckdb_cms_sql(
+        "SELECT source AS v FROM documents WHERE doc_id % 2 = 0", q, d=4, w=256
+    )
+    after2 = duckdb_cms_sql("SELECT source AS v FROM documents", q, d=4, w=256)
+    return f"""
+        SELECT 1 AS after_batch, e.* FROM ({after1}) e
+        UNION ALL
+        SELECT 2 AS after_batch, e.* FROM ({after2}) e
+        ORDER BY after_batch, value
+    """
+
+
 def _cms_oracle_sql() -> str:
     from data_quality_framework_spark.operators.cms import duckdb_cms_sql
 
@@ -2230,6 +2246,41 @@ def _q_monotonic_audit(spark, sf):
         .cast("long")
         .alias("n_bad_users"),
     )
+
+
+def _q_cms_incremental(spark, sf):
+    """Cross-run cumulative frequency (r5): the two-batch split run through
+    `incremental_cms` — each batch folds its <= d*w-row cell frame into the
+    store and the cumulative sketch point-estimates every source; cellwise
+    addition makes the cumulative sketch equal the from-scratch sketch of
+    the batches' union EXACTLY, which the oracle recomputes in SQL."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.cms import (
+        cms_estimate,
+        incremental_cms,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    vals = d.select("source").distinct()
+    store = tempfile.mkdtemp(prefix="dq_cms_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        rows = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            sk = incremental_cms(spark, batch, "source", store, bid, d=4, w=256)
+            # materialize before the finally deletes the store (the driver
+            # collects the returned frame AFTER this function exits)
+            for r in cms_estimate(sk, vals, "source", 4, 256).collect():
+                rows.append((int(bid), r["value"], r["est"]))
+        return spark.createDataFrame(
+            rows, "after_batch int, value string, est long"
+        ).orderBy("after_batch", "value")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def _q_quality_fit_stats(spark, sf):
@@ -2609,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_group_sample_k": _q_group_sample_k,
         "a18_key_candidates": _q_key_candidates,
         "events_monotonic_audit": _q_monotonic_audit,
+        "text_cms_incremental": _q_cms_incremental,
         # PSI drift bucket counts on snapshot-A decile grid (r5)
         "text_length_drift": _q_length_drift,
         # oracle-backed since r3: the full pipeline over documents-derived
@@ -4454,6 +4506,9 @@ def oracle_sql() -> dict[str, str]:
             FROM qt, probe
             ORDER BY dot_q DESC, vec_id LIMIT 10
         """,
+        # incremental-CMS oracle (r5): cumulative estimates after each batch
+        # recomputed from scratch (cellwise-additive merge is exact)
+        "text_cms_incremental": _cms_incremental_oracle_sql(),
         # count-min oracle (r5): sketch cells + integer-min point estimates
         # replayed from shared constants; exact counts joined for audit
         "text_cms_freq": _cms_oracle_sql(),

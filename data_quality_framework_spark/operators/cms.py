@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_sketch", "cms_estimate", "duckdb_cms_sql"]
+__all__ = ["cms_sketch", "cms_estimate", "incremental_cms", "duckdb_cms_sql"]
 
 #: 60-bit md5 hex prefix, as everywhere else in the repo
 _HEX_CHARS = 15
@@ -145,3 +145,50 @@ def duckdb_cms_sql(
         FROM q LEFT JOIN sk USING (j, col)
         GROUP BY q.value
     """
+
+
+def incremental_cms(
+    spark,
+    df: DataFrame,
+    col: str,
+    store_path: str,
+    batch_id: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Cross-RUN frequency estimation: fold a new crawl batch's count-min
+    cells into a persisted store and return the CUMULATIVE merged sketch
+    over every batch so far — "how often has this host appeared across
+    all crawls" in O(new batch + d*w) without rescanning history.
+
+    The store holds one <= d*w-row cell frame per batch under
+    ``batch_id=<id>/`` (directory-level overwrite -> idempotent reruns);
+    the cumulative sketch is the cellwise SUM of all stored frames, which
+    equals the from-scratch sketch of the concatenated batches exactly
+    (counts are sums — the merge is the aggregation). (d, w) are pinned
+    to the store like the dedup stores' signature knobs (mixed geometries
+    would add incompatible cell spaces). Point-estimate the result with
+    :func:`cms_estimate`. Sequential-batch contract as for
+    `dedup.incremental_exact_dedup`.
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    _check_dw(d, w)
+    _pin_store_params(spark, store_path, {"d": d, "w": w, "hash": "md5/60bit"})
+    cms_sketch(df, col, d, w).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    return (
+        spark.read.parquet(*dirs)
+        .select("j", "col", "cnt")
+        .groupBy("j", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

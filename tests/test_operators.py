@@ -2952,3 +2952,31 @@ def test_fd_violations_and_column_corr(spark):
         [(1, 1), (2, None), (None, 3), (4, 4)], "x long, y long"
     )
     assert column_corr(nul, "x", "y").collect()[0]["n"] == 2
+
+
+def test_incremental_cms_store(spark, tmp_path):
+    """Each batch's cumulative merged sketch equals a from-scratch
+    cms_sketch over all rows so far (cellwise-additive merge, bit-exact);
+    re-running a batch is idempotent; a store pinned at one (d, w)
+    geometry refuses another."""
+    from data_quality_framework_spark.operators.cms import (
+        cms_sketch,
+        incremental_cms,
+    )
+
+    store = str(tmp_path / "cms_store")
+    b1 = spark.createDataFrame([(f"k{i % 9}",) for i in range(90)], "v string")
+    b2 = spark.createDataFrame([(f"k{i % 5}",) for i in range(55)], "v string")
+
+    def cells(df):
+        return {(r["j"], r["col"]): r["cnt"] for r in df.collect()}
+
+    s1 = incremental_cms(spark, b1, "v", store, "1", d=3, w=16)
+    assert cells(s1) == cells(cms_sketch(b1, "v", d=3, w=16))
+    s2 = incremental_cms(spark, b2, "v", store, "2", d=3, w=16)
+    want = cells(cms_sketch(b1.unionByName(b2), "v", d=3, w=16))
+    assert cells(s2) == want
+    s2b = incremental_cms(spark, b2, "v", store, "2", d=3, w=16)
+    assert cells(s2b) == want
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_cms(spark, b1, "v", store, "3", d=3, w=32)
