@@ -113,11 +113,12 @@ def cms_estimate(
             )
         ).alias("c"),
     )
-    q = F.broadcast(
-        q.select("value", F.col("c.j").alias("j"), F.col("c.col").alias("col"))
-    )
+    q = q.select("value", F.col("c.j").alias("j"), F.col("c.col").alias("col"))
+    # broadcast the SKETCH: it is the side bounded by construction
+    # (<= d*w rows), and a left-outer join only supports build-right —
+    # broadcasting the probe side was a silently-ignored hint (r5 review)
     return (
-        q.join(sketch, ["j", "col"], "left")
+        q.join(F.broadcast(sketch), ["j", "col"], "left")
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )
