@@ -653,13 +653,20 @@ def _ann_index(spark, sf) -> str:
     return _build_cached_index(spark, sf, "ann_index")
 
 
-def _build_cached_index(spark, sf, name: str, centroids=None) -> str:
+def _build_cached_index(spark, sf, name: str, centroids=None, builder=None) -> str:
+    """``builder(tmp_path)`` materializes the index into ``tmp_path``;
+    defaults to the embeddings ANN build. The claim/publish protocol around
+    it is index-agnostic (root ``_SUCCESS`` marks completeness)."""
     import glob
     import hashlib
     import shutil
 
     from data_quality_framework_spark.operators.similarity import build_ann_index
 
+    if builder is None:
+        builder = lambda tmp: build_ann_index(
+            _t(spark, sf, "embeddings"), tmp, centroids=centroids
+        )
     key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache", f"{name}_{key}"
@@ -697,7 +704,7 @@ def _build_cached_index(spark, sf, name: str, centroids=None) -> str:
             shutil.rmtree(claimed, ignore_errors=True)
     tmp = f"{path}.tmp-{os.getpid()}"
     try:
-        build_ann_index(_t(spark, sf, "embeddings"), tmp, centroids=centroids)
+        builder(tmp)
         try:
             os.rename(tmp, path)  # atomic publish; fails iff a racer won
         except OSError:
@@ -2523,6 +2530,35 @@ def _q_pipeline_bigram(spark, sf):
     )
 
 
+#: fixed bag-of-terms query for the BM25 gate — mid-frequency corpus terms
+_BM25_TERMS = ["window", "merge", "scan"]
+
+
+def _text_index(spark, sf) -> str:
+    """Cached inverted index over the documents table (postings partitioned
+    by term-hash bucket + doc lengths + corpus scalars), built once per sf
+    dir through the same atomic claim/publish protocol as `_ann_index`."""
+    from data_quality_framework_spark.operators.retrieval import build_text_index
+
+    return _build_cached_index(
+        spark,
+        sf,
+        "text_index",
+        builder=lambda tmp: build_text_index(_t(spark, sf, "documents"), tmp),
+    )
+
+
+def _q_bm25_topk(spark, sf):
+    """Integer-exact BM25-lite top-10 for a fixed 3-term query THROUGH the
+    stored inverted index (r5): postings read partition-pruned by term
+    bucket, rational un-logged idf, all-BIGINT fixed-point scoring so the
+    DuckDB oracle (which recomputes postings from raw text) matches
+    bit-for-bit. `operators/retrieval.py`."""
+    from data_quality_framework_spark.operators.retrieval import bm25_topk_indexed
+
+    return bm25_topk_indexed(spark, _text_index(spark, sf), _BM25_TERMS, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2617,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_line_dedup": _q_doc_line_dedup,
         # corpus top-k token frequencies, deterministic boundary (r5)
         "text_vocabulary_topk": _q_vocabulary,
+        "text_bm25_topk": _q_bm25_topk,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -3983,6 +4020,44 @@ def oracle_sql() -> dict[str, str]:
                  t AS (SELECT lower(tok) AS token FROM w)
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM t GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        # BM25 oracle (r5): recomputes postings from raw text and replays
+        # the all-BIGINT fixed-point score (k1_milli=1200, b_milli=750 →
+        # tf factor 2200, k1(1-b)=300000, k1·b=900000); `//` == Spark `div`
+        # on the all-positive operands. Rational idf (2N-2df+1)/(2df+1),
+        # integer sums — bit-identical by construction.
+        "text_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+                      FROM documents) t
+                WHERE t.term <> ''),
+                 dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                        FROM toks GROUP BY doc_id),
+                 stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                                  (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_toks),
+                 post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                          FROM toks WHERE term IN ('merge', 'scan', 'window')
+                          GROUP BY doc_id, term),
+                 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                           FROM post GROUP BY term),
+                 scored AS (
+                     SELECT p.doc_id,
+                            (((p.tf * 2200 * 1000000000) // (
+                                  1000000 * p.tf + 300000
+                                  + (900000 * ((1000000000000 * l.dl)
+                                               // ((1000000 * s.total_toks) // s.n_docs)))
+                                    // 1000000))
+                             * (2 * s.n_docs - 2 * d.df_t + 1)) // (2 * d.df_t + 1)
+                                AS term_score_fp
+                     FROM post p
+                     JOIN dfreq d USING (term)
+                     JOIN dl l USING (doc_id), stats s)
+            SELECT doc_id, CAST(sum(term_score_fp) AS BIGINT) AS score_fp,
+                   CAST(count(*) AS BIGINT) AS terms_hit
+            FROM scored GROUP BY doc_id
+            ORDER BY score_fp DESC, doc_id LIMIT 10
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

@@ -95,6 +95,9 @@ HEADLINE = [
     "sim_topk_int8",
     "text_fd_violations",
     "text_column_corr",
+    # r5 eighth wave: inverted-index BM25 retrieval (index build amortized
+    # via the cached-index protocol; the timed query is the pruned probe)
+    "text_bm25_topk",
 ]
 
 

@@ -1,0 +1,257 @@
+"""Keyword retrieval: inverted-index postings and integer-exact BM25 top-k.
+
+Training-data pipelines need corpus search — "find the documents about X"
+— for curation audits, targeted decontamination, and seed selection. The
+classic engine shape is an inverted index (term → postings) plus BM25
+ranking. On Spark the postings list IS a DataFrame: one narrow
+(term, doc_id, tf) table built by a single explode + hash aggregate, and
+a query is a broadcast semi-join of its (tiny) term list against the
+postings — never a corpus scan at query time once the index is stored.
+
+Engine exactness: textbook BM25 needs ln(), which is NOT correctly
+rounded and therefore not reproducible across engines (see
+`functions/scoring.py` for the calibrated-margin treatment perplexity
+requires). Retrieval ordering must be stabler than that, so this module
+uses the BM25-lite rational idf
+
+    idf = (N - df + 0.5) / (df + 0.5)  =  (2N - 2df + 1) / (2df + 1)
+
+(the same document-frequency odds BM25 takes the log of, un-logged —
+order-preserving per term) and evaluates the whole score in scaled
+integer arithmetic:
+
+    dl_ratio_ppm  = (10^12 * dl) div avgdl_micro       # dl / avgdl
+    denom_ppm     = 10^6 * tf + k1_milli*(1000 - b_milli)
+                    + (k1_milli * b_milli * dl_ratio_ppm) div 10^6
+    tf_part_fp    = (tf * (1000 + k1_milli) * 10^9) div denom_ppm
+    term_score_fp = (tf_part_fp * (2N - 2df + 1)) div (2df + 1)
+    score_fp      = SUM(term_score_fp)                  # ×10^6 fixed point
+
+Every operand is a BIGINT and every division is integral on positive
+values (truncation == floor), so Spark and any ANSI engine produce
+bit-identical scores and therefore identical rankings; the final SUM is
+an integer sum — order-independent, safe under any partitioning. Bounds
+at bench scale stay far inside int64 (tf·(1000+k1)·10^9 ≤ ~2e16); a
+10^12-doc corpus would promote the two N-scaled factors to decimal(38,0)
+— a type swap, not an algorithm change.
+
+Scale contract: `bm25_topk` runs ONE full-corpus pass (the doc-length
+aggregate, narrow (doc_id, count) partials) plus a token-filtered
+postings aggregate that only ever shuffles rows whose term is in the
+query (predicate applied BEFORE the explode's groupBy). The per-term
+document frequencies and the 2-scalar corpus stats are broadcast. With a
+stored index (`build_text_index`) the corpus pass disappears: postings
+and doc lengths are read back partition-pruned by term bucket, exactly
+like `similarity.build_ann_index`'s serving path.
+
+Reference parity: beyond-reference (north-rule scope); the reference's
+nearest analog is enum membership checking (src/checkers/
+code_value_checker.py) — term membership here is the same IN-list shape
+pushed into a scan filter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["tokenize", "build_text_index", "bm25_topk", "bm25_topk_indexed"]
+
+# ASCII-only token class: Java and RE2 agree on [^a-z0-9]+ (no \s / \w
+# Unicode divergence — see functions/textstats._WS for the general rule).
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) token stream: lowercase, split on non-alphanumeric,
+    empty tokens dropped. Deliberately the simplest cross-engine-exact
+    tokenizer; swap in a real analyzer behind the same two columns."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def _doc_lengths(tokens: DataFrame) -> DataFrame:
+    return tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+
+
+def _score_columns(k1_milli: int, b_milli: int):
+    """The fixed-point BM25-lite term score as ONE integral Column
+    expression over (tf, dl, df_t, n_docs, avgdl_micro) — shared by the
+    inline and the indexed paths so the two can never drift. Every
+    operator inside is BIGINT `div`/`*`/`+` on positive values, so any
+    ANSI engine reproduces it bit-for-bit (the module docstring derives
+    the scaling)."""
+    tf_part_fp = (
+        f"(tf * {1000 + k1_milli} * 1000000000) div ("
+        f"1000000 * tf + {k1_milli * (1000 - b_milli)}"
+        f" + ({k1_milli} * {b_milli} * ((1000000000000 * dl) div avgdl_micro)) div 1000000)"
+    )
+    return F.expr(
+        f"(({tf_part_fp}) * (2 * n_docs - 2 * df_t + 1)) div (2 * df_t + 1)"
+    ).cast("long")
+
+
+def _rank_postings(
+    post: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl_micro: int,
+    k: int,
+    k1_milli: int,
+    b_milli: int,
+) -> DataFrame:
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn("avgdl_micro", F.lit(avgdl_micro).cast("long"))
+        .withColumn("term_score_fp", _score_columns(k1_milli, b_milli))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score_fp").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("terms_hit"),
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under integer-exact
+    BM25-lite (module docstring). Returns (doc_id, score_fp, terms_hit)
+    ordered by score desc, doc_id asc — a total order, so top-k is
+    deterministic under any partitioning.
+
+    N = total documents in ``df`` (token-less docs count toward N and
+    avgdl's denominator but can never match). df_t is computed over the
+    full corpus' postings for the query terms.
+    """
+    if not terms:
+        raise ValueError("terms must name at least one query term")
+    lowered = sorted({t.lower() for t in terms})
+    tokens = tokenize(df, id_col, text_col)
+    dl = _doc_lengths(tokens).persist()
+    # 2-scalar driver action (N docs, total tokens) — the only data
+    # leaving the cluster; same shape as quantiles' K-row offset pass
+    n_docs = df.count()
+    total = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 0
+    if n_docs == 0 or total == 0:
+        raise ValueError("corpus has no tokens to index")
+    avgdl_micro = (1_000_000 * total) // n_docs
+    post = (
+        tokens.filter(F.col("term").isin(lowered))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    out = _rank_postings(
+        post, dl, n_docs, avgdl_micro, k, k1_milli, b_milli
+    ).localCheckpoint(eager=True)
+    dl.unpersist()
+    return out
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> dict:
+    """Persist the inverted index: postings parquet PARTITIONED BY a
+    stable term-hash bucket (`crc32(term) % buckets` — query-time probes
+    become PartitionFilters, the same serving trick as
+    `similarity.build_ann_index`), doc lengths alongside, and the two
+    corpus scalars in `_index_stats.json`. One corpus tokenize feeds
+    both writes."""
+    tokens = tokenize(df, id_col, text_col).persist()
+    dl = _doc_lengths(tokens)
+    post = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    (
+        post.withColumn(
+            "term_bucket", (F.crc32(F.col("term")) % buckets).cast("int")
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    n_docs = df.count()
+    total = dl.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 0
+    tokens.unpersist()
+    stats = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total),
+        "buckets": int(buckets),
+    }
+    with open(os.path.join(path, "_index_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    # root-level completeness marker (the parquet _SUCCESS files live in
+    # the postings/doclen subdirs): written LAST so cache layers can treat
+    # its presence as "stats + both tables are fully published"
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return stats
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Query a stored index: the term IN-list plus its bucket set prune
+    the postings read to the matching `term_bucket=` directories (assert
+    PartitionFilters in the plan) — no corpus pass, no tokenize, no UDF
+    at query time."""
+    if not terms:
+        raise ValueError("terms must name at least one query term")
+    with open(os.path.join(path, "_index_stats.json")) as fh:
+        stats = json.load(fh)
+    if stats["n_docs"] == 0 or stats["total_tokens"] == 0:
+        raise ValueError("index is empty")
+    avgdl_micro = (1_000_000 * stats["total_tokens"]) // stats["n_docs"]
+    lowered = sorted({t.lower() for t in terms})
+    import zlib
+
+    want = sorted(
+        {zlib.crc32(t.encode("utf-8")) % stats["buckets"] for t in lowered}
+    )
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(want))
+        .filter(F.col("term").isin(lowered))
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    return _rank_postings(
+        post, dl, stats["n_docs"], avgdl_micro, k, k1_milli, b_milli
+    )

@@ -2980,3 +2980,74 @@ def test_incremental_cms_store(spark, tmp_path):
     assert cells(s2b) == want
     with pytest.raises(ValueError, match="refusing"):
         incremental_cms(spark, b1, "v", store, "3", d=3, w=32)
+
+
+def _bm25_fp_py(tf, dl, df_t, n_docs, avgdl_micro, k1_milli=1200, b_milli=750):
+    """Python replica of retrieval._score_columns' integer formula."""
+    dl_ratio_ppm = (1_000_000_000_000 * dl) // avgdl_micro
+    denom_ppm = (
+        1_000_000 * tf
+        + k1_milli * (1000 - b_milli)
+        + (k1_milli * b_milli * dl_ratio_ppm) // 1_000_000
+    )
+    tf_part_fp = (tf * (1000 + k1_milli) * 1_000_000_000) // denom_ppm
+    return (tf_part_fp * (2 * n_docs - 2 * df_t + 1)) // (2 * df_t + 1)
+
+
+def test_bm25_topk_integer_exact(spark):
+    """bm25_topk reproduces the documented fixed-point formula exactly on
+    a hand-built corpus, and the ranking behaves like BM25: rarer terms
+    weigh more, and term saturation caps heavy repetition."""
+    from data_quality_framework_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),          # both terms, tf(spark)=2
+            (2, "spark spark spark spark spark"),     # common term repeated
+            (3, "join elbow"),                        # rare term only
+            (4, "elbow elbow elbow"),                 # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_topk(docs, ["spark", "join"], k=4).collect()
+    }
+    # corpus stats: dl = 4,5,2,3 -> T=14, N=4, avgdl_micro = 3_500_000
+    av = (1_000_000 * 14) // 4
+    # df(spark)=2, df(join)=2
+    want1 = _bm25_fp_py(2, 4, 2, 4, av) + _bm25_fp_py(1, 4, 2, 4, av)
+    want2 = _bm25_fp_py(5, 5, 2, 4, av)
+    want3 = _bm25_fp_py(1, 2, 2, 4, av)
+    assert out[1]["score_fp"] == want1 and out[1]["terms_hit"] == 2
+    assert out[2]["score_fp"] == want2 and out[2]["terms_hit"] == 1
+    assert out[3]["score_fp"] == want3 and out[3]["terms_hit"] == 1
+    assert 4 not in out  # no query term -> never retrieved
+    # two distinct matched terms beat five repeats of one (saturation)
+    assert want1 > want2
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(docs, [], k=2)
+
+
+def test_bm25_indexed_matches_inline_and_prunes(spark, documents, tmp_path):
+    """The stored-index path returns byte-identical rows to the inline
+    corpus pass, its postings read is pruned to the probed term buckets
+    (PartitionFilters), and the query-time plan is UDF-free."""
+    from data_quality_framework_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    path = str(tmp_path / "text_index")
+    stats = build_text_index(documents, path)
+    assert stats["n_docs"] == documents.count() and stats["buckets"] == 64
+    terms = ["window", "merge", "scan"]
+    idx = bm25_topk_indexed(spark, path, terms, k=10)
+    inline = bm25_topk(documents, terms, k=10)
+    assert [r.asDict() for r in idx.collect()] == [
+        r.asDict() for r in inline.collect()
+    ]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "Python" not in plan  # no UDF anywhere at query time
