@@ -2559,6 +2559,36 @@ def _q_bm25_topk(spark, sf):
     return bm25_topk_indexed(spark, _text_index(spark, sf), _BM25_TERMS, k=10)
 
 
+def _q_crawl_merge(spark, sf):
+    """Latest-wins crawl-store MERGE (r5): a store (docs with id%3!=0)
+    absorbs a recrawl batch (ids%2==0; %4==0 re-edited, %5==0 arriving
+    LATE) in one full-outer join — insert/update/unchanged/stale decided
+    per key from (ts, md5) comparisons only, `operators/merge.py`. The
+    oracle replays the same classification in SQL."""
+    from data_quality_framework_spark.operators.merge import merge_latest
+
+    d = _t(spark, sf, "documents")
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    store = d.filter(F.col("doc_id") % 3 != 0).select(
+        key, (F.lit(1000) + F.col("doc_id")).cast("long").alias("ts"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 0).select(
+        key,
+        (
+            F.lit(1000)
+            + F.col("doc_id")
+            + F.when(F.col("doc_id") % 5 == 0, F.lit(-7)).otherwise(F.lit(7))
+        ).cast("long").alias("ts"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    res = merge_latest(store, batch, "url", "ts", ["text"])
+    return res.merged.select(
+        "url", "action", "ts", "last_seen", "content_hash"
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2654,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus top-k token frequencies, deterministic boundary (r5)
         "text_vocabulary_topk": _q_vocabulary,
         "text_bm25_topk": _q_bm25_topk,
+        "text_crawl_merge": _q_crawl_merge,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4058,6 +4089,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # crawl-merge oracle (r5): the same latest-wins MERGE classification
+        # from (ts, md5) comparisons; ties (b.ts <= s.ts with differing
+        # hash) stay stale, unchanged re-fetches only advance last_seen
+        "text_crawl_merge": """
+            WITH store AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(1000 + doc_id AS BIGINT) AS ts,
+                       md5(coalesce(text, '')) AS h
+                FROM documents WHERE doc_id % 3 <> 0),
+                 batch AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                       CAST(1000 + doc_id
+                            + CASE WHEN doc_id % 5 = 0 THEN -7 ELSE 7 END AS BIGINT) AS ts,
+                       md5(coalesce(CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                                         ELSE text END, '')) AS h
+                FROM documents WHERE doc_id % 2 = 0),
+                 j AS (
+                SELECT coalesce(s.url, b.url) AS url,
+                       s.ts AS s_ts, s.h AS s_h, b.ts AS b_ts, b.h AS b_h,
+                       CASE WHEN s.ts IS NULL THEN 'insert'
+                            WHEN b.ts IS NULL THEN 'absent'
+                            WHEN s.h = b.h THEN 'unchanged'
+                            WHEN b.ts > s.ts THEN 'update'
+                            ELSE 'stale' END AS action
+                FROM store s FULL OUTER JOIN batch b ON s.url = b.url)
+            SELECT url, action,
+                   CASE WHEN action IN ('insert', 'update') THEN b_ts
+                        ELSE s_ts END AS ts,
+                   greatest(coalesce(s_ts, b_ts), coalesce(b_ts, s_ts)) AS last_seen,
+                   CASE WHEN action IN ('insert', 'update') THEN b_h
+                        ELSE s_h END AS content_hash
+            FROM j ORDER BY url
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

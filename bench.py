@@ -97,7 +97,9 @@ HEADLINE = [
     "text_column_corr",
     # r5 eighth wave: inverted-index BM25 retrieval (index build amortized
     # via the cached-index protocol; the timed query is the pruned probe)
+    # + crawl-store MERGE upsert
     "text_bm25_topk",
+    "text_crawl_merge",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Crawl-store upsert: latest-wins MERGE with per-action accounting.
+
+A recrawl pipeline maintains a canonical document store keyed by URL (or
+content key): each new crawl batch must be merged in — new pages
+inserted, genuinely-changed pages updated, unchanged re-fetches folded
+into a `last_seen` advance, and LATE-arriving old crawls ignored without
+corrupting newer content. This is Delta/Iceberg `MERGE INTO` semantics
+expressed as one full-outer DataFrame join, so it runs anywhere parquet
+does and its decisions are engine-exact (ts/hash comparisons only — no
+floats, no UDFs).
+
+Per key, with `b` the batch's own latest row (ties broken by content
+hash then the batch's arrival order column) and `s` the store row:
+
+    insert     s absent                      -> b
+    update     b.ts >  s.ts AND hash differs -> b
+    unchanged  hash equal (any ts order)     -> s, last_seen advanced
+    stale      b.ts <= s.ts AND hash differs -> s untouched
+
+"<=" keeps ties stable: a same-timestamp different-content row never
+replaces what the store already published. The batch is pre-reduced to
+one row per key by (ts desc, content_hash asc) — a total order whenever
+the hash is derived from the payload (the default), so multi-fetch
+batches are deterministic.
+
+Scale contract: ONE shuffle of each side keyed by the merge key (the
+batch side is typically crawl-sized, not store-sized, and AQE broadcasts
+it when genuinely small); content equality compares 16-byte md5 digests,
+never text; actions are computed as Column expressions inside the join
+projection — no second pass. At 100 TB the store should be written
+bucketed by key (`plans/checkpoint.py`'s bucket machinery): a bucketed
+store makes this merge a co-located sort-merge join with NO store-side
+shuffle, which is exactly how Iceberg's storage-partitioned MERGE INTO
+avoids rewriting cold data.
+
+Reference parity: beyond-reference (north-rule scope); the closest
+reference shape is the two-table join compare
+(src/checkers/cross_table_checker.py) — same full-outer skeleton, here
+producing a merged table instead of a diff verdict.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["merge_latest"]
+
+
+class MergeResult(NamedTuple):
+    merged: DataFrame  # the post-merge store (one row per key + action)
+    counts: DataFrame  # (action, n_keys) — audit-sized
+
+
+def merge_latest(
+    store: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    hash_col: str | None = None,
+) -> MergeResult:
+    """Merge ``batch`` into ``store`` (both carrying ``key_col``,
+    ``ts_col``, ``payload_cols``). ``hash_col`` names a precomputed
+    content digest; when None, md5 over the concatenated payload columns
+    is derived on BOTH sides (null payloads hash as empty string,
+    delimited so ("a", "") != ("", "a")).
+
+    Returns the merged store — columns (key, ts, last_seen, content_hash,
+    *payload, action) — and the per-action key counts. ``ts`` is the
+    timestamp of the CONTENT the store carries; ``last_seen`` advances on
+    unchanged re-fetches so freshness audits don't re-fetch live pages.
+    """
+    if hash_col is None:
+        digest = F.md5(
+            F.concat_ws(
+                "", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in payload_cols]
+            )
+        )
+        store = store.withColumn("content_hash", digest)
+        batch = batch.withColumn("content_hash", digest)
+        hash_col = "content_hash"
+    elif hash_col != "content_hash":
+        store = store.withColumnRenamed(hash_col, "content_hash")
+        batch = batch.withColumnRenamed(hash_col, "content_hash")
+
+    cols = [key_col, ts_col, "content_hash", *payload_cols]
+    # one row per key in the batch: latest ts, hash tie-break (total order)
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.asc("content_hash")
+    )
+    b = (
+        batch.select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if "last_seen" in store.columns:
+        s = store.select(*cols, "last_seen")
+    else:
+        s = store.select(*cols, F.col(ts_col).alias("last_seen"))
+
+    sa = s.select([F.col(c).alias(f"s_{c}") for c in [*cols, "last_seen"]])
+    ba = b.select([F.col(c).alias(f"b_{c}") for c in cols])
+    j = sa.join(
+        ba, sa[f"s_{key_col}"] == ba[f"b_{key_col}"], "full_outer"
+    )
+
+    s_ts, b_ts = F.col(f"s_{ts_col}"), F.col(f"b_{ts_col}")
+    s_h, b_h = F.col("s_content_hash"), F.col("b_content_hash")
+    action = (
+        F.when(s_ts.isNull(), F.lit("insert"))
+        .when(b_ts.isNull(), F.lit("absent"))
+        .when(s_h == b_h, F.lit("unchanged"))
+        .when(b_ts > s_ts, F.lit("update"))
+        .otherwise(F.lit("stale"))
+    )
+    take_batch = action.isin("insert", "update")
+    out_cols = [
+        F.coalesce(F.col(f"s_{key_col}"), F.col(f"b_{key_col}")).alias(key_col),
+        F.when(take_batch, b_ts).otherwise(s_ts).alias(ts_col),
+        F.when(take_batch, b_h).otherwise(s_h).alias("content_hash"),
+        *[
+            F.when(take_batch, F.col(f"b_{c}"))
+            .otherwise(F.col(f"s_{c}"))
+            .alias(c)
+            for c in payload_cols
+        ],
+        # last_seen: any sighting advances it, stale ones don't regress it
+        F.greatest(
+            F.coalesce(F.col("s_last_seen"), b_ts),
+            F.coalesce(b_ts, F.col("s_last_seen")),
+        ).alias("last_seen"),
+        action.alias("action"),
+    ]
+    merged = j.select(*out_cols)
+    counts = (
+        merged.groupBy("action")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("action")
+    )
+    return MergeResult(merged=merged, counts=counts)

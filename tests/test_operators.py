@@ -3051,3 +3051,47 @@ def test_bm25_indexed_matches_inline_and_prunes(spark, documents, tmp_path):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "term_bucket" in plan
     assert "Python" not in plan  # no UDF anywhere at query time
+
+
+def test_merge_latest_actions_and_last_seen(spark):
+    """merge_latest classifies insert/update/unchanged/stale/absent from
+    (ts, md5) comparisons, pre-reduces multi-fetch batches to their
+    latest row, and advances last_seen without regressing it."""
+    from data_quality_framework_spark.operators.merge import merge_latest
+
+    store = spark.createDataFrame(
+        [("a", 100, "alpha"), ("b", 100, "beta"), ("c", 100, "gamma"),
+         ("d", 100, "delta")],
+        "url string, ts long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("a", 200, "alpha2"),   # newer + changed -> update
+            ("a", 150, "alpha1"),   # older batch fetch, reduced away
+            ("b", 200, "beta"),     # same content -> unchanged, ls advances
+            ("c", 90, "gamma9"),    # late + changed -> stale
+            ("e", 50, "epsilon"),   # new key -> insert
+        ],
+        "url string, ts long, text string",
+    )
+    res = merge_latest(store, batch, "url", "ts", ["text"])
+    rows = {r["url"]: r for r in res.merged.collect()}
+    assert rows["a"]["action"] == "update" and rows["a"]["ts"] == 200
+    assert rows["a"]["text"] == "alpha2" and rows["a"]["last_seen"] == 200
+    assert rows["b"]["action"] == "unchanged" and rows["b"]["ts"] == 100
+    assert rows["b"]["last_seen"] == 200          # re-fetch advances it
+    assert rows["c"]["action"] == "stale" and rows["c"]["text"] == "gamma"
+    assert rows["c"]["last_seen"] == 100          # never regresses
+    assert rows["d"]["action"] == "absent" and rows["d"]["text"] == "delta"
+    assert rows["e"]["action"] == "insert" and rows["e"]["ts"] == 50
+    counts = {r["action"]: r["n_keys"] for r in res.counts.collect()}
+    assert counts == {"update": 1, "unchanged": 1, "stale": 1,
+                      "absent": 1, "insert": 1}
+    # second merge of the SAME batch is a fixed point: content identical
+    # everywhere -> no inserts/updates, only unchanged/stale/absent
+    res2 = merge_latest(res.merged.drop("action"), batch, "url", "ts", ["text"])
+    c2 = {r["action"]: r["n_keys"] for r in res2.counts.collect()}
+    assert "insert" not in c2 and "update" not in c2
+    assert {r["url"]: r["text"] for r in res2.merged.collect()} == {
+        k: v["text"] for k, v in rows.items()
+    }
