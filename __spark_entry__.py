@@ -2589,6 +2589,25 @@ def _q_crawl_merge(spark, sf):
     ).orderBy("url")
 
 
+def _q_anomaly_mad(spark, sf):
+    """Robust crawl-volume anomaly flags (r5): per-day event counts vs a
+    median ± k·MAD band, all decisions integer cross-multiplied (1000·|x
+    − med| > k_milli·MAD) so no float threshold exists to straddle. MAD's
+    50% breakdown point is the fix for the contaminated-sigma failure
+    mode of the 3σ check (a13). `operators/profiling.py::mad_outliers`;
+    oracle replays both order statistics via row_number."""
+    from data_quality_framework_spark.operators.profiling import mad_outliers
+
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    out = mad_outliers(daily, "n_events", k_milli=2000)
+    return out.select("day", "n_events", "med", "mad", "is_outlier").orderBy(
+        "day"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2685,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary_topk": _q_vocabulary,
         "text_bm25_topk": _q_bm25_topk,
         "text_crawl_merge": _q_crawl_merge,
+        "events_anomaly_mad": _q_anomaly_mad,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4122,6 +4142,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN action IN ('insert', 'update') THEN b_h
                         ELSE s_h END AS content_hash
             FROM j ORDER BY url
+        """,
+        # MAD-anomaly oracle (r5): lower medians as row_number order
+        # statistics at k = ceil(n/2) = (5000n+9999)//10000, the exact rank
+        # arithmetic of quantiles.exact_quantiles; integer cross-multiplied
+        # threshold
+        "events_anomaly_mad": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS n_events
+                           FROM events GROUP BY 1),
+                 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+                 rmed AS (SELECT n_events AS v,
+                                 row_number() OVER (ORDER BY n_events) AS rn
+                          FROM daily),
+                 med AS (SELECT v AS med FROM rmed, nn
+                         WHERE rn = (5000 * n + 9999) // 10000),
+                 devs AS (SELECT abs(n_events - (SELECT med FROM med)) AS dev
+                          FROM daily),
+                 rmad AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn
+                          FROM devs),
+                 mad AS (SELECT dev AS mad FROM rmad, nn
+                         WHERE rn = (5000 * n + 9999) // 10000)
+            SELECT day, n_events,
+                   (SELECT med FROM med) AS med,
+                   (SELECT mad FROM mad) AS mad,
+                   abs(n_events - (SELECT med FROM med)) * 1000
+                       > 2000 * (SELECT mad FROM mad) AS is_outlier
+            FROM daily ORDER BY day
         """,
         # domain-cap oracle (r5): the NAIVE window the operator's two-phase
         # range split must equal exactly — same md5-derived hash60(':42'

@@ -100,6 +100,7 @@ HEADLINE = [
     # + crawl-store MERGE upsert
     "text_bm25_topk",
     "text_crawl_merge",
+    "events_anomaly_mad",
 ]
 
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fd_violations", "column_corr"]
+__all__ = ["fd_violations", "column_corr", "mad_outliers"]
 
 
 def fd_violations(
@@ -95,4 +95,68 @@ def column_corr(
             (F.col("n") >= 2) & (vx > 0) & (vy > 0),
             F.floor(r * 1_000_000) / 1_000_000.0,
         ).alias(out_col),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    k_milli: int = 3500,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation: every input
+    row comes back with (med, mad, is_outlier) where
+
+        is_outlier  <=>  1000 * |value - med| > k_milli * mad
+
+    — the integer cross-multiplied form of |v - med| > k * MAD, so the
+    decision is engine-exact with no float threshold. ``med`` is the
+    LOWER median (the k = ceil(n/2)-th order statistic, matching
+    `quantiles.exact_quantiles` at q_bp=5000) and ``mad`` the lower
+    median of |value - med|; both are integers whenever ``value_col`` is
+    integral (enforced). The 3-sigma z-score check (`core/planner`'s
+    a13) breaks down exactly when anomalies are present — the mean and
+    sigma it standardizes by are contaminated by the outliers it hunts;
+    MAD's 50% breakdown point is the standard fix (Gopher/C4-era
+    pipelines flag crawl-day volume spikes this way).
+
+    Degenerate MAD=0 (>= half the values identical): any deviation is
+    flagged (strict inequality), the conventional reading.
+
+    Scale contract: two `exact_quantiles` invocations over the input —
+    each ONE (value, count)-keyed shuffle at distinct-value cardinality
+    — plus two broadcast joins of 1-row medians. The input is typically
+    already aggregated (per-day/per-domain counts), so the expensive
+    corpus shuffle happened upstream; nothing here adds a corpus pass.
+    """
+    from data_quality_framework_spark.operators.quantiles import exact_quantiles
+
+    dtype = dict(df.dtypes).get(value_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"mad_outliers needs an integral value column, got {value_col}: {dtype}"
+        )
+    if k_milli <= 0:
+        raise ValueError("k_milli must be positive")
+    med = (
+        exact_quantiles(df, value_col, [5000], num_partitions)
+        .select(F.col("value").cast("long").alias("__med"))
+    )
+    with_med = df.crossJoin(F.broadcast(med))
+    dev = with_med.select(
+        F.abs(F.col(value_col).cast("long") - F.col("__med")).alias("__dev")
+    )
+    mad = (
+        exact_quantiles(dev, "__dev", [5000], num_partitions)
+        .select(F.col("value").cast("long").alias("__mad"))
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col).cast("long") - F.col("__med")) * 1000
+            > F.lit(k_milli) * F.col("__mad"),
+        )
+        .withColumnRenamed("__med", "med")
+        .withColumnRenamed("__mad", "mad")
     )

@@ -3095,3 +3095,34 @@ def test_merge_latest_actions_and_last_seen(spark):
     assert {r["url"]: r["text"] for r in res2.merged.collect()} == {
         k: v["text"] for k, v in rows.items()
     }
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """mad_outliers flags planted spikes that the 3-sigma rule misses
+    when contamination inflates sigma; lower-median rank arithmetic and
+    the MAD=0 degenerate case behave as documented."""
+    from data_quality_framework_spark.operators.profiling import mad_outliers
+
+    # 20 quiet days at ~100 plus two 10x spikes: sigma gets dragged to
+    # ~600 so 3-sigma misses BOTH spikes; MAD stays ~2
+    vals = [98, 99, 100, 100, 101, 102, 100, 99, 101, 100,
+            100, 98, 102, 100, 99, 101, 100, 100, 99, 101, 1000, 2000]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "day int, n long")
+    out = {r["day"]: r for r in mad_outliers(df, "n", k_milli=3500).collect()}
+    assert out[20]["is_outlier"] and out[21]["is_outlier"]
+    assert sum(r["is_outlier"] for r in out.values()) == 2
+    med, mad = out[0]["med"], out[0]["mad"]
+    assert med == 100 and mad == 1  # lower median of 22 devs
+    import statistics as st
+
+    mu, sigma = st.mean(vals), st.pstdev(vals)
+    assert abs(1000 - mu) < 3 * sigma  # 3-sigma indeed misses spike #1
+    # degenerate MAD=0: majority identical -> any deviation flagged
+    dfz = spark.createDataFrame([(i, 5) for i in range(9)] + [(9, 6)],
+                                "day int, n long")
+    outz = {r["day"]: r for r in mad_outliers(dfz, "n", k_milli=3500).collect()}
+    assert outz[0]["mad"] == 0
+    assert outz[9]["is_outlier"] and not outz[0]["is_outlier"]
+    with pytest.raises(ValueError, match="integral"):
+        mad_outliers(df.withColumn("n", F.col("n").cast("double")), "n")
