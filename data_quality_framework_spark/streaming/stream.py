@@ -350,3 +350,45 @@ def streaming_cms_cells(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap sessionization via Spark's native ``session_window``
+    — the event-time-merging aggregate Structured Streaming maintains
+    with O(open sessions) state and closes through the watermark, so the
+    engine (not user code) owns late-data handling, state GC, and
+    session-merge-on-late-event. Append-mode rows:
+
+        (user, session_start, session_end, n_events)
+
+    Parity contract with the batch `operators.sessions.sessionize`: a
+    closed streamed session equals the batch rollup of the same rows
+    (pytest asserts row equality), with ONE boundary difference —
+    ``session_window`` merges events strictly inside the gap (an event at
+    exactly ``prev + gap`` opens a NEW session; the window is half-open),
+    while the batch lag() splits only when the gap is EXCEEDED. Equal
+    decisions whenever no inter-event gap lands on exactly
+    ``gap_seconds``, which microsecond event clocks make a measure-zero
+    tie; pipelines that must kill even that case subtract 1µs from the
+    batch threshold.
+
+    Scale contract: state is per OPEN session (merged ranges, not per
+    event); the shuffle is keyed by (user, session candidates) exactly
+    like the batch plan, and the watermark bounds both memory and
+    emission latency.
+    """
+    src = events.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        src.groupBy(sw.alias("s"), F.col(user_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"))
+        .select(F.col(user_col), "session_start", "session_end", "n_events")
+    )

@@ -541,3 +541,60 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
             ).collect()
         }
         assert got_est == want_est
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Closed streamed session_window sessions equal the batch
+    sessionize() rollups of the same rows (same starts, ends, counts),
+    including a session that MERGES across micro-batch files; the
+    still-open tail session is not emitted in append mode."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.sessions import sessionize
+    from data_quality_framework_spark.streaming.stream import streaming_sessions
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events tight, 25-min hole inside gap? no:
+    # gap 30min -> 25min hole MERGES; then a 2h hole -> new session)
+    for m in (0, 5, 30):
+        rows.append((1, base + dt.timedelta(minutes=m), len(rows)))
+    for m in (180, 185):
+        rows.append((1, base + dt.timedelta(minutes=m), len(rows)))
+    # user 2: one long session of 4 events 20min apart (chain-merges)
+    for m in (0, 20, 40, 60):
+        rows.append((2, base + dt.timedelta(minutes=m), len(rows)))
+    # sentinel user far in the future: advances the watermark so every
+    # real session closes; its own session stays open and unemitted
+    rows.append((99, base + dt.timedelta(days=2), len(rows)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    input_dir = str(tmp_path / "sess_in")
+    # two files -> two availableNow micro-batches; user 2's session spans both
+    df.filter("ts < timestamp '2026-01-01 00:40:00'").coalesce(1).write.mode(
+        "overwrite").parquet(input_dir)
+    df.filter("ts >= timestamp '2026-01-01 00:40:00'").coalesce(1).write.mode(
+        "append").parquet(input_dir)
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        streaming_sessions(src, gap_seconds=1800, watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df.filter("user_id != 99"), gap_seconds=1800).collect()
+    }
+    assert got == want and len(got) == 3
