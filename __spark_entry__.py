@@ -2608,6 +2608,23 @@ def _q_anomaly_mad(spark, sf):
     )
 
 
+def _q_ks_drift(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov distance (r5): en vs non-en
+    length distributions, ECDF difference kept as the cross-multiplied
+    integer max |cum_a·n_b − cum_b·n_a| so no float division exists until
+    the reporting-only ks_ppm. The bucket-free companion to the PSI gate
+    (`operators/drift.py::ks_statistic`); cumulative counts run the
+    quantiles two-pass range partition, never a one-partition sort."""
+    from data_quality_framework_spark.operators.drift import ks_statistic
+
+    d = _t(spark, sf, "documents")
+    return ks_statistic(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2705,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": _q_bm25_topk,
         "text_crawl_merge": _q_crawl_merge,
         "events_anomaly_mad": _q_anomaly_mad,
+        "text_ks_drift": _q_ks_drift,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4142,6 +4160,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN action IN ('insert', 'update') THEN b_h
                         ELSE s_h END AS content_hash
             FROM j ORDER BY url
+        """,
+        # KS oracle (r5): single-node window cumulative over the distinct
+        # values; same integer cross-multiplication, same null exclusion
+        "text_ks_drift": """
+            WITH u AS (
+                SELECT n_chars AS v, 1 AS sa, 0 AS sb FROM documents
+                WHERE lang = 'en' AND n_chars IS NOT NULL
+                UNION ALL
+                SELECT n_chars AS v, 0 AS sa, 1 AS sb FROM documents
+                WHERE lang <> 'en' AND n_chars IS NOT NULL),
+                 g AS (SELECT v, CAST(sum(sa) AS BIGINT) AS ca,
+                              CAST(sum(sb) AS BIGINT) AS cb
+                       FROM u GROUP BY v),
+                 t AS (SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM g) AS n_a,
+                              (SELECT CAST(sum(cb) AS BIGINT) FROM g) AS n_b),
+                 c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+                              sum(cb) OVER (ORDER BY v) AS cumb
+                       FROM g)
+            SELECT n_a, n_b,
+                   CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT) AS d_num,
+                   n_a * n_b AS d_den,
+                   (1000000 * CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT))
+                       // (n_a * n_b) AS ks_ppm
+            FROM c, t GROUP BY n_a, n_b
         """,
         # MAD-anomaly oracle (r5): lower medians as row_number order
         # statistics at k = ceil(n/2) = (5000n+9999)//10000, the exact rank

