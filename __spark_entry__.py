@@ -2625,6 +2625,20 @@ def _q_ks_drift(spark, sf):
     )
 
 
+def _q_dataset_digest(spark, sf):
+    """Order-independent per-source content digests (r5): md5_60 row
+    hashes combined by COUNT + BIT_XOR + decimal-exact modular SUM —
+    three integers per group that certify multiset equality of 100 TB
+    snapshots without a sort (`operators/digest.py`). The oracle rebuilds
+    the same hashes with chr(31)/chr(30) sentinels."""
+    from data_quality_framework_spark.operators.digest import dataset_digest
+
+    d = _t(spark, sf, "documents")
+    return dataset_digest(
+        d, ["doc_id", "text", "lang", "n_chars"], group_cols=["source"]
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2723,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_crawl_merge": _q_crawl_merge,
         "events_anomaly_mad": _q_anomaly_mad,
         "text_ks_drift": _q_ks_drift,
+        "text_dataset_digest": _q_dataset_digest,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4160,6 +4175,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN action IN ('insert', 'update') THEN b_h
                         ELSE s_h END AS content_hash
             FROM j ORDER BY url
+        """,
+        # dataset-digest oracle (r5): identical md5_60 row hashes (chr(31)
+        # separators, chr(30)-framed null sentinel), bit_xor + HUGEINT-exact
+        # modular sum — multiset-equality digests replayed per source
+        "text_dataset_digest": """
+            WITH h AS (
+                SELECT source,
+                       CAST(('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(doc_id AS VARCHAR), chr(30) || 'null' || chr(30)),
+                           coalesce(text, chr(30) || 'null' || chr(30)),
+                           coalesce(lang, chr(30) || 'null' || chr(30)),
+                           coalesce(CAST(n_chars AS VARCHAR), chr(30) || 'null' || chr(30))
+                       )), 1, 15)) AS BIGINT) AS hv
+                FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(hv) AS BIGINT) AS xor_h,
+                   CAST(CAST(sum(hv % 1000000007) AS HUGEINT) % 1000000007
+                        AS BIGINT) AS sum_h_mod
+            FROM h GROUP BY source ORDER BY source
         """,
         # KS oracle (r5): single-node window cumulative over the distinct
         # values; same integer cross-multiplication, same null exclusion

@@ -102,6 +102,7 @@ HEADLINE = [
     "text_crawl_merge",
     "events_anomaly_mad",
     "text_ks_drift",
+    "text_dataset_digest",
 ]
 
 

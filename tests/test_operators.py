@@ -3161,3 +3161,50 @@ def test_ks_statistic_exact(spark):
     assert ks_statistic(an, b, "x").collect()[0]["n_a"] == na
     with pytest.raises(ValueError, match="non-empty"):
         ks_statistic(a.filter("x > 99"), b, "x").collect()
+
+
+def test_dataset_digest_multiset_semantics(spark):
+    """dataset_digest is order/partitioning-invariant, catches a 1-row
+    content change, distinguishes null from empty, is duplicate-sensitive
+    through sum_h_mod where XOR alone cancels, and merges across shards
+    by (xor, modular add, count add)."""
+    from data_quality_framework_spark.operators.digest import (
+        DIGEST_MOD,
+        dataset_digest,
+    )
+
+    rows = [(i, f"t{i}", "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    d1 = dataset_digest(df, ["id", "text", "lang"]).collect()[0]
+    # shuffled order + different partitioning -> identical digest
+    d2 = dataset_digest(
+        df.orderBy(F.desc("id")).repartition(7), ["id", "text", "lang"]
+    ).collect()[0]
+    assert d1 == d2
+    # one changed byte -> digest moves
+    mut = spark.createDataFrame(
+        [(i, "T0" if i == 0 else f"t{i}", "en") for i in range(50)],
+        "id long, text string, lang string",
+    )
+    assert dataset_digest(mut, ["id", "text", "lang"]).collect()[0] != d1
+    # null vs empty string are distinct contents
+    a = spark.createDataFrame([(1, None)], "id long, text string")
+    b = spark.createDataFrame([(1, "")], "id long, text string")
+    assert (
+        dataset_digest(a, ["id", "text"]).collect()[0]
+        != dataset_digest(b, ["id", "text"]).collect()[0]
+    )
+    # a row duplicated 2x cancels in XOR but NOT in the modular sum
+    dup = df.union(df.filter("id = 3")).union(df.filter("id = 3"))
+    dd = dataset_digest(dup, ["id", "text", "lang"]).collect()[0]
+    assert dd["xor_h"] == d1["xor_h"] and dd["sum_h_mod"] != d1["sum_h_mod"]
+    assert dd["n_rows"] == d1["n_rows"] + 2
+    # shard merge: digest(A ∪ B) == combine(digest(A), digest(B))
+    lo, hi = df.filter("id < 20"), df.filter("id >= 20")
+    da = dataset_digest(lo, ["id", "text", "lang"]).collect()[0]
+    db = dataset_digest(hi, ["id", "text", "lang"]).collect()[0]
+    assert d1["n_rows"] == da["n_rows"] + db["n_rows"]
+    assert d1["xor_h"] == da["xor_h"] ^ db["xor_h"]
+    assert d1["sum_h_mod"] == (da["sum_h_mod"] + db["sum_h_mod"]) % DIGEST_MOD
+    with pytest.raises(ValueError, match="overlap"):
+        dataset_digest(df, ["id"], group_cols=["id"])
