@@ -2639,6 +2639,18 @@ def _q_dataset_digest(spark, sf):
     ).orderBy("source")
 
 
+def _q_gap_audit(spark, sf):
+    """Time-coverage completeness (r5): merged missing-interval report at
+    15-minute granularity over the event stream — the freshness check's
+    completeness cousin. Distinct slots in one agg, consecutive-slot
+    pairing via global_rank's two-pass ranks (no single-partition window,
+    no exploded calendar). `operators/temporal.py::coverage_gaps`."""
+    from data_quality_framework_spark.operators.temporal import coverage_gaps
+
+    e = _t(spark, sf, "events")
+    return coverage_gaps(e, "ts", slot_seconds=900)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2738,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _q_anomaly_mad,
         "text_ks_drift": _q_ks_drift,
         "text_dataset_digest": _q_dataset_digest,
+        "events_gap_audit": _q_gap_audit,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4175,6 +4188,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN action IN ('insert', 'update') THEN b_h
                         ELSE s_h END AS content_hash
             FROM j ORDER BY url
+        """,
+        # gap-audit oracle (r5): lag over the distinct slot table — the
+        # single-node truth for the rank-join pairing; same integer slot
+        # arithmetic (epoch_us // 900e6)
+        "events_gap_audit": """
+            WITH s AS (SELECT DISTINCT epoch_us(ts) // 900000000 AS slot
+                       FROM events WHERE ts IS NOT NULL),
+                 l AS (SELECT slot, lag(slot) OVER (ORDER BY slot) AS prev
+                       FROM s)
+            SELECT prev + 1 AS gap_start_slot,
+                   slot - 1 AS gap_end_slot,
+                   CAST(slot - prev - 1 AS BIGINT) AS n_missing
+            FROM l WHERE prev IS NOT NULL AND slot - prev > 1
+            ORDER BY gap_start_slot
         """,
         # dataset-digest oracle (r5): identical md5_60 row hashes (chr(31)
         # separators, chr(30)-framed null sentinel), bit_xor + HUGEINT-exact

@@ -103,6 +103,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "text_ks_drift",
     "text_dataset_digest",
+    "events_gap_audit",
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "coverage_gaps"]
 
 
 def asof_join(
@@ -214,3 +214,67 @@ def interval_join(
         & (lt <= r["__e"])
     )
     return l2.join(r, cond, how).drop("__bin", "__rk", "__s", "__e")
+
+
+def coverage_gaps(
+    df: DataFrame,
+    ts_col: str,
+    slot_seconds: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Time-coverage completeness audit: merged gap intervals in the
+    event stream at ``slot_seconds`` granularity —
+
+        (gap_start_slot, gap_end_slot, n_missing)
+
+    where slot = unix_micros(ts) div (slot_seconds * 10^6) (integer floor
+    on positive epochs — engine-exact; null timestamps are excluded). A
+    missing feed hour, a crawler outage, or a dropped ingest partition
+    shows up as a gap interval; zero rows = contiguous coverage between
+    the first and last observed slots.
+
+    Execution shape: the corpus reduces to DISTINCT slots in one
+    map-side-combinable aggregate (cardinality = time range / slot, not
+    rows); consecutive slots are then paired by joining `global_rank`'s
+    two-pass ranks on rank = rank + 1 — no single-partition window, no
+    generated calendar table to anti-join (a sequence() explode of the
+    expected range would materialize the whole calendar to find a few
+    holes). Gaps emerge merged by construction.
+
+    Reference parity: the completeness cousin of the reference's
+    freshness check (src/checkers/timeliness_checker.py) — freshness
+    asks "is the newest row recent", this asks "is every interval
+    between oldest and newest populated".
+    """
+    from data_quality_framework_spark.operators.ranking import global_rank
+
+    if slot_seconds <= 0:
+        raise ValueError("slot_seconds must be positive")
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    slots = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.unix_micros(ts).alias("__us"))
+        .select(F.expr(f"__us div {slot_seconds * 1_000_000}").alias("slot"))
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    ranked = global_rank(
+        slots, [F.col("slot")], rank_col="__r", num_partitions=num_partitions
+    )
+    a = ranked.select(F.col("slot").alias("__lo"), F.col("__r"))
+    b = ranked.select(
+        F.col("slot").alias("__hi"), (F.col("__r") - 1).alias("__r")
+    )
+    return (
+        a.join(b, "__r")
+        .filter(F.col("__hi") - F.col("__lo") > 1)
+        .select(
+            (F.col("__lo") + 1).alias("gap_start_slot"),
+            (F.col("__hi") - 1).alias("gap_end_slot"),
+            (F.col("__hi") - F.col("__lo") - 1).cast("long").alias("n_missing"),
+        )
+        .orderBy("gap_start_slot")
+    )

@@ -3208,3 +3208,34 @@ def test_dataset_digest_multiset_semantics(spark):
     assert d1["sum_h_mod"] == (da["sum_h_mod"] + db["sum_h_mod"]) % DIGEST_MOD
     with pytest.raises(ValueError, match="overlap"):
         dataset_digest(df, ["id"], group_cols=["id"])
+
+
+def test_coverage_gaps_merged_intervals(spark):
+    """coverage_gaps reports merged missing-slot intervals, is contiguous
+    -> empty, excludes null timestamps, and a gap spanning a range-
+    partition boundary is still one interval."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.temporal import coverage_gaps
+
+    base = dt.datetime(2026, 1, 1)
+    mk = lambda mins: base + dt.timedelta(minutes=mins)
+    # 5-min slots; events in slots {0,1,2, 6, 10,11, 40}: gaps 3-5, 7-9, 12-39
+    mins = [0, 3, 7, 11, 30, 51, 55, 200, 202]
+    rows = [(mk(m),) for m in mins] + [(None,)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = [
+        (r["gap_start_slot"], r["gap_end_slot"], r["n_missing"])
+        for r in coverage_gaps(df, "ts", 300, num_partitions=4).collect()
+    ]
+    base_slot = int(base.timestamp()) // 300
+    want = [
+        (base_slot + a, base_slot + b, b - a + 1)
+        for a, b in [(3, 5), (7, 9), (12, 39)]
+    ]
+    assert got == want
+    # contiguous stream -> zero gaps
+    cont = spark.createDataFrame([(mk(5 * i),) for i in range(12)], "ts timestamp")
+    assert coverage_gaps(cont, "ts", 300).count() == 0
+    with pytest.raises(ValueError, match="positive"):
+        coverage_gaps(df, "ts", 0)
