@@ -1913,6 +1913,20 @@ def _q_exact_quantiles(spark, sf):
     return out.orderBy("q_bp")
 
 
+def _domain_wilson_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.domains import wilson_lb_ppm_sql
+
+    expr = wilson_lb_ppm_sql("n_success", "n_rows")
+    return f"""
+        WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                          CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_success
+                   FROM documents GROUP BY source)
+        SELECT source, n_rows, n_success, {expr} AS wilson_lb_ppm
+        FROM g ORDER BY wilson_lb_ppm DESC, source
+    """
+
+
 def _hll_oracle_sql() -> str:
     from data_quality_framework_spark.operators.cardinality import duckdb_hll_sql
 
@@ -2651,6 +2665,20 @@ def _q_gap_audit(spark, sf):
     return coverage_gaps(e, "ts", slot_seconds=900)
 
 
+def _q_domain_wilson(spark, sf):
+    """Wilson lower-bound source ranking (r5): per-source keep-rate
+    confidence floor so a 2/2 source can't outrank a 9500/10000 one. The
+    formula is a fixed tree of IEEE-correctly-rounded ops (no ln), every
+    fractional literal explicitly double — the oracle replays the
+    IDENTICAL expression string (`domains.wilson_lb_ppm_sql`), verified
+    bit-equal on a (k, n) grid in tests."""
+    from data_quality_framework_spark.operators.domains import wilson_lower_bound
+
+    d = _t(spark, sf, "documents")
+    out = wilson_lower_bound(d, ["source"], F.col("n_chars") >= 200)
+    return out.orderBy(F.desc("wilson_lb_ppm"), "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2751,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ks_drift": _q_ks_drift,
         "text_dataset_digest": _q_dataset_digest,
         "events_gap_audit": _q_gap_audit,
+        "text_domain_wilson": _q_domain_wilson,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4189,6 +4218,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE s_h END AS content_hash
             FROM j ORDER BY url
         """,
+        # Wilson oracle (r5): the IDENTICAL expression string the Spark
+        # column evaluates (shared via domains.wilson_lb_ppm_sql — one
+        # definition, two engines), over the same integer (k, n) aggregate
+        "text_domain_wilson": _domain_wilson_oracle_sql(),
         # gap-audit oracle (r5): lag over the distinct slot table — the
         # single-node truth for the rank-join pairing; same integer slot
         # arithmetic (epoch_us // 900e6)

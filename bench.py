@@ -104,6 +104,7 @@ HEADLINE = [
     "text_ks_drift",
     "text_dataset_digest",
     "events_gap_audit",
+    "text_domain_wilson",
 ]
 
 

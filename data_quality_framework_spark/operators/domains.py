@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["domain_reputation_flags"]
+__all__ = ["domain_reputation_flags", "wilson_lower_bound"]
 
 
 def domain_reputation_flags(
@@ -69,3 +69,61 @@ def domain_reputation_flags(
         .withColumn(flag_col, F.col("__bad").isNull())
         .drop("__bad")
     )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col: Column,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group success-rate ranking by the Wilson score interval's
+    LOWER bound — the fix for raw-rate ranking's small-sample lie (a
+    2/2-docs host beating a 9500/10000 one). Returns
+
+        (group..., n_rows, n_success, wilson_lb_ppm)
+
+    with wilson_lb_ppm = floor(10^6 * lb) where
+
+        lb = (p + z²/2n − z·sqrt((p(1−p) + z²/4n) / n)) / (1 + z²/n)
+
+    Engine-exactness: the inputs are exact integers and the formula is a
+    fixed tree of IEEE-correctly-rounded ops (+ − × ÷ sqrt — NO ln/exp,
+    the non-reproducible pair), so any IEEE-double engine evaluating the
+    SAME expression tree produces the identical bits; the oracle spells
+    the identical parenthesization. floor-quantization to ppm then makes
+    the published number robust to representation, not to arithmetic.
+
+    Scale contract: one map-side-combinable groupBy; the float math runs
+    once per GROUP (domains: ~10^6-10^8 rows), never per document.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(success_col, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_success"),
+    )
+    return agg.withColumn(
+        "wilson_lb_ppm", F.expr(wilson_lb_ppm_sql("n_success", "n_rows", z))
+    )
+
+
+def wilson_lb_ppm_sql(k_col: str, n_col: str, z: float = 1.96) -> str:
+    """The Wilson lower bound as ONE ANSI-SQL expression string shared by
+    the Spark column and any oracle replaying it — every fractional
+    literal is explicitly CAST AS DOUBLE (bare `1.96` parses as DECIMAL
+    in both Spark and DuckDB, whose decimal arithmetic need not agree),
+    so both engines evaluate the identical IEEE-double expression tree."""
+    zd = f"cast({z} as double)"
+    n = f"cast({n_col} as double)"
+    p = f"(cast({k_col} as double) / {n})"
+    z2 = f"({zd} * {zd})"
+    lb = (
+        f"(({p} + {z2} / (cast(2 as double) * {n})"
+        f" - {zd} * sqrt(({p} * (cast(1 as double) - {p})"
+        f" + {z2} / (cast(4 as double) * {n})) / {n}))"
+        f" / (cast(1 as double) + {z2} / {n}))"
+    )
+    return f"cast(floor(cast(1000000 as double) * {lb}) as bigint)"

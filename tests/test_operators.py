@@ -3239,3 +3239,58 @@ def test_coverage_gaps_merged_intervals(spark):
     assert coverage_gaps(cont, "ts", 300).count() == 0
     with pytest.raises(ValueError, match="positive"):
         coverage_gaps(df, "ts", 0)
+
+
+def test_wilson_lower_bound_ranking(spark):
+    """wilson_lower_bound fixes the small-sample raw-rate lie (2/2 never
+    outranks 9500/10000), equals the scipy-free closed form computed in
+    Python on the same doubles, and matches DuckDB bit-for-bit on a
+    (k, n) grid — the engine-exactness claim the oracle relies on."""
+    import math
+
+    import duckdb
+
+    from data_quality_framework_spark.operators.domains import (
+        wilson_lb_ppm_sql,
+        wilson_lower_bound,
+    )
+
+    df = spark.createDataFrame(
+        [("tiny", i < 2) for i in range(2)]
+        + [("big", i < 9500) for i in range(10000)],
+        "host string, good boolean",
+    )
+    out = {
+        r["host"]: r
+        for r in wilson_lower_bound(df, ["host"], F.col("good")).collect()
+    }
+    assert out["tiny"]["n_success"] == 2 and out["big"]["n_success"] == 9500
+    assert out["big"]["wilson_lb_ppm"] > out["tiny"]["wilson_lb_ppm"]
+
+    def wilson_py(k, n, z=1.96):
+        p = k / n
+        z2 = z * z
+        lb = (p + z2 / (2.0 * n) - z * math.sqrt(
+            (p * (1.0 - p) + z2 / (4.0 * n)) / n)) / (1.0 + z2 / n)
+        return math.floor(1_000_000.0 * lb)
+
+    assert out["big"]["wilson_lb_ppm"] == wilson_py(9500, 10000)
+    assert out["tiny"]["wilson_lb_ppm"] == wilson_py(2, 2)
+    # cross-engine grid: identical bits in Spark and DuckDB
+    grid = [(k, n) for n in (1, 3, 20, 9999) for k in (0, 1, n // 2, n)]
+    expr = wilson_lb_ppm_sql("k", "n")
+    want = dict(
+        (tuple(r[:2]), r[2])
+        for r in duckdb.sql(
+            f"SELECT k, n, {expr} FROM (VALUES "
+            + ",".join(f"({k},{n})" for k, n in grid)
+            + ") t(k, n)"
+        ).fetchall()
+    )
+    got = {
+        (r["k"], r["n"]): r["w"]
+        for r in spark.createDataFrame(grid, "k long, n long")
+        .selectExpr("k", "n", f"{expr} AS w")
+        .collect()
+    }
+    assert got == want
