@@ -2679,6 +2679,38 @@ def _q_domain_wilson(spark, sf):
     return out.orderBy(F.desc("wilson_lb_ppm"), "source")
 
 
+def _q_lang_gini(spark, sf):
+    """Per-source language diversity as Gini impurity (r5): entropy's
+    log-free cousin — pure integer arithmetic ((10^6·(T²−Σc²)) div T²),
+    so unlike Shannon entropy it is engine-exact. Flags single-language
+    mills vs mixed crawls. `operators/profiling.py::gini_diversity`."""
+    from data_quality_framework_spark.operators.profiling import gini_diversity
+
+    d = _t(spark, sf, "documents")
+    return gini_diversity(d, ["source"], "lang").orderBy("source")
+
+
+def _q_digest_incremental(spark, sf):
+    """Cross-run incremental digest store (r5): two crawl batches fold
+    their per-source content digests into a persisted store (3 integers
+    per group per batch); the cumulative result must be bit-identical to
+    digesting the concatenated batches from scratch — which is exactly
+    what the oracle computes, so the gate proves the merge laws end to
+    end. `operators/digest.py::incremental_digest`."""
+    import tempfile
+
+    from data_quality_framework_spark.operators.digest import incremental_digest
+
+    d = _t(spark, sf, "documents")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    store = tempfile.mkdtemp(prefix="dq_digest_store_")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    incremental_digest(spark, b1, cols, ["source"], store, "b1")
+    cum = incremental_digest(spark, b2, cols, ["source"], store, "b2")
+    return cum.orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2780,6 +2812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dataset_digest": _q_dataset_digest,
         "events_gap_audit": _q_gap_audit,
         "text_domain_wilson": _q_domain_wilson,
+        "text_lang_gini": _q_lang_gini,
+        "text_digest_incremental": _q_digest_incremental,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4235,6 +4269,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(slot - prev - 1 AS BIGINT) AS n_missing
             FROM l WHERE prev IS NOT NULL AND slot - prev > 1
             ORDER BY gap_start_slot
+        """,
+        # gini oracle (r5): two stacked integer aggregates, NULL lang is a
+        # real category in both engines
+        "text_lang_gini": """
+            WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY source, lang),
+                 g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+                              CAST(count(*) AS BIGINT) AS n_values,
+                              CAST(sum(c * c) AS BIGINT) AS sq
+                       FROM c GROUP BY source)
+            SELECT source, n_rows, n_values,
+                   (1000000 * (n_rows * n_rows - sq)) // (n_rows * n_rows)
+                       AS gini_ppm
+            FROM g ORDER BY source
+        """,
+        # incremental-digest oracle (r5): the from-scratch digest of the
+        # concatenated batches — green means the store's (add, xor, mod-add)
+        # merge reproduced it exactly across runs
+        "text_digest_incremental": """
+            WITH h AS (
+                SELECT source,
+                       CAST(('0x' || substr(md5(concat_ws(chr(31),
+                           coalesce(CAST(doc_id AS VARCHAR), chr(30) || 'null' || chr(30)),
+                           coalesce(text, chr(30) || 'null' || chr(30)),
+                           coalesce(lang, chr(30) || 'null' || chr(30)),
+                           coalesce(CAST(n_chars AS VARCHAR), chr(30) || 'null' || chr(30))
+                       )), 1, 15)) AS BIGINT) AS hv
+                FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(bit_xor(hv) AS BIGINT) AS xor_h,
+                   CAST(CAST(sum(hv % 1000000007) AS HUGEINT) % 1000000007
+                        AS BIGINT) AS sum_h_mod
+            FROM h GROUP BY source ORDER BY source
         """,
         # dataset-digest oracle (r5): identical md5_60 row hashes (chr(31)
         # separators, chr(30)-framed null sentinel), bit_xor + HUGEINT-exact

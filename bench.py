@@ -105,6 +105,7 @@ HEADLINE = [
     "text_dataset_digest",
     "events_gap_audit",
     "text_domain_wilson",
+    "text_lang_gini",
 ]
 
 

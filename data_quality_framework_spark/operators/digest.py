@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from data_quality_framework_spark.functions.hashing import md5_60
 
-__all__ = ["dataset_digest", "DIGEST_MOD"]
+__all__ = ["dataset_digest", "incremental_digest", "DIGEST_MOD"]
 
 #: prime modulus of the additive combiner (fits comfortably in int64
 #: per-row; the decimal sum is reduced by it once per group)
@@ -102,3 +102,60 @@ def dataset_digest(
     if group_cols:
         return base.groupBy(*group_cols).agg(*aggs)
     return base.agg(*aggs)
+
+
+def incremental_digest(
+    spark,
+    df: DataFrame,
+    cols: list[str],
+    group_cols: list[str],
+    store_path: str,
+    batch_id: str,
+) -> DataFrame:
+    """Cross-RUN dataset fingerprinting: write this batch's per-group
+    digest into a persisted store and return the CUMULATIVE digest over
+    every batch so far — "what is the content fingerprint of everything
+    ingested across all crawls" in O(new batch + store) without ever
+    rescanning history. The store costs THREE integers per group per
+    batch; re-running a batch overwrites its ``batch_id=<id>/`` directory
+    (idempotent), and the merge is exact by the digest laws the batch
+    tests prove: counts add, xors xor, modular sums add mod p — so the
+    cumulative result is bit-identical to `dataset_digest` over the
+    concatenated batches. The digested column set is pinned to the store
+    (`_store_params.json`) like the dedup/CMS stores' knobs: mixing
+    column sets would merge incomparable hash spaces.
+
+    Sequential-batch contract as for `dedup.incremental_exact_dedup`.
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    if not group_cols:
+        raise ValueError("incremental_digest needs group_cols (the store "
+                         "merges per group)")
+    _pin_store_params(
+        spark, store_path,
+        {"cols": list(cols), "group_cols": list(group_cols),
+         "hash": "md5_60/x1f/x1e-null"},
+    )
+    dataset_digest(df, cols, group_cols).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.expr("bit_xor(xor_h)").cast("long").alias("xor_h"),
+            (F.sum("sum_h_mod") % F.lit(DIGEST_MOD))
+            .cast("long")
+            .alias("sum_h_mod"),
+        )
+    )

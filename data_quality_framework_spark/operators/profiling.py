@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fd_violations", "column_corr", "mad_outliers"]
+__all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity"]
 
 
 def fd_violations(
@@ -159,4 +159,50 @@ def mad_outliers(
         )
         .withColumnRenamed("__med", "med")
         .withColumnRenamed("__mad", "mad")
+    )
+
+
+def gini_diversity(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group categorical diversity as the Gini impurity
+    1 − Σp² — entropy's LOG-FREE cousin, chosen because Shannon entropy
+    needs ln (not correctly rounded, so never engine-exact) while Gini is
+    pure integer arithmetic:
+
+        gini_ppm = (10^6 * (T² − Σc²)) div T²
+
+    with c the per-(group, value) counts and T their sum. 0 = one value
+    dominates the group completely, → 10^6·(1−1/k) = uniform over k
+    values. The standard "is this source a single-language mill or a mixed
+    crawl" audit signal. NULL is a real category (SQL GROUP BY semantics,
+    identical both engines). Returns (group..., n_rows, n_values,
+    gini_ppm).
+
+    Scale contract: two stacked map-side-combinable aggregates — corpus →
+    (group, value) counts → group rollup; nothing but counts shuffles.
+    int64 bound: exact while T ≤ ~3·10^6 rows per group (10^6·T² <
+    2^63); beyond that promote the two products to decimal(38,0).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if value_col in group_cols:
+        raise ValueError(f"value_col {value_col!r} cannot be a group column")
+    c = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return (
+        c.groupBy(*group_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__sq"),
+        )
+        .withColumn(
+            "gini_ppm",
+            F.expr(
+                "(1000000 * (n_rows * n_rows - __sq)) div (n_rows * n_rows)"
+            ),
+        )
+        .drop("__sq")
     )

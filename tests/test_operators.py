@@ -3294,3 +3294,56 @@ def test_wilson_lower_bound_ranking(spark):
         .collect()
     }
     assert got == want
+
+
+def test_gini_diversity_bounds_and_nulls(spark):
+    """gini_diversity: 0 for a pure group, (1-1/k)e6 for uniform-k, NULL
+    is a real category, and the ppm arithmetic matches the closed form."""
+    from data_quality_framework_spark.operators.profiling import gini_diversity
+
+    rows = (
+        [("pure", "en")] * 10
+        + [("uni", v) for v in ("en", "de", "fr", "es") * 5]
+        + [("mix", "en")] * 8 + [("mix", None)] * 2
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    out = {r["src"]: r for r in gini_diversity(df, ["src"], "lang").collect()}
+    assert out["pure"]["gini_ppm"] == 0 and out["pure"]["n_values"] == 1
+    # uniform over 4 values: 1 - 1/4 = 750000 ppm exactly (T=20, c=5 each)
+    assert out["uni"]["gini_ppm"] == 750_000 and out["uni"]["n_values"] == 4
+    # mix: T=10, counts 8/2 -> (100 - 68)/100 = 320000 ppm; null counted
+    assert out["mix"]["gini_ppm"] == 320_000 and out["mix"]["n_values"] == 2
+    with pytest.raises(ValueError, match="group column"):
+        gini_diversity(df, ["src"], "src")
+
+
+def test_incremental_digest_store(spark, tmp_path):
+    """The cumulative store digest after each batch equals the
+    from-scratch digest of all rows so far; re-running a batch is
+    idempotent; a store pinned to one column set refuses another."""
+    from data_quality_framework_spark.operators.digest import (
+        dataset_digest,
+        incremental_digest,
+    )
+
+    store = str(tmp_path / "digest_store")
+    rows = [(i, f"t{i}", "s" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, text string, src string")
+    b1, b2 = df.filter("id < 40"), df.filter("id >= 40")
+
+    def key(frame):
+        return {
+            r["src"]: (r["n_rows"], r["xor_h"], r["sum_h_mod"])
+            for r in frame.collect()
+        }
+
+    c1 = incremental_digest(spark, b1, ["id", "text"], ["src"], store, "1")
+    assert key(c1) == key(dataset_digest(b1, ["id", "text"], ["src"]))
+    c2 = incremental_digest(spark, b2, ["id", "text"], ["src"], store, "2")
+    want = key(dataset_digest(df, ["id", "text"], ["src"]))
+    assert key(c2) == want
+    # idempotent re-run of batch 2
+    c2b = incremental_digest(spark, b2, ["id", "text"], ["src"], store, "2")
+    assert key(c2b) == want
+    with pytest.raises(ValueError, match="refusing"):
+        incremental_digest(spark, b1, ["id"], ["src"], store, "3")
