@@ -2711,6 +2711,51 @@ def _q_digest_incremental(spark, sf):
     return cum.orderBy("source")
 
 
+def _q_type_hll(spark, sf):
+    """Per-group HLL (r5): active user-days per event type estimated from
+    O(groups · 2^p) register state instead of shuffling every distinct
+    (type, user, day) triple; exact countDistinct rides along so the
+    estimate's error is auditable in the gate record. p=6 keeps every
+    group deep in the raw regime at all tiers (smallest group ~430 vs the
+    160 linear-branch threshold). `cardinality.hll_distinct_by`."""
+    from data_quality_framework_spark.operators.cardinality import hll_distinct_by
+
+    e = _t(spark, sf, "events")
+    df = e.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.to_date("ts").cast("string"),
+        ).alias("v"),
+    )
+    est = hll_distinct_by(df, "v", ["event_type"], p=6)
+    exact = df.groupBy("event_type").agg(
+        F.countDistinct("v").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def _type_hll_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cardinality import duckdb_hll_by_sql
+
+    inner = duckdb_hll_by_sql(
+        "SELECT event_type AS g, CAST(user_id AS VARCHAR) || ':' || "
+        "CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events",
+        "event_type",
+        p=6,
+    )
+    return f"""
+        SELECT h.*, e.exact_distinct FROM ({inner}) h
+        JOIN (SELECT event_type,
+                     CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+                          CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT)
+                         AS exact_distinct
+              FROM events GROUP BY event_type) e USING (event_type)
+        ORDER BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2814,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_domain_wilson": _q_domain_wilson,
         "text_lang_gini": _q_lang_gini,
         "text_digest_incremental": _q_digest_incremental,
+        "events_type_hll": _q_type_hll,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4270,6 +4316,9 @@ def oracle_sql() -> dict[str, str]:
             FROM l WHERE prev IS NOT NULL AND slot - prev > 1
             ORDER BY gap_start_slot
         """,
+        # grouped-HLL oracle (r5): the same register/fixed-point replay as
+        # the global HLL, GROUP BY event_type; raw regime at every tier
+        "events_type_hll": _type_hll_oracle_sql(),
         # gini oracle (r5): two stacked integer aggregates, NULL lang is a
         # real category in both engines
         "text_lang_gini": """

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_gap_audit",
     "text_domain_wilson",
     "text_lang_gini",
+    "events_type_hll",
 ]
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "finalize_hll_estimates",
     "incremental_hll",
     "duckdb_hll_sql",
+    "hll_distinct_by",
+    "duckdb_hll_by_sql",
 ]
 
 #: total hash bits taken from md5 (15 hex chars -> positive in int64)
@@ -239,3 +241,67 @@ def incremental_hll(
     return finalize_hll_estimates(regs, p).withColumn(
         "n_batches", F.lit(len(dirs)).cast("long")
     )
+
+
+def hll_distinct_by(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Per-GROUP distinct-count estimates — "active user-days per event
+    type", "distinct urls per host" — one row per group: (group..., m,
+    nonzero_regs, s_scaled, est_q). Same engine-exactness contract as
+    :func:`hll_distinct`: integer registers + fixed-point harmonic sum,
+    bit-identical in the raw-estimate regime (true cardinality per group
+    > 2.5·2^p; the caller owns picking p against the SMALLEST group —
+    the small-range linear branch uses ln() and is last-ulp
+    engine-dependent).
+
+    Scale contract: the corpus reduces to <= 2^p register rows PER GROUP
+    in one map-side-combinable aggregate — the shuffle is O(groups · m),
+    never O(rows); contrast exact countDistinct, which shuffles every
+    distinct (group, value) pair.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    _check_p(p)
+    regs = (
+        _register_frame(df, col, p, group_cols)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    return finalize_hll_estimates(regs, p, group_cols)
+
+
+def duckdb_hll_by_sql(input_sql: str, group_col: str, p: int = 12) -> str:
+    """Grouped companion of :func:`duckdb_hll_sql`: replay
+    ``hll_distinct_by`` over ``input_sql`` (a query producing columns
+    ``g`` and ``v``), one output row per ``g``. RAW-REGIME ONLY."""
+    _check_p(p)
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    scale = 1 << (61 - p)
+    a = _alpha(m) * m * m * float(scale)
+    return f"""
+        WITH vals AS ({input_sql}),
+        h AS (SELECT g, CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h
+              FROM vals WHERE v IS NOT NULL),
+        regs AS (SELECT g, h // {1 << w_bits} AS idx,
+                        max(CASE WHEN h % {1 << w_bits} > 0
+                                 THEN {w_bits + 1} - length(bin(h % {1 << w_bits}))
+                                 ELSE {w_bits + 1} END) AS rho
+                 FROM h GROUP BY 1, 2),
+        agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nonzero_regs,
+                       coalesce(sum(CAST({scale} AS BIGINT)
+                                    // (CAST(1 AS BIGINT) << rho)), 0)
+                           AS s_present
+                FROM regs GROUP BY 1)
+        SELECT g AS {group_col},
+               CAST({m} AS BIGINT) AS m,
+               nonzero_regs,
+               CAST(s_present + ({m} - nonzero_regs) * CAST({scale} AS BIGINT)
+                    AS BIGINT) AS s_scaled,
+               floor({a!r} / (s_present + ({m} - nonzero_regs)
+                              * CAST({scale} AS BIGINT)) * 10000) / 10000
+                   AS est_q
+        FROM agg
+    """

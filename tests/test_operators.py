@@ -3347,3 +3347,31 @@ def test_incremental_digest_store(spark, tmp_path):
     assert key(c2b) == want
     with pytest.raises(ValueError, match="refusing"):
         incremental_digest(spark, b1, ["id"], ["src"], store, "3")
+
+
+def test_hll_distinct_by_matches_global_per_group(spark):
+    """hll_distinct_by's per-group registers equal running hll_distinct
+    on each group's slice (group isolation), estimates sit within the
+    raw-regime error envelope, and the register shuffle is bounded by
+    groups x 2^p."""
+    from data_quality_framework_spark.operators.cardinality import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    rows = [("a", f"u{i}") for i in range(500)] + [
+        ("b", f"v{i % 300}") for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    by = {r["g"]: r for r in hll_distinct_by(df, "v", ["g"], p=6).collect()}
+    for g in ("a", "b"):
+        solo = hll_distinct(df.filter(F.col("g") == g), "v", p=6).collect()[0]
+        got = by[g]
+        assert (got["nonzero_regs"], got["s_scaled"], got["est_q"]) == (
+            solo["nonzero_regs"], solo["s_scaled"], solo["est_q"]
+        )
+    # raw-regime sanity: within ~3 sigma of 1.04/sqrt(64) ~ 13% rel error
+    assert abs(by["a"]["est_q"] - 500) / 500 < 0.4
+    assert abs(by["b"]["est_q"] - 300) / 300 < 0.4
+    with pytest.raises(ValueError, match="at least one"):
+        hll_distinct_by(df, "v", [], p=6)
