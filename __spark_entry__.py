@@ -2756,6 +2756,43 @@ def _type_hll_oracle_sql() -> str:
     """
 
 
+def _q_merge_incremental(spark, sf):
+    """Versioned cross-run upsert store (r5): crawl batch 1 (even ids)
+    then batch 2 (all ids — %4==0 re-edited newer, odd ids new, %8==6
+    edited-but-LATE, %8==2 unchanged re-fetch) fold into a persisted
+    store via immutable `version=<k>/` snapshots + an atomically-advanced
+    manifest (`operators/merge.py::incremental_merge`). The oracle is the
+    CLOSED FORM of the final state — every action/ts/last_seen/hash
+    derived analytically per id, an independent truth rather than a
+    replay."""
+    import tempfile
+
+    from data_quality_framework_spark.operators.merge import incremental_merge
+
+    d = _t(spark, sf, "documents")
+    key = F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    b1 = d.filter(F.col("doc_id") % 2 == 0).select(
+        key, (F.lit(1000) + F.col("doc_id")).cast("long").alias("ts"), "text"
+    )
+    delta = F.when(F.col("doc_id") % 8 == 6, F.lit(-500)).otherwise(F.lit(500))
+    text2 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .when(F.col("doc_id") % 8 == 6, F.concat(F.col("text"), F.lit(" v3")))
+        .otherwise(F.col("text"))
+    )
+    b2 = d.select(
+        key,
+        (F.lit(1000) + F.col("doc_id") + delta).cast("long").alias("ts"),
+        text2.alias("text"),
+    )
+    store = tempfile.mkdtemp(prefix="dq_merge_store_")
+    incremental_merge(spark, b1, store, "url", "ts", ["text"], "b1")
+    out = incremental_merge(spark, b2, store, "url", "ts", ["text"], "b2")
+    return out.select(
+        "url", "action", "ts", "last_seen", "content_hash"
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2860,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_gini": _q_lang_gini,
         "text_digest_incremental": _q_digest_incremental,
         "events_type_hll": _q_type_hll,
+        "text_merge_incremental": _q_merge_incremental,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4264,6 +4302,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # incremental-merge oracle (r5): the CLOSED FORM of the two-batch
+        # fold — per id, batch 2 inserts odd keys (+500), updates %4==0
+        # (' v2', +500), arrives late on %8==6 (-500, store row survives),
+        # and re-fetches %8==2 unchanged (+500, last_seen advances only)
+        "text_merge_incremental": """
+            SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 2 = 1 THEN 'insert'
+                        WHEN doc_id % 4 = 0 THEN 'update'
+                        WHEN doc_id % 8 = 6 THEN 'stale'
+                        ELSE 'unchanged' END AS action,
+                   CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 4 = 0
+                             THEN 1500 + doc_id
+                             ELSE 1000 + doc_id END AS BIGINT) AS ts,
+                   CAST(CASE WHEN doc_id % 8 = 6 THEN 1000 + doc_id
+                             ELSE 1500 + doc_id END AS BIGINT) AS last_seen,
+                   md5(coalesce(CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                                     ELSE text END, '')) AS content_hash
+            FROM documents ORDER BY url
         """,
         # crawl-merge oracle (r5): the same latest-wins MERGE classification
         # from (ts, md5) comparisons; ties (b.ts <= s.ts with differing

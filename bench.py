@@ -107,6 +107,7 @@ HEADLINE = [
     "text_domain_wilson",
     "text_lang_gini",
     "events_type_hll",
+    "text_merge_incremental",
 ]
 
 

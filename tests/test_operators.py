@@ -3375,3 +3375,49 @@ def test_hll_distinct_by_matches_global_per_group(spark):
     assert abs(by["b"]["est_q"] - 300) / 300 < 0.4
     with pytest.raises(ValueError, match="at least one"):
         hll_distinct_by(df, "v", [], p=6)
+
+
+def test_incremental_merge_versions_and_guards(spark, tmp_path):
+    """incremental_merge publishes immutable version snapshots with an
+    atomically-advanced manifest: the cumulative state equals folding the
+    batches through merge_latest by hand, re-running the LAST batch is
+    idempotent (same version rebuilt from the same parent), replaying an
+    OLDER batch raises, and a different column pin is refused."""
+    import json
+    import os
+
+    from data_quality_framework_spark.operators.merge import incremental_merge
+
+    store = str(tmp_path / "merge_store")
+    b1 = spark.createDataFrame(
+        [("a", 100, "alpha"), ("b", 100, "beta")],
+        "url string, ts long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 200, "alpha2"),   # update
+         ("b", 50, "BETA"),      # late + changed -> stale
+         ("c", 10, "gamma")],    # insert
+        "url string, ts long, text string",
+    )
+    s1 = {r["url"]: r for r in
+          incremental_merge(spark, b1, store, "url", "ts", ["text"], "b1").collect()}
+    assert all(r["action"] == "insert" for r in s1.values())
+    s2 = {r["url"]: r for r in
+          incremental_merge(spark, b2, store, "url", "ts", ["text"], "b2").collect()}
+    assert s2["a"]["action"] == "update" and s2["a"]["text"] == "alpha2"
+    assert s2["b"]["action"] == "stale" and s2["b"]["text"] == "beta"
+    assert s2["b"]["ts"] == 100 and s2["b"]["last_seen"] == 100
+    assert s2["c"]["action"] == "insert"
+    man = json.load(open(os.path.join(store, "_manifest.json")))
+    assert man["version"] == 2 and man["batch_ids"] == ["b1", "b2"]
+    # idempotent re-run of the LAST batch: same rows, same version
+    s2b = {r["url"]: r for r in
+           incremental_merge(spark, b2, store, "url", "ts", ["text"], "b2").collect()}
+    assert {k: v["content_hash"] for k, v in s2b.items()} == {
+        k: v["content_hash"] for k, v in s2.items()
+    }
+    assert json.load(open(os.path.join(store, "_manifest.json")))["version"] == 2
+    with pytest.raises(ValueError, match="linear"):
+        incremental_merge(spark, b1, store, "url", "ts", ["text"], "b1")
+    with pytest.raises(ValueError, match="pinned"):
+        incremental_merge(spark, b2, store, "url", "ts", ["url"], "b3")
