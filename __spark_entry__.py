@@ -2793,6 +2793,41 @@ def _q_merge_incremental(spark, sf):
     ).orderBy("url")
 
 
+def _q_zorder_layout(spark, sf):
+    """Z-order layout key (r5): Morton interleave of (clamped length,
+    id-hash) — the Delta OPTIMIZE ZORDER / Iceberg sort-order trick as a
+    pure Column expression so multi-column min/max pruning survives a
+    plain parquet writer. The oracle evaluates the IDENTICAL shared
+    expression string (`layout.morton_sql`); top-200 by key shows the
+    space-filling order. `operators/layout.py`."""
+    d = _t(spark, sf, "documents")
+    from data_quality_framework_spark.operators.layout import morton_sql
+
+    prep = d.select(
+        "doc_id",
+        F.expr("least(coalesce(n_chars, 0), 65535)").alias("a"),
+        (F.col("doc_id") % 65536).alias("b"),
+    )
+    return (
+        prep.withColumn("zkey", F.expr(morton_sql("a", "b")))
+        .orderBy("zkey", "doc_id")
+        .limit(200)
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.layout import morton_sql
+
+    return f"""
+        WITH prep AS (SELECT doc_id,
+                             least(coalesce(n_chars, 0), 65535) AS a,
+                             doc_id % 65536 AS b
+                      FROM documents)
+        SELECT doc_id, a, b, {morton_sql('a', 'b')} AS zkey
+        FROM prep ORDER BY zkey, doc_id LIMIT 200
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2898,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_digest_incremental": _q_digest_incremental,
         "events_type_hll": _q_type_hll,
         "text_merge_incremental": _q_merge_incremental,
+        "text_zorder_layout": _q_zorder_layout,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4303,6 +4339,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
         """,
+        # z-order oracle (r5): the identical shared morton_sql expression
+        # (mask-shift interleave — integer << | & only, engine-exact)
+        "text_zorder_layout": _zorder_oracle_sql(),
         # incremental-merge oracle (r5): the CLOSED FORM of the two-batch
         # fold — per id, batch 2 inserts odd keys (+500), updates %4==0
         # (' v2', +500), arrives late on %8==6 (-500, store row survives),

@@ -108,6 +108,7 @@ HEADLINE = [
     "text_lang_gini",
     "events_type_hll",
     "text_merge_incremental",
+    "text_zorder_layout",
 ]
 
 

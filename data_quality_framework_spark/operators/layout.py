@@ -1,0 +1,92 @@
+"""Z-order (Morton) data layout for multi-column scan pruning.
+
+Parquet/Iceberg scans prune files and row groups by min/max statistics.
+Sorting by ONE column makes its stats tight and every other column's
+stats useless; interleaving the bits of TWO range-queried columns
+(Morton / Z-order) makes BOTH columns' min/max ranges small per file, so
+a predicate on either column (or both) skips most of the data — the
+standard lakehouse layout trick (Delta OPTIMIZE ZORDER BY, Iceberg
+sort-order z-ordering) reduced to a pure Column expression.
+
+``morton_key`` spreads each 16-bit value with the classic
+multiply-free mask-shift sequence
+
+    x = (x | x << 8) & 0x00FF00FF
+    x = (x | x << 4) & 0x0F0F0F0F
+    x = (x | x << 2) & 0x33333333
+    x = (x | x << 1) & 0x55555555
+
+and ORs the two spreads one bit apart. All shifts/masks are integer ops
+on non-negative values — engine-exact; the oracle replays the identical
+chain. Inputs wider than 16 bits must be bucketed/clamped by the caller
+first (raise otherwise): silently truncating high bits would interleave
+the WRONG ends of the ranges.
+
+``zorder_by`` is the layout half: range-partition + locally sort by the
+key, so a following parquet write produces files whose (a, b) bounding
+boxes tile the plane — at 100 TB each file covers a small rectangle and
+a point/range predicate on either column prunes to the touched tiles.
+
+Reference parity: beyond-reference (north-rule scope); the reference's
+closest concern is TS-1's chunked scan sizing — this is the read-side
+dual: make the chunks SKIPPABLE, not just sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morton_key", "zorder_by", "morton_sql"]
+
+
+def _spread_sql(x: str) -> str:
+    """16->32 bit spread as SQL text (shared verbatim with oracles)."""
+    s = x
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def morton_sql(a_col: str, b_col: str) -> str:
+    """The interleaved key as one SQL expression string — ONE definition
+    evaluated by both Spark and the oracle (the Wilson trick)."""
+    return (
+        f"(({_spread_sql(f'cast({a_col} as bigint)')} << 1)"
+        f" | {_spread_sql(f'cast({b_col} as bigint)')})"
+    )
+
+
+def morton_key(a_col: str, b_col: str) -> Column:
+    """Z-order key of two 16-bit non-negative columns, by name (``a``'s
+    bits land in the odd positions). Out-of-range inputs raise at runtime
+    via a guarded expression — truncation would silently interleave the
+    wrong ends of the ranges and destroy locality."""
+    a, b = F.col(a_col), F.col(b_col)
+    guard = (a >= 0) & (a < 65536) & (b >= 0) & (b < 65536)
+    return F.when(
+        ~guard,
+        F.assert_true(
+            F.lit(False), F.lit("morton_key: inputs must be in [0, 65536)")
+        ).cast("long"),
+    ).otherwise(F.expr(morton_sql(a_col, b_col)))
+
+
+def zorder_by(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    key_col: str = "zkey",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the Morton key and lay the data out by it: range partition
+    + in-partition sort, so a following write yields files whose (a, b)
+    bounding boxes tile the plane. One shuffle — the same cost as any
+    single-column sorted write, buying pruning on BOTH columns."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with_key = df.withColumn(key_col, morton_key(a_col, b_col))
+    return with_key.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(
+        key_col
+    )

@@ -3421,3 +3421,58 @@ def test_incremental_merge_versions_and_guards(spark, tmp_path):
         incremental_merge(spark, b1, store, "url", "ts", ["text"], "b1")
     with pytest.raises(ValueError, match="pinned"):
         incremental_merge(spark, b2, store, "url", "ts", ["url"], "b3")
+
+
+def test_morton_key_locality_and_layout(spark):
+    """morton_key matches the canonical Python interleave, preserves 2D
+    locality (a 2^k-aligned grid cell occupies one contiguous key range),
+    guards out-of-range inputs, and zorder_by's layout bounds both
+    columns' per-partition ranges (the min/max pruning property a single
+    -column sort cannot give)."""
+    from data_quality_framework_spark.operators.layout import (
+        morton_key,
+        zorder_by,
+    )
+
+    def py_spread(x):
+        for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                      (2, 0x33333333), (1, 0x55555555)):
+            x = (x | (x << sh)) & m
+        return x
+
+    pts = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 5)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", morton_key("a", "b")).collect()
+    }
+    assert got == {(a, b): (py_spread(a) << 1) | py_spread(b) for a, b in pts}
+    # locality: every aligned 8x8 cell is one contiguous 64-key block
+    full = [(a, b) for a in range(16) for b in range(16)]
+    z = {(a, b): (py_spread(a) << 1) | py_spread(b) for a, b in full}
+    for ca in (0, 8):
+        for cb in (0, 8):
+            cell = sorted(
+                z[(a, b)]
+                for a in range(ca, ca + 8)
+                for b in range(cb, cb + 8)
+            )
+            assert cell == list(range(cell[0], cell[0] + 64))
+    with pytest.raises(Exception, match="65536"):
+        spark.createDataFrame([(70000, 1)], "a long, b long").withColumn(
+            "z", morton_key("a", "b")
+        ).collect()
+    # layout: per-partition (a, b) bounding boxes are tiles, not stripes
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a long, b long"
+    )
+    parts = (
+        zorder_by(grid, "a", "b", num_partitions=16)
+        .select(F.spark_partition_id().alias("pid"), "a", "b")
+        .groupBy("pid")
+        .agg(F.max("a") - F.min("a"), F.max("b") - F.min("b"))
+        .collect()
+    )
+    for r in parts:
+        assert r[1] < 64 and r[2] < 64  # neither column unconstrained
+        assert r[1] <= 31 and r[2] <= 31  # each tile spans <= half the domain
