@@ -2828,6 +2828,30 @@ def _zorder_oracle_sql() -> str:
     """
 
 
+def _q_typo_pairs(spark, sf):
+    """FastSS edit-distance-1 pair mining (r5): the corpus vocabulary
+    (len≥4 tokens) plus deterministic planted typos ('q'-substitution of
+    each term's first letter) self-joined on deletion-neighborhood keys —
+    never a cartesian product — then levenshtein-verified. The oracle is
+    the brute-force O(V²) join over the same tiny vocabulary.
+    `operators/strsim.py`."""
+    from data_quality_framework_spark.operators.retrieval import tokenize
+    from data_quality_framework_spark.operators.strsim import edit_distance_pairs
+
+    d = _t(spark, sf, "documents")
+    toks = (
+        tokenize(d, "doc_id", "text")
+        .select("term")
+        .filter(F.length("term") >= 4)
+        .distinct()
+    )
+    typos = toks.filter(~F.col("term").startswith("q")).select(
+        F.concat(F.lit("q"), F.expr("substr(term, 2)")).alias("term")
+    )
+    vocab = toks.unionByName(typos).distinct()
+    return edit_distance_pairs(vocab, "term", max_dist=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2934,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_hll": _q_type_hll,
         "text_merge_incremental": _q_merge_incremental,
         "text_zorder_layout": _q_zorder_layout,
+        "text_typo_pairs": _q_typo_pairs,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4338,6 +4363,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # typo-pairs oracle (r5): brute-force O(V²) levenshtein over the
+        # same vocabulary ∪ planted typos — DuckDB and Spark both implement
+        # classic Wagner-Fischer, so distances are engine-identical
+        "text_typo_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT t.term
+                FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                    '[^a-z0-9]+')) AS term
+                      FROM documents) t
+                WHERE length(t.term) >= 4),
+                 vocab AS (
+                SELECT term FROM toks
+                UNION
+                SELECT 'q' || substr(term, 2) FROM toks
+                WHERE substr(term, 1, 1) <> 'q')
+            SELECT a.term AS a, b.term AS b,
+                   CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+            FROM vocab a JOIN vocab b ON a.term < b.term
+            WHERE levenshtein(a.term, b.term) <= 1
+            ORDER BY a, b
         """,
         # z-order oracle (r5): the identical shared morton_sql expression
         # (mask-shift interleave — integer << | & only, engine-exact)

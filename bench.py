@@ -109,6 +109,7 @@ HEADLINE = [
     "events_type_hll",
     "text_merge_incremental",
     "text_zorder_layout",
+    "text_typo_pairs",
 ]
 
 

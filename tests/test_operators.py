@@ -3476,3 +3476,54 @@ def test_morton_key_locality_and_layout(spark):
     for r in parts:
         assert r[1] < 64 and r[2] < 64  # neither column unconstrained
         assert r[1] <= 31 and r[2] <= 31  # each tile spans <= half the domain
+
+
+def test_edit_distance_pairs_fastss(spark):
+    """edit_distance_pairs equals brute-force levenshtein pairing on a
+    randomized vocabulary (completeness of the deletion-neighborhood
+    candidates + soundness of verification), at both k=1 and k=2."""
+    import itertools
+    import random
+
+    from data_quality_framework_spark.operators.strsim import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(7)
+    base = ["quality", "filter", "spark", "shuffle", "token", "corpus",
+            "window", "stream", "sample", "bucket"]
+    vocab = set(base)
+    for w in base:                      # planted mutations of every kind
+        i = rng.randrange(len(w))
+        vocab.add(w[:i] + w[i + 1:])                 # deletion
+        vocab.add(w[:i] + "x" + w[i:])               # insertion
+        vocab.add(w[:i] + "z" + w[i + 1:])           # substitution
+        vocab.add(w + "ly")                          # distance 2
+    vocab = sorted(v for v in vocab if len(v) >= 4)
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for k in (1, 2):
+        floor_len = 2 * k + 2
+        want = sorted(
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(
+                [v for v in vocab if len(v) >= floor_len], 2)
+            if lev(a, b) <= k
+        )
+        got = [
+            (r["a"], r["b"], r["dist"])
+            for r in edit_distance_pairs(df, "s", max_dist=k).collect()
+        ]
+        assert got == want, f"k={k}"
+    with pytest.raises(ValueError, match="1 or 2"):
+        edit_distance_pairs(df, "s", max_dist=3)
