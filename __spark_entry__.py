@@ -2852,6 +2852,25 @@ def _q_typo_pairs(spark, sf):
     return edit_distance_pairs(vocab, "term", max_dist=1)
 
 
+def _q_type_mad(spark, sf):
+    """Per-group robust anomaly flags (r5): each event type's daily
+    volumes against ITS OWN median ± k·MAD band (a chatty type's normal
+    day would false-alarm under the global band and vice versa). Grouped
+    lower medians via per-group cumulative windows at distinct-value
+    cardinality; the integer cross-multiplied decision of
+    `events_anomaly_mad`. `profiling.mad_outliers_by`."""
+    from data_quality_framework_spark.operators.profiling import mad_outliers_by
+
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    out = mad_outliers_by(daily, ["event_type"], "n_events", k_milli=2000)
+    return out.select(
+        "event_type", "day", "n_events", "med", "mad", "is_outlier"
+    ).orderBy("event_type", "day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2959,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_merge_incremental": _q_merge_incremental,
         "text_zorder_layout": _q_zorder_layout,
         "text_typo_pairs": _q_typo_pairs,
+        "events_type_mad": _q_type_mad,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4363,6 +4383,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # grouped-MAD oracle (r5): per-group lower medians via windowed
+        # cumulative counts at rank ceil(n/2), same integer threshold
+        "events_type_mad": """
+            WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS n_events
+                           FROM events GROUP BY 1, 2),
+                 cnt AS (SELECT event_type, n_events AS v,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM daily GROUP BY 1, 2),
+                 cum AS (SELECT event_type, v,
+                                sum(c) OVER (PARTITION BY event_type
+                                             ORDER BY v) AS cum,
+                                sum(c) OVER (PARTITION BY event_type) AS n
+                         FROM cnt),
+                 med AS (SELECT event_type, min(v) AS med FROM cum
+                         WHERE cum >= (n + 1) // 2 GROUP BY 1),
+                 dev AS (SELECT d.event_type,
+                                abs(d.n_events - m.med) AS dv
+                         FROM daily d JOIN med m USING (event_type)),
+                 dcnt AS (SELECT event_type, dv,
+                                 CAST(count(*) AS BIGINT) AS c
+                          FROM dev GROUP BY 1, 2),
+                 dcum AS (SELECT event_type, dv,
+                                 sum(c) OVER (PARTITION BY event_type
+                                              ORDER BY dv) AS cum,
+                                 sum(c) OVER (PARTITION BY event_type) AS n
+                          FROM dcnt),
+                 mad AS (SELECT event_type, CAST(min(dv) AS BIGINT) AS mad
+                         FROM dcum WHERE cum >= (n + 1) // 2 GROUP BY 1)
+            SELECT d.event_type, d.day, d.n_events,
+                   CAST(m.med AS BIGINT) AS med, a.mad,
+                   abs(d.n_events - m.med) * 1000 > 2000 * a.mad AS is_outlier
+            FROM daily d JOIN med m USING (event_type)
+                         JOIN mad a USING (event_type)
+            ORDER BY d.event_type, d.day
         """,
         # typo-pairs oracle (r5): brute-force O(V²) levenshtein over the
         # same vocabulary ∪ planted typos — DuckDB and Spark both implement

@@ -110,6 +110,7 @@ HEADLINE = [
     "text_merge_incremental",
     "text_zorder_layout",
     "text_typo_pairs",
+    "events_type_mad",
 ]
 
 

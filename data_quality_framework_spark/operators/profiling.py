@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity"]
+__all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity",
+           "grouped_median", "mad_outliers_by"]
 
 
 def fd_violations(
@@ -205,4 +206,77 @@ def gini_diversity(
             ),
         )
         .drop("__sq")
+    )
+
+
+def grouped_median(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group LOWER median (the k = ceil(n/2)-th order statistic, the
+    same rank arithmetic as `quantiles.exact_quantiles` at q_bp=5000) of
+    an integral column: (group..., med, n_rows).
+
+    Shape: one (group, value) count aggregate (map-side combinable), then
+    window work at per-group DISTINCT-VALUE cardinality partitioned BY
+    GROUP — thousands of tiny independent windows instead of the global
+    two-pass machinery, which is the right trade when the group count is
+    large and each group's value domain is small (days per domain, sizes
+    per host). For ONE group with a huge domain use `exact_quantiles`.
+    """
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    dtype = dict(df.dtypes).get(value_col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"grouped_median needs an integral value column, got {value_col}: {dtype}"
+        )
+    c = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wall = Window.partitionBy(*group_cols)
+    cum = c.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    # k = ceil(n/2) == (n + 1) div 2 on positive n; the median is the
+    # smallest value whose cumulative count reaches that rank
+    picked = cum.filter(F.col("__cum") >= F.expr("(__n + 1) div 2"))
+    return picked.groupBy(*group_cols).agg(
+        F.min(value_col).cast("long").alias("med"),
+        F.min("__n").cast("long").alias("n_rows"),
+    )
+
+
+def mad_outliers_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k_milli: int = 3500,
+) -> DataFrame:
+    """Per-GROUP robust outlier flags: every input row comes back with
+    its group's (med, mad, is_outlier) where is_outlier ⇔
+    1000·|value − med| > k_milli·mad — `mad_outliers`' integer contract,
+    medians per group via :func:`grouped_median`. The per-domain /
+    per-event-type version of the global daily-volume gate."""
+    if k_milli <= 0:
+        raise ValueError("k_milli must be positive")
+    med = grouped_median(df, group_cols, value_col).drop("n_rows")
+    with_med = df.join(med, group_cols)
+    dev = with_med.select(
+        *group_cols,
+        F.abs(F.col(value_col).cast("long") - F.col("med")).alias("__dev"),
+    )
+    mad = (
+        grouped_median(dev, group_cols, "__dev")
+        .drop("n_rows")
+        .withColumnRenamed("med", "mad")
+    )
+    return with_med.join(mad, group_cols).withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col).cast("long") - F.col("med")) * 1000
+        > F.lit(k_milli) * F.col("mad"),
     )

@@ -3527,3 +3527,33 @@ def test_edit_distance_pairs_fastss(spark):
         assert got == want, f"k={k}"
     with pytest.raises(ValueError, match="1 or 2"):
         edit_distance_pairs(df, "s", max_dist=3)
+
+
+def test_mad_outliers_by_per_group_bands(spark):
+    """mad_outliers_by judges each group against ITS OWN median/MAD band:
+    a value that is normal for the loud group is an outlier for the quiet
+    one; grouped lower medians match statistics.median_low per group."""
+    import statistics as st
+
+    from data_quality_framework_spark.operators.profiling import (
+        grouped_median,
+        mad_outliers_by,
+    )
+
+    quiet = [10, 12, 10, 8, 10, 12, 10, 8, 11, 50]    # 50 is a spike here
+    # (devs' lower median is 1, not 0 — the degenerate MAD=0 case is
+    # test_mad_outliers_robust_to_contamination's job)
+    loud = [48, 52, 50, 49, 51, 50, 52, 48, 50, 50]   # 50 is dead normal
+    rows = [("q", i, v) for i, v in enumerate(quiet)] + [
+        ("l", i, v) for i, v in enumerate(loud)
+    ]
+    df = spark.createDataFrame(rows, "g string, day int, v long")
+    med = {r["g"]: r["med"] for r in grouped_median(df, ["g"], "v").collect()}
+    assert med == {"q": st.median_low(quiet), "l": st.median_low(loud)}
+    out = mad_outliers_by(df, ["g"], "v", k_milli=3500)
+    flags = {(r["g"], r["day"]): r["is_outlier"] for r in out.collect()}
+    assert flags[("q", 9)] is True            # 50 in the quiet group
+    assert not any(v for (g, _), v in flags.items() if g == "l")
+    assert sum(flags.values()) == 1
+    with pytest.raises(ValueError, match="integral"):
+        grouped_median(df.withColumn("v", F.col("v").cast("double")), ["g"], "v")
