@@ -2871,6 +2871,81 @@ def _q_type_mad(spark, sf):
     ).orderBy("event_type", "day")
 
 
+def _q_rolling_7d(spark, sf):
+    """Trailing 7-day rolling volume per day (r5): RANGE frame over the
+    integer epoch-day key so missing days shrink the window (ROWS frames
+    silently lie across gaps); sums integer-exact, the mean reported as
+    floor ppm. The W-family's moving-aggregate tier. The unpartitioned
+    window runs over the DAILY table (rows = days in range, bounded by
+    the calendar, not the corpus) — at any corpus size that is thousands
+    of rows; a per-entity variant would partition by the entity like
+    `events_type_mad`."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    from pyspark.sql import Window
+
+    keyed = daily.withColumn(
+        "day_slot", F.expr("datediff(day, date'1970-01-01')").cast("long")
+    )
+    w = Window.orderBy("day_slot").rangeBetween(-6, 0)
+    return (
+        keyed.withColumn("roll_sum", F.sum("n_events").over(w).cast("long"))
+        .withColumn("roll_days", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "roll_avg_ppm",
+            F.expr("(1000000 * roll_sum) div roll_days"),
+        )
+        .select("day", "n_events", "roll_sum", "roll_days", "roll_avg_ppm")
+        .orderBy("day")
+    )
+
+
+def _q_funnel(spark, sf):
+    """Sessionized funnel conversion (r5): per gap-session, did a
+    'purchase' happen strictly AFTER a 'signup' in the SAME session? The
+    session index is the sessionizer's exact two-window recipe
+    (`operators/sessions.py` — integer-microsecond gaps, event-id
+    tiebreak) and the funnel test is one conditional aggregation per
+    (user, session): min signup ts < max purchase ts (exact for
+    existence). Output: session/event counts by conversion verdict."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | (us - prev > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = e.withColumn(
+        "session_idx",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    flags = tagged.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("__s"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("__p"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    out = flags.withColumn(
+        "converted",
+        F.col("__s").isNotNull()
+        & F.col("__p").isNotNull()
+        & (F.col("__s") < F.col("__p")),
+    )
+    return (
+        out.groupBy("converted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("converted")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -2979,6 +3054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zorder_layout": _q_zorder_layout,
         "text_typo_pairs": _q_typo_pairs,
         "events_type_mad": _q_type_mad,
+        "events_rolling_7d": _q_rolling_7d,
+        "events_funnel": _q_funnel,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4383,6 +4460,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # rolling-window oracle (r5): RANGE frame over integer epoch days
+        # (gap-aware, unlike ROWS), integer sums + floor-ppm mean
+        "events_rolling_7d": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS n_events
+                           FROM events GROUP BY 1),
+                 k AS (SELECT day, n_events,
+                              CAST(day - DATE '1970-01-01' AS BIGINT) AS slot
+                       FROM daily),
+                 r AS (SELECT day, n_events,
+                              CAST(sum(n_events) OVER (ORDER BY slot
+                                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                                   AS BIGINT) AS roll_sum,
+                              CAST(count(*) OVER (ORDER BY slot
+                                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                                   AS BIGINT) AS roll_days
+                       FROM k)
+            SELECT day, n_events, roll_sum, roll_days,
+                   (1000000 * roll_sum) // roll_days AS roll_avg_ppm
+            FROM r ORDER BY day
+        """,
+        # funnel oracle (r5): the sessionizer's exact lag/running-sum
+        # recipe, then one conditional aggregation per (user, session)
+        "events_funnel": """
+            WITH t AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS us, ts
+                       FROM events),
+                 l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev
+                       FROM t),
+                 m AS (SELECT *, CASE WHEN prev IS NULL
+                                       OR us - prev > 1800000000
+                                      THEN 1 ELSE 0 END AS is_new
+                       FROM l),
+                 s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+                       FROM m),
+                 f AS (SELECT user_id, session_idx,
+                              min(CASE WHEN event_type = 'signup'
+                                       THEN us END) AS s_ts,
+                              max(CASE WHEN event_type = 'purchase'
+                                       THEN us END) AS p_ts,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM s GROUP BY 1, 2)
+            SELECT (s_ts IS NOT NULL AND p_ts IS NOT NULL AND s_ts < p_ts)
+                       AS converted,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # grouped-MAD oracle (r5): per-group lower medians via windowed
         # cumulative counts at rank ceil(n/2), same integer threshold

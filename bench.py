@@ -111,6 +111,8 @@ HEADLINE = [
     "text_zorder_layout",
     "text_typo_pairs",
     "events_type_mad",
+    "events_rolling_7d",
+    "events_funnel",
 ]
 
 

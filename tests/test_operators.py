@@ -3557,3 +3557,52 @@ def test_mad_outliers_by_per_group_bands(spark):
     assert sum(flags.values()) == 1
     with pytest.raises(ValueError, match="integral"):
         grouped_median(df.withColumn("v", F.col("v").cast("double")), ["g"], "v")
+
+
+def test_rolling_and_funnel_gate_queries(spark, tmp_path):
+    """events_rolling_7d's RANGE frame is gap-aware (a missing day
+    SHRINKS roll_days; ROWS would lie across the hole), and
+    events_funnel only converts sessions where a purchase strictly
+    follows a signup within the gap window."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    base = dt.datetime(2026, 3, 1)
+    rows, eid = [], 0
+    # days 0..9 except day 5 missing; 2 events/day
+    for d in [0, 1, 2, 3, 4, 6, 7, 8, 9]:
+        for j in range(2):
+            rows.append((eid, base + dt.timedelta(days=d, minutes=j), 1,
+                         "view", 1.0, None)); eid += 1
+    # user 2: signup then purchase 10 min later (converts)
+    rows.append((eid, base, 2, "signup", 1.0, None)); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=10), 2, "purchase", 1.0, None)); eid += 1
+    # user 3: purchase BEFORE signup in one session (no conversion)
+    rows.append((eid, base, 3, "purchase", 1.0, None)); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=10), 3, "signup", 1.0, None)); eid += 1
+    # user 4: signup, then purchase 2h later -> DIFFERENT session
+    rows.append((eid, base, 4, "signup", 1.0, None)); eid += 1
+    rows.append((eid, base + dt.timedelta(hours=2), 4, "purchase", 1.0, None)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    roll = {r["day"]: r for r in entry.queries()["events_rolling_7d"](spark, sf).collect()}
+    d3 = dt.date(2026, 3, 4)   # day idx 3: window covers days 0..3 -> 4 days... 
+    # base day has 2 view + 4 funnel-user events on day 0
+    assert roll[dt.date(2026, 3, 7)]["roll_days"] == 6  # days 0-6 minus missing day 5
+    assert roll[dt.date(2026, 3, 9)]["roll_days"] == 6  # days 3,4,6,7,8,9
+    assert all(
+        r["roll_avg_ppm"] == (1_000_000 * r["roll_sum"]) // r["roll_days"]
+        for r in roll.values()
+    )
+
+    fun = {r["converted"]: r for r in entry.queries()["events_funnel"](spark, sf).collect()}
+    assert fun[True]["n_sessions"] == 1          # only user 2's session
+    # user 3 (wrong order), user 4 (2 sessions), the view days: unconverted
+    assert fun[False]["n_sessions"] >= 3
