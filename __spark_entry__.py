@@ -2946,6 +2946,47 @@ def _q_funnel(spark, sf):
     )
 
 
+def _q_source_overlap(spark, sf):
+    """Mirror/syndication detection (r5): pairwise Jaccard between
+    SOURCE VOCABULARIES (distinct len≥4 tokens per source) — two sources
+    sharing most of their vocabulary are the same feed wearing two
+    names. Intersections come from ONE equi-join on the token (never a
+    cartesian product of sources); Jaccard is reported as the integer
+    (10^6·inter) div union. At web scale the token join is replaced by
+    per-source MinHash signatures (operators/dedup.py machinery) — the
+    exact path here doubles as that path's oracle."""
+    from data_quality_framework_spark.operators.retrieval import tokenize
+
+    d = _t(spark, sf, "documents")
+    vocab = (
+        tokenize(d.withColumnRenamed("source", "src"), "src", "text")
+        .filter(F.length("term") >= 4)
+        .select(F.col("doc_id").alias("src"), "term")
+        .distinct()
+    )
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = vocab.select(F.col("src").alias("src_a"), "term")
+    b = vocab.select(F.col("src").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * n_common) div (n_a + n_b - n_common)"),
+        )
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard_ppm")
+        .orderBy("src_a", "src_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3056,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_mad": _q_type_mad,
         "events_rolling_7d": _q_rolling_7d,
         "events_funnel": _q_funnel,
+        "text_source_overlap": _q_source_overlap,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4460,6 +4502,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # source-overlap oracle (r5): the same token equi-join + integer
+        # cross-multiplied Jaccard in SQL
+        "text_source_overlap": """
+            WITH vocab AS (
+                SELECT DISTINCT src, term
+                FROM (SELECT source AS src,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^a-z0-9]+')) AS term
+                      FROM documents) t
+                WHERE term <> '' AND length(term) >= 4),
+                 sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS n
+                           FROM vocab GROUP BY 1),
+                 inter AS (SELECT a.src AS src_a, b.src AS src_b,
+                                  CAST(count(*) AS BIGINT) AS n_common
+                           FROM vocab a JOIN vocab b
+                             ON a.term = b.term AND a.src < b.src
+                           GROUP BY 1, 2)
+            SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+                   (1000000 * n_common) // (sa.n + sb.n - n_common)
+                       AS jaccard_ppm
+            FROM inter JOIN sizes sa ON sa.src = inter.src_a
+                       JOIN sizes sb ON sb.src = inter.src_b
+            ORDER BY src_a, src_b
         """,
         # rolling-window oracle (r5): RANGE frame over integer epoch days
         # (gap-aware, unlike ROWS), integer sums + floor-ppm mean

@@ -113,6 +113,7 @@ HEADLINE = [
     "events_type_mad",
     "events_rolling_7d",
     "events_funnel",
+    "text_source_overlap",
 ]
 
 

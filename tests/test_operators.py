@@ -3606,3 +3606,31 @@ def test_rolling_and_funnel_gate_queries(spark, tmp_path):
     assert fun[True]["n_sessions"] == 1          # only user 2's session
     # user 3 (wrong order), user 4 (2 sessions), the view days: unconverted
     assert fun[False]["n_sessions"] >= 3
+
+
+def test_source_overlap_mirror_detection(spark, tmp_path):
+    """text_source_overlap's pairwise vocabulary Jaccard: a planted
+    mirror (identical text under two source names) scores 10^6 ppm, a
+    disjoint-vocabulary source scores no pair row at all, and partial
+    overlap matches the hand-computed integer Jaccard."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "mirror_one", 22),
+        (2, "alpha beta gamma delta", "en", "mirror_two", 22),
+        (3, "alpha beta echo foxtrot", "en", "partial", 23),
+        (4, "zulu yankee xray whiskey", "en", "disjoint", 24),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in entry.queries()["text_source_overlap"](spark, sf).collect()
+    }
+    assert out[("mirror_one", "mirror_two")]["jaccard_ppm"] == 1_000_000
+    # partial vs mirrors: {alpha, beta} of union 6 -> 333333 ppm
+    assert out[("mirror_one", "partial")]["jaccard_ppm"] == (1_000_000 * 2) // 6
+    assert not any("disjoint" in k for k in out)
