@@ -2987,6 +2987,22 @@ def _q_source_overlap(spark, sf):
     )
 
 
+def _q_quantile_map(spark, sf):
+    """Equipercentile calibration (r5): map non-en length scores onto the
+    en distribution's scale — each distinct B value gets its basis-point
+    rank and A's exact order statistic at that rank, all integer rank
+    arithmetic on both sides so thresholds tuned on one distribution keep
+    meaning on the other. `operators/quantiles.py::quantile_map`."""
+    from data_quality_framework_spark.operators.quantiles import quantile_map
+
+    d = _t(spark, sf, "documents")
+    return quantile_map(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3098,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_7d": _q_rolling_7d,
         "events_funnel": _q_funnel,
         "text_source_overlap": _q_source_overlap,
+        "text_quantile_map": _q_quantile_map,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -4502,6 +4519,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS terms_hit
             FROM scored GROUP BY doc_id
             ORDER BY score_fp DESC, doc_id LIMIT 10
+        """,
+        # quantile-map oracle (r5): B ranks via window cumulative at
+        # ceil(10000·cum/n); A order statistics via row_number at
+        # k = ceil(bp·n/10000) — the exact_quantiles rank arithmetic
+        "text_quantile_map": """
+            WITH bc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                        FROM documents
+                        WHERE lang <> 'en' AND n_chars IS NOT NULL
+                        GROUP BY 1),
+                 nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bc),
+                 br AS (SELECT v AS value_b,
+                               CAST((10000 * sum(c) OVER (ORDER BY v)
+                                     + n - 1) // n AS INT) AS bp
+                        FROM bc, nb),
+                 ar AS (SELECT n_chars AS v,
+                               row_number() OVER (ORDER BY n_chars) AS rn
+                        FROM documents
+                        WHERE lang = 'en' AND n_chars IS NOT NULL),
+                 na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ar),
+                 k AS (SELECT DISTINCT bp, (bp * n + 9999) // 10000 AS kk
+                       FROM br, na),
+                 av AS (SELECT k.bp, ar.v AS value_a
+                        FROM k JOIN ar ON ar.rn = k.kk)
+            SELECT value_b, bp, value_a
+            FROM br JOIN av USING (bp) ORDER BY value_b
         """,
         # source-overlap oracle (r5): the same token equi-join + integer
         # cross-multiplied Jaccard in SQL

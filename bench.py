@@ -114,6 +114,7 @@ HEADLINE = [
     "events_rolling_7d",
     "events_funnel",
     "text_source_overlap",
+    "text_quantile_map",
 ]
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "quantile_map"]
 
 
 def exact_quantiles(
@@ -112,3 +112,83 @@ def exact_quantiles(
     )
     part.unpersist()
     return out
+
+
+def quantile_map(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equipercentile calibration table from snapshot B's scores onto
+    snapshot A's scale: for every distinct value v in B,
+
+        (value_b, bp, value_a)
+
+    where bp = ceil(10000 · cum_B(v) / n_B) is v's basis-point rank in B
+    and value_a is A's bp-th exact order statistic (`exact_quantiles`
+    rank arithmetic on both sides — all integer, engine-exact). Classic
+    use: a re-trained quality classifier shifts its score distribution;
+    mapping new scores through this table makes thresholds tuned on the
+    OLD distribution keep meaning ("drop the worst 20%" stays the worst
+    20%) without re-tuning.
+
+    Scale contract: B reduces to (value, count) + the two-pass cumulative
+    (distinct-value cardinality, like `ks_statistic`); A pays one
+    `exact_quantiles` call at the ≤ 10000 distinct basis-point ranks; the
+    final join is a broadcast of the ≤ 10000-row quantile table. Nulls
+    excluded on both sides.
+    """
+    from pyspark.sql import Window
+
+    spark = df_a.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    b_counts = (
+        df_b.select(F.col(col).alias("value_b"))
+        .filter(F.col("value_b").isNotNull())
+        .groupBy("value_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    part = (
+        b_counts.repartitionByRange(n_parts, F.col("value_b"))
+        .sortWithinPartitions("value_b")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    per_part = sorted(
+        part.groupBy("__pid").agg(F.sum("__c").alias("__n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in per_part:
+        offsets.append((r["__pid"], acc))
+        acc += r["__n"]
+    n_b = acc
+    if n_b == 0:
+        part.unpersist()
+        raise ValueError("quantile_map: snapshot B has no non-null values")
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy("value_b")
+    ranked = (
+        part.join(off, "__pid")
+        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
+        .withColumn(
+            "bp", F.expr(f"(10000 * __cum + {n_b} - 1) div {n_b}").cast("int")
+        )
+        .select("value_b", "bp")
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    bps = sorted({r["bp"] for r in ranked.select("bp").distinct().collect()})
+    qa = exact_quantiles(df_a, col, bps, num_partitions).select(
+        F.col("q_bp").alias("bp"), F.col("value").alias("value_a")
+    )
+    return (
+        ranked.join(F.broadcast(qa), "bp")
+        .select("value_b", "bp", "value_a")
+        .orderBy("value_b")
+    )

@@ -3634,3 +3634,29 @@ def test_source_overlap_mirror_detection(spark, tmp_path):
     # partial vs mirrors: {alpha, beta} of union 6 -> 333333 ppm
     assert out[("mirror_one", "partial")]["jaccard_ppm"] == (1_000_000 * 2) // 6
     assert not any("disjoint" in k for k in out)
+
+
+def test_quantile_map_equipercentile(spark):
+    """quantile_map reproduces the hand-computed equipercentile table on
+    a small pair of samples: identical distributions map to identity,
+    and a uniform shift maps each B value onto (value - shift)'s
+    neighborhood in A."""
+    from data_quality_framework_spark.operators.quantiles import quantile_map
+
+    a_vals = list(range(1, 101))                 # A: 1..100
+    b_vals = [v + 50 for v in a_vals]            # B: A shifted +50
+    a = spark.createDataFrame([(v,) for v in a_vals], "x long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "x long")
+    out = {r["value_b"]: r for r in quantile_map(a, b, "x").collect()}
+    assert len(out) == 100
+    for vb, r in out.items():
+        # vb is the (vb-50)-th smallest of B -> bp = ceil(10000*(vb-50)/100)
+        want_bp = (10000 * (vb - 50) + 99) // 100
+        assert r["bp"] == want_bp
+        # A's order stat at that bp is ceil(bp*100/10000) = vb - 50
+        assert r["value_a"] == vb - 50
+    # identity: mapping A onto itself returns value_a == value_b
+    ident = quantile_map(a, a, "x").collect()
+    assert all(r["value_a"] == r["value_b"] for r in ident)
+    with pytest.raises(ValueError, match="non-null"):
+        quantile_map(a, b.filter("x > 999"), "x")
