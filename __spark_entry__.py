@@ -2712,12 +2712,15 @@ def _q_digest_incremental(spark, sf):
 
 
 def _q_type_hll(spark, sf):
-    """Per-group HLL (r5): active user-days per event type estimated from
-    O(groups · 2^p) register state instead of shuffling every distinct
-    (type, user, day) triple; exact countDistinct rides along so the
-    estimate's error is auditable in the gate record. p=6 keeps every
-    group deep in the raw regime at all tiers (smallest group ~430 vs the
-    160 linear-branch threshold). `cardinality.hll_distinct_by`."""
+    """Per-group HLL (r5): active user-HOURS per event type estimated
+    from O(groups · 2^p) register state instead of shuffling every
+    distinct (type, user, hour) triple; exact countDistinct rides along
+    so the estimate's error is auditable in the gate record. p=5 keeps
+    every group deep in the raw regime at ALL tiers (smallest group 188
+    at sf0.001 vs the 2.5·32=80 linear-branch threshold — the day-level
+    key sat at 153 vs a 160 threshold and tripped the ln()-based linear
+    branch in the sf0.001 parity gate, the documented non-reproducible
+    regime). `cardinality.hll_distinct_by`."""
     from data_quality_framework_spark.operators.cardinality import hll_distinct_by
 
     e = _t(spark, sf, "events")
@@ -2726,10 +2729,10 @@ def _q_type_hll(spark, sf):
         F.concat(
             F.col("user_id").cast("string"),
             F.lit(":"),
-            F.to_date("ts").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd HH"),
         ).alias("v"),
     )
-    est = hll_distinct_by(df, "v", ["event_type"], p=6)
+    est = hll_distinct_by(df, "v", ["event_type"], p=5)
     exact = df.groupBy("event_type").agg(
         F.countDistinct("v").cast("long").alias("exact_distinct")
     )
@@ -2741,15 +2744,15 @@ def _type_hll_oracle_sql() -> str:
 
     inner = duckdb_hll_by_sql(
         "SELECT event_type AS g, CAST(user_id AS VARCHAR) || ':' || "
-        "CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events",
+        "strftime(ts, '%Y-%m-%d %H') AS v FROM events",
         "event_type",
-        p=6,
+        p=5,
     )
     return f"""
         SELECT h.*, e.exact_distinct FROM ({inner}) h
         JOIN (SELECT event_type,
                      CAST(count(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
-                          CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT)
+                          strftime(ts, '%Y-%m-%d %H')) AS BIGINT)
                          AS exact_distinct
               FROM events GROUP BY event_type) e USING (event_type)
         ORDER BY event_type
