@@ -3006,6 +3006,53 @@ def _q_quantile_map(spark, sf):
     )
 
 
+#: planted multi-line mixture lines for text_lang_mix — the documents table
+#: is single-line (see _q_line_dedup's precedent), so language mixture is
+#: PLANTED on deterministic doc_id rules, identically in Spark and oracle.
+_MIX_DE_LINE = "der die das und ist nicht ein mit auf"
+_MIX_FR_LINE = "le les des du et est pour dans il ne pas"
+_MIX_UND_LINE = "0000 1111 2222"
+
+
+def _q_lang_mix(spark, sf):
+    """Per-line language-mixture profile (r5): the documents corpus is
+    single-line, so mixture is planted — every doc keeps its own text as
+    line 1, doc_id%3==0 appends a German marker line, doc_id%5==0 a French
+    one, doc_id%7==0 an unclassifiable digits line. The operator labels
+    each line with the shared marker-argmax scorer (zero shuffle — a pure
+    higher-order-transform projection) and reports per-doc dominant
+    language, disagreement ppm, and the is_mixed flag.
+    `operators/langmix.py::lang_mix_profile`."""
+    from data_quality_framework_spark.operators.langmix import lang_mix_profile
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    m = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MIX_DE_LINE)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_MIX_FR_LINE)),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_MIX_UND_LINE)),
+        ).alias("text"),
+    )
+    return lang_mix_profile(m).orderBy("doc_id")
+
+
+def _q_pmi_topk(spark, sf):
+    """Collocation mining (r5): top-30 term pairs by PMI-ordered integer
+    lift over a 64-term df-bounded vocabulary; the pair space is generated
+    row-locally from sorted retained-term arrays (no self-join), ranked by
+    the engine-exact fixed-point lift_ppm = 10^6·N·c_xy div (c_x·c_y) —
+    the log in PMI is monotone, so no float math exists anywhere.
+    `operators/collocation.py::pmi_topk`."""
+    from data_quality_framework_spark.operators.collocation import pmi_topk
+
+    return pmi_topk(
+        _t(spark, sf, "documents"), vocab_size=64, min_pair_docs=2, k=30
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3118,6 +3165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_funnel,
         "text_source_overlap": _q_source_overlap,
         "text_quantile_map": _q_quantile_map,
+        # per-line language-mixture profile, zero-shuffle projection (r5)
+        "text_lang_mix": _q_lang_mix,
+        # PMI-ordered collocation mining, integer lift ranking (r5)
+        "text_pmi_topk": _q_pmi_topk,
         # deterministic train/val/test split assignment (r5)
         "text_split_assign": _q_split_assign,
         # DSIR hashed n-gram importance scoring vs a target slice (r5)
@@ -3200,6 +3251,41 @@ _LANGID_CASE = (
         for lang in sorted(LANG_MARKERS)
     )
     + " end"
+)
+
+# ----- per-line language-mixture oracle blocks (text_lang_mix, r5) -----------
+# the SAME marker alternations as the doc-level langid oracle, applied per
+# line inside list_transform lambdas (subqueries are illegal in DuckDB
+# lambdas, so scores ride a struct through a second transform)
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_MIXSQL_SCORE_STRUCT = "{" + ", ".join(
+    f"'s_{g}': len(regexp_extract_all(lower(l), '{_MARKER_SQL[g]}'))"
+    for g in _LANGS_SORTED
+) + "}"
+_MIXSQL_GMAX = "greatest(" + ", ".join(f"x.s_{g}" for g in _LANGS_SORTED) + ")"
+_MIXSQL_LINE_CASE = (
+    f"CASE WHEN {_MIXSQL_GMAX} <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN x.s_{g} = {_MIXSQL_GMAX} THEN '{g}'" for g in _LANGS_SORTED
+    )
+    + " END"
+)
+_MIXSQL_PER_LANG = ", ".join(
+    f"CAST(len(list_filter(labels, x -> x = '{g}')) AS BIGINT) AS n_{g}"
+    for g in _LANGS_SORTED
+)
+_MIXSQL_NCLS = " + ".join(f"n_{g}" for g in _LANGS_SORTED)
+_MIXSQL_DOMC = "greatest(" + ", ".join(f"n_{g}" for g in _LANGS_SORTED) + ")"
+_MIXSQL_DOML = (
+    f"CASE WHEN {_MIXSQL_DOMC} <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN n_{g} = {_MIXSQL_DOMC} THEN '{g}'" for g in _LANGS_SORTED
+    )
+    + " END"
+)
+_MIXSQL_NLANGS = " + ".join(
+    f"(CASE WHEN n_{g} > 0 THEN 1 ELSE 0 END)" for g in _LANGS_SORTED
 )
 
 # Java's \s = [ \t\n\x0B\f\r]; DuckDB's RE2 \s EXCLUDES \x0b (vertical tab).
@@ -4833,6 +4919,78 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * CAST(max(abs(cuma * n_b - cumb * n_a)) AS BIGINT))
                        // (n_a * n_b) AS ks_ppm
             FROM c, t GROUP BY n_a, n_b
+        """,
+        # per-line language-mixture oracle (r5): identical planting rules
+        # (doc_id % 3/5/7 appended lines), the doc-level langid marker
+        # alternations applied per line via struct-carrying list_transform,
+        # alphabetical tie-breaks, integer floor-div ppm — engine-exact
+        "text_lang_mix": f"""
+            WITH m AS (SELECT doc_id,
+                              concat_ws(chr(10), text,
+                                  CASE WHEN doc_id % 3 = 0 THEN '{_MIX_DE_LINE}' END,
+                                  CASE WHEN doc_id % 5 = 0 THEN '{_MIX_FR_LINE}' END,
+                                  CASE WHEN doc_id % 7 = 0 THEN '{_MIX_UND_LINE}' END
+                              ) AS mtext
+                       FROM documents WHERE text IS NOT NULL),
+                 lab AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m),
+                 lab2 AS (SELECT doc_id, lines,
+                                 list_transform(
+                                     list_transform(lines, l -> {_MIXSQL_SCORE_STRUCT}),
+                                     x -> {_MIXSQL_LINE_CASE}) AS labels
+                          FROM lab),
+                 agg AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+                                {_MIXSQL_PER_LANG}
+                         FROM lab2),
+                 prof AS (SELECT doc_id, n_lines,
+                                 CAST({_MIXSQL_NCLS} AS BIGINT) AS n_classified,
+                                 CAST({_MIXSQL_NLANGS} AS BIGINT) AS n_langs,
+                                 {_MIXSQL_DOML} AS dom_lang,
+                                 CAST({_MIXSQL_DOMC} AS BIGINT) AS dom_lines
+                          FROM agg)
+            SELECT doc_id, n_lines, n_classified, n_langs, dom_lang, dom_lines,
+                   CAST(CASE WHEN n_classified <= 0 THEN 0
+                        ELSE (1000000 * (n_classified - dom_lines)) // n_classified
+                        END AS BIGINT) AS mix_ppm,
+                   (n_langs >= 2 AND
+                    CASE WHEN n_classified <= 0 THEN 0
+                         ELSE (1000000 * (n_classified - dom_lines)) // n_classified
+                    END >= 200000) AS is_mixed
+            FROM prof ORDER BY doc_id
+        """,
+        # PMI collocation oracle (r5): same BM25-family tokenizer, df-top-64
+        # vocabulary with (df desc, term) tie-break, presence co-occurrence
+        # via an a.term < b.term self-join, and the identical BIGINT
+        # fixed-point lift (`//` == Spark `div` on positive operands)
+        "text_pmi_topk": """
+            WITH dt AS (SELECT doc_id,
+                               list_sort(list_distinct(list_filter(
+                                   regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''))) AS terms
+                        FROM documents),
+                 n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dt
+                       WHERE len(terms) > 0),
+                 ex AS (SELECT doc_id, unnest(terms) AS term FROM dt),
+                 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                           FROM ex GROUP BY term),
+                 vocab AS (SELECT term, df FROM dfreq
+                           ORDER BY df DESC, term LIMIT 64),
+                 vex AS (SELECT e.doc_id, e.term FROM ex e JOIN vocab v USING (term)),
+                 pairs AS (SELECT a.term AS t1, b.term AS t2,
+                                  CAST(count(*) AS BIGINT) AS n_both
+                           FROM vex a JOIN vex b
+                             ON a.doc_id = b.doc_id AND a.term < b.term
+                           GROUP BY 1, 2),
+                 scored AS (SELECT p.t1, p.t2, p.n_both,
+                                   va.df AS n_t1, vb.df AS n_t2, n.n_docs,
+                                   (1000000 * n.n_docs * p.n_both)
+                                       // (va.df * vb.df) AS lift_ppm
+                            FROM pairs p
+                            JOIN vocab va ON va.term = p.t1
+                            JOIN vocab vb ON vb.term = p.t2, n
+                            WHERE p.n_both >= 2)
+            SELECT t1, t2, n_both, n_t1, n_t2, n_docs, lift_ppm
+            FROM scored ORDER BY lift_ppm DESC, t1, t2 LIMIT 30
         """,
         # MAD-anomaly oracle (r5): lower medians as row_number order
         # statistics at k = ceil(n/2) = (5000n+9999)//10000, the exact rank

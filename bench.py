@@ -115,6 +115,10 @@ HEADLINE = [
     "events_funnel",
     "text_source_overlap",
     "text_quantile_map",
+    # r5 ninth wave: per-line language-mixture profile (zero-shuffle
+    # projection) + PMI collocation mining (row-local pair generation)
+    "text_lang_mix",
+    "text_pmi_topk",
 ]
 
 

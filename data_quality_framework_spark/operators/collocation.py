@@ -1,0 +1,162 @@
+"""Collocation mining: top-k word-pair associations by PMI-ordered lift.
+
+The corpus-statistics tier (vocabulary_topk, BM25 postings, DSIR n-gram
+importance) counts single terms; the standard next question a web-text
+curator asks is which terms travel TOGETHER — boilerplate phrase
+detection ("all rights reserved"), template discovery, and topic auditing
+all start from document-level co-occurrence. The textbook statistic is
+pointwise mutual information, PMI = log( p(x,y) / (p(x)·p(y)) ). The log
+is monotone, so RANKING by PMI needs no log at all: the lift
+N·c_xy / (c_x·c_y) (all integers) orders pairs identically, and a single
+integer fixed-point division per pair (lift_ppm) makes the output
+engine-exact — no ln(), no float accumulation, bit-identical in any
+engine that has BIGINT (`//` in DuckDB == `div` in Spark on positive
+operands, the repo-wide convention).
+
+Execution shape, built to survive the 10^12-document tier:
+
+1. Tokenize + per-doc distinct is ROW-LOCAL (``array_distinct`` over the
+   split array) — no (doc_id, term) shuffle ever materializes.
+2. Document frequencies: one explode + one map-side-combinable groupBy.
+3. The pair space is bounded BEFORE it exists: only the top
+   ``vocab_size`` terms by (df desc, term) participate, collected to the
+   driver (a ≤ vocab_size-row action, same pattern as
+   ``drift.bucket_edges``) and pushed back as an array literal, so each
+   doc's retained-term set is a row-local ``array_intersect`` and the
+   per-doc pair fan-out is ≤ V·(V-1)/2 regardless of document length.
+4. Pair generation is a row-local higher-order ``transform`` over the
+   sorted retained array (no self-join); the only pair-sized shuffle is
+   the final groupBy over ≤ V²/2 distinct keys, map-side combined.
+5. c_x/c_y attach via a broadcast join of the V-row vocab; N (docs with
+   ≥1 token) rides a broadcast scalar crossJoin — no driver round-trip
+   in the plan.
+
+Overflow envelope: lift_ppm's numerator is 10^6·N·c_xy ≤ 10^6·N².
+BIGINT holds it to N ≈ 3·10^6 documents; past that, cast the three
+factors to DECIMAL(38,0) (documented here, and ANSI mode raises rather
+than wrapping — the same explicit envelope as ``profiling.column_corr``).
+
+Reference parity: beyond-reference (north-rule corpus-analysis scope);
+the reference's profile family (src/checkers/) is single-column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pmi_topk"]
+
+#: tokenizer shared verbatim with the BM25 family and its DuckDB oracle:
+#: lowercase, split on runs of non-alphanumerics, drop empty fragments.
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, terms) with terms = row-local distinct token set of the doc."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT),
+            lambda x: x != F.lit(""),
+        )
+    )
+    return df.select(F.col(id_col).alias("__id"), toks.alias("__terms"))
+
+
+def pmi_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 64,
+    min_pair_docs: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Top-``k`` term pairs by PMI-ordered integer lift.
+
+    Output: (t1, t2, n_both, n_t1, n_t2, n_docs, lift_ppm) with t1 < t2,
+    ordered by (lift_ppm desc, t1, t2) — a deterministic total order.
+    ``n_docs`` counts documents with ≥ 1 token (the probability space);
+    document frequencies count distinct documents, so n_both ≤ min(n_t1,
+    n_t2) by construction and lift_ppm = 10^6·n_docs·n_both // (n_t1·n_t2).
+    """
+    if vocab_size < 2:
+        raise ValueError(f"vocab_size must be >= 2, got {vocab_size}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    dt = _doc_terms(df, text_col, id_col)
+
+    # document frequency per term: the one corpus-sized shuffle, map-side
+    # combined (explode -> partial counts -> merge)
+    dfreq = (
+        dt.select(F.explode("__terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+    # bounded vocabulary, deterministic under ties: (df desc, term asc)
+    vocab_rows = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size).collect()
+    vocab = sorted(r["term"] for r in vocab_rows)
+    if not vocab:
+        # empty corpus: empty result with the right schema
+        return df.sparkSession.createDataFrame(
+            [],
+            "t1 string, t2 string, n_both long, n_t1 long, n_t2 long, "
+            "n_docs long, lift_ppm long",
+        )
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+
+    # probability-space size: docs with at least one token (broadcast scalar)
+    n_docs = dt.filter(F.size("__terms") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+    # row-local: retained terms sorted, then all ordered pairs via a
+    # higher-order transform (slice past each element) — no self-join
+    kept = dt.select(
+        F.array_sort(F.array_intersect("__terms", vocab_lit)).alias("__kept")
+    ).filter(F.size("__kept") >= 2)
+    pairs = kept.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(__kept, (x, i) -> transform("
+                    "slice(__kept, i + 2, size(__kept) - i - 1), "
+                    "y -> struct(x AS t1, y AS t2)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+
+    n_both = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= int(min_pair_docs))
+    )
+
+    vocab_df = dfreq.filter(F.col("term").isin(vocab))
+    scored = (
+        n_both.join(
+            F.broadcast(vocab_df.select(F.col("term").alias("t1"), F.col("df").alias("n_t1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(vocab_df.select(F.col("term").alias("t2"), F.col("df").alias("n_t2"))),
+            "t2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n_t1",
+            "n_t2",
+            "n_docs",
+            # integer floor division (Spark `div` == DuckDB `//` on the
+            # all-positive BIGINT operands) — engine-exact by construction
+            F.expr("(1000000 * n_docs * n_both) div (n_t1 * n_t2)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_ppm"), "t1", "t2").limit(k)

@@ -1,0 +1,122 @@
+"""Per-line language-mixture profiling: code-switch / template detection.
+
+``detect_lang`` (functions/scoring.py) labels a DOCUMENT with its dominant
+language; real crawled pages are frequently mixtures — an English template
+wrapping German content, bilingual boilerplate, scraped forums quoting a
+second language. Mixed pages poison both language-ID-based routing and
+per-language quality thresholds, so curation pipelines (CCNet's paragraph
+language split is the canonical example) score language *per line* and
+flag documents whose lines disagree.
+
+This operator reuses the exact marker-regex scorer the document-level
+langid family already oracle-shares (LANG_MARKERS — the same alternations
+verbatim, so Java/RE2 parity is already proven by the green
+``text_langid_distribution`` gate) and applies it per line, entirely
+ROW-LOCALLY:
+
+* ``split(text, '\\n')`` -> higher-order ``transform`` computes each
+  line's per-language marker counts and argmax label (ties alphabetical,
+  no-signal -> 'und') — a projection, executed inside whole-stage codegen;
+* per-document counts per language are ``size(filter(...))`` over that
+  label array — still row-local;
+* the ONLY shuffle in the whole profile is whatever the caller does with
+  the result. At 10^12 documents this is a pure map stage: no state, no
+  skew surface, scales embarrassingly.
+
+All outputs are integers (counts and a ppm ratio via floor division) plus
+the label strings, so the DuckDB oracle replays them bit-identically
+(list_transform + len(regexp_extract_all(...)) + the same CASE).
+
+Reference parity: beyond-reference (north-rule langid scope); the
+reference profiles columns, never intra-document structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.scoring import LANG_MARKERS, UNKNOWN_LANG
+
+__all__ = ["lang_mix_profile"]
+
+
+def _line_lang(line: Column) -> Column:
+    """Marker-argmax language label for one line — 'und' when no marker
+    hits; ties break alphabetically (the document-level convention)."""
+    langs = sorted(LANG_MARKERS)
+    low = F.lower(line)
+    scores = {lang: F.regexp_count(low, F.lit(LANG_MARKERS[lang])) for lang in langs}
+    best = F.greatest(*scores.values())
+    out = F.lit(UNKNOWN_LANG)
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit(UNKNOWN_LANG)).otherwise(out)
+
+
+def lang_mix_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mix_threshold_ppm: int = 200_000,
+) -> DataFrame:
+    """Per-document language-mixture profile, one row per input row.
+
+    Output columns (all deterministic integers/strings):
+
+    * ``n_lines`` — lines in the document (split on '\\n'; NULL text -> 0),
+    * ``n_classified`` — lines with ≥ 1 marker hit (non-'und'),
+    * ``n_langs`` — distinct languages among classified lines,
+    * ``dom_lang`` — most frequent line language (ties alphabetical;
+      'und' when nothing classified),
+    * ``dom_lines`` — lines in the dominant language,
+    * ``mix_ppm`` — 10^6·(n_classified - dom_lines) // n_classified
+      (0 when n_classified = 0): the fraction of classified lines that
+      DISAGREE with the document's dominant language,
+    * ``is_mixed`` — n_langs ≥ 2 AND mix_ppm ≥ ``mix_threshold_ppm``.
+    """
+    langs = sorted(LANG_MARKERS)
+    lines = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(F.col(text_col), "\n")
+    )
+    labeled = df.select(
+        F.col(id_col),
+        F.transform(lines, _line_lang).alias("__labels"),
+    )
+    def _count_of(lang: str) -> Column:
+        # NB: the lambda must be unary — a second (defaulted) parameter
+        # makes pyspark pass the ARRAY INDEX as the (elem, idx) form
+        return F.size(F.filter("__labels", lambda x: x == F.lit(lang))).cast("long")
+
+    per_lang = {lang: _count_of(lang) for lang in langs}
+    n_classified = sum(per_lang.values(), F.lit(0).cast("long"))
+    dom_count = F.greatest(*per_lang.values())
+    dom_lang = F.lit(UNKNOWN_LANG)
+    for lang in reversed(langs):
+        dom_lang = F.when(per_lang[lang] == dom_count, F.lit(lang)).otherwise(dom_lang)
+    dom_lang = F.when(dom_count <= 0, F.lit(UNKNOWN_LANG)).otherwise(dom_lang)
+
+    prof = labeled.select(
+        F.col(id_col),
+        F.size("__labels").cast("long").alias("n_lines"),
+        n_classified.alias("n_classified"),
+        sum(
+            (F.when(c > 0, F.lit(1)).otherwise(F.lit(0)) for c in per_lang.values()),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_langs"),
+        dom_lang.alias("dom_lang"),
+        dom_count.cast("long").alias("dom_lines"),
+    ).withColumn(
+        "mix_ppm",
+        F.when(F.col("n_classified") <= 0, F.lit(0).cast("long")).otherwise(
+            F.expr("(1000000 * (n_classified - dom_lines)) div n_classified").cast(
+                "long"
+            )
+        ),
+    )
+    return prof.withColumn(
+        "is_mixed",
+        (F.col("n_langs") >= 2) & (F.col("mix_ppm") >= int(mix_threshold_ppm)),
+    )

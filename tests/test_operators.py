@@ -3660,3 +3660,104 @@ def test_quantile_map_equipercentile(spark):
     assert all(r["value_a"] == r["value_b"] for r in ident)
     with pytest.raises(ValueError, match="non-null"):
         quantile_map(a, b.filter("x > 999"), "x")
+
+
+def test_lang_mix_profile_planted_mixture(spark):
+    """Per-line language-mixture profile: dominant pick with alphabetical
+    tie-break, 'und' lines excluded from the classified base, the ppm
+    boundary is inclusive, NULL text degrades to an all-zero row, and the
+    whole profile is a zero-shuffle projection."""
+    from data_quality_framework_spark.operators.langmix import lang_mix_profile
+
+    rows = [
+        # en line + de line: 2 classified, tie -> de (alphabetical), mixed
+        (1, "the of and to in\nder die das und"),
+        # two en lines + one unclassifiable line: pure en, not mixed
+        (2, "the of and\nthe and is\nzzz qqq"),
+        (3, None),
+        # single Spanish line
+        (4, "el la los las que"),
+        # 4 en lines + 1 de line: mix_ppm = 1e6*1//5 = 200000, AT the
+        # threshold -> is_mixed (inclusive boundary)
+        (5, "the of\nthe and\nthe is\nthe it\nder die"),
+        # within one line en and de tie on marker hits -> line labels de
+        (6, "the der"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lang_mix_profile(df).collect()}
+
+    assert out[1]["n_lines"] == 2 and out[1]["n_classified"] == 2
+    assert out[1]["n_langs"] == 2 and out[1]["dom_lang"] == "de"
+    assert out[1]["mix_ppm"] == 500_000 and out[1]["is_mixed"]
+
+    assert out[2]["n_lines"] == 3 and out[2]["n_classified"] == 2
+    assert out[2]["n_langs"] == 1 and out[2]["dom_lang"] == "en"
+    assert out[2]["mix_ppm"] == 0 and not out[2]["is_mixed"]
+
+    assert out[3]["n_lines"] == 0 and out[3]["n_classified"] == 0
+    assert out[3]["dom_lang"] == "und" and out[3]["mix_ppm"] == 0
+    assert not out[3]["is_mixed"]
+
+    assert out[4]["dom_lang"] == "es" and out[4]["n_langs"] == 1
+
+    assert out[5]["n_classified"] == 5 and out[5]["dom_lang"] == "en"
+    assert out[5]["mix_ppm"] == 200_000 and out[5]["is_mixed"]
+
+    assert out[6]["dom_lang"] == "de"
+
+    # scale shape: a pure projection — no Exchange, no Join anywhere
+    plan = lang_mix_profile(df)._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in head and "Join" not in head
+
+
+def test_pmi_topk_integer_lift(spark):
+    """PMI collocation mining: presence-based co-occurrence (duplicates in
+    a doc count once), closed-form integer lift, deterministic tie order,
+    df-bounded vocabulary excludes rare terms, independence lands at
+    exactly 10^6 ppm, and joins stay broadcast-side."""
+    from data_quality_framework_spark.operators.collocation import pmi_topk
+
+    rows = (
+        [(i, "Alpha, BETA! common") for i in range(4)]
+        + [(10 + i, "gamma delta common") for i in range(4)]
+        + [(20 + i, "alpha delta common") for i in range(2)]
+        + [(30 + i, f"common w{i}") for i in range(10)]
+        # duplicate words within one doc must count once (presence)
+        + [(50, "alpha alpha beta beta common")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_topk(df, vocab_size=6, min_pair_docs=2, k=50).collect()
+    got = {(r["t1"], r["t2"]): r for r in out}
+
+    # N = 21 docs, df: common=21, alpha=7, delta=6, beta=5, gamma=4
+    r = got[("alpha", "beta")]
+    assert r["n_both"] == 5 and r["n_t1"] == 7 and r["n_t2"] == 5
+    assert r["n_docs"] == 21
+    assert r["lift_ppm"] == (1_000_000 * 21 * 5) // (7 * 5)  # 3_000_000
+    r = got[("delta", "gamma")]
+    assert r["lift_ppm"] == (1_000_000 * 21 * 4) // (6 * 4)  # 3_500_000
+    # term co-occurring with the everywhere-term 'common' at its own df:
+    # independence -> exactly 10^6 ppm
+    assert got[("common", "gamma")]["lift_ppm"] == 1_000_000
+    # rare w_i terms are outside the df-top-6 vocabulary: no pair mentions them
+    assert not any(t.startswith("w") for p in got for t in p)
+    # deterministic order: lift desc, then (t1, t2) asc
+    lifts = [(r["lift_ppm"], r["t1"], r["t2"]) for r in out]
+    assert lifts == sorted(lifts, key=lambda x: (-x[0], x[1], x[2]))
+
+    # plan shape: vocab/count attach via broadcast joins, never sort-merge
+    plan = (
+        pmi_topk(df, vocab_size=6, min_pair_docs=2, k=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in head and "BroadcastHashJoin" in head
+
+    # empty corpus: empty frame, right schema
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    eout = pmi_topk(empty)
+    assert eout.count() == 0
+    assert eout.columns == [
+        "t1", "t2", "n_both", "n_t1", "n_t2", "n_docs", "lift_ppm",
+    ]
