@@ -3039,6 +3039,34 @@ def _q_lang_mix(spark, sf):
     return lang_mix_profile(m).orderBy("doc_id")
 
 
+def _q_phrase_topk(spark, sf):
+    """Cross-document boilerplate phrase mining (r5): corpus top-40
+    3-gram phrases by document reach, built row-locally (guarded
+    sequence + slice transform, no self-join), two-level count
+    aggregation (no countDistinct), deterministic (n_docs desc, n_occ
+    desc, phrase) boundary. `functions/textstats.py::phrase_topk`."""
+    from data_quality_framework_spark.functions.textstats import phrase_topk
+
+    return phrase_topk(_t(spark, sf, "documents"), n=3, k=40, min_docs=2)
+
+
+def _q_cusum(spark, sf):
+    """Two-sided CUSUM change-point detection on daily crawl volume (r5):
+    Page's max(0, S+x−k) recurrence rewritten as cumulative-sum minus
+    running-min (two window functions per side, no recursion), integer
+    milli-units throughout, reference level and allowance derived in-plan
+    from broadcast scalars. Catches the sustained-shift failure mode the
+    pointwise MAD band (events_anomaly_mad) is blind to.
+    `operators/drift.py::cusum_changepoints`."""
+    from data_quality_framework_spark.operators.drift import cusum_changepoints
+
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return cusum_changepoints(daily, "day", "n_events").orderBy("day")
+
+
 def _q_pmi_topk(spark, sf):
     """Collocation mining (r5): top-30 term pairs by PMI-ordered integer
     lift over a 64-term df-bounded vocabulary; the pair space is generated
@@ -3167,6 +3195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quantile_map": _q_quantile_map,
         # per-line language-mixture profile, zero-shuffle projection (r5)
         "text_lang_mix": _q_lang_mix,
+        # CUSUM sustained-shift detection, window-only recurrence (r5)
+        "events_cusum": _q_cusum,
+        # cross-document boilerplate phrase mining, row-local n-grams (r5)
+        "text_phrase_topk": _q_phrase_topk,
         # PMI-ordered collocation mining, integer lift ranking (r5)
         "text_pmi_topk": _q_pmi_topk,
         # deterministic train/val/test split assignment (r5)
@@ -4991,6 +5023,60 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.n_both >= 2)
             SELECT t1, t2, n_both, n_t1, n_t2, n_docs, lift_ppm
             FROM scored ORDER BY lift_ppm DESC, t1, t2 LIMIT 30
+        """,
+        # phrase-mining oracle (r5): same tokenizer, same guarded 1..len-n+1
+        # gram construction via range/list_slice, same two-level count and
+        # (n_docs desc, n_occ desc, phrase) boundary
+        "text_phrase_topk": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(
+                                     regexp_split_to_array(lower(coalesce(text, '')),
+                                                           '[^a-z0-9]+'),
+                                     x -> x <> '') AS t
+                          FROM documents),
+                 grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                               THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(
+                                                 list_slice(t, i, i + 2), ' '))
+                               ELSE CAST([] AS VARCHAR[]) END) AS phrase
+                           FROM toks),
+                 per AS (SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS c
+                         FROM grams GROUP BY 1, 2),
+                 agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(c) AS BIGINT) AS n_occ
+                         FROM per GROUP BY 1)
+            SELECT phrase, n_docs, n_occ FROM agg WHERE n_docs >= 2
+            ORDER BY n_docs DESC, n_occ DESC, phrase LIMIT 40
+        """,
+        # CUSUM oracle (r5): the same cumsum-minus-running-min rewrite of
+        # Page's recurrence in SQL windows; every division (mu, delta) is
+        # on positive operands so `//` == Spark `div`, the cumulative sums
+        # that go negative divide nothing — engine-exact booleans
+        "events_cusum": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS n_events
+                           FROM events GROUP BY 1),
+                 st AS (SELECT (1000 * CAST(sum(n_events) AS BIGINT))
+                                   // CAST(count(*) AS BIGINT) AS mu
+                        FROM daily),
+                 st2 AS (SELECT mu, mu // 4 AS delta FROM st),
+                 p AS (SELECT day, n_events, mu, delta,
+                              sum(1000 * n_events - (mu + delta))
+                                  OVER (ORDER BY day) AS p_up,
+                              sum((mu - delta) - 1000 * n_events)
+                                  OVER (ORDER BY day) AS p_dn
+                       FROM daily, st2),
+                 m AS (SELECT *, min(p_up) OVER (ORDER BY day) AS m_up,
+                              min(p_dn) OVER (ORDER BY day) AS m_dn
+                       FROM p)
+            SELECT day, n_events,
+                   CAST(mu AS BIGINT) AS mu_milli,
+                   CAST(delta AS BIGINT) AS delta_milli,
+                   CAST(p_up - least(0, m_up) AS BIGINT) AS cusum_up_milli,
+                   CAST(p_dn - least(0, m_dn) AS BIGINT) AS cusum_dn_milli,
+                   (p_up - least(0, m_up)) > 2 * delta AS alarm_up,
+                   (p_dn - least(0, m_dn)) > 2 * delta AS alarm_dn
+            FROM m ORDER BY day
         """,
         # MAD-anomaly oracle (r5): lower medians as row_number order
         # statistics at k = ceil(n/2) = (5000n+9999)//10000, the exact rank

@@ -119,6 +119,10 @@ HEADLINE = [
     # projection) + PMI collocation mining (row-local pair generation)
     "text_lang_mix",
     "text_pmi_topk",
+    # r5 tenth wave: CUSUM sustained-shift detection + cross-document
+    # boilerplate phrase mining
+    "events_cusum",
+    "text_phrase_topk",
 ]
 
 

@@ -386,3 +386,71 @@ def fit_logistic_weights(
     out = dict(zip(feature_cols, (float(v) for v in w[:-1])))
     out["bias"] = float(w[-1])
     return out
+
+
+def phrase_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 40,
+    min_docs: int = 2,
+):
+    """Corpus-wide top-``k`` ``n``-gram PHRASES by document reach — the
+    cross-document boilerplate miner ("all rights reserved", cookie
+    banners, nav bars) that complements the IN-document repetition
+    profile (:func:`ngram_repetition_stats`, which scores repetition
+    inside one doc) and the hash-based fingerprint overlap: here the
+    phrases themselves surface, exact and readable.
+
+    Output: (phrase, n_docs, n_occ) — documents containing the phrase
+    and total occurrences — ordered by the deterministic
+    (n_docs desc, n_occ desc, phrase asc), LIMIT k after ``min_docs``
+    pruning.
+
+    Shape: tokens come from the BM25-family tokenizer (lowercase, split
+    on non-alphanumerics — shared verbatim with the DuckDB oracle); each
+    doc's n-grams are built ROW-LOCALLY by a higher-order transform over
+    a 1..len-n+1 sequence (guarded so short docs contribute nothing and
+    ``sequence``'s descending-step trap never arises); the per-(doc,
+    phrase) pre-aggregation makes the corpus aggregate a two-level
+    count — map-side combinable, no countDistinct — and the boundary is
+    a TakeOrderedAndProject, never a full sort.
+
+    At the 10^12-doc tier the exact phrase table is heavy-hitter
+    territory: run THIS operator over a deterministic document sample
+    (the exact-k hash sample) or switch the counting layer to the
+    count-min path (`operators/cms.py`) with this exact plan as its
+    oracle — the same exact/sketch split as the HLL and quantile
+    families.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    grams = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .select("__id", F.explode(grams).alias("phrase"))
+        .groupBy("__id", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    agg = per_doc.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__c").cast("long").alias("n_occ"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= int(min_docs))
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("phrase"))
+        .limit(k)
+    )

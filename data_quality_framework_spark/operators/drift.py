@@ -262,3 +262,93 @@ def ks_statistic(
     )
     part.unpersist()
     return out
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    allowance_div: int = 4,
+    h_mult: int = 2,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over an ordered series —
+    the monitoring statistic that CATCHES SUSTAINED SHIFTS the pointwise
+    bands (3σ, median±k·MAD) miss: ten consecutive days each 20% above
+    normal never trip a per-day outlier band, but their deviations
+    ACCUMULATE in the CUSUM until the alarm fires. Page's classic
+    recurrence S_i = max(0, S_{i-1} + x_i − k) looks inherently
+    sequential; it is not — max(0, ·) folding is exactly
+
+        S_i = P_i − min(0, min_{j≤i} P_j),   P_i = Σ_{j≤i} (x_j − k),
+
+    a cumulative sum minus a running minimum, so the whole detector is
+    TWO window functions per side, no recursion, no UDF, no driver loop.
+
+    Everything is integer milli-units (value×1000): the reference level
+    is μ_milli = 1000·Σx div n, the allowance δ = μ_milli div
+    ``allowance_div`` (k_up = μ+δ, k_lo = μ−δ), and the decision
+    threshold h = ``h_mult``·δ — every division lands on positive
+    operands (DuckDB ``//`` == Spark ``div`` there; the cumulative sums
+    that CAN go negative involve no division at all), so the alarms are
+    engine-exact booleans.
+
+    Scale shape: the input is a PRE-AGGREGATED series (e.g. the per-day
+    count table — calendar-bounded, thousands of rows at any corpus
+    size), so the single-partition ORDER BY window is the right plan,
+    same argument as the rolling-window gate; per-key monitoring at
+    scale partitions the same two windows by the key. μ/δ ride a
+    broadcast scalar crossJoin — no driver action in the plan.
+
+    Output adds (mu_milli, delta_milli, cusum_up_milli, cusum_dn_milli,
+    alarm_up, alarm_dn) to (time_col, value_col).
+    """
+    if allowance_div < 1:
+        raise ValueError(f"allowance_div must be >= 1, got {allowance_div}")
+    if h_mult < 1:
+        raise ValueError(f"h_mult must be >= 1, got {h_mult}")
+    from pyspark.sql import Window
+
+    stats = (
+        df.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(value_col).cast("long").alias("__tot"),
+        )
+        .select(F.expr("(1000 * __tot) div __n").cast("long").alias("mu_milli"))
+        .select(
+            "mu_milli",
+            F.expr(f"mu_milli div {int(allowance_div)}")
+            .cast("long")
+            .alias("delta_milli"),
+        )
+    )
+    w = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v_milli = F.lit(1000).cast("long") * F.col(value_col).cast("long")
+    p = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__p_up",
+            F.sum(v_milli - (F.col("mu_milli") + F.col("delta_milli"))).over(w),
+        )
+        .withColumn(
+            "__p_dn",
+            F.sum((F.col("mu_milli") - F.col("delta_milli")) - v_milli).over(w),
+        )
+    )
+    m = p.withColumn("__m_up", F.min("__p_up").over(w)).withColumn(
+        "__m_dn", F.min("__p_dn").over(w)
+    )
+    zero = F.lit(0).cast("long")
+    h = F.lit(int(h_mult)).cast("long") * F.col("delta_milli")
+    return (
+        m.withColumn(
+            "cusum_up_milli", (F.col("__p_up") - F.least(zero, F.col("__m_up"))).cast("long")
+        )
+        .withColumn(
+            "cusum_dn_milli", (F.col("__p_dn") - F.least(zero, F.col("__m_dn"))).cast("long")
+        )
+        .withColumn("alarm_up", F.col("cusum_up_milli") > h)
+        .withColumn("alarm_dn", F.col("cusum_dn_milli") > h)
+        .drop("__p_up", "__p_dn", "__m_up", "__m_dn")
+    )

@@ -3761,3 +3761,99 @@ def test_pmi_topk_integer_lift(spark):
     assert eout.columns == [
         "t1", "t2", "n_both", "n_t1", "n_t2", "n_docs", "lift_ppm",
     ]
+
+
+def test_cusum_changepoints_sustained_shift(spark):
+    """CUSUM: a 20-day baseline, a 10-day surge, a 5-day collapse — the
+    window rewrite of Page's recurrence accumulates exactly the closed
+    form, fires the up-alarm on the surge's 2nd day and the down-alarm on
+    the collapse's 1st, and decays back to zero after the shift ends."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.drift import cusum_changepoints
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=d - 1), v)
+        for d, v in (
+            [(i, 100) for i in range(1, 21)]
+            + [(i, 200) for i in range(21, 31)]
+            + [(i, 20) for i in range(31, 36)]
+        )
+    ]
+    df = spark.createDataFrame(rows, "day date, n_events long")
+    out = {
+        (r["day"] - base).days + 1: r
+        for r in cusum_changepoints(df, "day", "n_events").collect()
+    }
+
+    # mu = 1000*4100 div 35 = 117142; delta = 29285; h = 58570
+    assert out[1]["mu_milli"] == 117_142 and out[1]["delta_milli"] == 29_285
+    # baseline: both sides pinned at zero, no alarms
+    assert out[20]["cusum_up_milli"] == 0 and out[20]["cusum_dn_milli"] == 0
+    assert not out[20]["alarm_up"] and not out[20]["alarm_dn"]
+    # surge: +53573/day accumulates; day 21 below h, day 22 fires
+    assert out[21]["cusum_up_milli"] == 53_573 and not out[21]["alarm_up"]
+    assert out[22]["cusum_up_milli"] == 107_146 and out[22]["alarm_up"]
+    assert out[30]["cusum_up_milli"] == 535_730 and out[30]["alarm_up"]
+    # decay through the collapse: still alarming until day 34, zero by 35
+    assert out[33]["cusum_up_milli"] == 156_449 and out[33]["alarm_up"]
+    assert out[34]["cusum_up_milli"] == 30_022 and not out[34]["alarm_up"]
+    assert out[35]["cusum_up_milli"] == 0
+    # collapse side: +67857/day, fires immediately
+    assert not out[30]["alarm_dn"]
+    assert out[31]["cusum_dn_milli"] == 67_857 and out[31]["alarm_dn"]
+    assert out[35]["cusum_dn_milli"] == 339_285 and out[35]["alarm_dn"]
+    # a single-day spike that a pointwise band WOULD catch does not by
+    # itself sustain a CUSUM alarm two days later (decays right back)
+    assert out[23]["alarm_up"]  # inside surge — contrast established above
+
+    with pytest.raises(ValueError, match="allowance_div"):
+        cusum_changepoints(df, "day", "n_events", allowance_div=0)
+    with pytest.raises(ValueError, match="h_mult"):
+        cusum_changepoints(df, "day", "n_events", h_mult=0)
+
+
+def test_phrase_topk_boilerplate_mining(spark):
+    """phrase_topk: document reach vs occurrence counts disagree exactly
+    when a doc repeats a phrase; short docs contribute nothing; min_docs
+    prunes singletons; the boundary order is (n_docs desc, n_occ desc,
+    phrase asc); the plan ends in a TakeOrdered, not a global sort."""
+    from data_quality_framework_spark.functions.textstats import phrase_topk
+
+    rows = [
+        (1, "all rights reserved worldwide"),
+        (2, "ALL RIGHTS RESERVED."),                       # case/punct fold
+        # doc 3 repeats the phrase twice: n_docs +1, n_occ +2
+        (3, "all rights reserved and all rights reserved"),
+        (4, "two words"),                                   # < n tokens: nothing
+        (5, None),
+        (6, "unique phrase here only once"),                # singleton pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = phrase_topk(df, n=3, k=10, min_docs=2).collect()
+    got = {r["phrase"]: r for r in out}
+
+    assert got["all rights reserved"]["n_docs"] == 3
+    assert got["all rights reserved"]["n_occ"] == 4
+    # doc 3's middle grams appear once each, only in doc 3 -> pruned
+    assert "reserved and all" not in got and "unique phrase here" not in got
+    # deterministic order
+    keys = [(r["n_docs"], r["n_occ"], r["phrase"]) for r in out]
+    assert keys == sorted(keys, key=lambda x: (-x[0], -x[1], x[2]))
+
+    # bigrams: doc 4 now contributes; the shared bigram spans docs 1-3
+    out2 = phrase_topk(df, n=2, k=10, min_docs=3).collect()
+    g2 = {r["phrase"]: r for r in out2}
+    assert g2["all rights"]["n_docs"] == 3 and g2["rights reserved"]["n_docs"] == 3
+
+    plan = (
+        phrase_topk(df, n=3, k=10)._jdf.queryExecution().executedPlan().toString()
+    )
+    head = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in head and "Join" not in head
+
+    with pytest.raises(ValueError, match="n must"):
+        phrase_topk(df, n=1)
+    with pytest.raises(ValueError, match="k must"):
+        phrase_topk(df, k=0)
