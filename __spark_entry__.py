@@ -3039,6 +3039,69 @@ def _q_lang_mix(spark, sf):
     return lang_mix_profile(m).orderBy("doc_id")
 
 
+def _q_hist_incremental(spark, sf):
+    """Cross-run mergeable histogram store (r5): the two-batch parity
+    split folded through `incremental_histogram` on a pinned integer grid
+    (0..600, 24 bins); after each batch the cumulative merged histogram
+    equals the from-scratch histogram of the batches so far EXACTLY
+    (cellwise addition — same identity as the CMS/HLL/digest stores),
+    which the oracle recomputes from raw rows. Edges are exact integer
+    ceil arithmetic. `operators/quantiles.py::incremental_histogram`."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.quantiles import (
+        _edge_sql,
+        incremental_histogram,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="dq_hist_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    lo_e, hi_e = _edge_sql("bin", 0, 600, 24)
+    try:
+        rows = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            cum = incremental_histogram(
+                spark, batch, "n_chars", store, bid, lo=0, hi=600, n_bins=24
+            )
+            for r in (
+                cum.select(
+                    "bin",
+                    F.expr(lo_e).alias("lo_edge"),
+                    F.expr(hi_e).alias("hi_edge"),
+                    "cnt",
+                ).collect()
+            ):
+                rows.append(
+                    (int(bid), r["bin"], r["lo_edge"], r["hi_edge"], r["cnt"])
+                )
+        return spark.createDataFrame(
+            rows,
+            "after_batch int, bin long, lo_edge long, hi_edge long, cnt long",
+        ).orderBy("after_batch", "bin")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_trend(spark, sf):
+    """Theil–Sen robust trend on daily crawl volume (r5): median pairwise
+    slope — one IEEE division of exact integers per pair (bit-identical
+    across engines), deterministic (slope, dy, dx) order, lower-median
+    rank by the repo's ceil convention. Completes the robust monitoring
+    family: MAD = location, CUSUM = shift, Theil–Sen = direction.
+    `operators/drift.py::theil_sen_trend`."""
+    from data_quality_framework_spark.operators.drift import theil_sen_trend
+
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return theil_sen_trend(daily, "day", "n_events")
+
+
 def _q_phrase_topk(spark, sf):
     """Cross-document boilerplate phrase mining (r5): corpus top-40
     3-gram phrases by document reach, built row-locally (guarded
@@ -3199,6 +3262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _q_cusum,
         # cross-document boilerplate phrase mining, row-local n-grams (r5)
         "text_phrase_topk": _q_phrase_topk,
+        # cross-run mergeable histogram store, exact cellwise merge (r5)
+        "text_hist_incremental": _q_hist_incremental,
+        # Theil-Sen robust trend, engine-exact median pairwise slope (r5)
+        "events_trend": _q_trend,
         # PMI-ordered collocation mining, integer lift ranking (r5)
         "text_pmi_topk": _q_pmi_topk,
         # deterministic train/val/test split assignment (r5)
@@ -5023,6 +5090,58 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.n_both >= 2)
             SELECT t1, t2, n_both, n_t1, n_t2, n_docs, lift_ppm
             FROM scored ORDER BY lift_ppm DESC, t1, t2 LIMIT 30
+        """,
+        # mergeable-histogram oracle (r5): per-batch-prefix histograms
+        # recomputed from raw rows; same bin expression (`//` == `div`,
+        # non-negative operands) and exact integer ceil edges
+        "text_hist_incremental": """
+            WITH b AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS bid,
+                              n_chars
+                       FROM documents WHERE n_chars IS NOT NULL),
+                 pref AS (SELECT 1 AS after_batch, n_chars FROM b WHERE bid = 1
+                          UNION ALL SELECT 2, n_chars FROM b),
+                 binned AS (SELECT after_batch,
+                                   CASE WHEN n_chars < 0 THEN -1
+                                        WHEN n_chars >= 600 THEN 24
+                                        ELSE CAST((n_chars - 0) * 24 // 600
+                                                  AS BIGINT) END AS bin
+                            FROM pref),
+                 agg AS (SELECT after_batch, bin,
+                                CAST(count(*) AS BIGINT) AS cnt
+                         FROM binned GROUP BY 1, 2)
+            SELECT after_batch, bin,
+                   CASE WHEN bin = -1 THEN CAST(NULL AS BIGINT)
+                        WHEN bin = 24 THEN CAST(600 AS BIGINT)
+                        ELSE CAST(0 + (bin * 600 + 23) // 24 AS BIGINT)
+                   END AS lo_edge,
+                   CASE WHEN bin = -1 THEN CAST(0 AS BIGINT)
+                        WHEN bin = 24 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(0 + ((bin + 1) * 600 + 23) // 24 AS BIGINT)
+                   END AS hi_edge,
+                   cnt
+            FROM agg ORDER BY after_batch, bin
+        """,
+        # Theil-Sen oracle (r5): identical pair construction, ONE IEEE
+        # division of exact integers per pair (correctly rounded -> bit
+        # identical), (slope, dy, dx) total order, lower-median ceil rank
+        "events_trend": """
+            WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                                  CAST(count(*) AS BIGINT) AS n_events
+                           FROM events GROUP BY 1),
+                 pts AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+                                n_events AS y
+                         FROM daily),
+                 pairs AS (SELECT b.y - a.y AS dy, b.t - a.t AS dx
+                           FROM pts a JOIN pts b ON a.t < b.t),
+                 sl AS (SELECT dy, dx, CAST(dy AS DOUBLE) / dx AS slope
+                        FROM pairs),
+                 st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sl),
+                 np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts),
+                 r AS (SELECT *, row_number() OVER (ORDER BY slope, dy, dx) AS rn
+                       FROM sl)
+            SELECT n_points, n_pairs, dy AS med_dy, dx AS med_dx,
+                   slope AS slope_per_day
+            FROM r, st, np WHERE rn = (5000 * n_pairs + 9999) // 10000
         """,
         # phrase-mining oracle (r5): same tokenizer, same guarded 1..len-n+1
         # gram construction via range/list_slice, same two-level count and

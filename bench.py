@@ -123,6 +123,9 @@ HEADLINE = [
     # boilerplate phrase mining
     "events_cusum",
     "text_phrase_topk",
+    # r5 eleventh wave: mergeable histogram store + Theil-Sen trend
+    "text_hist_incremental",
+    "events_trend",
 ]
 
 

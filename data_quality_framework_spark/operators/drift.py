@@ -352,3 +352,63 @@ def cusum_changepoints(
         .withColumn("alarm_dn", F.col("cusum_dn_milli") > h)
         .drop("__p_up", "__p_dn", "__m_up", "__m_dn")
     )
+
+
+def theil_sen_trend(df: DataFrame, time_col: str, value_col: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(t_j − t_i), i < j — the trend companion of the robust
+    monitoring family (median±MAD = location, CUSUM = sustained shift,
+    Theil–Sen = drift DIRECTION with a 29.3% breakdown point: a third of
+    the days can be garbage before the slope lies, where least squares
+    breaks on one bad day).
+
+    Engine-exactness: each pair's slope is ONE IEEE division of two
+    exact integers (dy BIGINT, dx days > 0) — correctly rounded,
+    bit-identical in any IEEE engine; no float accumulates. Pairs order
+    by (slope, dy, dx) — a deterministic total order even when distinct
+    rationals round to the same double — and the reported slope is the
+    LOWER MEDIAN pair at rank ceil(m/2) = (5000·m + 9999) div 10000, the
+    repo-wide order-statistic convention (positive operands). Output is
+    ONE row: (n_points, n_pairs, med_dy, med_dx, slope_per_day).
+
+    Scale shape: the input is a pre-aggregated series (per-day counts —
+    calendar-bounded, ≤ a few thousand rows at any corpus size), so the
+    O(n²) pair join (≤ ~10^7 pairs at a decade of days) and the
+    single-partition rank window are the right plan, the same documented
+    argument as the CUSUM/rolling gates; per-key trends at scale
+    partition the pair join and the window by the key.
+    """
+    from pyspark.sql import Window
+
+    epoch = F.lit("1970-01-01").cast("date")
+    pts = df.select(
+        F.datediff(F.col(time_col), epoch).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__y"),
+    )
+    a = pts.select(F.col("__t").alias("ta"), F.col("__y").alias("ya"))
+    b = pts.select(F.col("__t").alias("tb"), F.col("__y").alias("yb"))
+    pairs = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .select(
+            (F.col("yb") - F.col("ya")).alias("dy"),
+            (F.col("tb") - F.col("ta")).alias("dx"),
+        )
+        .withColumn("slope", F.col("dy").cast("double") / F.col("dx"))
+    )
+    w = Window.orderBy("slope", "dy", "dx")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(
+            pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")).crossJoin(
+                F.broadcast(pts.agg(F.count(F.lit(1)).cast("long").alias("n_points")))
+            )
+        )
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("CAST((5000 * n_pairs + 9999) div 10000 AS BIGINT)")
+    ).select(
+        "n_points",
+        "n_pairs",
+        F.col("dy").alias("med_dy"),
+        F.col("dx").alias("med_dx"),
+        F.col("slope").alias("slope_per_day"),
+    )

@@ -33,7 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantiles", "quantile_map"]
+__all__ = [
+    "exact_quantiles",
+    "quantile_map",
+    "histogram_sketch",
+    "incremental_histogram",
+    "histogram_quantiles",
+]
 
 
 def exact_quantiles(
@@ -191,4 +197,160 @@ def quantile_map(
         ranked.join(F.broadcast(qa), "bp")
         .select("value_b", "bp", "value_a")
         .orderBy("value_b")
+    )
+
+
+# ----- mergeable fixed-grid histogram (cross-run quantile store) -------------
+#
+# exact_quantiles answers one snapshot exactly; monitoring ACROSS runs wants a
+# MERGEABLE summary — per-batch bin counts whose cellwise sum over batches
+# equals the from-scratch histogram of the union (counts are sums, the same
+# identity as the CMS/HLL/digest stores). A fixed integer grid (lo, hi,
+# n_bins), pinned to the store, keeps every batch in one bin space and every
+# boundary engine-exact: bin = (x − lo)·n_bins div (hi − lo), all operands
+# non-negative inside the grid so DuckDB `//` == Spark `div`; underflow/-1
+# and overflow/n_bins bins make the grid total. Quantile READS off the merged
+# histogram are rank-exact AT BIN RESOLUTION: the answer is the bin (with its
+# exact integer edges) containing order statistic k = ceil(p·n) — no
+# interpolation float ever exists.
+
+
+def _check_hist(lo: int, hi: int, n_bins: int) -> None:
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+
+
+def _hist_bin_sql(col: str, lo: int, hi: int, n_bins: int) -> str:
+    """The shared bin expression over a column NAME — valid Spark SQL with
+    ``div``; the DuckDB oracle uses the same text with ``//``."""
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL "
+        f"WHEN {col} < {lo} THEN -1 "
+        f"WHEN {col} >= {hi} THEN {n_bins} "
+        f"ELSE CAST(({col} - {lo}) * {n_bins} div {hi - lo} AS BIGINT) END"
+    )
+
+
+def _edge_sql(bin_col: str, lo: int, hi: int, n_bins: int) -> tuple[str, str]:
+    """Exact integer bin edges: lo_edge(b) = lo + ceil(b·width / n_bins)
+    (ceil via (x + n − 1) div n on non-negative operands); the underflow
+    bin has no lower edge, the overflow bin no upper edge (NULL)."""
+    w = hi - lo
+    lo_e = (
+        f"CASE WHEN {bin_col} = -1 THEN CAST(NULL AS BIGINT) "
+        f"WHEN {bin_col} = {n_bins} THEN CAST({hi} AS BIGINT) "
+        f"ELSE CAST({lo} + ({bin_col} * {w} + {n_bins - 1}) div {n_bins} AS BIGINT) END"
+    )
+    hi_e = (
+        f"CASE WHEN {bin_col} = -1 THEN CAST({lo} AS BIGINT) "
+        f"WHEN {bin_col} = {n_bins} THEN CAST(NULL AS BIGINT) "
+        f"ELSE CAST({lo} + (({bin_col} + 1) * {w} + {n_bins - 1}) div {n_bins} AS BIGINT) END"
+    )
+    return lo_e, hi_e
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """(bin, cnt) fixed-grid histogram — one projection + one ≤
+    (n_bins+2)-row aggregation (map-side combinable; at 10^12 rows each
+    partition collapses to its bin counts before anything shuffles).
+    NULL values are excluded; under/overflow occupy bins −1 / n_bins."""
+    _check_hist(lo, hi, n_bins)
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.expr(_hist_bin_sql(col, lo, hi, n_bins)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def incremental_histogram(
+    spark,
+    df: DataFrame,
+    col: str,
+    store_path: str,
+    batch_id: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+) -> DataFrame:
+    """Cross-RUN distribution monitoring: fold a batch's ≤ (n_bins+2)-row
+    histogram into a persisted store and return the CUMULATIVE merged
+    histogram over every batch so far — the quantile/drift companion of
+    the CMS (frequency), HLL (distinct) and digest (content) stores.
+    Cellwise addition makes the cumulative histogram equal the
+    from-scratch histogram of the concatenated batches EXACTLY. The grid
+    (lo, hi, n_bins) is pinned to the store (mixed grids would mix bin
+    spaces); directory-level overwrite per batch_id keeps reruns
+    idempotent; sequential-batch contract as for the other stores."""
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    _check_hist(lo, hi, n_bins)
+    _pin_store_params(
+        spark, store_path, {"lo": int(lo), "hi": int(hi), "n_bins": int(n_bins)}
+    )
+    histogram_sketch(df, col, lo, hi, n_bins).write.mode("overwrite").parquet(
+        f"{store_path}/batch_id={batch_id}"
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    return (
+        spark.read.parquet(*dirs)
+        .select("bin", "cnt")
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, probs_bp: list[int], lo: int, hi: int, n_bins: int
+) -> DataFrame:
+    """Quantiles read off a (merged) histogram, exact at bin resolution:
+    for each basis-point prob the bin containing order statistic
+    k = ceil(p_bp·n / 10^4) (the repo-wide ceil-rank convention), with
+    its exact integer edges. The histogram is ≤ n_bins+2 rows, so the
+    single-partition cumulative window is free; output one row per
+    requested prob: (q_bp, k, bin, lo_edge, hi_edge)."""
+    _check_hist(lo, hi, n_bins)
+    if not probs_bp:
+        raise ValueError("probs_bp must name at least one basis-point prob")
+    if any(p < 1 or p > 10000 for p in probs_bp):
+        raise ValueError(f"probs_bp must lie in [1, 10000], got {probs_bp}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("prev_cum", F.col("cum") - F.col("cnt"))
+        .crossJoin(
+            F.broadcast(
+                hist.agg(F.sum("cnt").cast("long").alias("n"))
+            )
+        )
+    )
+    probs = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in sorted(set(probs_bp))])
+    ).alias("q_bp")
+    lo_e, hi_e = _edge_sql("bin", lo, hi, n_bins)
+    return (
+        cum.select("bin", "cnt", "cum", "prev_cum", "n", probs)
+        .withColumn("k", F.expr("CAST((q_bp * n + 9999) div 10000 AS BIGINT)"))
+        .filter((F.col("prev_cum") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select(
+            "q_bp",
+            "k",
+            "bin",
+            F.expr(lo_e).alias("lo_edge"),
+            F.expr(hi_e).alias("hi_edge"),
+        )
+        .orderBy("q_bp")
     )

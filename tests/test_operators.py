@@ -3857,3 +3857,89 @@ def test_phrase_topk_boilerplate_mining(spark):
         phrase_topk(df, n=1)
     with pytest.raises(ValueError, match="k must"):
         phrase_topk(df, k=0)
+
+
+def test_histogram_sketch_store_and_quantiles(spark, tmp_path):
+    """Fixed-grid histogram: exact bin/edge arithmetic incl. under/overflow,
+    cumulative store merge equals the from-scratch histogram after each
+    batch, rerun idempotence, grid pinning, and bin-resolution quantiles
+    at the ceil-rank convention."""
+    from data_quality_framework_spark.operators.quantiles import (
+        histogram_quantiles,
+        histogram_sketch,
+        incremental_histogram,
+    )
+
+    # grid 0..100, 10 bins; plant -5 (underflow), 100 & 250 (overflow)
+    vals = [-5, 0, 9, 10, 55, 99, 100, 250] + [42] * 4 + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    hist = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "x", 0, 100, 10).collect()}
+    assert hist == {-1: 1, 0: 2, 1: 1, 4: 4, 5: 1, 9: 1, 10: 2}  # NULL excluded
+
+    store = str(tmp_path / "hist_store")
+    b1 = df.filter(F.col("x") < 50)
+    b2 = df.filter(F.col("x") >= 50)
+    cum1 = {r["bin"]: r["cnt"] for r in
+            incremental_histogram(spark, b1, "x", store, "1", 0, 100, 10).collect()}
+    assert cum1 == {-1: 1, 0: 2, 1: 1, 4: 4}
+    cum2 = {r["bin"]: r["cnt"] for r in
+            incremental_histogram(spark, b2, "x", store, "2", 0, 100, 10).collect()}
+    assert cum2 == hist  # merged == from-scratch
+    # rerunning batch 2 is idempotent (directory overwrite)
+    cum2b = {r["bin"]: r["cnt"] for r in
+             incremental_histogram(spark, b2, "x", store, "2", 0, 100, 10).collect()}
+    assert cum2b == cum2
+    # the grid is pinned: a different grid on the same store refuses
+    with pytest.raises(ValueError):
+        incremental_histogram(spark, b2, "x", store, "3", 0, 100, 20)
+
+    # quantiles at bin resolution: n=12, k(50%)=6 -> sixth value in bin
+    # order (-5,0,9,10,42,42,...) lands in bin 4 [40,50); k(99%)=12 -> last
+    # value 250 in the overflow bin (lo_edge 100, hi_edge NULL)
+    full = spark.createDataFrame(
+        [(r["bin"], r["cnt"]) for r in histogram_sketch(df, "x", 0, 100, 10).collect()],
+        "bin long, cnt long",
+    )
+    q = {r["q_bp"]: r for r in
+         histogram_quantiles(full, [5000, 9900], 0, 100, 10).collect()}
+    assert q[5000]["k"] == 6 and q[5000]["bin"] == 4
+    assert q[5000]["lo_edge"] == 40 and q[5000]["hi_edge"] == 50
+    assert q[9900]["bin"] == 10 and q[9900]["lo_edge"] == 100
+    assert q[9900]["hi_edge"] is None
+
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_sketch(df, "x", 0, 100, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "x", 100, 100, 10)
+    with pytest.raises(ValueError, match="probs_bp"):
+        histogram_quantiles(full, [], 0, 100, 10)
+
+
+def test_theil_sen_trend_robust_to_outlier_day(spark):
+    """Theil-Sen: exact median pairwise slope on a clean ramp, and a
+    single wildly-corrupt day does NOT move the slope (where a least
+    squares fit would) — the 29% breakdown property in miniature."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.drift import theil_sen_trend
+
+    base = dt.date(2024, 3, 1)
+    clean = [(base + dt.timedelta(days=i), 100 + 7 * i) for i in range(15)]
+    df = spark.createDataFrame(clean, "day date, n_events long")
+    r = theil_sen_trend(df, "day", "n_events").collect()[0]
+    assert r["n_points"] == 15 and r["n_pairs"] == 105
+    assert r["slope_per_day"] == 7.0
+    assert r["med_dy"] == 7 * r["med_dx"]
+
+    # corrupt one interior day by 100x: median slope unchanged
+    dirty = [
+        (d, 50_000 if i == 7 else v) for i, (d, v) in enumerate(clean)
+    ]
+    df2 = spark.createDataFrame(dirty, "day date, n_events long")
+    r2 = theil_sen_trend(df2, "day", "n_events").collect()[0]
+    assert r2["slope_per_day"] == 7.0
+
+    # two points: the single pair IS the median
+    df3 = spark.createDataFrame(clean[:2], "day date, n_events long")
+    r3 = theil_sen_trend(df3, "day", "n_events").collect()[0]
+    assert r3["n_pairs"] == 1 and r3["slope_per_day"] == 7.0
