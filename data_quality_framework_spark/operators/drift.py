@@ -270,6 +270,10 @@ def cusum_changepoints(
     value_col: str,
     allowance_div: int = 4,
     h_mult: int = 2,
+    *,
+    k_up_milli: int | None = None,
+    k_lo_milli: int | None = None,
+    h_milli: int | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection over an ordered series —
     the monitoring statistic that CATCHES SUSTAINED SHIFTS the pointwise
@@ -301,46 +305,64 @@ def cusum_changepoints(
 
     Output adds (mu_milli, delta_milli, cusum_up_milli, cusum_dn_milli,
     alarm_up, alarm_dn) to (time_col, value_col).
+
+    EXPLICIT mode (all of ``k_up_milli``/``k_lo_milli``/``h_milli``
+    given): thresholds come pinned from a reference period instead of
+    being derived from the input — the production-monitoring shape, and
+    the contract `streaming/stream.py::streaming_cusum` folds
+    incrementally (a stream cannot see its own future to compute μ). No
+    stats pass runs and the mu_milli/delta_milli columns are absent.
     """
     if allowance_div < 1:
         raise ValueError(f"allowance_div must be >= 1, got {allowance_div}")
     if h_mult < 1:
         raise ValueError(f"h_mult must be >= 1, got {h_mult}")
+    explicit = [k_up_milli, k_lo_milli, h_milli]
+    if any(v is not None for v in explicit) and any(v is None for v in explicit):
+        raise ValueError(
+            "explicit mode needs all of k_up_milli, k_lo_milli, h_milli"
+        )
     from pyspark.sql import Window
 
-    stats = (
-        df.agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            F.sum(value_col).cast("long").alias("__tot"),
+    if k_up_milli is not None:
+        # EXPLICIT mode: thresholds pinned from a reference period (the
+        # production monitoring shape, and the streaming contract — a
+        # stream cannot derive mu from its own future). No stats pass.
+        base = df.withColumn(
+            "__k_up", F.lit(int(k_up_milli)).cast("long")
+        ).withColumn("__k_lo", F.lit(int(k_lo_milli)).cast("long"))
+        h = F.lit(int(h_milli)).cast("long")
+    else:
+        stats = (
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(value_col).cast("long").alias("__tot"),
+            )
+            .select(F.expr("(1000 * __tot) div __n").cast("long").alias("mu_milli"))
+            .select(
+                "mu_milli",
+                F.expr(f"mu_milli div {int(allowance_div)}")
+                .cast("long")
+                .alias("delta_milli"),
+            )
         )
-        .select(F.expr("(1000 * __tot) div __n").cast("long").alias("mu_milli"))
-        .select(
-            "mu_milli",
-            F.expr(f"mu_milli div {int(allowance_div)}")
-            .cast("long")
-            .alias("delta_milli"),
+        base = (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn("__k_up", F.col("mu_milli") + F.col("delta_milli"))
+            .withColumn("__k_lo", F.col("mu_milli") - F.col("delta_milli"))
         )
-    )
+        h = F.lit(int(h_mult)).cast("long") * F.col("delta_milli")
     w = Window.orderBy(time_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     v_milli = F.lit(1000).cast("long") * F.col(value_col).cast("long")
-    p = (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn(
-            "__p_up",
-            F.sum(v_milli - (F.col("mu_milli") + F.col("delta_milli"))).over(w),
-        )
-        .withColumn(
-            "__p_dn",
-            F.sum((F.col("mu_milli") - F.col("delta_milli")) - v_milli).over(w),
-        )
-    )
+    p = base.withColumn(
+        "__p_up", F.sum(v_milli - F.col("__k_up")).over(w)
+    ).withColumn("__p_dn", F.sum(F.col("__k_lo") - v_milli).over(w))
     m = p.withColumn("__m_up", F.min("__p_up").over(w)).withColumn(
         "__m_dn", F.min("__p_dn").over(w)
     )
     zero = F.lit(0).cast("long")
-    h = F.lit(int(h_mult)).cast("long") * F.col("delta_milli")
     return (
         m.withColumn(
             "cusum_up_milli", (F.col("__p_up") - F.least(zero, F.col("__m_up"))).cast("long")
@@ -350,7 +372,7 @@ def cusum_changepoints(
         )
         .withColumn("alarm_up", F.col("cusum_up_milli") > h)
         .withColumn("alarm_dn", F.col("cusum_dn_milli") > h)
-        .drop("__p_up", "__p_dn", "__m_up", "__m_dn")
+        .drop("__p_up", "__p_dn", "__m_up", "__m_dn", "__k_up", "__k_lo")
     )
 
 

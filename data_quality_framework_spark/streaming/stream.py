@@ -392,3 +392,91 @@ def streaming_sessions(
              F.max(ts_col).alias("session_end"))
         .select(F.col(user_col), "session_start", "session_end", "n_events")
     )
+
+
+def streaming_cusum(
+    series: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    k_up_milli: int,
+    k_lo_milli: int,
+    h_milli: int,
+) -> DataFrame:
+    """Per-key streaming CUSUM change-point detection: Page's recurrence
+    folded incrementally across micro-batches with O(1) state per key —
+    (s_up, s_dn, last_day), three integers — so a crawl-volume monitor
+    raises the sustained-shift alarm THE MICRO-BATCH the cumulative
+    evidence crosses h, not at end-of-day batch time.
+
+    Thresholds are EXPLICIT (pinned from a reference period): a stream
+    cannot see its own future to derive μ. Parity contract with the
+    batch operator: the concatenated append output over any sequence of
+    in-order micro-batches is IDENTICAL to
+    ``drift.cusum_changepoints(..., k_up_milli=, k_lo_milli=, h_milli=)``
+    over the union (pytest asserts row equality across a 2-run
+    AvailableNow split) — the recurrence is a left fold, so batch
+    boundaries cannot change it.
+
+    Ordering contract (same family as the other sequential-batch stores):
+    rows must arrive keywise in non-decreasing ``time_col`` order across
+    micro-batches (AvailableNow over date-partitioned files, or an
+    upstream watermark+sort); a row at or before the key's last folded
+    time is DROPPED — monitoring cannot retroactively unring an alarm —
+    and within one micro-batch rows fold in (time) order.
+
+    Output per surviving row: (key, time, value, cusum_up_milli,
+    cusum_dn_milli, alarm_up, alarm_dn), integer milli-units throughout.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, {time_col} date, {value_col} long, "
+        "cusum_up_milli long, cusum_dn_milli long, "
+        "alarm_up boolean, alarm_dn boolean"
+    )
+    state_schema = "s_up long, s_dn long, last_day long"
+    epoch = _dt.date(1970, 1, 1).toordinal()
+    k_up, k_lo, h = int(k_up_milli), int(k_lo_milli), int(h_milli)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            s_up, s_dn, last_day = state.get
+        else:
+            s_up, s_dn, last_day = 0, 0, -(10**12)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(time_col, kind="mergesort")
+        out = []
+        for _, row in batch.iterrows():
+            day = row[time_col]
+            t = day.toordinal() - epoch
+            if t <= last_day:
+                continue  # late/duplicate day: alarms are already history
+            v = int(row[value_col])
+            s_up = max(0, s_up + (1000 * v - k_up))
+            s_dn = max(0, s_dn + (k_lo - 1000 * v))
+            last_day = t
+            out.append(
+                (key[0], day, v, s_up, s_dn, s_up > h, s_dn > h)
+            )
+        state.update((s_up, s_dn, last_day))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    key_col,
+                    time_col,
+                    value_col,
+                    "cusum_up_milli",
+                    "cusum_dn_milli",
+                    "alarm_up",
+                    "alarm_dn",
+                ],
+            )
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -598,3 +598,82 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         for r in sessionize(df.filter("user_id != 99"), gap_seconds=1800).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_streaming_cusum_matches_batch_and_drops_late(spark, tmp_path):
+    """Per-key streaming CUSUM over two AvailableNow micro-batches equals
+    the explicit-threshold batch operator on the same (in-order) rows for
+    every key; a late duplicate day arriving in batch 2 is dropped and
+    does not corrupt the fold; alarm onset lands exactly where the
+    closed-form recurrence says (strict > h)."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.drift import cusum_changepoints
+    from data_quality_framework_spark.streaming.stream import streaming_cusum
+
+    base = dt.date(2026, 2, 1)
+    K_UP, K_LO, H = 110_000, 90_000, 50_000
+    series = [
+        ("a", [100, 100, 160, 160, 160, 100]),
+        ("b", [100, 40, 40, 100]),
+    ]
+    rows = [
+        (k, base + dt.timedelta(days=i), v)
+        for k, vals in series
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "key string, day date, n long")
+    cut = base + dt.timedelta(days=3)
+    input_dir = str(tmp_path / "cusum_in")
+    df.filter(F.col("day") < F.lit(cut)).coalesce(1).write.mode(
+        "overwrite").parquet(input_dir)
+    late = spark.createDataFrame(
+        [("a", base + dt.timedelta(days=1), 999)], "key string, day date, n long"
+    )
+    df.filter(F.col("day") >= F.lit(cut)).union(late).coalesce(1).write.mode(
+        "append").parquet(input_dir)
+
+    src = (
+        spark.readStream.schema("key string, day date, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        streaming_cusum(src, "key", "day", "n", K_UP, K_LO, H)
+        .writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["key"], r["day"], r["n"], r["cusum_up_milli"], r["cusum_dn_milli"],
+         r["alarm_up"], r["alarm_dn"])
+        for r in spark.sql("SELECT * FROM cusum_test").collect()
+    }
+    # the late duplicate day was dropped, not folded
+    assert len(got) == 10 and not any(r[2] == 999 for r in got)
+
+    want = set()
+    for k, _vals in series:
+        batch = cusum_changepoints(
+            df.filter(F.col("key") == k).select("day", "n"),
+            "day", "n",
+            k_up_milli=K_UP, k_lo_milli=K_LO, h_milli=H,
+        )
+        for r in batch.collect():
+            want.add((k, r["day"], r["n"], r["cusum_up_milli"],
+                      r["cusum_dn_milli"], r["alarm_up"], r["alarm_dn"]))
+    assert got == want
+
+    # closed form: key a alarms up on days 4-6 (100000, 150000, 140000 > h
+    # after the 50000 == h day stays quiet); key b alarms down on days 3-4
+    by = {(r[0], r[1]): r for r in got}
+    d = lambda i: base + dt.timedelta(days=i)
+    assert by[("a", d(2))][3] == 50_000 and not by[("a", d(2))][5]
+    assert by[("a", d(3))][3] == 100_000 and by[("a", d(3))][5]
+    assert by[("a", d(5))][3] == 140_000 and by[("a", d(5))][5]
+    assert by[("b", d(1))][4] == 50_000 and not by[("b", d(1))][6]
+    assert by[("b", d(2))][4] == 100_000 and by[("b", d(2))][6]
+    assert by[("b", d(3))][4] == 90_000 and by[("b", d(3))][6]
