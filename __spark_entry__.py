@@ -32,6 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_quality_framework_spark.functions import textstats as TS  # noqa: E402
 from data_quality_framework_spark.functions.scoring import LANG_MARKERS, detect_lang  # noqa: E402
+from data_quality_framework_spark.operators.profiling import (  # noqa: E402
+    BENFORD_PPM as _BENFORD_PPM,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3039,6 +3042,32 @@ def _q_lang_mix(spark, sf):
     return lang_mix_profile(m).orderBy("doc_id")
 
 
+def _q_benford(spark, sf):
+    """Benford first-significant-digit audit (r5): the classic
+    fabricated-numbers screen over event user ids — log10 constants
+    embedded as exact ppm literals so the audit is log-free; obs/dev in
+    floor-ppm; a uniform id space rightly FLAGS (that is the check
+    working). `operators/profiling.py::benford_audit`."""
+    from data_quality_framework_spark.operators.profiling import benford_audit
+
+    return benford_audit(_t(spark, sf, "events"), "user_id").orderBy("digit")
+
+
+def _q_chi2_assoc(spark, sf):
+    """Chi-square-style lang x source association audit (r5): per-cell
+    contrib_milli = 1000·(O·N − R·C)² div (N·R·C) — the classic (O−E)²/E
+    cross-multiplied so no float expectation exists; the audit-sized cell
+    table a monitoring rule sums/thresholds.
+    `operators/profiling.py::chi2_contingency_audit`."""
+    from data_quality_framework_spark.operators.profiling import (
+        chi2_contingency_audit,
+    )
+
+    return chi2_contingency_audit(
+        _t(spark, sf, "documents"), "lang", "source"
+    ).orderBy("row_val", "col_val")
+
+
 def _q_hist_incremental(spark, sf):
     """Cross-run mergeable histogram store (r5): the two-batch parity
     split folded through `incremental_histogram` on a pinned integer grid
@@ -3266,6 +3295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hist_incremental": _q_hist_incremental,
         # Theil-Sen robust trend, engine-exact median pairwise slope (r5)
         "events_trend": _q_trend,
+        # Benford first-digit audit, log-free ppm literals (r5)
+        "events_benford": _q_benford,
+        # chi-square contingency association, cross-multiplied (r5)
+        "text_chi2_assoc": _q_chi2_assoc,
         # PMI-ordered collocation mining, integer lift ranking (r5)
         "text_pmi_topk": _q_pmi_topk,
         # deterministic train/val/test split assignment (r5)
@@ -5090,6 +5123,49 @@ def oracle_sql() -> dict[str, str]:
                             WHERE p.n_both >= 2)
             SELECT t1, t2, n_both, n_t1, n_t2, n_docs, lift_ppm
             FROM scored ORDER BY lift_ppm DESC, t1, t2 LIMIT 30
+        """,
+        # Benford oracle (r5): same BIGINT->string first digit (no sci
+        # notation in either engine), same embedded ppm literals and floor
+        # division; flag threshold 50000 ppm
+        "events_benford": f"""
+            WITH d AS (SELECT CAST(substr(CAST(abs(CAST(user_id AS BIGINT))
+                                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                         AND abs(CAST(user_id AS BIGINT)) > 0),
+                 c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+                       FROM d GROUP BY 1),
+                 t AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM c),
+                 b(digit, benford_ppm) AS (VALUES
+                     {', '.join(f'({d}, {p})' for d, p in sorted(_BENFORD_PPM.items()))})
+            SELECT c.digit, c.n_d,
+                   CAST((1000000 * c.n_d) // t.n AS BIGINT) AS obs_ppm,
+                   CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+                   CAST(abs((1000000 * c.n_d) // t.n - b.benford_ppm)
+                        AS BIGINT) AS dev_ppm,
+                   abs((1000000 * c.n_d) // t.n - b.benford_ppm) > 50000 AS flag
+            FROM c JOIN b ON b.digit = c.digit, t
+            ORDER BY c.digit
+        """,
+        # chi-square contingency oracle (r5): identical margins, identical
+        # cross-multiplied fixed-point per-cell contribution
+        "text_chi2_assoc": """
+            WITH base AS (SELECT lang, source FROM documents
+                          WHERE lang IS NOT NULL AND source IS NOT NULL),
+                 cells AS (SELECT lang AS row_val, source AS col_val,
+                                  CAST(count(*) AS BIGINT) AS o
+                           FROM base GROUP BY 1, 2),
+                 rm AS (SELECT row_val, CAST(sum(o) AS BIGINT) AS r
+                        FROM cells GROUP BY 1),
+                 cm AS (SELECT col_val, CAST(sum(o) AS BIGINT) AS c
+                        FROM cells GROUP BY 1),
+                 t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+            SELECT cells.row_val, cells.col_val, cells.o, rm.r, cm.c, t.n,
+                   CAST((1000 * (cells.o * t.n - rm.r * cm.c)
+                              * (cells.o * t.n - rm.r * cm.c))
+                        // (t.n * rm.r * cm.c) AS BIGINT) AS contrib_milli
+            FROM cells JOIN rm USING (row_val) JOIN cm USING (col_val), t
+            ORDER BY cells.row_val, cells.col_val
         """,
         # mergeable-histogram oracle (r5): per-batch-prefix histograms
         # recomputed from raw rows; same bin expression (`//` == `div`,

@@ -126,6 +126,9 @@ HEADLINE = [
     # r5 eleventh wave: mergeable histogram store + Theil-Sen trend
     "text_hist_incremental",
     "events_trend",
+    # r5 twelfth wave: Benford + chi-square contingency audits
+    "events_benford",
+    "text_chi2_assoc",
 ]
 
 

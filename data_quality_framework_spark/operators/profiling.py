@@ -32,7 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity",
-           "grouped_median", "mad_outliers_by"]
+           "grouped_median", "mad_outliers_by", "benford_audit",
+           "chi2_contingency_audit", "BENFORD_PPM"]
 
 
 def fd_violations(
@@ -279,4 +280,105 @@ def mad_outliers_by(
         "is_outlier",
         F.abs(F.col(value_col).cast("long") - F.col("med")) * 1000
         > F.lit(k_milli) * F.col("mad"),
+    )
+
+
+#: Benford first-significant-digit probabilities, log10(1 + 1/d), as exact
+#: ppm integer literals (public constants — Newcomb 1881 / Benford 1938);
+#: embedding them as integers keeps the audit log-free and engine-exact.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame, col: str, warn_dev_ppm: int = 50_000
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit — the classic
+    fabricated/synthetic-numbers screen (naturally occurring multi-scale
+    magnitudes follow P(d) = log10(1+1/d); uniform or hand-typed numbers
+    don't). One row per digit 1-9:
+
+        (digit, n_d, obs_ppm, benford_ppm, dev_ppm, flag)
+
+    with obs_ppm = 10^6·n_d div n (floor), dev_ppm = |obs − benford|,
+    flag = dev_ppm > ``warn_dev_ppm``. The first digit comes from the
+    decimal string of the absolute value (BIGINT→string never grows
+    scientific notation in either engine — the float-notation trap is
+    why ``col`` is cast to BIGINT first); zero/NULL rows are excluded
+    (zero has no significant digit). The log10 constants are embedded
+    ppm literals, so no float exists anywhere.
+
+    ONE projection + one ≤ 9-row aggregation: map-side combinable, no
+    skew surface — the audit costs one corpus scan at any size.
+    """
+    x = F.abs(F.col(col).cast("long"))
+    digit = F.substring(x.cast("string"), 1, 1).cast("long")
+    counted = (
+        df.filter(F.col(col).isNotNull() & (x > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    bens = F.create_map(
+        *[F.lit(v) for kv in BENFORD_PPM.items() for v in kv]
+    )
+    return (
+        counted.crossJoin(
+            F.broadcast(counted.agg(F.sum("n_d").cast("long").alias("n")))
+        )
+        .withColumn("obs_ppm", F.expr("(1000000 * n_d) div n").cast("long"))
+        .withColumn("benford_ppm", bens[F.col("digit")].cast("long"))
+        .withColumn(
+            "dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm")).cast("long")
+        )
+        .withColumn("flag", F.col("dev_ppm") > int(warn_dev_ppm))
+        .select("digit", "n_d", "obs_ppm", "benford_ppm", "dev_ppm", "flag")
+    )
+
+
+def chi2_contingency_audit(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Association audit between two categorical columns via a
+    chi-square-style contingency statistic, kept ENGINE-EXACT by a
+    fixed-point definition: per cell,
+
+        contrib_milli = (1000 · (O·N − R·C)²) div (N·R·C)
+
+    (all BIGINT; O = cell count, R/C = margins, N = total — the classic
+    (O−E)²/E with E = R·C/N, cross-multiplied so no float E exists; the
+    floor per cell is part of the statistic's definition and both
+    engines replay it identically). Output one row per occupied cell
+    (row_val, col_val, o, r, c, n, contrib_milli) — the audit-sized
+    table a monitoring rule sums/thresholds. Rows with NULL in either
+    column are excluded.
+
+    Shape: one (row, col) aggregation (map-side combinable) plus two
+    margin aggregations of that tiny cell table and broadcast joins back
+    — the corpus is scanned once. Overflow envelope: (O·N − R·C)² ≤ N⁴;
+    BIGINT holds 1000·N⁴ to N ≈ 55k rows-with-both-values at exact
+    milli precision — past that, drop to contrib units of 1 (N ≈ 310k)
+    or DECIMAL(38), documented like `column_corr`'s envelope.
+    """
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rmarg = cells.groupBy("row_val").agg(F.sum("o").cast("long").alias("r"))
+    cmarg = cells.groupBy("col_val").agg(F.sum("o").cast("long").alias("c"))
+    total = cells.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(rmarg), "row_val")
+        .join(F.broadcast(cmarg), "col_val")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "contrib_milli",
+            F.expr(
+                "(1000 * (o * n - r * c) * (o * n - r * c)) div (n * r * c)"
+            ).cast("long"),
+        )
+        .select("row_val", "col_val", "o", "r", "c", "n", "contrib_milli")
     )

@@ -3943,3 +3943,53 @@ def test_theil_sen_trend_robust_to_outlier_day(spark):
     df3 = spark.createDataFrame(clean[:2], "day date, n_events long")
     r3 = theil_sen_trend(df3, "day", "n_events").collect()[0]
     assert r3["n_pairs"] == 1 and r3["slope_per_day"] == 7.0
+
+
+def test_benford_audit_closed_form(spark):
+    """Benford audit: first significant digit from the BIGINT string,
+    zero/NULL/negative handling, floor-ppm arithmetic against the
+    embedded constants, and the flag threshold."""
+    from data_quality_framework_spark.operators.profiling import (
+        BENFORD_PPM,
+        benford_audit,
+    )
+
+    vals = [1, 19, 2, 25, 33, 0, None, -4]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = {r["digit"]: r for r in benford_audit(df, "x").collect()}
+    # kept values: 1,19,2,25,33,4 -> digits {1:2, 2:2, 3:1, 4:1}, n=6
+    assert {d: r["n_d"] for d, r in out.items()} == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert out[1]["obs_ppm"] == 333_333 and out[1]["benford_ppm"] == 301_030
+    assert out[1]["dev_ppm"] == 32_303 and not out[1]["flag"]
+    assert out[2]["dev_ppm"] == 157_242 and out[2]["flag"]
+    assert out[4]["dev_ppm"] == 69_756 and out[4]["flag"]
+    assert all(out[d]["benford_ppm"] == BENFORD_PPM[d] for d in out)
+
+    # a multi-scale geometric series (powers of 2) passes the screen:
+    # every digit's deviation under the 5% flag line
+    pow2 = spark.createDataFrame([(2**i,) for i in range(60)], "x long")
+    assert not any(r["flag"] for r in benford_audit(pow2, "x").collect())
+
+
+def test_chi2_contingency_audit_independence_and_association(spark):
+    """chi2 contingency: exact zero on a perfectly independent table,
+    the closed-form fixed-point contribution on a dependent one, NULL
+    exclusion, and margins that reconstruct the cell table."""
+    from data_quality_framework_spark.operators.profiling import (
+        chi2_contingency_audit,
+    )
+
+    indep = [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] * 2 + [("b", "y")] * 2
+    df = spark.createDataFrame(indep + [(None, "x"), ("a", None)], "r string, c string")
+    out = chi2_contingency_audit(df, "r", "c").collect()
+    assert len(out) == 4 and all(r["contrib_milli"] == 0 for r in out)
+    assert all(r["n"] == 8 and r["r"] == 4 and r["c"] == 4 for r in out)
+
+    dep = [("a", "x")] * 3 + [("b", "y")] * 3 + [("a", "y"), ("b", "x")]
+    df2 = spark.createDataFrame(dep, "r string, c string")
+    out2 = {(r["row_val"], r["col_val"]): r for r in
+            chi2_contingency_audit(df2, "r", "c").collect()}
+    # every cell: (O·N − R·C)² = (24−16)² or (8−16)² = 64;
+    # 1000·64 div (8·4·4) = 500 milli; total 2000 = chi² of 2.0
+    assert all(r["contrib_milli"] == 500 for r in out2.values())
+    assert sum(r["contrib_milli"] for r in out2.values()) == 2000
