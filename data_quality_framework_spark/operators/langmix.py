@@ -27,6 +27,10 @@ All outputs are integers (counts and a ppm ratio via floor division) plus
 the label strings, so the DuckDB oracle replays them bit-identically
 (list_transform + len(regexp_extract_all(...)) + the same CASE).
 
+The building blocks (:func:`label_lines`, :func:`mix_count_cols`) are
+shared with the pipeline's opt-in WT-MIX-001 rule (plans/pipeline.py),
+so the standalone profile and the pipeline flag can never diverge.
+
 Reference parity: beyond-reference (north-rule langid scope); the
 reference profiles columns, never intra-document structure.
 """
@@ -38,7 +42,7 @@ from pyspark.sql import functions as F
 
 from data_quality_framework_spark.functions.scoring import LANG_MARKERS, UNKNOWN_LANG
 
-__all__ = ["lang_mix_profile"]
+__all__ = ["lang_mix_profile", "label_lines", "mix_count_cols"]
 
 
 def _line_lang(line: Column) -> Column:
@@ -52,6 +56,56 @@ def _line_lang(line: Column) -> Column:
     for lang in reversed(langs):
         out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
     return F.when(best <= 0, F.lit(UNKNOWN_LANG)).otherwise(out)
+
+
+def label_lines(text_col: str) -> Column:
+    """Per-line language label array for a text column — NULL text yields
+    an empty array (zero lines), matching the profile's contract."""
+    lines = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
+        F.split(F.col(text_col), "\n")
+    )
+    return F.transform(lines, _line_lang)
+
+
+def mix_count_cols(labels_col: str) -> dict[str, Column]:
+    """Row-local mixture COUNT columns over a per-line label array column
+    (from :func:`label_lines`): n_lines, n_classified, n_langs, dom_lang,
+    dom_lines — every one an integer/string Column. The ppm ratio is NOT
+    here on purpose: floor division stays an F.expr over NAMED columns
+    (`(1000000 * (n_classified - dom_lines)) div n_classified`) at each
+    call site, keeping the repo's integer-`div` convention (a Column `/`
+    would be float division)."""
+    langs = sorted(LANG_MARKERS)
+
+    def _count_of(lang: str) -> Column:
+        # NB: unary lambda — a second (defaulted) parameter makes pyspark
+        # pass the ARRAY INDEX as the (elem, idx) form
+        return F.size(F.filter(labels_col, lambda x: x == F.lit(lang))).cast("long")
+
+    per_lang = {lang: _count_of(lang) for lang in langs}
+    n_classified = sum(per_lang.values(), F.lit(0).cast("long"))
+    dom_count = F.greatest(*per_lang.values())
+    dom_lang = F.lit(UNKNOWN_LANG)
+    for lang in reversed(langs):
+        dom_lang = F.when(per_lang[lang] == dom_count, F.lit(lang)).otherwise(dom_lang)
+    dom_lang = F.when(dom_count <= 0, F.lit(UNKNOWN_LANG)).otherwise(dom_lang)
+    return {
+        "n_lines": F.size(labels_col).cast("long"),
+        "n_classified": n_classified,
+        "n_langs": sum(
+            (F.when(c > 0, F.lit(1)).otherwise(F.lit(0)) for c in per_lang.values()),
+            F.lit(0),
+        ).cast("long"),
+        "dom_lang": dom_lang,
+        "dom_lines": dom_count.cast("long"),
+    }
+
+
+#: the shared floor-ppm expression over the named count columns
+MIX_PPM_EXPR = (
+    "CASE WHEN n_classified <= 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST((1000000 * (n_classified - dom_lines)) div n_classified AS BIGINT) END"
+)
 
 
 def lang_mix_profile(
@@ -75,47 +129,11 @@ def lang_mix_profile(
       DISAGREE with the document's dominant language,
     * ``is_mixed`` — n_langs ≥ 2 AND mix_ppm ≥ ``mix_threshold_ppm``.
     """
-    langs = sorted(LANG_MARKERS)
-    lines = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(
-        F.split(F.col(text_col), "\n")
-    )
-    labeled = df.select(
-        F.col(id_col),
-        F.transform(lines, _line_lang).alias("__labels"),
-    )
-    def _count_of(lang: str) -> Column:
-        # NB: the lambda must be unary — a second (defaulted) parameter
-        # makes pyspark pass the ARRAY INDEX as the (elem, idx) form
-        return F.size(F.filter("__labels", lambda x: x == F.lit(lang))).cast("long")
-
-    per_lang = {lang: _count_of(lang) for lang in langs}
-    n_classified = sum(per_lang.values(), F.lit(0).cast("long"))
-    dom_count = F.greatest(*per_lang.values())
-    dom_lang = F.lit(UNKNOWN_LANG)
-    for lang in reversed(langs):
-        dom_lang = F.when(per_lang[lang] == dom_count, F.lit(lang)).otherwise(dom_lang)
-    dom_lang = F.when(dom_count <= 0, F.lit(UNKNOWN_LANG)).otherwise(dom_lang)
-
+    labeled = df.select(F.col(id_col), label_lines(text_col).alias("__labels"))
+    cols = mix_count_cols("__labels")
     prof = labeled.select(
-        F.col(id_col),
-        F.size("__labels").cast("long").alias("n_lines"),
-        n_classified.alias("n_classified"),
-        sum(
-            (F.when(c > 0, F.lit(1)).otherwise(F.lit(0)) for c in per_lang.values()),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_langs"),
-        dom_lang.alias("dom_lang"),
-        dom_count.cast("long").alias("dom_lines"),
-    ).withColumn(
-        "mix_ppm",
-        F.when(F.col("n_classified") <= 0, F.lit(0).cast("long")).otherwise(
-            F.expr("(1000000 * (n_classified - dom_lines)) div n_classified").cast(
-                "long"
-            )
-        ),
-    )
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    ).withColumn("mix_ppm", F.expr(MIX_PPM_EXPR))
     return prof.withColumn(
         "is_mixed",
         (F.col("n_langs") >= 2) & (F.col("mix_ppm") >= int(mix_threshold_ppm)),

@@ -63,6 +63,7 @@ def meta_cols(cfg: FilterConfig) -> list[str]:
         META_COLS
         + (["f_lineheavy"] if cfg.line_corrections else [])
         + (["f_toxic"] if cfg.toxicity_badwords else [])
+        + (["f_langmix"] if cfg.lang_mix_max_ppm else [])
     )
 
 
@@ -96,6 +97,7 @@ _FP_OMIT_AT_DEFAULT = {
     "toxicity_badwords": (),
     "toxicity_max_bp": 0,
     "dedup_normalized_keys": False,
+    "lang_mix_max_ppm": 0,
 }
 
 

@@ -109,6 +109,16 @@ class FilterConfig:
     #: basis-point toxic-token budget for WT-TOX-001: 0 = C4's any-hit
     #: drop, 500 = flag only when toxic tokens exceed 5% of all tokens.
     toxicity_max_bp: int = 0
+    #: opt-in (r5): per-line language-mixture rule (WT-MIX-001) — when
+    #: > 0, docs with >= 2 line languages whose non-dominant classified
+    #: lines reach this many ppm gain the mixed_language drop reason
+    #: (operators/langmix — the CCNet paragraph-language-split analog;
+    #: row-local higher-order transforms, zero shuffles). 0 = rule off.
+    #: The generator's corpus is language-consistent per doc (every line
+    #: classifies to the doc's language -> n_langs = 1), so the knob
+    #: leaves clean-corpus decisions unchanged at ANY threshold — the
+    #: same contract as the toxicity knob.
+    lang_mix_max_ppm: int = 0
     #: opt-in (r5): key exact + MinHash dedup on the CCNet-normalized view
     #: of the text (functions/textnorm.normalize_for_dedup — lowercase,
     #: accent fold, digit->0, punctuation strip, whitespace collapse) so
@@ -166,7 +176,13 @@ def _flag_rules(cfg: FilterConfig) -> list[tuple[str, str, Rule]]:
             "badword tokens within the toxicity budget", "text",
             predicate="toxic_token_bp_exceeded",
             max_toxic_bp=cfg.toxicity_max_bp, n_badwords=len(cfg.toxicity_badwords))),
-    ] if cfg.toxicity_badwords else [])
+    ] if cfg.toxicity_badwords else []) + ([
+        ("f_langmix", "mixed_language",
+         mk("WT-MIX-001", "predicate",
+            "per-line language mixture within budget", "text",
+            predicate="lang_mix_ppm_exceeded",
+            max_mix_ppm=cfg.lang_mix_max_ppm)),
+    ] if cfg.lang_mix_max_ppm else [])
 
 
 DEDUP_RULES = [
@@ -236,11 +252,39 @@ def _with_flags(df: DataFrame, cfg: FilterConfig) -> DataFrame:
             toxic_token_count(text, cfg.toxicity_badwords) * 10000
             > F.lit(int(cfg.toxicity_max_bp)) * F.col("word_count").cast("long")
         )
+    if cfg.lang_mix_max_ppm:
+        from data_quality_framework_spark.operators.langmix import (
+            MIX_PPM_EXPR,
+            label_lines,
+            mix_count_cols,
+        )
+
+        # row-local label array -> named count columns -> the SHARED
+        # floor-ppm expression (same integer div as the standalone
+        # profile); NULL text labels to an empty array (f_empty owns it)
+        mix = mix_count_cols("__mix_labels")
+        ppm_expr = MIX_PPM_EXPR.replace("n_classified", "__mix_cls").replace(
+            "dom_lines", "__mix_dom"
+        )
+        df = (
+            df.withColumn("__mix_labels", label_lines("text"))
+            .withColumn("__mix_cls", mix["n_classified"])
+            .withColumn("__mix_dom", mix["dom_lines"])
+            .withColumn("__mix_langs", mix["n_langs"])
+            .withColumn("__mix_ppm", F.expr(ppm_expr))
+        )
+        flags["f_langmix"] = (F.col("__mix_langs") >= 2) & (
+            F.col("__mix_ppm") >= F.lit(int(cfg.lang_mix_max_ppm)).cast("long")
+        )
     # NULL flag (e.g. null lang making f_langmismatch NULL) = violation, made
     # definite HERE so f_any_heuristic and drop_reason_expr see the same
     # boolean — previously a null-flag row got keep=false with NULL reason.
     flags = {name: F.coalesce(expr, F.lit(True)) for name, expr in flags.items()}
     out = df.withColumns(flags)
+    if cfg.lang_mix_max_ppm:
+        out = out.drop(
+            "__mix_labels", "__mix_cls", "__mix_dom", "__mix_langs", "__mix_ppm"
+        )
     return out.drop("__line_keep") if cfg.line_corrections else out
 
 

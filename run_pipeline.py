@@ -70,6 +70,12 @@ def main() -> None:
         "(0 = any-hit drop, 500 = drop above 5%% toxic tokens)",
     )
     ap.add_argument(
+        "--lang-mix-max-ppm", type=int, default=0,
+        help="ppm budget enabling the WT-MIX-001 per-line language-mixture "
+        "rule (docs with >= 2 line languages whose non-dominant lines reach "
+        "this fraction are dropped; 0 = rule off)",
+    )
+    ap.add_argument(
         "--normalize-dedup-keys", action="store_true",
         help="key exact + MinHash dedup on the CCNet-normalized text view "
         "(case/accent/digit/punctuation-invariant) — output text stays raw",
@@ -122,6 +128,7 @@ def main() -> None:
         text_source=args.text_source,
         toxicity_badwords=badwords,
         toxicity_max_bp=args.toxicity_max_bp,
+        lang_mix_max_ppm=args.lang_mix_max_ppm,
         dedup_normalized_keys=args.normalize_dedup_keys,
     )
 

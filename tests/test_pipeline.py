@@ -590,3 +590,60 @@ def test_pipeline_dedup_normalized_keys(spark, pages_10k, tmp_path):
         assert dec_off.filter(F.col("drop_reason") == "exact_duplicate").count() == 0
     finally:
         out_off.unpersist()
+
+
+def test_pipeline_lang_mix_opt_in(spark, pages_10k, tmp_path):
+    """lang_mix_max_ppm>0 adds the WT-MIX-001 rule: docs with a planted
+    second-language line drop with reason mixed_language, single-line docs
+    can never trip it (clean corpus untouched), lineage reports the rule,
+    and the checkpoint path reproduces the batch decisions (the knob is
+    fingerprinted omit-at-default)."""
+    from data_quality_framework_spark.plans.checkpoint import (
+        Checkpoint,
+        cfg_fingerprint,
+        read_output,
+        resumable_pipeline,
+    )
+    from data_quality_framework_spark.plans.pipeline import _flag_rules
+
+    # plant TWO German marker lines onto a deterministic 2% slice: the
+    # generator's docs run ~11 language-consistent lines, so 2 foreign
+    # lines put mix_ppm around 2/13 ≈ 154k — comfortably over a 100k
+    # budget while doc-level langid keeps the base language dominant
+    de = "\nder die das und ist nicht ein mit auf"
+    sel = F.xxhash64("url") % 50 == 1
+    pages = pages_10k.limit(4000).withColumn(
+        "text",
+        F.when(
+            sel & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(de), F.lit(de)),
+        ).otherwise(F.col("text")),
+    ).localCheckpoint()
+    cfg = FilterConfig(lang_mix_max_ppm=100_000)
+    assert any(r[0] == "f_langmix" for r in _flag_rules(cfg))
+    assert not any(r[0] == "f_langmix" for r in _flag_rules(FilterConfig()))
+    assert cfg_fingerprint(FilterConfig()) != cfg_fingerprint(cfg)
+
+    out = run_pipeline(spark, pages, cfg, per_partition_lineage=False)
+    try:
+        dec = out.decisions.select("url", "keep", "drop_reason")
+        planted = pages.filter(sel).select("url").distinct()
+        n_mix = dec.filter(F.col("drop_reason") == "mixed_language").count()
+        assert n_mix > 0
+        # every mixed_language drop is a planted url — the generator's
+        # single-line corpus cannot reach n_langs >= 2
+        assert (
+            dec.filter(F.col("drop_reason") == "mixed_language")
+            .join(planted, "url", "left_anti").count() == 0
+        )
+        assert any(r.rule_id == "WT-MIX-001" for r in out.results)
+
+        ckpt = Checkpoint(out_dir=str(tmp_path / "ck_mix"), n_buckets=4)
+        resumable_pipeline(spark, pages, ckpt, cfg)
+        ck_dec = read_output(spark, ckpt, "decisions").select(
+            "url", "keep", "drop_reason"
+        )
+        assert dec.count() == ck_dec.count()
+        assert dec.exceptAll(ck_dec).count() == 0
+    finally:
+        out.unpersist()
