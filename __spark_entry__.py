@@ -740,6 +740,39 @@ def _q_fingerprint_overlap(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _q_winnow_fingerprints(spark, sf):
+    # MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): per-doc
+    # window-min fingerprint selection with rightmost tie-break — the
+    # GUARANTEED-detection upgrade of 0-mod-p sampling (any shared span of
+    # >= w+k-1 words yields a shared fingerprint VALUE, deterministically).
+    # Row-local higher-order expressions only: zero shuffles before the agg.
+    from data_quality_framework_spark.functions.hashing import (
+        kgram_hashes,
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf, "documents")
+    p = d.select(
+        "doc_id",
+        F.size(kgram_hashes(F.col("text"), 5)).cast("long").alias("n_hashes"),
+        winnow_fingerprints(kgram_hashes(F.col("text"), 5), w=4).alias("picks"),
+    )
+    tags = F.array_sort(
+        F.transform(
+            F.col("picks"),
+            lambda s: F.concat_ws(
+                ":", s["pos"].cast("string"), s["fp"].cast("string")
+            ),
+        )
+    )
+    return p.select(
+        "doc_id",
+        "n_hashes",
+        F.size("picks").cast("long").alias("n_fps"),
+        F.md5(F.concat_ws(",", tags)).alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
 def _q_line_dedup(spark, sf):
     """Cross-corpus line dedup (Gopher boilerplate removal). The documents
     table is single-line, so boilerplate is PLANTED in-query (same pattern as
@@ -3299,6 +3332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": _q_benford,
         # chi-square contingency association, cross-multiplied (r5)
         "text_chi2_assoc": _q_chi2_assoc,
+        # MOSS winnowing fingerprints, guaranteed-detection selection (r5)
+        "text_winnow_fingerprints": _q_winnow_fingerprints,
         # PMI-ordered collocation mining, integer lift ranking (r5)
         "text_pmi_topk": _q_pmi_topk,
         # deterministic train/val/test split assignment (r5)
@@ -5166,6 +5201,34 @@ def oracle_sql() -> dict[str, str]:
                         // (t.n * rm.r * cm.c) AS BIGINT) AS contrib_milli
             FROM cells JOIN rm USING (row_val) JOIN cm USING (col_val), t
             ORDER BY cells.row_val, cells.col_val
+        """,
+        # winnowing oracle (r5): same 60-bit md5 gram hashes, same window
+        # construction (list_slice clamps exactly like Spark's F.slice, both
+        # w-start lists are [1..max(1, n-w+1)]), same rightmost-min tie-break
+        # via position-in-reversed-window, same distinct + string-sort digest
+        "text_winnow_fingerprints": f"""
+            WITH shing AS (SELECT doc_id, {_shingle_all_expr(5)} AS sh
+                           FROM documents),
+            kh AS (SELECT doc_id,
+                          list_transform(sh, s ->
+                              CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+                   FROM shing),
+            p AS (SELECT doc_id, len(h) AS n_hashes,
+                         list_distinct(list_transform(
+                             range(1, greatest(1, len(h) - 3) + 1),
+                             i -> CAST(i + (len(list_slice(h, i, i + 3))
+                                            - list_position(
+                                                list_reverse(list_slice(h, i, i + 3)),
+                                                list_min(list_slice(h, i, i + 3)))
+                                            + 1) - 1 AS VARCHAR)
+                                  || ':'
+                                  || CAST(list_min(list_slice(h, i, i + 3))
+                                          AS VARCHAR))) AS picks
+                  FROM kh)
+            SELECT doc_id, CAST(n_hashes AS BIGINT) AS n_hashes,
+                   CAST(len(picks) AS BIGINT) AS n_fps,
+                   md5(array_to_string(list_sort(picks), ',')) AS fp_digest
+            FROM p ORDER BY doc_id
         """,
         # mergeable-histogram oracle (r5): per-batch-prefix histograms
         # recomputed from raw rows; same bin expression (`//` == `div`,

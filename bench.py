@@ -129,6 +129,8 @@ HEADLINE = [
     # r5 twelfth wave: Benford + chi-square contingency audits
     "events_benford",
     "text_chi2_assoc",
+    # r5 thirteenth wave: MOSS winnowing fingerprints (guaranteed detection)
+    "text_winnow_fingerprints",
 ]
 
 

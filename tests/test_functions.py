@@ -825,3 +825,60 @@ def test_fit_logistic_weights_distributed(spark, pages_10k, labels_10k):
         )
     with pytest.raises(ValueError):
         fit_logistic_weights(base, feats, "label", max_distinct=10)
+
+
+def test_winnow_fingerprints_closed_form(spark):
+    from data_quality_framework_spark.functions.hashing import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, [5, 2, 8, 2, 6, 3]), (2, [7, 3]), (3, [9]), (4, [2, 2, 2])],
+        "id: int, h: array<long>",
+    )
+    rows = (
+        df.select("id", winnow_fingerprints(F.col("h"), w=3).alias("p"))
+        .orderBy("id")
+        .collect()
+    )
+    got = {r["id"]: [(s["pos"], s["fp"]) for s in r["p"]] for r in rows}
+    # window minima with RIGHTMOST tie-break (the MOSS rule): adjacent
+    # windows re-select the same occurrence, so [2,8,2] and [8,2,6] both
+    # contribute (4, 2) and the distinct set stays minimal
+    assert got == {
+        1: [(2, 2), (4, 2)],
+        2: [(2, 3)],  # shorter than w: whole (short) array, one pick
+        3: [(1, 9)],
+        4: [(3, 2)],  # all-tie window picks the rightmost occurrence
+    }
+
+
+def test_winnow_guarantee_shared_span(spark):
+    # the winnowing GUARANTEE (SWA'03 §2): any shared span of >= w+k-1
+    # words contains a full w-hash window in both docs; that window's
+    # minimum VALUE is selected in both -> at least one shared fingerprint,
+    # deterministically (0-mod-p sampling only promises "with high prob")
+    from data_quality_framework_spark.functions.hashing import (
+        kgram_hashes,
+        winnow_fingerprints,
+    )
+
+    common = "alpha bravo charlie delta echo foxtrot golf hotel"  # w+k-1 = 8
+    df = spark.createDataFrame(
+        [(1, "p1 p2 p3 p4 p5 " + common), (2, common + " s1 s2 s3 s4 s5")],
+        "id: int, text: string",
+    )
+    out = df.select(
+        "id",
+        F.transform(
+            winnow_fingerprints(kgram_hashes(F.col("text"), 5), w=4),
+            lambda p: p["fp"],
+        ).alias("fps"),
+    ).collect()
+    fps = {r["id"]: set(r["fps"]) for r in out}
+    assert fps[1] & fps[2], "shared 8-word span must share a fingerprint value"
+
+
+def test_winnow_rejects_bad_window():
+    from data_quality_framework_spark.functions.hashing import winnow_fingerprints
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints(F.col("h"), w=0)
