@@ -1911,6 +1911,67 @@ def _host_rank_oracle_sql(
     )
 
 
+def _outlink_oracle_sql() -> str:
+    """DuckDB replay of text_outlink_profile: identical page construction,
+    the IDENTICAL portable regex strings (imported, not retyped), the same
+    resolution CASE and the same integer-floor ratio."""
+    from data_quality_framework_spark.operators.linkgraph import (
+        ABS_HTTP_HOST_PATTERN,
+        OUTLINK_HREF_PATTERN,
+    )
+
+    href_pat = OUTLINK_HREF_PATTERN
+    host_pat = ABS_HTTP_HOST_PATTERN
+    return f"""
+        WITH pages AS (
+            SELECT 'https://' || source || '.example.org/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   '<html><body><p>' || coalesce(text, '')
+                       || '</p><a href="/nav/home">home</a>'
+                       || '<a href="https://w' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.partner.net/x">p</a>'
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              '<a HREF="HTTPS://user@CDN.Assets.COM:8443/lib.js">c</a>'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                              '<a href="mailto:ops@example.org">m</a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+            FROM documents),
+        raw AS (SELECT lower(regexp_extract(url, '{host_pat}', 1)) AS src_host,
+                       regexp_extract_all(html, '{href_pat}', 1) AS hrefs
+                FROM pages),
+        per_page AS (SELECT src_host, CAST(count(*) AS BIGINT) AS n_pages,
+                            CAST(sum(len(hrefs)) AS BIGINT) AS n_hrefs_raw
+                     FROM raw GROUP BY src_host),
+        ex AS (SELECT src_host, unnest(hrefs) AS href FROM raw),
+        res AS (SELECT src_host,
+                       CASE WHEN lower(regexp_extract(href, '{host_pat}', 1)) <> ''
+                                THEN lower(regexp_extract(href, '{host_pat}', 1))
+                            WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                                THEN src_host END AS dst_host
+                FROM ex),
+        edges AS (SELECT src_host, dst_host, count(*) AS n
+                  FROM res WHERE dst_host IS NOT NULL GROUP BY 1, 2),
+        per_host AS (SELECT src_host, CAST(sum(n) AS BIGINT) AS n_links,
+                            CAST(sum(CASE WHEN dst_host <> src_host THEN n END)
+                                 AS BIGINT) AS n_external,
+                            CAST(count(DISTINCT CASE WHEN dst_host <> src_host
+                                                     THEN dst_host END)
+                                 AS BIGINT) AS n_dst_hosts
+                     FROM edges GROUP BY src_host)
+        SELECT p.src_host, p.n_pages, p.n_hrefs_raw,
+               CAST(coalesce(h.n_links, 0) AS BIGINT) AS n_links,
+               CAST(coalesce(h.n_external, 0) AS BIGINT) AS n_external,
+               CAST(coalesce(h.n_dst_hosts, 0) AS BIGINT) AS n_dst_hosts,
+               CASE WHEN coalesce(h.n_links, 0) > 0
+                    THEN CAST(1000 * coalesce(h.n_external, 0) // h.n_links
+                              AS BIGINT) END AS external_ratio_milli
+        FROM per_page p LEFT JOIN per_host h USING (src_host)
+        ORDER BY src_host
+    """
+
+
 def _q_host_rank(spark, sf):
     """Host-graph PageRank (r5): a deterministic 64-host link graph is
     synthesized from the corpus (src = doc_id mod 64; dst = (37*doc_id +
@@ -1933,6 +1994,91 @@ def _q_host_rank(spark, sf):
     )
     out = host_rank(e, iterations=5, damping_bp=8500, scale=1_000_000)
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
+
+
+def _q_compaction_plan(spark, sf):
+    """Small-file compaction planning (r5): a file inventory is
+    synthesized from documents (one 'file' per doc, size from n_chars,
+    paths zero-padded so path order == doc order, partition group =
+    source), then `operators/layout.compaction_plan` assigns target-sized
+    output bins by the prefix-sum rule (bin = cum_bytes_before div
+    target) — one window + one agg, both on the group key, metadata rows
+    only. The oracle replays the identical window frame and integer
+    floor division in SQL; the per-bin file list is compared as a sorted
+    md5 digest."""
+    from data_quality_framework_spark.operators.layout import compaction_plan
+
+    d = _t(spark, sf, "documents")
+    inv = d.select(
+        F.col("source"),
+        F.concat(
+            F.col("source"),
+            F.lit("/part-"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) * 1000 + 4096)
+        .cast("long")
+        .alias("size_bytes"),
+    )
+    plan = compaction_plan(
+        inv, group_cols=("source",), target_bytes=1_000_000
+    )
+    return plan.select(
+        "source",
+        "bin",
+        "n_input_files",
+        "bin_bytes",
+        F.md5(F.concat_ws(",", "files")).alias("files_digest"),
+    ).orderBy("source", "bin")
+
+
+def _q_outlink_profile(spark, sf):
+    """Host-level outlink profile from raw page markup (r5): pages are
+    synthesized deterministically from the documents table (url =
+    https://<source>.example.org/p/<doc_id>; the html body carries the
+    doc text plus a controlled anchor set — one root-relative link, one
+    modular external partner link, a mod-3 uppercase-scheme+userinfo+port
+    link, a mod-5 mailto that must NOT resolve), then
+    `operators/linkgraph.outlink_profile` extracts hrefs with ONE
+    row-local regexp_extract_all pass, resolves them to destination
+    hosts, and aggregates host-keyed count partials only (the page body
+    never reaches an exchange). The DuckDB oracle replays the identical
+    portable regex strings over the identically-built pages."""
+    from data_quality_framework_spark.operators.linkgraph import outlink_profile
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit('</p><a href="/nav/home">home</a>'),
+                F.concat(
+                    F.lit('<a href="https://w'),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit('.partner.net/x">p</a>'),
+                ),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit('<a HREF="HTTPS://user@CDN.Assets.COM:8443/lib.js">c</a>'),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit('<a href="mailto:ops@example.org">m</a>'),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return outlink_profile(pages).orderBy("src_host")
 
 
 def _q_exact_quantiles(spark, sf):
@@ -3365,6 +3511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew-safe two-phase per-group top-k (r5)
         "text_topk_per_group": _q_topk_per_group,
         "graph_host_rank": _q_host_rank,
+        # outlink extraction -> host link profile from raw markup (r5)
+        "text_outlink_profile": _q_outlink_profile,
+        # greedy small-file compaction planning over a file inventory (r5)
+        "layout_compaction_plan": _q_compaction_plan,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -5705,6 +5855,34 @@ def oracle_sql() -> dict[str, str]:
         # host-rank oracle (r5): the 5 power steps unrolled as chained CTEs
         # with // integer division — bit-exact vs the Spark fixed-point loop
         "graph_host_rank": _host_rank_oracle_sql(),
+        # outlink-profile oracle (r5): identical page furniture, identical
+        # regex strings (imported from operators/linkgraph), same
+        # resolution CASE, integer-floor external ratio
+        "text_outlink_profile": _outlink_oracle_sql(),
+        # compaction-plan oracle (r5): identical inventory, identical
+        # prefix-sum window frame (ROWS UNBOUNDED PRECEDING .. 1
+        # PRECEDING), integer floor division, sorted-list md5 digest
+        "layout_compaction_plan": """
+            WITH inv AS (SELECT source,
+                                source || '/part-'
+                                    || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                                    || '.parquet' AS path,
+                                CAST(coalesce(n_chars, 0) * 1000 + 4096
+                                     AS BIGINT) AS sz
+                         FROM documents),
+                 binned AS (SELECT source, path, sz,
+                                   CAST(coalesce(sum(sz) OVER (
+                                            PARTITION BY source ORDER BY path
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND 1 PRECEDING), 0)
+                                        // 1000000 AS BIGINT) AS bin
+                            FROM inv)
+            SELECT source, bin,
+                   CAST(count(*) AS BIGINT) AS n_input_files,
+                   CAST(sum(sz) AS BIGINT) AS bin_bytes,
+                   md5(array_to_string(list_sort(list(path)), ',')) AS files_digest
+            FROM binned GROUP BY source, bin ORDER BY source, bin
+        """,
         # exact-quantiles oracle (r5): the single-node row_number truth at
         # the same integer basis-point ranks (k = ceil(q_bp*n/10000))
         "text_exact_quantiles": """

@@ -131,6 +131,10 @@ HEADLINE = [
     "text_chi2_assoc",
     # r5 thirteenth wave: MOSS winnowing fingerprints (guaranteed detection)
     "text_winnow_fingerprints",
+    # r5 fourteenth wave: outlink extraction -> host link profile,
+    # small-file compaction planning
+    "text_outlink_profile",
+    "layout_compaction_plan",
 ]
 
 

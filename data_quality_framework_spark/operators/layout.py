@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_key", "zorder_by", "morton_sql"]
+__all__ = ["morton_key", "zorder_by", "morton_sql", "compaction_plan"]
 
 
 def _spread_sql(x: str) -> str:
@@ -89,4 +89,73 @@ def zorder_by(
     with_key = df.withColumn(key_col, morton_key(a_col, b_col))
     return with_key.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(
         key_col
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str = "size_bytes",
+    path_col: str = "path",
+    group_cols: tuple[str, ...] = (),
+    target_bytes: int = 512 * 1024 * 1024,
+) -> DataFrame:
+    """Greedy small-file compaction plan over a file inventory.
+
+    The write-side dual of ``zorder_by``: at 100 TB the enemy of scan
+    throughput is not only fat unprunable files but MILLIONS of tiny ones
+    (every streaming micro-batch, every incremental dedup append, every
+    per-bucket checkpoint write leaves a few) — each costs a task, a
+    footer read, and an object-store request. Compaction services (Delta
+    OPTIMIZE, Iceberg rewrite_data_files) first PLAN: group files into
+    target-sized output bins without reading data. This is that planner,
+    as a pure DataFrame op over the inventory (path, size, partition
+    columns) — metadata-scale input (one row per FILE, ~10^6-10^7 rows
+    for 100 TB), never the data itself.
+
+    Bin assignment is the deterministic prefix-sum rule: within each
+    partition group, files in path order get
+    ``bin = floor(cum_bytes_before / target_bytes)`` — a window
+    cumulative sum, engine-exact, no driver loop. The rule is the classic
+    streaming-greedy relaxation of bin packing: every bin except possibly
+    the last holds >= target of INPUT prefix mass, a file larger than
+    target gets a bin of its own (plus whatever prefix slack it lands
+    on), and the plan is a pure function of the inventory (re-running on
+    the same listing yields the same plan — idempotent retries).
+
+    Returns one row per (group, bin): ``n_input_files``, ``bin_bytes``,
+    and a ``files`` array ordered by path (what a rewrite job would feed
+    one output task). Window + agg shuffle once on the group key; bins
+    stay local to their group partition. Pass ``group_cols`` at scale —
+    the usual unit is the table's partition spec, so each group's window
+    runs where its files' metadata already lives; the ungrouped form
+    funnels the whole inventory through ONE window partition and is only
+    for small listings.
+    """
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*gcols).orderBy(F.col(path_col)) if group_cols else (
+        Window.orderBy(F.col(path_col))
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = files.select(
+        *group_cols,
+        F.col(path_col),
+        F.col(size_col).cast("long").alias("_sz"),
+        cum_before.cast("long").alias("_cum"),
+    ).select(
+        *group_cols,
+        path_col,
+        "_sz",
+        # integer floor division (`div`) — engine-exact vs DuckDB's `//`,
+        # no double rounding anywhere near 2^53
+        F.expr(f"_cum div {int(target_bytes)}").cast("long").alias("bin"),
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files"),
+        F.sum("_sz").cast("long").alias("bin_bytes"),
+        F.array_sort(F.collect_list(path_col)).alias("files"),
     )

@@ -3993,3 +3993,96 @@ def test_chi2_contingency_audit_independence_and_association(spark):
     # 1000·64 div (8·4·4) = 500 milli; total 2000 = chi² of 2.0
     assert all(r["contrib_milli"] == 500 for r in out2.values())
     assert sum(r["contrib_milli"] for r in out2.values()) == 2000
+
+
+def test_outlink_profile_resolution_semantics(spark):
+    """linkgraph: absolute http(s) hrefs resolve to their lowercased host
+    (userinfo/port stripped), root-relative hrefs resolve to the page's own
+    host, everything else (mailto/javascript/protocol-relative/empty) counts
+    as raw but never becomes an edge; per-host counters and the integer
+    external ratio are exact."""
+    from data_quality_framework_spark.operators.linkgraph import (
+        outlink_edges,
+        outlink_profile,
+    )
+
+    rows = [
+        # a.org page: 1 internal relative, 2 external (one uppercase+port),
+        # 1 mailto (raw only)
+        ("https://a.org/p/1",
+         '<a href="/home">h</a><a href="https://b.net/x">b</a>'
+         '<a HREF="HTTP://user@B.NET:8080/y">B</a>'
+         '<a href="mailto:x@a.org">m</a>'),
+        # a.org page: no anchors at all
+        ("https://a.org/p/2", "<p>plain</p>"),
+        # c.io page: javascript + protocol-relative are raw-only; one
+        # absolute self-link counts as internal (not external)
+        ("https://c.io/", '<a href="javascript:void(0)">j</a>'
+         '<a href="//cdn.c.io/app.js">p</a>'
+         '<a href="https://c.io/about">s</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string").select(
+        "url", F.encode("html", "UTF-8").alias("html")
+    )
+
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in outlink_edges(pages).collect()
+    }
+    assert edges == {
+        ("a.org", "a.org"): 1,   # root-relative
+        ("a.org", "b.net"): 2,   # case/userinfo/port all normalize to b.net
+        ("c.io", "c.io"): 1,     # absolute self-link
+    }
+
+    prof = {r["src_host"]: r for r in outlink_profile(pages).collect()}
+    a = prof["a.org"]
+    assert (a["n_pages"], a["n_hrefs_raw"], a["n_links"]) == (2, 4, 3)
+    assert (a["n_external"], a["n_dst_hosts"]) == (2, 1)
+    assert a["external_ratio_milli"] == 666  # floor(2000/3)
+    c = prof["c.io"]
+    assert (c["n_pages"], c["n_hrefs_raw"], c["n_links"]) == (1, 3, 1)
+    assert (c["n_external"], c["n_dst_hosts"]) == (0, 0)
+    assert c["external_ratio_milli"] == 0
+
+    # zero resolvable links -> NULL ratio, zeroed counters
+    bare = spark.createDataFrame(
+        [("https://d.gov/", '<a href="mailto:x@d.gov">m</a>')],
+        "url string, html string",
+    ).select("url", F.encode("html", "UTF-8").alias("html"))
+    d = outlink_profile(bare).collect()[0]
+    assert (d["n_hrefs_raw"], d["n_links"], d["n_external"]) == (1, 0, 0)
+    assert d["external_ratio_milli"] is None
+
+
+def test_compaction_plan_prefix_sum_bins(spark):
+    """layout.compaction_plan: bins follow the cum-bytes-before div target
+    rule per group; an oversized file still lands in exactly one bin; plans
+    are a pure function of the inventory (rerun == same plan)."""
+    from data_quality_framework_spark.operators.layout import compaction_plan
+
+    rows = [
+        # group g: 60+60 -> bin0 (cum_before 0,60), 60 -> bin1 (cum 120),
+        # 250 oversized -> bin1 (cum 180), then next file cum 430 -> bin4
+        ("g", "a", 60), ("g", "b", 60), ("g", "c", 60), ("g", "d", 250),
+        ("g", "e", 10),
+        # group h independent: restarts at bin 0
+        ("h", "a", 10),
+    ]
+    inv = spark.createDataFrame(rows, "grp string, path string, size_bytes long")
+    out = compaction_plan(
+        inv, group_cols=("grp",), target_bytes=100
+    ).collect()
+    plan = {(r["grp"], r["bin"]): (r["n_input_files"], r["bin_bytes"], r["files"])
+            for r in out}
+    assert plan == {
+        ("g", 0): (2, 120, ["a", "b"]),
+        ("g", 1): (2, 310, ["c", "d"]),
+        ("g", 4): (1, 10, ["e"]),
+        ("h", 0): (1, 10, ["a"]),
+    }
+    # deterministic replan
+    again = {(r["grp"], r["bin"]): (r["n_input_files"], r["bin_bytes"], r["files"])
+             for r in compaction_plan(
+                 inv, group_cols=("grp",), target_bytes=100).collect()}
+    assert again == plan
