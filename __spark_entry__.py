@@ -1996,6 +1996,44 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _q_recrawl_churn(spark, sf):
+    """Recrawl content-churn profile (r5): a 3-fetch crawl history per
+    url is synthesized from documents (doc_id%3==0 -> content changes on
+    every refetch, %3==1 -> changes once at the last fetch, %3==2 ->
+    never changes), then `operators/temporal.recrawl_churn` flags changed
+    refetches with ONE url-keyed lag window, rolls up per url, and
+    aggregates per host — digests never leave their url partition. The
+    oracle replays the identical lag window and ppm floor division."""
+    from data_quality_framework_spark.operators.temporal import recrawl_churn
+
+    d = _t(spark, sf, "documents")
+    fetches = d.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("fetch_i"),
+        "doc_id",
+        "text",
+    ).select(
+        "host",
+        "url",
+        (F.col("doc_id") * 10 + F.col("fetch_i")).cast("long").alias("warc_ts"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("fetch_i") == 0, F.lit(0))
+                .when(F.col("doc_id") % 3 == 0, F.col("fetch_i"))
+                .when(
+                    (F.col("doc_id") % 3 == 1) & (F.col("fetch_i") == 2), F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return recrawl_churn(fetches).orderBy("host")
+
+
 def _q_compaction_plan(spark, sf):
     """Small-file compaction planning (r5): a file inventory is
     synthesized from documents (one 'file' per doc, size from n_chars,
@@ -3515,6 +3553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_outlink_profile": _q_outlink_profile,
         # greedy small-file compaction planning over a file inventory (r5)
         "layout_compaction_plan": _q_compaction_plan,
+        # recrawl content-churn profile (crawl-scheduling signal) (r5)
+        "text_recrawl_churn": _q_recrawl_churn,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -5859,6 +5899,42 @@ def oracle_sql() -> dict[str, str]:
         # regex strings (imported from operators/linkgraph), same
         # resolution CASE, integer-floor external ratio
         "text_outlink_profile": _outlink_oracle_sql(),
+        # recrawl-churn oracle (r5): identical synthetic fetch history,
+        # identical lag window (ts, digest order), same ppm floor division
+        "text_recrawl_churn": """
+            WITH f AS (SELECT source AS host,
+                              'u' || CAST(doc_id AS VARCHAR) AS url,
+                              CAST(doc_id * 10 + fi AS BIGINT) AS warc_ts,
+                              md5(coalesce(text, '') || '|' ||
+                                  CAST(CASE WHEN fi = 0 THEN 0
+                                            WHEN doc_id % 3 = 0 THEN fi
+                                            WHEN doc_id % 3 = 1 AND fi = 2 THEN 1
+                                            ELSE 0 END AS VARCHAR)) AS digest
+                       FROM documents, unnest([0, 1, 2]) AS t(fi)),
+                 lagd AS (SELECT host, url, digest,
+                                 lag(digest) OVER (PARTITION BY url
+                                                   ORDER BY warc_ts, digest) AS prev
+                          FROM f),
+                 per_url AS (SELECT host, url,
+                                    CAST(count(*) AS BIGINT) AS n_fetches,
+                                    CAST(count(DISTINCT digest) AS BIGINT)
+                                        AS n_versions,
+                                    CAST(sum(CASE WHEN prev IS NOT NULL
+                                                       AND digest <> prev
+                                                  THEN 1 ELSE 0 END) AS BIGINT)
+                                        AS n_changes
+                             FROM lagd GROUP BY host, url)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+                   CAST(sum(n_fetches) - count(*) AS BIGINT) AS n_refetches,
+                   CAST(sum(n_changes) AS BIGINT) AS n_changes,
+                   CASE WHEN sum(n_fetches) - count(*) > 0
+                        THEN CAST(1000000 * sum(n_changes)
+                                  // (sum(n_fetches) - count(*)) AS BIGINT)
+                   END AS churn_ppm,
+                   CAST(max(n_versions) AS BIGINT) AS max_versions
+            FROM per_url GROUP BY host ORDER BY host
+        """,
         # compaction-plan oracle (r5): identical inventory, identical
         # prefix-sum window frame (ROWS UNBOUNDED PRECEDING .. 1
         # PRECEDING), integer floor division, sorted-list md5 digest

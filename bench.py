@@ -135,6 +135,7 @@ HEADLINE = [
     # small-file compaction planning
     "text_outlink_profile",
     "layout_compaction_plan",
+    "text_recrawl_churn",
 ]
 
 

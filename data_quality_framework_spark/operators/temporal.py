@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "coverage_gaps"]
+__all__ = ["asof_join", "interval_join", "coverage_gaps", "recrawl_churn"]
 
 
 def asof_join(
@@ -277,4 +277,84 @@ def coverage_gaps(
             (F.col("__hi") - F.col("__lo") - 1).cast("long").alias("n_missing"),
         )
         .orderBy("gap_start_slot")
+    )
+
+
+def recrawl_churn(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    group_col: str | None = "host",
+) -> DataFrame:
+    """Content-churn profile over a crawl's fetch history.
+
+    Crawl scheduling's core signal (Cho & Garcia-Molina's refresh
+    policies; every production crawler tracks it): of the REFETCHES of a
+    url (fetch 2..n in time order), how many returned changed content?
+    High-churn hosts deserve frequent recrawl; zero-churn hosts are
+    wasted fetch budget AND the main source of exact-dup rows downstream
+    (`operators/dedup.exact_dedup` sees every unchanged refetch as a dup
+    — this profile is the upstream accounting of that).
+
+    Semantics per url (time order, ties broken by digest so the profile
+    is deterministic under equal timestamps): a refetch CHANGED iff its
+    digest differs from the immediately previous fetch's digest;
+    ``n_versions`` counts distinct digests ever seen. Per group (host —
+    or any rollup key; pass None for corpus-wide):
+
+    * ``n_urls``, ``n_fetches``, ``n_refetches`` (= fetches - urls),
+    * ``n_changes`` — changed refetches,
+    * ``churn_ppm`` — ``1_000_000 * n_changes div n_refetches`` (NULL
+      when nothing was refetched),
+    * ``max_versions`` — the most distinct contents any one url showed.
+
+    Scale: ONE url-keyed shuffle serves both the lag window and the
+    per-url aggregate (same partitioning, Catalyst reuses the Exchange);
+    the group rollup then aggregates url-level rows — host-cardinality
+    output, count partials only, digests never leave their url
+    partition. A url with 10^6 fetches is a window-partition skew
+    problem, not a shuffle one (split by (url, month) and stitch, as in
+    sessions.py).
+    """
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col), F.col(digest_col))
+    flagged = fetches.select(
+        *([group_col] if group_col else []),
+        url_col,
+        digest_col,
+        F.lag(digest_col).over(w).alias("_prev"),
+    )
+    per_url = flagged.groupBy(*([group_col] if group_col else []), url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count_distinct(F.col(digest_col)).cast("long").alias("n_versions"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull() & (F.col(digest_col) != F.col("_prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+    )
+    grp = [group_col] if group_col else []
+    agg = per_url.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("n_fetches").cast("long").alias("n_fetches"),
+        (F.sum("n_fetches") - F.count(F.lit(1))).cast("long").alias("n_refetches"),
+        F.sum("n_changes").cast("long").alias("n_changes"),
+        F.max("n_versions").cast("long").alias("max_versions"),
+    )
+    return agg.select(
+        *grp,
+        "n_urls",
+        "n_fetches",
+        "n_refetches",
+        "n_changes",
+        F.when(
+            F.col("n_refetches") > 0,
+            F.expr("1000000 * n_changes div n_refetches"),
+        )
+        .cast("long")
+        .alias("churn_ppm"),
+        "max_versions",
     )

@@ -4086,3 +4086,44 @@ def test_compaction_plan_prefix_sum_bins(spark):
              for r in compaction_plan(
                  inv, group_cols=("grp",), target_bytes=100).collect()}
     assert again == plan
+
+
+def test_recrawl_churn_lag_semantics(spark):
+    """temporal.recrawl_churn: change = digest differs from the immediately
+    previous fetch (time order, digest tie-break), versions = distinct
+    digests, ppm is integer-floored, and a never-refetched url contributes
+    fetches but no refetches."""
+    from data_quality_framework_spark.operators.temporal import recrawl_churn
+
+    rows = [
+        # u1: a -> b -> a  (2 changes, 2 versions), rows given OUT of order
+        ("h", "u1", 3, "a"), ("h", "u1", 1, "a"), ("h", "u1", 2, "b"),
+        # u2: single fetch -> no refetches
+        ("h", "u2", 1, "x"),
+        # u3: a -> a (0 changes)
+        ("h", "u3", 1, "a"), ("h", "u3", 2, "a"),
+        # other host independent
+        ("g", "u4", 1, "p"), ("g", "u4", 2, "q"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, warc_ts long, digest string")
+    out = {r["host"]: r for r in recrawl_churn(df).collect()}
+    h = out["h"]
+    assert (h["n_urls"], h["n_fetches"], h["n_refetches"]) == (3, 6, 3)
+    assert h["n_changes"] == 2 and h["max_versions"] == 2
+    assert h["churn_ppm"] == 666_666  # floor(2e6/3)
+    g = out["g"]
+    assert (g["n_refetches"], g["n_changes"], g["churn_ppm"]) == (1, 1, 1_000_000)
+
+    # corpus-wide rollup (group_col=None): one row, pooled counts
+    allrow = recrawl_churn(df, group_col=None).collect()
+    assert len(allrow) == 1
+    a = allrow[0]
+    assert (a["n_urls"], a["n_fetches"], a["n_refetches"], a["n_changes"]) == (4, 8, 4, 3)
+    assert a["churn_ppm"] == 750_000
+
+    # zero-refetch group -> NULL ppm
+    solo = spark.createDataFrame(
+        [("s", "u9", 1, "z")], "host string, url string, warc_ts long, digest string"
+    )
+    s = recrawl_churn(solo).collect()[0]
+    assert s["n_refetches"] == 0 and s["churn_ppm"] is None
