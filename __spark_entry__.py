@@ -1996,6 +1996,112 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _anchor_topk_oracle_sql() -> str:
+    """DuckDB replay of text_anchor_topk: same page furniture, the SAME
+    pattern strings (imported), list_zip for the aligned pairs, DuckDB's
+    'g' flag matching Spark's always-global regexp_replace, row_number at
+    k=2."""
+    from data_quality_framework_spark.operators.linkgraph import (
+        ABS_HTTP_HOST_PATTERN,
+        ANCHOR_PAIR_PATTERN,
+        ANCHOR_WS_PATTERN,
+    )
+
+    host_pat = ABS_HTTP_HOST_PATTERN
+    pair_pat = ANCHOR_PAIR_PATTERN
+    ws_pat = ANCHOR_WS_PATTERN
+    return f"""
+        WITH pages AS (
+            SELECT 'https://' || source || '.example.org/p/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   '<html><body><a href="/nav/home">Home</a>'
+                       || '<a href="https://w' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.partner.net/x">Partner ' || CAST(doc_id % 3 AS VARCHAR)
+                       || ' Site</a>'
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                              '<a HREF="HTTPS://CDN.Assets.COM:8443/lib.js">CDN  LIB</a>'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                              '<a href="https://e.example.net/y"></a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+            FROM documents),
+        raw AS (SELECT lower(regexp_extract(url, '{host_pat}', 1)) AS src_host,
+                       regexp_extract_all(html, '{pair_pat}', 1) AS hs,
+                       regexp_extract_all(html, '{pair_pat}', 2) AS ts
+                FROM pages),
+        ex AS (SELECT src_host, u[1] AS href, u[2] AS atext
+               FROM (SELECT src_host, unnest(list_zip(hs, ts)) AS u FROM raw)),
+        norm AS (SELECT src_host,
+                        lower(regexp_extract(href, '{host_pat}', 1)) AS dst_host,
+                        lower(trim(regexp_replace(atext, '{ws_pat}', ' ', 'g')))
+                            AS anchor_text
+                 FROM ex),
+        counts AS (SELECT dst_host, anchor_text,
+                          CAST(count(*) AS BIGINT) AS n_links
+                   FROM norm
+                   WHERE dst_host <> '' AND dst_host <> src_host
+                         AND anchor_text <> ''
+                   GROUP BY 1, 2)
+        SELECT dst_host, group_rank, anchor_text, n_links FROM (
+            SELECT dst_host, anchor_text, n_links,
+                   CAST(row_number() OVER (PARTITION BY dst_host
+                        ORDER BY n_links DESC, anchor_text) AS BIGINT)
+                       AS group_rank
+            FROM counts) t
+        WHERE group_rank <= 2
+        ORDER BY dst_host, group_rank
+    """
+
+
+def _q_anchor_topk(spark, sf):
+    """Top anchor texts per external destination host (r5): pages carry a
+    controlled anchor set (internal Home link — excluded; a partner link
+    whose text varies mod 3; a mod-3 uppercase CDN link whose doubled
+    spaces must normalize away; a mod-5 empty-text anchor that must
+    drop), extracted with the aligned two-group regexp trick and ranked
+    by the skew-safe two-phase per-group top-k
+    (`operators/linkgraph.top_anchor_texts`). The oracle replays the
+    identical pattern strings, normalization regex (with DuckDB's
+    explicit 'g' flag) and a row_number window at k=2."""
+    from data_quality_framework_spark.operators.linkgraph import top_anchor_texts
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><a href="/nav/home">Home</a>'),
+                F.concat(
+                    F.lit('<a href="https://w'),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit('.partner.net/x">Partner '),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(" Site</a>"),
+                ),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit(
+                        '<a HREF="HTTPS://CDN.Assets.COM:8443/lib.js">CDN  LIB</a>'
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit('<a href="https://e.example.net/y"></a>'),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return top_anchor_texts(pages, k=2).orderBy("dst_host", "group_rank")
+
+
 def _q_recrawl_churn(spark, sf):
     """Recrawl content-churn profile (r5): a 3-fetch crawl history per
     url is synthesized from documents (doc_id%3==0 -> content changes on
@@ -3555,6 +3661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compaction_plan": _q_compaction_plan,
         # recrawl content-churn profile (crawl-scheduling signal) (r5)
         "text_recrawl_churn": _q_recrawl_churn,
+        # top anchor texts per external destination host (r5)
+        "text_anchor_topk": _q_anchor_topk,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -5899,6 +6007,9 @@ def oracle_sql() -> dict[str, str]:
         # regex strings (imported from operators/linkgraph), same
         # resolution CASE, integer-floor external ratio
         "text_outlink_profile": _outlink_oracle_sql(),
+        # anchor-text oracle (r5): aligned two-group extraction via
+        # list_zip, identical imported pattern strings, row_number at k=2
+        "text_anchor_topk": _anchor_topk_oracle_sql(),
         # recrawl-churn oracle (r5): identical synthetic fetch history,
         # identical lag window (ts, digest order), same ppm floor division
         "text_recrawl_churn": """

@@ -136,6 +136,7 @@ HEADLINE = [
     "text_outlink_profile",
     "layout_compaction_plan",
     "text_recrawl_churn",
+    "text_anchor_topk",
 ]
 
 

@@ -47,10 +47,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "OUTLINK_HREF_PATTERN",
     "ABS_HTTP_HOST_PATTERN",
+    "ANCHOR_PAIR_PATTERN",
+    "ANCHOR_WS_PATTERN",
     "extract_hrefs",
     "link_host",
     "outlink_edges",
     "outlink_profile",
+    "top_anchor_texts",
 ]
 
 #: href values of anchor tags. ``[^>]*`` cannot cross the closing ``>``,
@@ -159,3 +162,84 @@ def outlink_profile(
         .cast("long")
         .alias("external_ratio_milli"),
     )
+
+
+#: anchor (href, text) pairs: text is the run up to the first '<' — a
+#: regex extractor's bounded contract (nested markup inside <a> ends the
+#: text early, never crosses tags). Two aligned regexp_extract_all calls
+#: (group 1, group 2) stay index-aligned because they run the SAME pattern.
+ANCHOR_PAIR_PATTERN = r'(?i)<a[ \t][^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+#: whitespace collapse for anchor-text normalization — the portable
+#: explicit class shared with functions/htmltext.py (Java \s includes
+#: \x0b, RE2 \s does not).
+ANCHOR_WS_PATTERN = r"[ \t\n\f\r\x0b]+"
+
+
+def top_anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` anchor texts pointing at each EXTERNAL destination host.
+
+    Anchor text is the classic off-page description signal (what OTHER
+    sites call a page — search ranking uses it since PageRank's first
+    paper, and dominated single-phrase anchors on a host are a link-farm
+    / spam marker that feeds ``domains.domain_reputation_flags``).
+
+    Extraction: the aligned two-group trick — ``regexp_extract_all`` runs
+    the SAME pattern twice (group 1 = href, group 2 = text), so the two
+    arrays are index-aligned by construction and ``arrays_zip`` restores
+    the pairs row-locally; the page body is consumed by that one
+    projection. Only resolvable-external pairs survive (absolute http(s)
+    host differing from the page's own), anchor text is normalized
+    (whitespace-collapsed, trimmed, lowercased; empties dropped), counts
+    aggregate per (dst_host, anchor) with map-side combine, and the final
+    top-k per host runs through the skew-safe two-phase
+    ``ranking.topk_per_group`` (no hot host ever sorts in one task).
+
+    Returns ``(dst_host, group_rank, anchor_text, n_links)`` ordered by
+    (n DESC, anchor ASC) within each host — a strict total order, so the
+    result is deterministic.
+    """
+    from data_quality_framework_spark.operators.ranking import topk_per_group
+
+    html_str = F.col(html_col).cast("string")
+    zipped = pages.select(
+        link_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    html_str, F.lit(ANCHOR_PAIR_PATTERN), F.lit(1)
+                ).alias("href"),
+                F.regexp_extract_all(
+                    html_str, F.lit(ANCHOR_PAIR_PATTERN), F.lit(2)
+                ).alias("atext"),
+            )
+        ).alias("z"),
+    ).select(
+        "src_host",
+        link_host(F.col("z.href")).alias("dst_host"),
+        F.lower(
+            F.trim(F.regexp_replace(F.col("z.atext"), ANCHOR_WS_PATTERN, " "))
+        ).alias("anchor_text"),
+    )
+    counts = (
+        zipped.filter(
+            (F.col("dst_host") != "")
+            & (F.col("dst_host") != F.col("src_host"))
+            & (F.col("anchor_text") != "")
+        )
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    top = topk_per_group(
+        counts,
+        ["dst_host"],
+        [(-F.col("n_links")).alias("neg_n"), F.col("anchor_text")],
+        k,
+        payload_cols=["anchor_text", "n_links"],
+    )
+    return top.select("dst_host", "group_rank", "anchor_text", "n_links")

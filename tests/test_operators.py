@@ -4127,3 +4127,37 @@ def test_recrawl_churn_lag_semantics(spark):
     )
     s = recrawl_churn(solo).collect()[0]
     assert s["n_refetches"] == 0 and s["churn_ppm"] is None
+
+
+def test_top_anchor_texts_pairing_and_ranking(spark):
+    """linkgraph.top_anchor_texts: href/text pairs stay index-aligned via
+    the same-pattern two-group extraction, anchor text normalizes
+    (ws-collapse/trim/lower), internal + unresolvable + empty-text anchors
+    drop, and the per-host top-k orders by (count DESC, text ASC)."""
+    from data_quality_framework_spark.operators.linkgraph import top_anchor_texts
+
+    rows = [
+        ("https://a.org/1",
+         '<a href="https://b.net/x">Click  HERE</a>'
+         '<a href="https://b.net/y">click here</a>'      # same after norm
+         '<a href="https://b.net/z">alpha</a>'
+         '<a href="https://b.net/w">beta</a>'
+         '<a href="/self">internal</a>'
+         '<a href="https://b.net/e"></a>'),               # empty text drops
+        ("https://a.org/2",
+         '<a href="https://b.net/q">alpha</a>'
+         '<a href="mailto:x@b.net">mail text</a>'),       # unresolvable drops
+        ("https://b.net/home",
+         '<a href="https://b.net/self">self link</a>'),   # internal to b.net
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string").select(
+        "url", F.encode("html", "UTF-8").alias("html")
+    )
+    out = [(r["dst_host"], r["group_rank"], r["anchor_text"], r["n_links"])
+           for r in top_anchor_texts(pages, k=2)
+           .orderBy("dst_host", "group_rank").collect()]
+    # b.net: 'click here' x2, 'alpha' x2, 'beta' x1 -> top2 = alpha, click here
+    assert out == [
+        ("b.net", 1, "alpha", 2),
+        ("b.net", 2, "click here", 2),
+    ]
