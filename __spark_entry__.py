@@ -1996,6 +1996,24 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _q_rendezvous_reshard(spark, sf):
+    """Rendezvous-sharding movement audit (r5): assign every doc to 5
+    shards and to 6 shards by highest-random-weight over the
+    SQL-reproducible md5_60 hash (`operators/sharding.py`), BOTH in one
+    row-local projection (no join, zero shuffles before the count agg),
+    and report per-old-shard movement. The structural guarantee under
+    audit: every moved doc lands on the NEW shard (n_moved ==
+    n_moved_to_new), expected movement 1/6 — vs hash-mod resharding's
+    ~5/6. The oracle re-derives every weight from the md5_60 SQL twin
+    and picks the argmax with the same (w DESC, s DESC) tie order."""
+    from data_quality_framework_spark.operators.sharding import resharding_movement
+
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("id")
+    )
+    return resharding_movement(d, "id", n_from=5, n_to=6).orderBy("shard_from")
+
+
 def _anchor_topk_oracle_sql() -> str:
     """DuckDB replay of text_anchor_topk: same page furniture, the SAME
     pattern strings (imported), list_zip for the aligned pairs, DuckDB's
@@ -3663,6 +3681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_recrawl_churn": _q_recrawl_churn,
         # top anchor texts per external destination host (r5)
         "text_anchor_topk": _q_anchor_topk,
+        # rendezvous-sharding minimal-movement reshard audit (r5)
+        "text_rendezvous_reshard": _q_rendezvous_reshard,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -6007,6 +6027,39 @@ def oracle_sql() -> dict[str, str]:
         # regex strings (imported from operators/linkgraph), same
         # resolution CASE, integer-floor external ratio
         "text_outlink_profile": _outlink_oracle_sql(),
+        # rendezvous-reshard oracle (r5): every weight re-derived from the
+        # md5_60 SQL twin, argmax via (w DESC, s DESC) row_number — the
+        # identical tie order as Spark's array_max struct comparison
+        "text_rendezvous_reshard": """
+            WITH ids AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS id
+                         FROM documents),
+                 cand AS (SELECT id, s,
+                                 CAST('0x' || substr(md5(id || ':42:'
+                                          || CAST(s AS VARCHAR)), 1, 15)
+                                      AS BIGINT) AS w
+                          FROM ids, range(0, 6) AS t(s)),
+                 a6 AS (SELECT id, s AS shard_to FROM (
+                            SELECT id, s, row_number() OVER (
+                                PARTITION BY id ORDER BY w DESC, s DESC) AS rn
+                            FROM cand) WHERE rn = 1),
+                 a5 AS (SELECT id, s AS shard_from FROM (
+                            SELECT id, s, row_number() OVER (
+                                PARTITION BY id ORDER BY w DESC, s DESC) AS rn
+                            FROM cand WHERE s < 5) WHERE rn = 1),
+                 j AS (SELECT CAST(shard_from AS BIGINT) AS shard_from,
+                              CAST(shard_to AS BIGINT) AS shard_to
+                       FROM a5 JOIN a6 USING (id))
+            SELECT shard_from,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN shard_to <> shard_from THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved,
+                   CAST(sum(CASE WHEN shard_to <> shard_from AND shard_to >= 5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+                   CAST(1000000 * sum(CASE WHEN shard_to <> shard_from
+                                           THEN 1 ELSE 0 END) // count(*)
+                        AS BIGINT) AS moved_ppm
+            FROM j GROUP BY shard_from ORDER BY shard_from
+        """,
         # anchor-text oracle (r5): aligned two-group extraction via
         # list_zip, identical imported pattern strings, row_number at k=2
         "text_anchor_topk": _anchor_topk_oracle_sql(),

@@ -137,6 +137,7 @@ HEADLINE = [
     "layout_compaction_plan",
     "text_recrawl_churn",
     "text_anchor_topk",
+    "text_rendezvous_reshard",
 ]
 
 

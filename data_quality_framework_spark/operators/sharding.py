@@ -1,0 +1,130 @@
+"""Rendezvous (highest-random-weight) sharding for stable resharding.
+
+Web-pipeline context: a 10^12-doc corpus lives sharded — per-shard dedup
+stores (``operators/dedup.py`` incremental stores), per-shard ANN indexes
+(``operators/similarity.py``), per-shard training-data output dirs
+(``operators/packing.py``). The naive ``hash(id) mod N`` assignment
+(what ``text_split_assign``'s fixed train/val/test split correctly uses
+— its N never changes) REASSIGNS ~(N-1)/N of all documents when N grows
+by one: every downstream store re-buckets, every cache invalidates.
+Rendezvous hashing (Thaler & Ravishankar 1996 — the scheme behind Redis
+Cluster-style stable placement and Ceph's CRUSH ancestor) moves exactly
+the documents the NEW shard wins: expected 1/(N+1) of the corpus, and
+every moved document lands ON the new shard — nothing shuffles between
+surviving shards.
+
+Assignment: ``shard(id) = argmax_s weight(id, s)`` where ``weight`` is
+the codebase's SQL-reproducible 60-bit hash (``functions/hashing.md5_60``)
+of ``id : seed : s``. Monotone property: growing N to N+1 only adds ONE
+candidate weight per id, so the argmax changes iff the new candidate
+wins — the minimal-movement guarantee is structural, not probabilistic.
+
+Design for 100 TB: the argmax is a ROW-LOCAL ``array_max`` over an
+N-element literal-built struct array — zero shuffles, whole-stage
+codegen, no UDF, no join; cost O(N) md5s per row. Fine for the O(10^2)
+shard counts these stores use; for O(10^4+) shards compose two levels
+(rendezvous over shard GROUPS, then within the group), which keeps the
+movement bound per level.
+
+Reference parity: beyond-reference (north-rule scale scope); the
+reference's closest concern is its per-run results table naming. Oracle:
+DuckDB re-derives every weight with the md5_60 SQL twin and picks the
+argmax via a window — bit-identical assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_quality_framework_spark.functions.hashing import md5_60
+
+__all__ = ["rendezvous_shard", "rendezvous_assign", "resharding_movement"]
+
+
+def _weight(id_col: Column, seed: int, shard: int) -> Column:
+    return md5_60(F.concat_ws(":", id_col, F.lit(str(seed)), F.lit(str(shard))))
+
+
+def rendezvous_shard(id_col: Column, n_shards: int, seed: int = 42) -> Column:
+    """The winning shard id (0..n_shards-1) for ``id_col``, row-locally.
+
+    ``array_max`` over ``struct(weight, shard)`` structs — struct order
+    compares fields left-to-right, so the max is (max weight, then max
+    shard id on a 60-bit-hash tie, ~2^-60 per pair: deterministic either
+    way, and the oracle mirrors the same tie order).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    candidates = F.array(
+        *[
+            F.struct(
+                _weight(id_col, seed, s).alias("w"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(candidates)["s"]
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """``df`` plus the rendezvous shard assignment — a pure projection."""
+    return df.withColumn(shard_col, rendezvous_shard(F.col(id_col), n_shards, seed))
+
+
+def resharding_movement(
+    df: DataFrame,
+    id_col: str,
+    n_from: int,
+    n_to: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Audit of growing ``n_from`` -> ``n_to`` shards: who moves where.
+
+    BOTH assignments are computed in the same row-local projection (no
+    self-join, no second scan); output is one row per old shard with
+    ``n_docs``, ``n_moved`` (assignment changed) and ``moved_ppm``. Under
+    rendezvous growth every moved doc lands on a NEW shard id >= n_from —
+    ``n_moved_to_new`` equals ``n_moved`` structurally, and the column
+    pair makes the invariant auditable per run.
+    """
+    if not (0 < n_from < n_to):
+        raise ValueError(f"need 0 < n_from < n_to, got {n_from}, {n_to}")
+    both = df.select(
+        rendezvous_shard(F.col(id_col), n_from, seed).alias("shard_from"),
+        rendezvous_shard(F.col(id_col), n_to, seed).alias("shard_to"),
+    )
+    return (
+        both.groupBy("shard_from")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_to") != F.col("shard_from"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+            F.sum(
+                F.when(
+                    (F.col("shard_to") != F.col("shard_from"))
+                    & (F.col("shard_to") >= F.lit(n_from)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_to_new"),
+        )
+        .select(
+            "shard_from",
+            "n_docs",
+            "n_moved",
+            "n_moved_to_new",
+            F.expr("1000000 * n_moved div n_docs").cast("long").alias("moved_ppm"),
+        )
+    )

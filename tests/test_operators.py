@@ -4161,3 +4161,40 @@ def test_top_anchor_texts_pairing_and_ranking(spark):
         ("b.net", 1, "alpha", 2),
         ("b.net", 2, "click here", 2),
     ]
+
+
+def test_rendezvous_minimal_movement_and_determinism(spark):
+    """sharding: growing 5 -> 6 shards moves ONLY docs the new shard wins
+    (structural), movement fraction is ~1/6, assignments are deterministic,
+    and degenerate shard counts raise."""
+    import pytest as _pytest
+
+    from data_quality_framework_spark.operators.sharding import (
+        rendezvous_assign,
+        resharding_movement,
+    )
+
+    ids = spark.range(2000).select(
+        F.concat(F.lit("doc"), F.col("id").cast("string")).alias("id")
+    )
+    out = resharding_movement(ids, "id", n_from=5, n_to=6).collect()
+    assert {r["shard_from"] for r in out} == {0, 1, 2, 3, 4}
+    total = sum(r["n_docs"] for r in out)
+    moved = sum(r["n_moved"] for r in out)
+    assert total == 2000
+    # every moved doc went to the new shard — the rendezvous guarantee
+    assert all(r["n_moved"] == r["n_moved_to_new"] for r in out)
+    # expected 1/6 = 333; allow generous binomial slack
+    assert 230 <= moved <= 440
+    # roughly uniform occupancy across the 5 old shards
+    assert all(280 <= r["n_docs"] <= 520 for r in out)
+
+    # deterministic: same ids + seed -> identical assignment both runs
+    a1 = {r["id"]: r["shard"] for r in rendezvous_assign(ids, "id", 6).collect()}
+    a2 = {r["id"]: r["shard"] for r in rendezvous_assign(ids, "id", 6).collect()}
+    assert a1 == a2 and set(a1.values()) <= set(range(6))
+
+    with _pytest.raises(ValueError):
+        rendezvous_assign(ids, "id", 0)
+    with _pytest.raises(ValueError):
+        resharding_movement(ids, "id", 6, 5)
