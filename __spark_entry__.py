@@ -3514,6 +3514,86 @@ def _q_pmi_topk(spark, sf):
     )
 
 
+def _q_rrf_fusion(spark, sf):
+    """Reciprocal Rank Fusion (r5): blend two scale-incommensurable
+    ranking signals — content mass (n_chars) and vocabulary richness
+    (distinct a-z0-9 tokens) — into one total order with the classic
+    RRF sum, kept engine-exact as 10^9 div (60 + rank) integer terms.
+    Both per-signal ranks and the fused rank run the two-pass
+    range-partitioned `global_rank` (`operators/ranking.py::rrf_fuse`);
+    only (id, rank) metadata rows enter any exchange. Top 25 reported.
+    Generalizes the reference's single-signal ORDER BY exports
+    (duplicate_checker.py's cnt DESC report) to multi-signal fusion."""
+    from data_quality_framework_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    base = d.select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_vocab"),
+    )
+    out = rrf_fuse(
+        base,
+        "doc_id",
+        [
+            ("rank_len", [F.col("n_chars").desc(), F.col("doc_id").asc()]),
+            ("rank_vocab", [F.col("n_vocab").desc(), F.col("doc_id").asc()]),
+        ],
+        k_rrf=60,
+    )
+    return (
+        out.filter(F.col("fused_rank") <= 25)
+        .select("doc_id", "rank_len", "rank_vocab", "rrf_ppb", "fused_rank")
+        .orderBy("fused_rank")
+    )
+
+
+def _q_retention_cohorts(spark, sf):
+    """Weekly cohort retention matrix (r5): users bucketed by the ISO week
+    of their first event; per (cohort_week, week_offset) the count of
+    cohort members active that week and the retention rate in integer ppm
+    against the cohort size. The freshness/engagement audit every crawl
+    or interaction log needs next to sessionization. All arithmetic is
+    date_trunc + datediff div 7 + floor-div ppm — engine-exact.
+    `operators/sessions.py::retention_cohorts`."""
+    from data_quality_framework_spark.operators.sessions import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
+def _q_charclass_profile(spark, sf):
+    """Per-source character-class composition audit (r5): ppm of ASCII
+    letters / digits / whitespace / punctuation and non-ASCII bytes per
+    source, plus two spoofing tripwires — docs containing any non-ASCII
+    char and docs with adjacent Latin+Cyrillic (homoglyph-style mixed
+    script). Pure length(regexp_replace) deltas — one scan, one small
+    agg, no explode, no UDF. `operators/profiling.py::charclass_profile`."""
+    from data_quality_framework_spark.operators.profiling import charclass_profile
+
+    return charclass_profile(_t(spark, sf, "documents"), "text", ["source"]).orderBy(
+        "source"
+    )
+
+
+def _q_novelty_rate(spark, sf):
+    """First-seen shingle novelty per source (r5): how much genuinely new
+    content (word 5-grams never seen in any earlier doc, doc_id = crawl
+    order) each source contributes vs recycled text — the
+    crawl-scheduling complement of recrawl churn. Shuffles carry
+    (md5_60 gram hash, doc_id) pairs only; first-seen ownership is one
+    min-agg + self-join on the hash. `operators/profiling.py::novelty_rate`."""
+    from data_quality_framework_spark.operators.profiling import novelty_rate
+
+    d = _t(spark, sf, "documents")
+    return novelty_rate(d, "doc_id", "text", group_cols=["source"], n=5).orderBy(
+        "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3683,6 +3763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_anchor_topk": _q_anchor_topk,
         # rendezvous-sharding minimal-movement reshard audit (r5)
         "text_rendezvous_reshard": _q_rendezvous_reshard,
+        "text_rrf_fusion": _q_rrf_fusion,
+        "events_retention_cohorts": _q_retention_cohorts,
+        "text_charclass_profile": _q_charclass_profile,
+        "text_novelty_rate": _q_novelty_rate,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -4203,6 +4287,62 @@ def _oracle_sf_dir() -> str:
     tools/check_oracles.py). Resolved at oracle_sql() CALL time so a gate
     can set the env after import."""
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _charclass_oracle_sql() -> str:
+    """DuckDB replay of text_charclass_profile: the SAME class pattern
+    strings (imported from operators/profiling — one source of truth),
+    length-delta counting with DuckDB's 'g' flag matching Spark's
+    always-global regexp_replace, the literal-endpoint mixed-script
+    pattern valid in both engines, floor-div ppm."""
+    from data_quality_framework_spark.operators.profiling import (
+        CHAR_CLASSES,
+        MIXED_SCRIPT_PATTERN,
+    )
+
+    cls = dict(CHAR_CLASSES)
+
+    def cnt(pat: str) -> str:
+        return f"length(t) - length(regexp_replace(t, '{pat}', '', 'g'))"
+
+    return f"""
+        WITH d AS (SELECT source, coalesce(text, '') AS t, text AS rawt
+                   FROM documents),
+             g AS (SELECT source,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(length(t)) AS BIGINT) AS total_chars,
+                          CAST(sum({cnt(cls["alpha"])}) AS BIGINT) AS a,
+                          CAST(sum({cnt(cls["digit"])}) AS BIGINT) AS dg,
+                          CAST(sum({cnt(cls["space"])}) AS BIGINT) AS sp,
+                          CAST(sum({cnt(cls["nonascii"])}) AS BIGINT) AS na,
+                          CAST(sum(CASE WHEN rawt IS NOT NULL AND
+                                   regexp_matches(rawt, '{cls["nonascii"]}')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS nonascii_docs,
+                          CAST(sum(CASE WHEN rawt IS NOT NULL AND
+                                   regexp_matches(rawt, '{MIXED_SCRIPT_PATTERN}')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                              AS mixed_script_docs
+                   FROM d GROUP BY source)
+        SELECT source, n_docs, total_chars,
+               CAST(CASE WHEN total_chars > 0
+                    THEN (1000000 * a) // total_chars ELSE 0 END AS BIGINT)
+                   AS alpha_ppm,
+               CAST(CASE WHEN total_chars > 0
+                    THEN (1000000 * dg) // total_chars ELSE 0 END AS BIGINT)
+                   AS digit_ppm,
+               CAST(CASE WHEN total_chars > 0
+                    THEN (1000000 * sp) // total_chars ELSE 0 END AS BIGINT)
+                   AS space_ppm,
+               CAST(CASE WHEN total_chars > 0
+                    THEN (1000000 * (total_chars - a - dg - sp - na))
+                         // total_chars ELSE 0 END AS BIGINT) AS punct_ppm,
+               CAST(CASE WHEN total_chars > 0
+                    THEN (1000000 * na) // total_chars ELSE 0 END AS BIGINT)
+                   AS nonascii_ppm,
+               nonascii_docs, mixed_script_docs
+        FROM g ORDER BY source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6059,6 +6199,88 @@ def oracle_sql() -> dict[str, str]:
                                            THEN 1 ELSE 0 END) // count(*)
                         AS BIGINT) AS moved_ppm
             FROM j GROUP BY shard_from ORDER BY shard_from
+        """,
+        # RRF oracle (r5): both signal ranks as row_number windows over the
+        # identical strict orders, the fused score as the same
+        # 10^9 // (60 + rank) integer terms, fused rank re-derived — the
+        # whole fusion is integer arithmetic, bit-exact by construction
+        "text_rrf_fusion": """
+            WITH v AS (SELECT doc_id,
+                              CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+                              CAST(length(list_distinct(list_filter(
+                                  regexp_split_to_array(
+                                      lower(coalesce(text, '')), '[^a-z0-9]+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_vocab
+                       FROM documents),
+                 r AS (SELECT doc_id,
+                              CAST(row_number() OVER (
+                                  ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                                  AS rank_len,
+                              CAST(row_number() OVER (
+                                  ORDER BY n_vocab DESC, doc_id) AS BIGINT)
+                                  AS rank_vocab
+                       FROM v),
+                 s AS (SELECT doc_id, rank_len, rank_vocab,
+                              CAST(1000000000 // (60 + rank_len)
+                                   + 1000000000 // (60 + rank_vocab)
+                                   AS BIGINT) AS rrf_ppb
+                       FROM r)
+            SELECT doc_id, rank_len, rank_vocab, rrf_ppb, fused_rank FROM (
+                SELECT doc_id, rank_len, rank_vocab, rrf_ppb,
+                       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id)
+                            AS BIGINT) AS fused_rank
+                FROM s) t
+            WHERE fused_rank <= 25 ORDER BY fused_rank
+        """,
+        # retention-cohort oracle (r5): identical Monday-start date_trunc,
+        # day-diff div 7 offsets, floor-div ppm
+        "events_retention_cohorts": """
+            WITH act AS (SELECT DISTINCT user_id AS usr,
+                                CAST(date_trunc('week', ts) AS DATE) AS act_week
+                         FROM events WHERE ts IS NOT NULL),
+                 fst AS (SELECT usr, min(act_week) AS cohort_week
+                         FROM act GROUP BY usr),
+                 j AS (SELECT f.cohort_week,
+                              CAST(date_diff('day', f.cohort_week, a.act_week)
+                                   // 7 AS INT) AS week_offset,
+                              a.usr
+                       FROM act a JOIN fst f USING (usr)),
+                 m AS (SELECT cohort_week, week_offset,
+                              CAST(count(DISTINCT usr) AS BIGINT) AS n_active
+                       FROM j GROUP BY 1, 2),
+                 sz AS (SELECT cohort_week,
+                               CAST(count(*) AS BIGINT) AS cohort_users
+                        FROM fst GROUP BY 1)
+            SELECT cohort_week, week_offset, cohort_users, n_active,
+                   CAST((1000000 * n_active) // cohort_users AS BIGINT)
+                       AS retention_ppm
+            FROM m JOIN sz USING (cohort_week)
+            ORDER BY cohort_week, week_offset
+        """,
+        # charclass oracle (r5): identical pattern strings (imported from
+        # operators/profiling), 'g'-flag global replace, floor-div ppm
+        "text_charclass_profile": _charclass_oracle_sql(),
+        # novelty oracle (r5): the shared shingle expression at n=5, md5_60
+        # hash twin, min-doc first-seen ownership, floor-div ppm
+        "text_novelty_rate": f"""
+            WITH d AS (SELECT doc_id, source, {_shingle_list_expr(5)} AS sh
+                       FROM documents WHERE text IS NOT NULL),
+                 p AS (SELECT doc_id, source,
+                              CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+                       FROM (SELECT doc_id, source, unnest(sh) AS g FROM d)
+                       WHERE g <> ''),
+                 f AS (SELECT gh, min(doc_id) AS first_id FROM p GROUP BY gh),
+                 t AS (SELECT p.source, p.doc_id,
+                              CASE WHEN p.doc_id = f.first_id THEN 1 ELSE 0 END
+                                  AS novel
+                       FROM p JOIN f USING (gh))
+            SELECT source,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(novel) AS BIGINT) AS n_novel_grams,
+                   CAST((1000000 * sum(novel)) // count(*) AS BIGINT)
+                       AS novelty_ppm
+            FROM t GROUP BY source ORDER BY source
         """,
         # anchor-text oracle (r5): aligned two-group extraction via
         # list_zip, identical imported pattern strings, row_number at k=2

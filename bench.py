@@ -138,6 +138,12 @@ HEADLINE = [
     "text_recrawl_churn",
     "text_anchor_topk",
     "text_rendezvous_reshard",
+    # r5 fifteenth wave: RRF multi-signal fusion, weekly retention cohorts,
+    # char-class/mixed-script audit, first-seen shingle novelty
+    "text_rrf_fusion",
+    "events_retention_cohorts",
+    "text_charclass_profile",
+    "text_novelty_rate",
 ]
 
 

@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity",
            "grouped_median", "mad_outliers_by", "benford_audit",
-           "chi2_contingency_audit", "BENFORD_PPM"]
+           "chi2_contingency_audit", "BENFORD_PPM", "charclass_profile",
+           "novelty_rate", "MIXED_SCRIPT_PATTERN"]
 
 
 def fd_violations(
@@ -381,4 +382,140 @@ def chi2_contingency_audit(
             ).cast("long"),
         )
         .select("row_val", "col_val", "o", "r", "c", "n", "contrib_milli")
+    )
+
+
+#: Adjacent Latin+Cyrillic letters — the homoglyph-spoofing tripwire.
+#: Written with LITERAL range endpoints (not \\u escapes) so the ONE string
+#: is valid in both Java regex (Spark) and RE2 (DuckDB oracles).
+MIXED_SCRIPT_PATTERN = "[A-Za-z][\u0400-\u04ff]|[\u0400-\u04ff][A-Za-z]"
+
+#: (name, single-char regex class) — the disjoint ASCII classes profiled by
+#: ``charclass_profile``; "punct" is derived as the remainder so the five
+#: buckets partition every code point exactly once.
+CHAR_CLASSES = [
+    ("alpha", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("nonascii", "[^\\x00-\\x7f]"),
+]
+
+
+def charclass_profile(
+    df: DataFrame, text_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group character-class composition audit with two spoofing
+    tripwires.
+
+    Reports, per group: doc count, total chars, integer-ppm shares of
+    ASCII letters / digits / whitespace / punctuation-and-other-ASCII /
+    non-ASCII, plus how many docs contain ANY non-ASCII char and how many
+    contain adjacent Latin+Cyrillic letters (``MIXED_SCRIPT_PATTERN`` —
+    the classic homoglyph trick in spam/phishing URLs and SEO'd pages).
+
+    Every count is a ``length(x) - length(regexp_replace(x, class, ''))``
+    delta — pure JVM column expressions inside one scan and one small
+    aggregate; no explode, no UDF, nothing but the group keys and eight
+    longs on the exchange. ppm shares use floor division (engine-exact);
+    an all-null group reports 0 ppm everywhere rather than dividing by
+    zero. Extends the reference's per-column null/blank profile
+    (null_checker.py) down to the character-composition axis."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = [
+        (name, n - F.length(F.regexp_replace(t, pat, "")))
+        for name, pat in CHAR_CLASSES
+    ]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n).cast("long").alias("total_chars"),
+    ]
+    for name, c in counts:
+        aggs.append(F.sum(c).cast("long").alias(f"__{name}"))
+    aggs.append(
+        F.sum(F.when(F.col(text_col).rlike("[^\\x00-\\x7f]"), 1).otherwise(0))
+        .cast("long")
+        .alias("nonascii_docs")
+    )
+    aggs.append(
+        F.sum(F.when(F.col(text_col).rlike(MIXED_SCRIPT_PATTERN), 1).otherwise(0))
+        .cast("long")
+        .alias("mixed_script_docs")
+    )
+    g = df.groupBy(*group_cols).agg(*aggs)
+    ppm = lambda num: F.expr(  # noqa: E731
+        f"case when total_chars > 0 then (1000000 * {num}) div total_chars "
+        "else 0 end"
+    ).cast("long")
+    other = "total_chars - __alpha - __digit - __space - __nonascii"
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "total_chars",
+        ppm("__alpha").alias("alpha_ppm"),
+        ppm("__digit").alias("digit_ppm"),
+        ppm("__space").alias("space_ppm"),
+        ppm(f"({other})").alias("punct_ppm"),
+        ppm("__nonascii").alias("nonascii_ppm"),
+        "nonascii_docs",
+        "mixed_script_docs",
+    )
+
+
+def novelty_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str],
+    n: int = 5,
+) -> DataFrame:
+    """First-seen shingle novelty per group: of each doc's DISTINCT word
+    ``n``-grams, the share whose global first sighting (min ``id_col`` —
+    ids are crawl order) is this very doc. A source recycling yesterday's
+    content scores near 0; a source contributing genuinely new text
+    scores near 10^6 — the crawl-scheduling complement of the recrawl
+    churn profile, and the corpus-level twin of the per-pair containment
+    fingerprint.
+
+    Shape: one explode of per-doc distinct shingles hashed to
+    ``md5_60`` BEFORE any exchange (text never shuffles), a min-agg per
+    gram hash for first-seen ownership, and an id-keyed equi-join back —
+    at 100 TB both sides of that join are (hash, id) metadata. Null-text
+    docs are excluded; the whole-text fallback gram of sub-``n``-word
+    docs participates like any other gram (empty grams dropped).
+    ppm uses floor division — engine-exact; the oracle replays the
+    shingle construction and md5_60 verbatim."""
+    from data_quality_framework_spark.functions.hashing import md5_60, shingles
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in group_cols],
+        F.col(text_col).alias("__t"),
+    )
+    grams = base.select(
+        "id",
+        *group_cols,
+        F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("g"),
+    ).filter(F.col("g") != "")
+    pairs = grams.select("id", *group_cols, md5_60(F.col("g")).alias("gh"))
+    first = pairs.groupBy("gh").agg(F.min("id").alias("first_id"))
+    tagged = pairs.join(first, "gh").withColumn(
+        "__novel", F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+    )
+    return (
+        tagged.groupBy(*group_cols)
+        .agg(
+            F.count_distinct(F.col("id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("__novel").cast("long").alias("n_novel_grams"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_grams",
+            "n_novel_grams",
+            F.expr("(1000000 * n_novel_grams) div n_grams")
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
     )

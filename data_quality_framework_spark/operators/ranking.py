@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "topk_per_group"]
+__all__ = ["global_rank", "topk_per_group", "rrf_fuse"]
 
 
 def global_rank(
@@ -148,4 +148,55 @@ def topk_per_group(
         *group_cols,
         (F.col("__pos") + 1).cast("long").alias(rank_col),
         *[F.col(f"__row.{c}").alias(c) for c in payload],
+    )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    id_col: str,
+    signals: list[tuple[str, list[Column]]],
+    k_rrf: int = 60,
+    score_col: str = "rrf_ppb",
+    fused_col: str = "fused_rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    several independent ranking signals into one total order.
+
+    ``signals`` is ``[(rank_col_name, order_by), ...]`` where each
+    ``order_by`` is a STRICT total order over ``df`` (include ``id_col``
+    as the final tiebreak). Every signal is ranked with the two-pass
+    range-partitioned ``global_rank`` (never a one-partition window), the
+    rank frames are joined back on ``id_col``, and the fused score is the
+    classic ``sum_i 1/(k + rank_i)`` kept ENGINE-EXACT as integer
+    parts-per-billion: ``sum_i (10^9 div (k_rrf + rank_i))`` — floor
+    division of positive integers, so an external SQL engine replays it
+    bit-for-bit (no float summation-order hazard). The fused total order
+    is ``(score desc, id asc)``, ranked by the same two-pass recipe.
+
+    Scale shape: each signal's range shuffle and the id-keyed joins carry
+    only (id, rank/order-key) metadata rows — document text never enters
+    an exchange. The blend mirrors how a curation pipeline reconciles,
+    e.g., a BM25 relevance ranking with a model quality ranking without
+    having to calibrate their score scales against each other (the
+    reference's single-signal ORDER BY exports, duplicate_checker.py's
+    ``cnt DESC`` reports, generalized to multi-signal fusion).
+    """
+    if not signals:
+        raise ValueError("signals must name at least one (rank_col, order_by)")
+    if k_rrf <= 0:
+        raise ValueError(f"k_rrf must be positive, got {k_rrf}")
+    ranks = None
+    for rank_col, order_by in signals:
+        r = global_rank(df, order_by, rank_col=rank_col).select(id_col, rank_col)
+        ranks = r if ranks is None else ranks.join(r, id_col)
+    fused = df.join(ranks, id_col)
+    score = None
+    for rank_col, _ in signals:
+        term = F.expr(f"{10**9} div ({k_rrf} + {rank_col})")
+        score = term if score is None else score + term
+    fused = fused.withColumn(score_col, score.cast("long"))
+    return global_rank(
+        fused,
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        rank_col=fused_col,
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "retention_cohorts"]
 
 
 def sessionize(
@@ -79,4 +79,65 @@ def sessionize(
             F.max(ts_col).alias("session_end"),
             (F.max(us) - F.min(us)).cast("long").alias("duration_us"),
         )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix over an event/crawl log.
+
+    Users are bucketed by the ISO week (Monday-start ``date_trunc`` —
+    identical in Spark and DuckDB) of their FIRST event; for every
+    (cohort_week, week_offset) the count of cohort members active in that
+    offset week is reported next to the cohort size and the retention
+    rate as integer ppm (floor division — engine-exact). week 0 is by
+    construction the full cohort (retention_ppm == 1_000_000), a free
+    self-check the tests pin.
+
+    Shape: one distinct over (user, activity-week) — the only pass that
+    sees the raw log — then a per-user min-agg (map-side combinable), a
+    user-keyed join between two already-aggregated frames, and a final
+    (cohort, offset) count-distinct. No window functions, so a bot user
+    with 10^8 events costs one combiner, not one sorted task. Null
+    timestamps are excluded (they belong to the null-rule family, not the
+    retention axis). Beyond-reference: the engagement/freshness companion
+    to ``sessionize`` (the reference's statistics_checker.py stops at
+    per-day counts)."""
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    act = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user"),
+            F.to_date(F.date_trunc("week", ts)).alias("act_week"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user").agg(F.min("act_week").alias("cohort_week"))
+    joined = act.join(first, "user")
+    matrix = joined.groupBy(
+        "cohort_week",
+        F.expr("datediff(act_week, cohort_week) div 7")
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count_distinct(F.col("user")).cast("long").alias("n_active"))
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    return (
+        matrix.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            "n_active",
+            F.expr("(1000000 * n_active) div cohort_users")
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
     )

@@ -4198,3 +4198,138 @@ def test_rendezvous_minimal_movement_and_determinism(spark):
         rendezvous_assign(ids, "id", 0)
     with _pytest.raises(ValueError):
         resharding_movement(ids, "id", 6, 5)
+
+
+def test_rrf_fuse_matches_brute_force(spark):
+    from data_quality_framework_spark.operators.ranking import rrf_fuse
+
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = rrf_fuse(
+        df,
+        "id",
+        [
+            ("rank_a", [F.col("a").desc(), F.col("id").asc()]),
+            ("rank_b", [F.col("b").desc(), F.col("id").asc()]),
+        ],
+        k_rrf=60,
+    ).collect()
+    # brute force in plain Python: rank both signals, floor-div terms
+    by_a = sorted(rows, key=lambda r: (-r[1], r[0]))
+    by_b = sorted(rows, key=lambda r: (-r[2], r[0]))
+    ra = {r[0]: i + 1 for i, r in enumerate(by_a)}
+    rb = {r[0]: i + 1 for i, r in enumerate(by_b)}
+    score = {i: 10**9 // (60 + ra[i]) + 10**9 // (60 + rb[i]) for i, _, _ in rows}
+    fused = {
+        i: k + 1
+        for k, i in enumerate(sorted(score, key=lambda i: (-score[i], i)))
+    }
+    assert len(out) == 40
+    for r in out:
+        assert r["rank_a"] == ra[r["id"]], r
+        assert r["rank_b"] == rb[r["id"]], r
+        assert r["rrf_ppb"] == score[r["id"]], r
+        assert r["fused_rank"] == fused[r["id"]], r
+
+
+def test_rrf_fuse_rejects_empty_signals(spark):
+    from data_quality_framework_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame([(1, 2)], "id long, a long")
+    with pytest.raises(ValueError):
+        rrf_fuse(df, "id", [])
+    with pytest.raises(ValueError):
+        rrf_fuse(df, "id", [("r", [F.col("a")])], k_rrf=0)
+
+
+def test_retention_cohorts_week0_full_and_counts(spark):
+    from data_quality_framework_spark.operators.sessions import retention_cohorts
+
+    # two cohorts: users 1,2 first seen Mon 2024-01-01 week; user 3 a week
+    # later. user 1 returns in offset weeks 1 and 2, user 2 never returns,
+    # user 3 returns in its offset week 1.
+    rows = [
+        (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-03 11:00:00"),
+        (1, "2024-01-09 09:00:00"),
+        (1, "2024-01-16 09:00:00"),
+        (3, "2024-01-10 08:00:00"),
+        (3, "2024-01-17 08:00:00"),
+        (1, None),  # null ts excluded, must not crash or count
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): r
+        for r in retention_cohorts(df).collect()
+    }
+    assert out[("2024-01-01", 0)]["cohort_users"] == 2
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["retention_ppm"] == 1_000_000
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention_ppm"] == 500_000
+    assert out[("2024-01-01", 2)]["n_active"] == 1
+    assert out[("2024-01-08", 0)]["cohort_users"] == 1
+    assert out[("2024-01-08", 1)]["n_active"] == 1
+    # week 0 is the full cohort for EVERY cohort, by construction
+    for (week, off), r in out.items():
+        if off == 0:
+            assert r["retention_ppm"] == 1_000_000, (week, r)
+
+
+def test_charclass_profile_exact_counts(spark):
+    from data_quality_framework_spark.operators.profiling import charclass_profile
+
+    rows = [
+        ("s1", "ab1 \n."),  # 2 alpha, 1 digit, 2 space, 1 punct of 6
+        ("s1", None),  # null text: counts nothing, still a doc
+        ("s2", "payрal"),  # Latin+Cyrillic adjacency: 'y'+U+0440
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in charclass_profile(df, "text", ["source"]).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["total_chars"]) == (2, 6)
+    assert s1["alpha_ppm"] == 1_000_000 * 2 // 6
+    assert s1["digit_ppm"] == 1_000_000 * 1 // 6
+    assert s1["space_ppm"] == 1_000_000 * 2 // 6
+    assert s1["punct_ppm"] == 1_000_000 * 1 // 6
+    assert s1["nonascii_ppm"] == 0
+    assert (s1["nonascii_docs"], s1["mixed_script_docs"]) == (0, 0)
+    s2 = out["s2"]
+    assert s2["total_chars"] == 6
+    assert s2["nonascii_ppm"] == 1_000_000 * 1 // 6
+    assert (s2["nonascii_docs"], s2["mixed_script_docs"]) == (1, 1)
+    # the five class shares partition every char: ppms sum to ~10^6
+    for r in out.values():
+        if r["total_chars"]:
+            total = (
+                r["alpha_ppm"] + r["digit_ppm"] + r["space_ppm"]
+                + r["punct_ppm"] + r["nonascii_ppm"]
+            )
+            assert 1_000_000 - 4 <= total <= 1_000_000
+
+
+def test_novelty_rate_first_seen_semantics(spark):
+    from data_quality_framework_spark.operators.profiling import novelty_rate
+
+    fresh = "alpha beta gamma delta epsilon zeta"  # 2 distinct 5-grams
+    rows = [
+        (1, fresh, "a"),  # doc 1: everything first-seen
+        (2, fresh, "b"),  # doc 2: verbatim recycle -> novelty 0
+        (3, "one two three four five six", "b"),  # new content
+        (4, None, "b"),  # null text excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in novelty_rate(df, "doc_id", "text", ["source"], n=5).collect()
+    }
+    assert out["a"]["n_grams"] == 2
+    assert out["a"]["n_novel_grams"] == 2
+    assert out["a"]["novelty_ppm"] == 1_000_000
+    # source b: doc2 recycles doc1's grams (0 novel of 2), doc3 all novel
+    assert out["b"]["n_docs"] == 2
+    assert out["b"]["n_grams"] == 4
+    assert out["b"]["n_novel_grams"] == 2
+    assert out["b"]["novelty_ppm"] == 500_000
