@@ -3594,6 +3594,41 @@ def _q_novelty_rate(spark, sf):
     )
 
 
+def _q_mirror_components(spark, sf):
+    """Transitive mirror/syndication clusters (r5): sources sharing >= 2
+    distinct word 5-grams (md5_60-hashed) are linked; min-label
+    propagation closes the edges into families
+    (`operators/linkgraph.py::mirror_components` over
+    `dedup.near_dup_components`). Grams present in > 10 sources are
+    dropped BEFORE the hash self-join (boilerplate carries no mirror
+    signal; the cap is declared semantics the oracle replays). The
+    DuckDB oracle re-derives every edge and closes the graph with a
+    recursive CTE — the corpus-level sequel to text_source_overlap's
+    pairwise Jaccard."""
+    from data_quality_framework_spark.operators.linkgraph import mirror_components
+
+    d = _t(spark, sf, "documents")
+    return mirror_components(
+        d, "source", "text", n=5, min_shared=2, group_cap=10
+    ).orderBy("component", "source")
+
+
+def _q_neyman_allocation(spark, sf):
+    """Neyman minimum-variance sample-budget allocation (r5): 1000 eval
+    slots split across sources proportional to N_s * sd_s of n_chars,
+    rounded to exactly 1000 by largest remainder. The weight is
+    floor(sqrt(n*Sxx - Sx^2)) — one IEEE-correctly-rounded sqrt over an
+    exact integer (the column_corr precedent), everything else integer
+    floor div/mod, so DuckDB replays the apportionment bit-for-bit.
+    `operators/sampling.py::neyman_allocation`."""
+    from data_quality_framework_spark.operators.sampling import neyman_allocation
+
+    d = _t(spark, sf, "documents")
+    return neyman_allocation(d, ["source"], "n_chars", budget=1000).orderBy(
+        "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3767,6 +3802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": _q_retention_cohorts,
         "text_charclass_profile": _q_charclass_profile,
         "text_novelty_rate": _q_novelty_rate,
+        "graph_mirror_components": _q_mirror_components,
+        "text_neyman_allocation": _q_neyman_allocation,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -6281,6 +6318,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * sum(novel)) // count(*) AS BIGINT)
                        AS novelty_ppm
             FROM t GROUP BY source ORDER BY source
+        """,
+        # mirror-components oracle (r5): identical shingle/md5_60 edge
+        # derivation (distinct (source, gram-hash), <=10-source cap,
+        # >=2 shared grams), then the transitive closure as a recursive
+        # CTE with min-label components — Spark's iterative min-label
+        # propagation must land on the exact same fixpoint
+        "graph_mirror_components": f"""
+            WITH RECURSIVE
+                 d AS (SELECT source, {_shingle_list_expr(5)} AS sh
+                       FROM documents WHERE text IS NOT NULL),
+                 p AS (SELECT DISTINCT source,
+                              CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                                  AS gh
+                       FROM (SELECT source, unnest(sh) AS g FROM d)
+                       WHERE g <> ''),
+                 ok AS (SELECT gh FROM p GROUP BY gh HAVING count(*) <= 10),
+                 pc AS (SELECT p.source, p.gh FROM p JOIN ok USING (gh)),
+                 e AS (SELECT a.source AS sa, b.source AS sb
+                       FROM pc a JOIN pc b USING (gh)
+                       WHERE a.source < b.source
+                       GROUP BY 1, 2 HAVING count(*) >= 2),
+                 und AS (SELECT sa, sb FROM e
+                         UNION ALL SELECT sb AS sa, sa AS sb FROM e),
+                 nodes AS (SELECT DISTINCT source FROM documents),
+                 reach(s, r) AS (
+                     SELECT source, source FROM nodes
+                     UNION
+                     SELECT u.sb, reach.r FROM und u
+                     JOIN reach ON reach.s = u.sa),
+                 comp AS (SELECT s AS source, min(r) AS component
+                          FROM reach GROUP BY s),
+                 sz AS (SELECT component,
+                               CAST(count(*) AS BIGINT) AS component_size
+                        FROM comp GROUP BY component)
+            SELECT c.source, c.component, sz.component_size
+            FROM comp c JOIN sz USING (component)
+            ORDER BY component, source
+        """,
+        # Neyman-allocation oracle (r5): identical integer sufficient
+        # stats, floor(sqrt(exact int)) weight, floor-div base + largest-
+        # remainder extras with the same (rem DESC, source) tie order
+        "text_neyman_allocation": """
+            WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                              CAST(sum(v) AS BIGINT) AS sx,
+                              CAST(sum(v * v) AS BIGINT) AS sxx
+                       FROM (SELECT source, CAST(n_chars AS BIGINT) AS v
+                             FROM documents WHERE n_chars IS NOT NULL)
+                       GROUP BY source),
+                 w AS (SELECT source, n_rows,
+                              CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx
+                                   AS DOUBLE))) AS BIGINT) AS weight
+                       FROM g),
+                 t AS (SELECT CAST(greatest(coalesce(sum(weight), 0), 1)
+                                   AS BIGINT) AS wsafe,
+                              CAST(coalesce(sum(weight), 0) AS BIGINT)
+                                  AS wtot
+                       FROM w),
+                 b AS (SELECT source, n_rows, weight,
+                              (1000 * weight) // wsafe AS base,
+                              (1000 * weight) % wsafe AS rem, wtot
+                       FROM w, t),
+                 l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover
+                       FROM b),
+                 r AS (SELECT source, n_rows, weight, base, wtot,
+                              row_number() OVER (ORDER BY rem DESC, source)
+                                  AS rr
+                       FROM b)
+            SELECT source, n_rows, weight,
+                   CAST(base + CASE WHEN wtot > 0 AND
+                                    rr <= (SELECT leftover FROM l)
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r ORDER BY source
         """,
         # anchor-text oracle (r5): aligned two-group extraction via
         # list_zip, identical imported pattern strings, row_number at k=2

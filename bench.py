@@ -144,6 +144,9 @@ HEADLINE = [
     "events_retention_cohorts",
     "text_charclass_profile",
     "text_novelty_rate",
+    # r5 sixteenth wave: transitive mirror clusters, Neyman budget allocation
+    "graph_mirror_components",
+    "text_neyman_allocation",
 ]
 
 

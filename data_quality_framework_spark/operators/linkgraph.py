@@ -54,6 +54,7 @@ __all__ = [
     "outlink_edges",
     "outlink_profile",
     "top_anchor_texts",
+    "mirror_components",
 ]
 
 #: href values of anchor tags. ``[^>]*`` cannot cross the closing ``>``,
@@ -243,3 +244,80 @@ def top_anchor_texts(
         payload_cols=["anchor_text", "n_links"],
     )
     return top.select("dst_host", "group_rank", "anchor_text", "n_links")
+
+
+def mirror_components(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 5,
+    min_shared: int = 2,
+    group_cap: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive mirror clusters of content groups (hosts/sources) that
+    share verbatim word ``n``-grams.
+
+    ``text_source_overlap`` (pairwise vocabulary Jaccard) answers "are A
+    and B mirrors?"; this answers the corpus-level question "which SETS
+    of hosts form one syndication/mirror family?" — A–B and B–C edges
+    close into one {A, B, C} cluster even when A and C share nothing
+    directly. Edge rule: two groups are linked when they share at least
+    ``min_shared`` DISTINCT ``n``-grams (``md5_60``-hashed, so the
+    DuckDB oracle replays every edge bit-for-bit).
+
+    Shape, in 100 TB terms: the only pass over text emits distinct
+    (group, gram-hash) metadata; a gram present in *k* groups contributes
+    k(k-1)/2 pair rows in the hash-keyed self-join, so boilerplate grams
+    shared by every host would explode quadratically — ``group_cap``
+    drops grams present in more than that many groups BEFORE the join
+    (ubiquitous furniture text carries no mirror signal; same cap
+    discipline as the LSH band join, and the cap is part of the declared
+    semantics, not a silent truncation). Components then run min-label
+    propagation over the tiny group-level edge list
+    (``dedup.near_dup_components`` — rounds are localCheckpoint-
+    truncated). Groups with no edge keep themselves as their component.
+
+    Returns one row per group: (group_col, component, component_size),
+    component = lexicographically smallest member."""
+    from data_quality_framework_spark.functions.hashing import md5_60, shingles
+    from data_quality_framework_spark.operators.dedup import near_dup_components
+
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select("grp", md5_60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    if group_cap is not None:
+        ok = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__ng"))
+            .filter(F.col("__ng") <= group_cap)
+            .select("gh")
+        )
+        grams = grams.join(ok, "gh")
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gh")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(F.col("a.grp").alias("id_a"), F.col("b.grp").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    labels = near_dup_components(pairs, max_iter=max_iter)
+    nodes = df.select(F.col(group_col).alias("id")).distinct()
+    assigned = nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return assigned.join(sizes, "component").select(
+        F.col("id").alias(group_col), "component", "component_size"
+    )

@@ -368,3 +368,99 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-style optimal sample-budget allocation across strata:
+    stratum *s* receives sample slots proportional to ``N_s * sd_s``
+    (minimum-variance allocation for estimating the mean of
+    ``value_col``), rounded to EXACTLY ``budget`` total via the
+    largest-remainder method.
+
+    Engine-exactness: the per-stratum weight is
+    ``floor(sqrt(n*Sxx - Sx^2))`` — the argument is an exact integer
+    from one sufficient-statistics aggregate (note ``n*Sxx - Sx^2 ==
+    n^2 * variance``, so the weight IS ``N_s * sd_s`` up to the shared
+    floor), ``sqrt`` is IEEE-correctly-rounded on every engine (the
+    ``column_corr`` precedent), and ``floor`` pins the one float back to
+    an integer. Apportionment is then pure integer arithmetic:
+    ``base_s = budget*w_s div W`` plus one extra slot for the
+    ``budget*w_s mod W`` largest remainders (ties broken by stratum key
+    — fully deterministic). Strata with zero variance (or a single row)
+    get weight 0: sampling more than one row from a constant stratum
+    cannot reduce estimator variance. As with ``column_corr``, the int64
+    sufficient statistics overflow past ~10^6-scale values x 10^13 rows;
+    at that scale switch the sums to decimal(38) (ANSI mode raises, not
+    corrupts).
+
+    Shape: ONE map-side-combinable aggregate over the corpus; everything
+    after runs on the K-row stratum frame (window functions over K
+    strata, not corpus rows). Returns (strata, n_rows, weight, alloc)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    v = F.col(value_col).cast("long")
+    g = df.filter(v.isNotNull()).groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("__sx"),
+        F.sum(v * v).cast("long").alias("__sxx"),
+    )
+    g = g.withColumn(
+        "weight",
+        F.floor(
+            F.sqrt((F.col("n_rows") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double"))
+        ).cast("long"),
+    )
+    from pyspark.sql import Window
+
+    tot = g.agg(F.sum("weight").alias("__w")).select(
+        F.coalesce("__w", F.lit(0)).alias("__w")
+    )
+    keys = [F.col(c).asc() for c in strata_cols]
+    # __wsafe avoids ANSI div-by-zero in the all-constant-strata edge case
+    # (every weight 0 -> every alloc 0, documented); window order
+    # expressions are evaluated for every row, so the guard must live
+    # INSIDE the arithmetic, not in a CASE around the window function
+    w_rem = Window.orderBy(
+        F.expr("(__budget * weight) % __wsafe").desc(), *keys
+    )
+    out = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("__wsafe", F.greatest(F.col("__w"), F.lit(1).cast("long")))
+        .withColumn("__budget", F.lit(int(budget)).cast("long"))
+        .withColumn(
+            "__base", F.expr("(__budget * weight) div __wsafe").cast("long")
+        )
+    )
+    # the K-row apportionment frame: a single-partition window over the
+    # number of STRATA (not corpus rows) is the intended physical plan
+    leftover = F.col("__budget") - F.sum("__base").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = out.withColumn("__left", leftover).withColumn(
+        "__rr",
+        F.when(F.col("__w") > 0, F.row_number().over(w_rem)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return ranked.select(
+        *strata_cols,
+        "n_rows",
+        "weight",
+        (
+            F.col("__base")
+            + F.when(
+                (F.col("__rr") >= 1) & (F.col("__rr") <= F.col("__left")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -4333,3 +4333,95 @@ def test_novelty_rate_first_seen_semantics(spark):
     assert out["b"]["n_grams"] == 4
     assert out["b"]["n_novel_grams"] == 2
     assert out["b"]["novelty_ppm"] == 500_000
+
+
+def test_mirror_components_transitive_closure_and_cap(spark):
+    from data_quality_framework_spark.operators.linkgraph import mirror_components
+
+    shared_ab = "alpha beta gamma delta epsilon"
+    shared_bc = "one two three four five"
+    boiler = "cookie notice terms of service"  # in EVERY source -> capped out
+    rows = [
+        ("a", f"{shared_ab} {boiler}"),
+        ("b", f"{shared_ab} pad {shared_bc} {boiler}"),
+        ("c", f"{shared_bc} tail words {boiler}"),
+        ("d", f"unrelated content entirely here now {boiler}"),
+        ("e", None),  # null text: node exists, no grams
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r["source"]: r
+        for r in mirror_components(
+            df, "source", "text", n=5, min_shared=1, group_cap=3
+        ).collect()
+    }
+    # a-b and b-c edges close transitively: {a,b,c} one family labeled 'a'
+    assert out["a"]["component"] == "a"
+    assert out["b"]["component"] == "a"
+    assert out["c"]["component"] == "a"
+    assert out["a"]["component_size"] == 3
+    # the boilerplate gram is in 4 sources > cap 3: must NOT link d to anyone
+    assert out["d"]["component"] == "d"
+    assert out["d"]["component_size"] == 1
+    assert out["e"]["component"] == "e"
+
+
+def test_mirror_components_min_shared_threshold(spark):
+    from data_quality_framework_spark.operators.linkgraph import mirror_components
+
+    # exactly ONE shared 5-gram between a and b -> no edge at min_shared=2
+    rows = [
+        ("a", "alpha beta gamma delta epsilon xx"),
+        ("b", "alpha beta gamma delta epsilon yy"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r["source"]: r["component"]
+        for r in mirror_components(
+            df, "source", "text", n=5, min_shared=2
+        ).collect()
+    }
+    assert out == {"a": "a", "b": "b"}
+    # the two docs share 2 distinct 5-grams at n=5? no: they share exactly
+    # the one gram 'alpha beta gamma delta epsilon'; at min_shared=1 they link
+    out1 = {
+        r["source"]: r["component"]
+        for r in mirror_components(
+            df, "source", "text", n=5, min_shared=1
+        ).collect()
+    }
+    assert out1 == {"a": "a", "b": "a"}
+
+
+def test_neyman_allocation_exact_budget_and_weights(spark):
+    import math as _math
+
+    from data_quality_framework_spark.operators.sampling import neyman_allocation
+
+    rows = []
+    # stratum a: constant value -> zero variance -> weight 0, alloc 0
+    rows += [("a", 100) for _ in range(50)]
+    # stratum b: spread values; stratum c: wider spread, fewer rows
+    rows += [("b", v) for v in range(0, 200, 2)]
+    rows += [("c", v) for v in (0, 1000, 2000, 3000, 4000)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in neyman_allocation(df, ["source"], "n_chars", 97).collect()}
+    assert out["a"]["weight"] == 0 and out["a"]["alloc"] == 0
+    # weight == floor(sqrt(n*Sxx - Sx^2)) == floor(n * sd_pop)
+    for s in ("b", "c"):
+        vals = [v for src, v in rows if src == s]
+        n = len(vals)
+        sx, sxx = sum(vals), sum(v * v for v in vals)
+        assert out[s]["weight"] == _math.floor(_math.sqrt(n * sxx - sx * sx))
+    # largest-remainder: total EXACTLY the budget
+    assert sum(r["alloc"] for r in out.values()) == 97
+
+
+def test_neyman_allocation_all_constant_is_all_zero(spark):
+    from data_quality_framework_spark.operators.sampling import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("a", 5)] * 3 + [("b", 9)] * 4, "source string, n_chars long"
+    )
+    out = neyman_allocation(df, ["source"], "n_chars", 10).collect()
+    assert all(r["alloc"] == 0 and r["weight"] == 0 for r in out)
