@@ -3629,6 +3629,26 @@ def _q_neyman_allocation(spark, sf):
     )
 
 
+def _q_transition_matrix(spark, sf):
+    """First-order event-type Markov transitions (r5): per-user strict
+    (ts, event_id) order, lag pairing, per-from-type floor-div ppm shares
+    — the behavioral-sequence audit (bots = degenerate self-loop rows).
+    `operators/sessions.py::transition_matrix`; the oracle replays the
+    identical lag window and tie order."""
+    from data_quality_framework_spark.operators.sessions import transition_matrix
+
+    return transition_matrix(_t(spark, sf, "events"))
+
+
+def _q_hourly_profile(spark, sf):
+    """Hour-of-day load profile (r5): per-hour event count, floor-div ppm
+    share, distinct users — the seasonality baseline under the MAD/CUSUM
+    anomaly gates. `operators/sessions.py::hourly_profile`."""
+    from data_quality_framework_spark.operators.sessions import hourly_profile
+
+    return hourly_profile(_t(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -3804,6 +3824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty_rate": _q_novelty_rate,
         "graph_mirror_components": _q_mirror_components,
         "text_neyman_allocation": _q_neyman_allocation,
+        "events_transition_matrix": _q_transition_matrix,
+        "events_hourly_profile": _q_hourly_profile,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
         "text_mixture_budget": _q_mixture_budget,
@@ -6390,6 +6412,42 @@ def oracle_sql() -> dict[str, str]:
                                     rr <= (SELECT leftover FROM l)
                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
             FROM r ORDER BY source
+        """,
+        # transition-matrix oracle (r5): identical (ts, event_id) lag
+        # window, identical null exclusions, floor-div row ppm
+        "events_transition_matrix": """
+            WITH base AS (SELECT user_id AS u, ts AS t, event_id AS i,
+                                 event_type AS typ
+                          FROM events
+                          WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+                 lagd AS (SELECT typ AS to_type,
+                                 lag(typ) OVER (PARTITION BY u
+                                                ORDER BY t, i) AS from_type
+                          FROM base),
+                 pairs AS (SELECT from_type, to_type,
+                                  CAST(count(*) AS BIGINT) AS n_transitions
+                           FROM lagd WHERE from_type IS NOT NULL
+                           GROUP BY 1, 2),
+                 tot AS (SELECT from_type,
+                                CAST(sum(n_transitions) AS BIGINT) AS rt
+                         FROM pairs GROUP BY 1)
+            SELECT p.from_type, p.to_type, p.n_transitions,
+                   CAST((1000000 * p.n_transitions) // t.rt AS BIGINT)
+                       AS row_ppm
+            FROM pairs p JOIN tot t USING (from_type)
+            ORDER BY from_type, to_type
+        """,
+        # hourly-profile oracle (r5): hour() extraction, floor-div share
+        "events_hourly_profile": """
+            WITH h AS (SELECT CAST(hour(ts) AS INT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              CAST(count(DISTINCT user_id) AS BIGINT)
+                                  AS n_users
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+                 t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM h)
+            SELECT hour, n_events, n_users,
+                   CAST((1000000 * n_events) // tot AS BIGINT) AS share_ppm
+            FROM h, t ORDER BY hour
         """,
         # anchor-text oracle (r5): aligned two-group extraction via
         # list_zip, identical imported pattern strings, row_number at k=2

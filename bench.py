@@ -147,6 +147,9 @@ HEADLINE = [
     # r5 sixteenth wave: transitive mirror clusters, Neyman budget allocation
     "graph_mirror_components",
     "text_neyman_allocation",
+    # r5 seventeenth wave: Markov transition matrix, hourly load profile
+    "events_transition_matrix",
+    "events_hourly_profile",
 ]
 
 

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "retention_cohorts"]
+__all__ = ["sessionize", "retention_cohorts", "transition_matrix",
+           "hourly_profile"]
 
 
 def sessionize(
@@ -140,4 +141,97 @@ def retention_cohorts(
             .alias("retention_ppm"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts between event types, per the
+    strict per-user order ``(ts, id)``.
+
+    The behavioral-sequence audit: which event follows which, how often —
+    bot traffic shows up as degenerate rows (one dominant self-loop),
+    broken instrumentation as transitions that should be impossible.
+    Returns one row per observed (from_type, to_type):
+    ``n_transitions`` and ``row_ppm`` — the floor-div ppm share within
+    the from_type row, so each row of the matrix sums to ~10^6.
+
+    One lag window per user partition (the sessionize skew caveat: a bot
+    user's events sort in one task — pre-split by (user, day) upstream at
+    web scale), then a (from, to) count agg and a from-keyed total join —
+    both tiny relative to the log. Events with a null timestamp or null
+    type are excluded (the null-rule family owns those). Ties on ``ts``
+    are broken by ``id_col``, so the lag is deterministic under retries
+    and any partitioning."""
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    base = events.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        ts.alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("typ"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "i")
+    pairs = (
+        base.withColumn("from_type", F.lag("typ").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("typ").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("__row_total")
+    )
+    return (
+        pairs.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(1000000 * n_transitions) div __row_total")
+            .cast("long")
+            .alias("row_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def hourly_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Hour-of-day load profile: per hour 0-23, the event count, its
+    floor-div ppm share of all events, and distinct active users — the
+    seasonality baseline the MAD/CUSUM anomaly gates assume and the
+    capacity-planning input for crawl scheduling. One count agg plus a
+    23-row broadcast-scalar share; null timestamps excluded."""
+    ts = F.col(ts_col)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    hourly = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.hour(ts).cast("int").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct(F.col(user_col)).cast("long").alias("n_users"),
+        )
+    )
+    tot = hourly.agg(F.sum("n_events").alias("__tot"))
+    return (
+        hourly.crossJoin(F.broadcast(tot))
+        .select(
+            "hour",
+            "n_events",
+            "n_users",
+            F.expr("(1000000 * n_events) div __tot").cast("long").alias("share_ppm"),
+        )
+        .orderBy("hour")
     )

@@ -4425,3 +4425,61 @@ def test_neyman_allocation_all_constant_is_all_zero(spark):
     )
     out = neyman_allocation(df, ["source"], "n_chars", 10).collect()
     assert all(r["alloc"] == 0 and r["weight"] == 0 for r in out)
+
+
+def test_transition_matrix_lag_and_ppm(spark):
+    from data_quality_framework_spark.operators.sessions import transition_matrix
+
+    rows = [
+        # user 1: a -> b -> b -> c   (a>b, b>b, b>c)
+        (1, "2024-01-01 00:00:01", 1, "a"),
+        (1, "2024-01-01 00:00:02", 2, "b"),
+        (1, "2024-01-01 00:00:03", 3, "b"),
+        (1, "2024-01-01 00:00:04", 4, "c"),
+        # user 2: a -> b            (a>b)  -- same ts, id breaks the tie
+        (2, "2024-01-01 00:00:05", 5, "a"),
+        (2, "2024-01-01 00:00:05", 6, "b"),
+        # excluded rows
+        (3, None, 7, "a"),
+        (3, "2024-01-01 00:00:06", 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        "event_type",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_matrix(df).collect()
+    }
+    assert out[("a", "b")]["n_transitions"] == 2
+    assert out[("b", "b")]["n_transitions"] == 1
+    assert out[("b", "c")]["n_transitions"] == 1
+    assert ("a", "a") not in out  # the ts tie resolved by event_id, not both ways
+    assert out[("a", "b")]["row_ppm"] == 1_000_000  # a-row: only a->b
+    assert out[("b", "b")]["row_ppm"] == 500_000
+    assert out[("b", "c")]["row_ppm"] == 500_000
+    # user 3's rows (null ts / null type) contributed nothing
+    assert sum(r["n_transitions"] for r in out.values()) == 4
+
+
+def test_hourly_profile_shares(spark):
+    from data_quality_framework_spark.operators.sessions import hourly_profile
+
+    rows = [
+        (1, "2024-01-01 03:10:00"),
+        (2, "2024-01-01 03:50:00"),
+        (1, "2024-01-02 03:00:00"),
+        (3, "2024-01-01 17:00:00"),
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["hour"]: r for r in hourly_profile(df).collect()}
+    assert set(out) == {3, 17}
+    assert out[3]["n_events"] == 3 and out[3]["n_users"] == 2
+    assert out[17]["n_events"] == 1 and out[17]["n_users"] == 1
+    assert out[3]["share_ppm"] == 1_000_000 * 3 // 4
+    assert out[17]["share_ppm"] == 250_000
