@@ -582,6 +582,21 @@ def _q_minhash_pairs(spark, sf):
     )
 
 
+def _q_lsh_pr_eval(spark, sf):
+    """LSH candidate-stage precision/recall audit (r5): banded md5_60
+    signature candidates + estimator threshold vs exact shared-shingle
+    Jaccard ground truth, reduced to integer confusion counts and
+    floor-div ppm precision/recall — the tuning instrument for
+    (k, bands, threshold). Oracle recomputes BOTH sides in SQL."""
+    from data_quality_framework_spark.operators.dedup import lsh_pr_eval
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return lsh_pr_eval(
+        d, "doc_id", "text", shingle_n=3, k=16, bands=8,
+        min_jaccard=0.5, hash_fn="md5_60",
+    )
+
+
 def _q_simhash_pairs(spark, sf):
     from data_quality_framework_spark.operators.dedup import simhash_pairs
 
@@ -848,6 +863,71 @@ def _trained_centroids_external(sf_dir: str):
     return spherical_kmeans(X, n_cells=16, iters=10, seed=7)
 
 
+def _pq_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replay of ``sim_topk_pq_trained`` with NO Spark: re-derive the
+    codebooks from the same parquet sample (ORDER BY vec_id LIMIT 4096 +
+    the shared ``pq_fit`` numpy core -> bit-identical float64 codebooks),
+    fixed-point quantize exactly as ``operators.pq.quantize_fixed``, then
+    replay encode (first-min integer squared distance per subspace) and ADC
+    (integer LUT lookups) in SQL. Every compared quantity is an int64, so
+    parity is exact by construction."""
+    import duckdb
+    import numpy as np
+
+    from data_quality_framework_spark.operators.pq import (
+        PQ_SCALE,
+        pq_adc_lut,
+        pq_fit,
+        quantize_fixed,
+    )
+
+    emb = f"'{sf_dir}/embeddings.parquet'"
+    rows = duckdb.sql(
+        f"SELECT embedding FROM {emb} ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    C = pq_fit(X, m=4, k_codes=16, iters=10, seed=7)
+    qvec = duckdb.sql(
+        f"SELECT embedding FROM {emb} WHERE vec_id = 0"
+    ).fetchone()[0]
+    lut = pq_adc_lut(qvec, C)
+    CQ = np.stack([quantize_fixed(cb) for cb in C])
+    m, k, sub = CQ.shape
+
+    def dist_list(j: int) -> str:
+        codes = []
+        for c in range(k):
+            cb = "[" + ", ".join(str(int(v)) for v in CQ[j, c]) + "]"
+            codes.append(
+                f"list_sum(list_transform(list_zip("
+                f"list_slice(q, {j * sub + 1}, {(j + 1) * sub}), {cb}), "
+                f"x -> (x[1] - CAST(x[2] AS BIGINT)) * (x[1] - CAST(x[2] AS BIGINT))))"
+            )
+        return "[" + ", ".join(codes) + "]"
+
+    d_cols = ", ".join(f"{dist_list(j)} AS d{j}" for j in range(m))
+    code_cols = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) - 1 AS c{j}" for j in range(m)
+    )
+    score = " + ".join(
+        "list_extract(["
+        + ", ".join(str(int(v)) for v in lut[j])
+        + f"], c{j} + 1)"
+        for j in range(m)
+    )
+    return f"""
+        WITH qe AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}.0
+                                               + 0.5) AS BIGINT)) AS q
+                    FROM embeddings),
+        s AS (SELECT vec_id, {d_cols} FROM qe),
+        c AS (SELECT vec_id, {code_cols} FROM s)
+        SELECT vec_id, CAST({score} AS BIGINT) AS adc_score
+        FROM c ORDER BY adc_score DESC, vec_id LIMIT 10
+    """
+
+
 def _q_sim_ivf_trained(spark, sf):
     """IVF top-k through an index whose cells come from TRAINED centroids —
     the full production workflow (train once -> build index -> every probe
@@ -882,6 +962,40 @@ def _q_sim_batch(spark, sf):
     return out.select(
         "query_id", "corpus_id", "cosine", F.col("rank").cast("int").alias("rank")
     ).orderBy("query_id", "rank")
+
+
+_PQ_CODEBOOKS: dict = {}
+
+
+def _pq_codebooks(spark, sf):
+    """Trained PQ codebooks via the real training API (bounded id-ordered
+    sample -> shared ``pq_fit`` numpy core), cached per sf dir; the DuckDB
+    oracle re-derives them Spark-free from the same parquet (the
+    ``_trained_centroids`` pattern)."""
+    from data_quality_framework_spark.operators.pq import train_pq_codebooks
+
+    key = os.path.abspath(sf)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key] = train_pq_codebooks(
+            _t(spark, sf, "embeddings"), m=4, k_codes=16,
+            sample_size=4096, iters=10, seed=7, order_col="vec_id",
+        )
+    return _PQ_CODEBOOKS[key]
+
+
+def _q_sim_topk_pq(spark, sf):
+    """Product-quantization ANN end-to-end (r5): train 4x16 codebooks on the
+    deterministic sample, encode the corpus in one Arrow pass (64x
+    compression of the scan bytes at serving time), rank by integer-exact
+    ADC score (fixed-point 2^20 quantization -> the score is an int64 total
+    order, zero float-summation risk). Oracle replays train/encode/ADC in
+    SQL from the same parquet."""
+    from data_quality_framework_spark.operators.pq import pq_topk
+
+    C = _pq_codebooks(spark, sf)
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_topk(e, qvec, C, k=10)
 
 
 def _q_dedup_incremental(spark, sf):
@@ -3691,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _q_sim_topk,
         # LSH family — oracle-backed since r2 (exact ground truth in DuckDB):
         "dedup_minhash_pairs": _q_minhash_pairs,
+        # LSH candidate-stage precision/recall audit (r5)
+        "dedup_lsh_pr_eval": _q_lsh_pr_eval,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup,
         # SemDeDup-style cluster-then-prune (r5)
@@ -3701,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + cross-run incremental dedup against a persisted digest store
         "sim_topk_ivf_trained": _q_sim_ivf_trained,
         "sim_batch_topk_indexed": _q_sim_batch,
+        # product-quantization ADC top-k, trained codebooks (r5)
+        "sim_topk_pq_trained": _q_sim_topk_pq,
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
@@ -4304,6 +4422,66 @@ FROM d ORDER BY batch_id, doc_id
 """
 
 
+def _lsh_pr_oracle_sql() -> str:
+    """DuckDB replay of ``dedup_lsh_pr_eval``: the predicted side re-runs
+    the exact production estimate stage (md5_60 signatures, >=1 identical
+    band of 8, 16-hash overlap estimate >= 0.5) and the ground-truth side
+    the exact shared-shingle Jaccard join; confusion counts and ppm ratios
+    are pure integers. Same signature/banding SQL as the incremental-near
+    oracle (one source of truth for the coefficients)."""
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+
+    P = MINHASH_PRIME
+    coeffs = _minhash_coeffs(16)
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {P}))" for a, b in coeffs
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)" for i in range(1, 17)
+    )
+    band_or = " OR ".join(
+        f"(a.sig[{2 * b + 1}] = b.sig[{2 * b + 1}] AND a.sig[{2 * b + 2}] = b.sig[{2 * b + 2}])"
+        for b in range(8)
+    )
+    exact = (
+        "len(list_intersect(xa.sh, xb.sh)) * 1.0"
+        " / len(list_distinct(list_concat(xa.sh, xb.sh)))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE {_NONBLANK}),
+shg AS (SELECT doc_id, {_shingle_list_expr(3)} AS sh FROM d),
+hl AS (SELECT doc_id,
+              list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {P}) AS h
+       FROM shg),
+sg AS (SELECT doc_id, [{sig_terms}] AS sig FROM hl),
+pred AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+         FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         WHERE ({band_or}) AND ({matches}) * 1.0 / 16 >= 0.5),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+gt AS (SELECT ia, ib
+       FROM cand JOIN shg xa ON xa.doc_id = ia JOIN shg xb ON xb.doc_id = ib
+       WHERE {exact} >= 0.5),
+conf AS (SELECT p.ia IS NOT NULL AS in_p, g.ia IS NOT NULL AS in_g
+         FROM pred p FULL OUTER JOIN gt g ON p.ia = g.ia AND p.ib = g.ib),
+agg AS (SELECT
+          CAST(coalesce(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+          CAST(coalesce(sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+          CAST(coalesce(sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        FROM conf)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN 1000000 * tp // (tp + fp)
+            ELSE CAST(0 AS BIGINT) END AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN 1000000 * tp // (tp + fn)
+            ELSE CAST(0 AS BIGINT) END AS recall_ppm
+FROM agg
+"""
+
+
 def _temperature_sample_oracle_sql() -> str:
     """DuckDB side of ``text_temperature_sample``: per-lang char totals from
     the SAME parquet tier (data-dependent literals, the trained-centroids
@@ -4623,6 +4801,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_incremental_near": _incremental_near_oracle_sql(),
+        # LSH precision/recall audit (r5): pred + GT both replayed in SQL
+        "dedup_lsh_pr_eval": _lsh_pr_oracle_sql(),
         # repetition oracle (r4): integer char masses -> exact sums under any
         # order; blank docs guarded to (0, 0) on both sides
         # fractions QUANTIZED by floor(m*10000/total)/10000 — the identical
@@ -6845,6 +7025,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_contains(q.probes, c.cell + 1)
             ORDER BY cosine DESC, vec_id LIMIT 10
         """
+    except (OSError, duckdb.Error):
+        pass
+    # PQ oracle (r5): same data-dependent-literal contract as the trained
+    # IVF oracle above — only file-access errors downgrade to rows-only.
+    try:
+        out["sim_topk_pq_trained"] = _pq_oracle_sql(_oracle_sf_dir())
     except (OSError, duckdb.Error):
         pass
     return out

@@ -1195,3 +1195,91 @@ def soft_dedup_weights(
         .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)).cast("long"))
         .drop("__wid", "__w")
     )
+
+
+def lsh_pr_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int = 1_000_000,
+) -> DataFrame:
+    """Precision/recall audit of the MinHash-LSH candidate stage against
+    exact-Jaccard ground truth — the tuning instrument for (k, bands,
+    threshold): one row of integer confusion counts (tp/fp/fn) plus
+    floor-division ppm precision/recall, all exact in any engine.
+
+    Ground truth is complete with no approximation: a pair with
+    J >= t > 0 shares at least one shingle, so the shared-shingle
+    self-join enumerates a superset of the truth and the exact
+    |A∩B|/|A∪B| filter finishes it. NB the GT join is quadratic in
+    hot-shingle frequency — this is an AUDIT operator to run on a bounded
+    sample when tuning at scale (the production dedup path stays
+    capped + overflow-accounted); it is not part of the pipeline hot path.
+
+    Predicted = the estimate stage exactly as production runs it:
+    banded signature candidates (>=1 identical band) whose
+    signature-overlap estimate clears ``min_jaccard``, BEFORE exact
+    verification — so fp measures what the verify stage must re-check and
+    fn measures what banding + the k-hash estimator miss outright.
+    Blank/null texts are excluded (they all share the [''] shingle — one
+    giant clique that says nothing about LSH quality; the pipeline drops
+    them via WT-NULL-001 long before dedup).
+    """
+    from data_quality_framework_spark.functions.textstats import is_blank
+
+    base = df.filter(~is_blank(F.col(text_col)))
+    sets = base.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    ex = sets.select("id", F.explode("sh").alias("s"))
+    cand = (
+        ex.select(F.col("id").alias("id_a"), "s")
+        .join(ex.select(F.col("id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    gt = (
+        cand.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= min_jaccard
+        )
+        .select("id_a", "id_b")
+    )
+    sigs = minhash_signatures(base, id_col, text_col, k, shingle_n, hash_fn)
+    pred = candidate_pairs_from_sigs(
+        sigs, k, bands, min_jaccard, bucket_cap
+    ).select("id_a", "id_b")
+    conf = pred.withColumn("__p", F.lit(True)).join(
+        gt.withColumn("__g", F.lit(True)), ["id_a", "id_b"], "full_outer"
+    )
+    return (
+        conf.agg(
+            F.sum(F.when(F.col("__p").isNotNull() & F.col("__g").isNotNull(), 1)
+                  .otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(F.col("__p").isNotNull() & F.col("__g").isNull(), 1)
+                  .otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(F.col("__p").isNull() & F.col("__g").isNotNull(), 1)
+                  .otherwise(0)).cast("long").alias("fn"),
+        )
+        .select(
+            "tp", "fp", "fn",
+            F.expr(
+                "CASE WHEN tp + fp > 0 THEN 1000000 * tp div (tp + fp) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CASE WHEN tp + fn > 0 THEN 1000000 * tp div (tp + fn) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("recall_ppm"),
+        )
+    )

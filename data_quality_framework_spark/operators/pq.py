@@ -1,0 +1,198 @@
+"""Product-quantization (PQ) ANN: integer-exact asymmetric distance.
+
+The classic PQ serving recipe (Jegou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011) recast for Spark and for cross-engine
+verifiability:
+
+* TRAIN once on a bounded deterministic sample: split the embedding into
+  ``m`` contiguous subspaces, run a deterministic Lloyd's k-means per
+  subspace (``lloyd_kmeans`` — fixed iterations, seeded init, first-min
+  assignment, deterministic empty-cell reseed) -> an ``(m, k, sub_dim)``
+  codebook tensor. At 10^12 vectors you never train on the corpus; the
+  codebooks ship to executors as literals inside one pandas UDF.
+* ENCODE the corpus in one Arrow pass: each vector becomes ``m`` small code
+  ids (4 bytes here; 4-8 bits per code in production) — a 64-dim float32 vector
+  compresses 64x. The encode UDF is the ONLY Python in the operator and
+  runs at ingest, not at query time (codes are a storable column, like the
+  LSH bucket / IVF cell in ``build_ann_index``).
+* QUERY via ADC (asymmetric distance computation): the query vector builds
+  an ``m x k`` lookup table of subspace dot products DRIVER-side; the
+  per-row score is ``sum_m LUT[m][code_m]`` — pure JVM ``element_at`` over
+  literal arrays, whole-stage codegen, no UDF, no per-row Python.
+
+Cross-engine exactness (the repo's floor-quantization ethos): vectors and
+trained centroids are quantized to integers (``floor(x * 2^20 + 0.5)``)
+BEFORE any distance math, so subspace assignment (integer squared
+distances) and ADC scores (integer dot products) are exact in any engine —
+the DuckDB oracle re-derives the codebooks from the same parquet sample
+with this module's own k-means core and replays encode+ADC in SQL with no
+float-summation-order risk anywhere.
+
+Reference seam: the reference framework has no ANN tier; this extends its
+"transform validation" family (src/checks/transform_checker.py) the same
+way operators/similarity.py does, with compressed-domain scoring as the
+100 TB path (codes are ~1/64th the scan bytes of raw vectors).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+#: fixed-point scale shared with the SQL oracle: floor(x * SCALE + 0.5).
+#: 2^20 keeps |x|<=1 embeddings inside ~2^20, so a 16-dim squared distance
+#: (<= 16 * (2*2^20)^2 ~ 2^46) and an m=4 ADC sum (<= 2^45) both fit int64.
+PQ_SCALE = 1 << 20
+
+
+def quantize_fixed(x: "np.ndarray") -> "np.ndarray":
+    """floor(x * 2^20 + 0.5) as int64 — float64 in, exact in both engines
+    (one IEEE multiply + add + floor; same spec as the int8 ANN quantizer
+    in operators/quantize.py, wider scale)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * PQ_SCALE + 0.5).astype(np.int64)
+
+
+def lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 10, seed: int = 7):
+    """Deterministic Euclidean k-means core, shared with any external
+    replica (the DuckDB oracle re-derives codebooks by calling THIS
+    function on the same sample rows): seeded init without replacement,
+    FIXED iteration count, first-min assignment (numpy argmin), plain mean
+    update, empty clusters reseeded with the sample point farthest from the
+    dead centroid (first-max). Bit-deterministic for identical
+    (X, k, iters, seed). Mirrors ``similarity.spherical_kmeans`` but in
+    Euclidean geometry — PQ subspaces are not unit-normalized."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (N, k)
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members) == 0:
+                C[c] = X[int(np.argmax(((X - C[c]) ** 2).sum(axis=1)))]
+            else:
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+    order_col: str | None = None,
+) -> "np.ndarray":
+    """(m, k_codes, dim/m) float64 codebooks from a bounded deterministic
+    sample — the ``train_ivf_centroids`` sampling contract (order_col ->
+    externally reproducible ORDER BY/LIMIT sample; default -> xxhash64
+    order, Spark-internal). Each subspace trains with its own derived seed
+    so codebooks differ across subspaces even on degenerate data."""
+    if order_col is not None:
+        sample = (
+            df.select(F.col(order_col).alias("__o"), F.col(vec_col).alias("v"))
+            .orderBy("__o")
+            .limit(sample_size)
+        )
+    else:
+        sample = (
+            df.select(F.col(vec_col).alias("v"))
+            .withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+            .orderBy("__h")
+            .limit(sample_size)
+        )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample.collect()])
+    return pq_fit(X, m, k_codes, iters, seed)
+
+
+def pq_fit(X: "np.ndarray", m: int, k_codes: int, iters: int = 10, seed: int = 7):
+    """Split sample columns into ``m`` contiguous blocks and k-means each —
+    the shared train core (Spark wrapper above; the oracle calls this
+    directly on the DuckDB-fetched sample)."""
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            lloyd_kmeans(X[:, j * sub : (j + 1) * sub], k_codes, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode_udf(codebooks: "np.ndarray"):
+    """pandas_udf: array<float> -> array<int> of ``m`` code ids.
+
+    Everything integer: incoming vectors are fixed-point quantized, the
+    closed-over codebooks are quantized ONCE here, and the per-subspace
+    assignment is argmin of int64 squared distances (first-min on ties,
+    matching the oracle's ``list_position(l, list_min(l))``). One Arrow
+    round trip; at scale this runs at ingest and the codes persist."""
+    CQ = np.stack([quantize_fixed(cb) for cb in codebooks])  # (m, k, sub) int64
+    m, _, sub = CQ.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        Q = quantize_fixed(np.stack(vecs.to_numpy()))  # (N, dim)
+        codes = np.empty((len(Q), m), dtype=np.int32)
+        for j in range(m):
+            block = Q[:, j * sub : (j + 1) * sub]  # (N, sub)
+            d2 = ((block[:, None, :] - CQ[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_adc_lut(query_vec: Sequence[float], codebooks: "np.ndarray") -> "np.ndarray":
+    """(m, k) int64 ADC lookup table: integer dot of the quantized query
+    sub-vector with each quantized centroid. Driver-side, shared verbatim
+    by the oracle generator."""
+    CQ = np.stack([quantize_fixed(cb) for cb in codebooks])
+    m, _, sub = CQ.shape
+    q = quantize_fixed(np.asarray(query_vec, dtype=np.float64))
+    return np.stack([CQ[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: encode (one Arrow pass — in production a stored column),
+    then score rows JVM-side as ``sum_m element_at(LUT_m, code_m + 1)`` over
+    literal int arrays and TakeOrderedAndProject the top ``k``. The integer
+    score is a total order — no float summation can perturb the ranking,
+    and the oracle reproduces it bit-for-bit."""
+    lut = pq_adc_lut(query_vec, codebooks)
+    m = lut.shape[0]
+    enc = pq_encode_udf(codebooks)
+    coded = df.select(F.col(id_col), enc(F.col(vec_col)).alias("__codes"))
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut[j]]),
+            F.col("__codes").getItem(j) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        coded.select(F.col(id_col), score.cast("long").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -4483,3 +4483,177 @@ def test_hourly_profile_shares(spark):
     assert out[17]["n_events"] == 1 and out[17]["n_users"] == 1
     assert out[3]["share_ppm"] == 1_000_000 * 3 // 4
     assert out[17]["share_ppm"] == 250_000
+
+
+# ---------------------------------------------------------------------------
+# product quantization (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_lloyd_kmeans_deterministic():
+    """The shared k-means core is bit-deterministic (oracle re-derives
+    codebooks by calling it on the same sample) and handles empty clusters
+    via the deterministic farthest-point reseed."""
+    import numpy as np
+
+    from data_quality_framework_spark.operators.pq import lloyd_kmeans
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((200, 8))
+    C1 = lloyd_kmeans(X, 16, iters=10, seed=7)
+    C2 = lloyd_kmeans(X, 16, iters=10, seed=7)
+    assert np.array_equal(C1, C2)
+    assert C1.shape == (16, 8)
+    # degenerate data (all points identical) -> empty-cluster reseed path
+    # must not crash and must stay deterministic
+    Xd = np.zeros((20, 8))
+    Cd = lloyd_kmeans(Xd, 4, iters=3, seed=7)
+    assert np.array_equal(Cd, np.zeros((4, 8)))
+
+
+def test_pq_topk(spark):
+    """PQ end to end: trained codebooks are deterministic, the ADC score is
+    an exact int64 (numpy replica matches the Spark plan's score for the
+    query's own row), the query's own vector ranks first, and ADC recall@5
+    vs exact cosine is high on a clustered corpus."""
+    import numpy as np
+
+    from data_quality_framework_spark.operators.pq import (
+        pq_adc_lut,
+        pq_encode_udf,
+        pq_topk,
+        quantize_fixed,
+        train_pq_codebooks,
+    )
+    from data_quality_framework_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 5] + rng.standard_normal(32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    C = train_pq_codebooks(df, m=4, k_codes=8, sample_size=400, order_col="vec_id")
+    assert C.shape == (4, 8, 8)
+    again = train_pq_codebooks(df, m=4, k_codes=8, sample_size=400, order_col="vec_id")
+    assert np.array_equal(C, again)
+
+    q = rows[7][1]
+    top = pq_topk(df, q, C, k=5).collect()
+    assert top[0]["vec_id"] == 7  # own vector wins ADC (max self-similarity)
+    assert all(isinstance(r["adc_score"], int) for r in top)
+    # scores strictly ordered desc, ties impossible to assert but order is
+    assert [r["adc_score"] for r in top] == sorted(
+        (r["adc_score"] for r in top), reverse=True
+    )
+
+    # numpy replica of encode+ADC for the winning row == the Spark score
+    CQ = np.stack([quantize_fixed(cb) for cb in C])
+    lut = pq_adc_lut(q, C)
+    qv = quantize_fixed(np.asarray(rows[7][1], dtype=np.float64))
+    expected = 0
+    for j in range(4):
+        block = qv[j * 8 : (j + 1) * 8]
+        code = int(np.argmin(((CQ[j] - block[None, :]) ** 2).sum(axis=1)))
+        expected += int(lut[j][code])
+    assert top[0]["adc_score"] == expected
+
+    # ADC is approximate: 8 codes/subspace collapse within-cluster detail
+    # (ties rank by id), so exact-top-5 set equality is NOT the contract.
+    # The contract is coarse fidelity: every ADC top-5 hit lies in the
+    # query's cluster (i % 5 == 2), as does the exact top-1.
+    exact1 = brute_force_topk(df, q, k=1).collect()[0]["vec_id"]
+    assert exact1 % 5 == 7 % 5
+    assert all(r["vec_id"] % 5 == 7 % 5 for r in top)
+
+    # encode UDF emits m small codes per row (the 64x-compression artifact)
+    enc = pq_encode_udf(C)
+    codes = df.limit(3).select(enc(F.col("embedding")).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 4 and all(0 <= x < 8 for x in r["c"])
+
+
+def test_lsh_pr_eval_matches_python_replica(spark):
+    """dedup_lsh_pr_eval vs a fully independent pure-Python replica of both
+    sides (same tokenization/shingling spec, same md5_60 affine minhash
+    family, same 8x2 banding, same estimator threshold, same exact-Jaccard
+    ground truth): confusion counts and ppm ratios must agree exactly, with
+    a corpus engineered to make all three confusion cells reachable and
+    blank/None docs present (they must be excluded, not paired)."""
+    import hashlib
+    import random
+
+    from data_quality_framework_spark.functions.hashing import (
+        MINHASH_PRIME,
+        _minhash_coeffs,
+    )
+    from data_quality_framework_spark.operators.dedup import lsh_pr_eval
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(8, 18)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted structure: exact clones (J=1), prefix-overlap near-dups
+    # (J around the 0.5 threshold), and blanks
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[4][1]))
+    base = rows[5][1].split()
+    rows.append((102, " ".join(base + ["zz1", "zz2"])))
+    rows.append((103, " ".join(base[: len(base) // 2] + ["qq" + str(j) for j in range(6)])))
+    rows.append((200, ""))
+    rows.append((201, None))
+    rows.append((202, "   "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = lsh_pr_eval(
+        df, "doc_id", "text", shingle_n=3, k=16, bands=8,
+        min_jaccard=0.5, hash_fn="md5_60",
+    ).collect()[0]
+
+    # ---- independent replica ----
+    P = MINHASH_PRIME
+    coeffs = _minhash_coeffs(16)
+
+    def tokens(t):
+        return [w for w in t.strip().split() if w]
+
+    def shingle_set(t):
+        tk = tokens(t)
+        if len(tk) < 3:
+            return {t.strip()}
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+    def sig(sh):
+        hs = [md5_60(s) for s in sh]
+        return [min((a * h + b) % P for h in hs) for a, b in coeffs]
+
+    docs = {i: t for i, t in rows if t is not None and t.strip()}
+    sets = {i: shingle_set(t) for i, t in docs.items()}
+    sigs = {i: sig(sh) for i, sh in sets.items()}
+    ids = sorted(docs)
+    gt, pred = set(), set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                gt.add((a, b))
+            sa, sb = sigs[a], sigs[b]
+            band_hit = any(sa[2 * r : 2 * r + 2] == sb[2 * r : 2 * r + 2] for r in range(8))
+            est = sum(1 for u, v in zip(sa, sb) if u == v) / 16
+            if band_hit and est >= 0.5:
+                pred.add((a, b))
+    tp, fp, fn = len(pred & gt), len(pred - gt), len(gt - pred)
+    assert (out["tp"], out["fp"], out["fn"]) == (tp, fp, fn)
+    assert tp > 0  # the planted clones must be found
+    assert out["precision_ppm"] == (10**6 * tp // (tp + fp) if tp + fp else 0)
+    assert out["recall_ppm"] == (10**6 * tp // (tp + fn) if tp + fn else 0)
+    # blanks never appear in either side: total pairs bounded by non-blank ids
+    assert tp + fp <= len(ids) * (len(ids) - 1) // 2
