@@ -150,6 +150,10 @@ HEADLINE = [
     # r5 seventeenth wave: Markov transition matrix, hourly load profile
     "events_transition_matrix",
     "events_hourly_profile",
+    # r5 eighteenth wave: PQ ADC top-k (trained codebooks, integer-exact),
+    # LSH candidate-stage precision/recall audit
+    "sim_topk_pq_trained",
+    "dedup_lsh_pr_eval",
 ]
 
 
