@@ -863,14 +863,20 @@ def _trained_centroids_external(sf_dir: str):
     return spherical_kmeans(X, n_cells=16, iters=10, seed=7)
 
 
-def _pq_oracle_sql(sf_dir: str) -> str:
+def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None) -> str:
     """DuckDB replay of ``sim_topk_pq_trained`` with NO Spark: re-derive the
     codebooks from the same parquet sample (ORDER BY vec_id LIMIT 4096 +
     the shared ``pq_fit`` numpy core -> bit-identical float64 codebooks),
     fixed-point quantize exactly as ``operators.pq.quantize_fixed``, then
     replay encode (first-min integer squared distance per subspace) and ADC
     (integer LUT lookups) in SQL. Every compared quantity is an int64, so
-    parity is exact by construction."""
+    parity is exact by construction.
+
+    ``nprobe`` set -> the ``sim_topk_ivfpq`` variant: candidates are first
+    restricted to the query's top-``nprobe`` seeded IVF cells (the
+    margin-audited ``_ivf_dots_sql`` quantizer + ``list_grade_up`` probe
+    set, exactly the green sim_topk_ivf oracle), mirroring the index's
+    partition pruning."""
     import duckdb
     import numpy as np
 
@@ -915,16 +921,31 @@ def _pq_oracle_sql(sf_dir: str) -> str:
         + f"], c{j} + 1)"
         for j in range(m)
     )
-    return f"""
-        WITH qe AS (SELECT vec_id,
-                           list_transform(embedding,
-                               x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}.0
-                                               + 0.5) AS BIGINT)) AS q
-                    FROM embeddings),
+    quant = (
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{PQ_SCALE}.0 + 0.5) AS BIGINT))"
+    )
+    if nprobe is None:
+        return f"""
+        WITH qe AS (SELECT vec_id, {quant} AS q FROM embeddings),
         s AS (SELECT vec_id, {d_cols} FROM qe),
         c AS (SELECT vec_id, {code_cols} FROM s)
         SELECT vec_id, CAST({score} AS BIGINT) AS adc_score
         FROM c ORDER BY adc_score DESC, vec_id LIMIT 10
+    """
+    return f"""
+        WITH dd AS (SELECT vec_id, embedding, {_ivf_dots_sql(16)} AS d
+                    FROM embeddings),
+        cells AS (SELECT vec_id, embedding,
+                         list_position(d, list_max(d)) - 1 AS cell FROM dd),
+        qp AS (SELECT list_slice(list_grade_up(d), {16 - nprobe + 1}, 16) AS probes
+               FROM dd WHERE vec_id = 0),
+        qe AS (SELECT vec_id, cell, {quant} AS q FROM cells),
+        s AS (SELECT vec_id, cell, {d_cols} FROM qe),
+        c AS (SELECT vec_id, cell, {code_cols} FROM s)
+        SELECT c.vec_id, CAST({score} AS BIGINT) AS adc_score
+        FROM c, qp WHERE list_contains(qp.probes, c.cell + 1)
+        ORDER BY adc_score DESC, vec_id LIMIT 10
     """
 
 
@@ -996,6 +1017,26 @@ def _q_sim_topk_pq(spark, sf):
     e = _t(spark, sf, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return pq_topk(e, qvec, C, k=10)
+
+
+def _q_sim_ivfpq(spark, sf):
+    """IVFADC serving path (r5): one ingest pass stores the seeded IVF cell
+    as a parquet PARTITION column and the 4 PQ codes as a stored column;
+    the query prunes to its nprobe cell partitions (PartitionFilters),
+    reads ONLY (vec_id, pq_codes) there — 64x fewer scan bytes than the
+    raw vectors — and ranks by the integer-exact ADC LUT sum with zero
+    Python at query time. Oracle = the green seeded-IVF probe CTEs
+    composed with the PQ encode/ADC replay."""
+    from data_quality_framework_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+
+    C = _pq_codebooks(spark, sf)
+    path = _build_cached_index(
+        spark, sf, "ivfpq_index",
+        builder=lambda tmp: build_ivfpq_index(_t(spark, sf, "embeddings"), tmp, C),
+    )
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_topk(spark, path, qvec, C, k=10, nprobe=4, n_cells=16)
 
 
 def _q_dedup_incremental(spark, sf):
@@ -3819,6 +3860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_batch_topk_indexed": _q_sim_batch,
         # product-quantization ADC top-k, trained codebooks (r5)
         "sim_topk_pq_trained": _q_sim_topk_pq,
+        # IVFADC: cell-partition-pruned + stored-code ADC serving (r5)
+        "sim_topk_ivfpq": _q_sim_ivfpq,
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
@@ -7031,6 +7074,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF oracle above — only file-access errors downgrade to rows-only.
     try:
         out["sim_topk_pq_trained"] = _pq_oracle_sql(_oracle_sf_dir())
+        out["sim_topk_ivfpq"] = _pq_oracle_sql(_oracle_sf_dir(), nprobe=4)
     except (OSError, duckdb.Error):
         pass
     return out

@@ -154,6 +154,8 @@ HEADLINE = [
     # LSH candidate-stage precision/recall audit
     "sim_topk_pq_trained",
     "dedup_lsh_pr_eval",
+    # r5 nineteenth wave: IVFADC serving path (cell partitions + stored codes)
+    "sim_topk_ivfpq",
 ]
 
 

@@ -196,3 +196,82 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    ivf_seed: int = 7,
+    centroids=None,
+) -> str:
+    """IVFADC ingest (the FAISS ``IVFx,PQy`` architecture as a table layout):
+    one UDF pass computes the coarse IVF cell AND the PQ codes, then the
+    corpus is written partitioned by ``cell`` with ``pq_codes`` as a stored
+    column. A query then (a) prunes to its ``nprobe`` cell PARTITIONS —
+    files elsewhere are never opened — and (b) scores the survivors from
+    the 16-byte code column instead of the 256-byte vector: column pruning
+    x partition pruning x 16-64x byte compression, with NO Python at query
+    time. The raw vector is kept in the index for optional exact re-rank
+    of the ADC top candidates (not read by ``ivfpq_topk`` — column pruning
+    drops it from the scan).
+
+    Same small-files control as ``similarity.build_ann_index``: repartition
+    by cell before the partitioned write (one file per cell dir here; at
+    100 TB repartition(N, "cell") for N target-sized files per cell)."""
+    from data_quality_framework_spark.operators.similarity import ivf_cell_udf
+
+    cell_udf = ivf_cell_udf(None, n_cells, ivf_seed, centroids)
+    enc = pq_encode_udf(codebooks)
+    indexed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell_udf(F.col(vec_col)).alias("cell"),
+        enc(F.col(vec_col)).alias("pq_codes"),
+    )
+    indexed.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        path
+    )
+    return path
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    ivf_seed: int = 7,
+    centroids=None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k through the IVFPQ index: probe cells become
+    ``PartitionFilters``, the scan reads ONLY (id, pq_codes) inside them,
+    and the score is the same integer-exact JVM LUT sum as ``pq_topk`` —
+    query cost is O(rows in probed cells x m element_at lookups),
+    independent of corpus size and of vector dimension."""
+    from data_quality_framework_spark.operators.similarity import ivf_probe_cells
+
+    probe_cells = [
+        int(c) for c in ivf_probe_cells(query_vec, nprobe, n_cells, ivf_seed, centroids)
+    ]
+    lut = pq_adc_lut(query_vec, codebooks)
+    m = lut.shape[0]
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut[j]]),
+            F.col("pq_codes").getItem(j) + 1,
+        )
+        score = term if score is None else score + term
+    return (
+        idx.select(F.col(id_col), score.cast("long").alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -4657,3 +4657,71 @@ def test_lsh_pr_eval_matches_python_replica(spark):
     assert out["recall_ppm"] == (10**6 * tp // (tp + fn) if tp + fn else 0)
     # blanks never appear in either side: total pairs bounded by non-blank ids
     assert tp + fp <= len(ids) * (len(ids) - 1) // 2
+
+
+def test_ivfpq_index_and_topk(spark, tmp_path):
+    """IVFADC serving path: the cell probe is a PartitionFilter, the query
+    plan is UDF-free and reads only (vec_id, pq_codes) — never the raw
+    vector — and the result equals a numpy replica of encode+ADC restricted
+    to the probed cells."""
+    import os
+
+    import numpy as np
+
+    from data_quality_framework_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        pq_adc_lut,
+        quantize_fixed,
+        train_pq_codebooks,
+    )
+    from data_quality_framework_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 32)) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 5] + rng.standard_normal(32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    C = train_pq_codebooks(df, m=4, k_codes=8, sample_size=400, order_col="vec_id")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, C, n_cells=8)
+
+    # layout: one dir per non-empty cell, raw vector retained inside
+    cell_dirs = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert cell_dirs
+
+    q = rows[7][1]
+    out = ivfpq_topk(spark, path, q, C, k=5, nprobe=2, n_cells=8)
+    got = [(r["vec_id"], r["adc_score"]) for r in out.collect()]
+
+    # numpy replica: probe cells (seeded quantizer), encode members, ADC
+    probes = set(ivf_probe_cells(q, nprobe=2, n_cells=8))
+    IC = ivf_centroids(32, 8, 7)
+    CQ = np.stack([quantize_fixed(cb) for cb in C])
+    lut = pq_adc_lut(q, C)
+    scored = []
+    for i, v in rows:
+        x = np.asarray(v, dtype=np.float64)
+        if int(np.argmax(IC @ x)) not in probes:
+            continue
+        qv = quantize_fixed(x)
+        s = 0
+        for j in range(4):
+            block = qv[j * 8 : (j + 1) * 8]
+            code = int(np.argmin(((CQ[j] - block[None, :]) ** 2).sum(axis=1)))
+            s += int(lut[j][code])
+        scored.append((i, s))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    assert got == scored[:5]
+
+    # plan: partition-pruned, UDF-free, raw vector pruned from the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<vec_id:bigint,pq_codes" in plan, plan
