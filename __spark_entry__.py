@@ -863,7 +863,7 @@ def _trained_centroids_external(sf_dir: str):
     return spherical_kmeans(X, n_cells=16, iters=10, seed=7)
 
 
-def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None) -> str:
+def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None, mode: str = "adc") -> str:
     """DuckDB replay of ``sim_topk_pq_trained`` with NO Spark: re-derive the
     codebooks from the same parquet sample (ORDER BY vec_id LIMIT 4096 +
     the shared ``pq_fit`` numpy core -> bit-identical float64 codebooks),
@@ -876,7 +876,13 @@ def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None) -> str:
     restricted to the query's top-``nprobe`` seeded IVF cells (the
     margin-audited ``_ivf_dots_sql`` quantizer + ``list_grade_up`` probe
     set, exactly the green sim_topk_ivf oracle), mirroring the index's
-    partition pruning."""
+    partition pruning.
+
+    ``mode`` (requires ``nprobe``): ``"rerank"`` -> the ``sim_topk_ivfpq_rerank``
+    variant (ADC top-50 shortlist re-ranked by the integer-exact quantized
+    dot product); ``"recall"`` -> the ``sim_ann_recall_eval`` audit (exact
+    integer-dot ground-truth top-10 over ALL vectors vs the ADC top-10,
+    reduced to one (k, hits, recall_ppm) row)."""
     import duckdb
     import numpy as np
 
@@ -933,7 +939,8 @@ def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None) -> str:
         SELECT vec_id, CAST({score} AS BIGINT) AS adc_score
         FROM c ORDER BY adc_score DESC, vec_id LIMIT 10
     """
-    return f"""
+    dim = m * sub
+    common = f"""
         WITH dd AS (SELECT vec_id, embedding, {_ivf_dots_sql(16)} AS d
                     FROM embeddings),
         cells AS (SELECT vec_id, embedding,
@@ -942,11 +949,37 @@ def _pq_oracle_sql(sf_dir: str, nprobe: int | None = None) -> str:
                FROM dd WHERE vec_id = 0),
         qe AS (SELECT vec_id, cell, {quant} AS q FROM cells),
         s AS (SELECT vec_id, cell, {d_cols} FROM qe),
-        c AS (SELECT vec_id, cell, {code_cols} FROM s)
-        SELECT c.vec_id, CAST({score} AS BIGINT) AS adc_score
-        FROM c, qp WHERE list_contains(qp.probes, c.cell + 1)
-        ORDER BY adc_score DESC, vec_id LIMIT 10
+        c AS (SELECT vec_id, cell, {code_cols} FROM s)"""
+    adc = f"""SELECT c.vec_id, CAST({score} AS BIGINT) AS adc_score
+        FROM c, qp WHERE list_contains(qp.probes, c.cell + 1)"""
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> e2.q[i] * qv.q[i])) AS BIGINT)"
+    )
+    if mode == "adc":
+        return f"""{common}
+        {adc} ORDER BY adc_score DESC, vec_id LIMIT 10
     """
+    if mode == "rerank":
+        return f"""{common},
+        short AS ({adc} ORDER BY adc_score DESC, c.vec_id LIMIT 50),
+        qv AS (SELECT q FROM qe WHERE vec_id = 0)
+        SELECT s2.vec_id, {dot} AS dot_q
+        FROM short s2 JOIN qe e2 ON e2.vec_id = s2.vec_id, qv
+        ORDER BY dot_q DESC, s2.vec_id LIMIT 10
+    """
+    if mode == "recall":
+        return f"""{common},
+        approx AS ({adc} ORDER BY adc_score DESC, c.vec_id LIMIT 10),
+        qv AS (SELECT q FROM qe WHERE vec_id = 0),
+        exact AS (SELECT e2.vec_id, {dot} AS dot_q
+                  FROM qe e2, qv
+                  ORDER BY dot_q DESC, e2.vec_id LIMIT 10)
+        SELECT CAST(10 AS BIGINT) AS k, count(*) AS hits,
+               CAST(floor(count(*) * 1000000 / 10) AS BIGINT) AS recall_ppm
+        FROM exact JOIN approx USING (vec_id)
+    """
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 def _q_sim_ivf_trained(spark, sf):
@@ -1037,6 +1070,51 @@ def _q_sim_ivfpq(spark, sf):
     e = _t(spark, sf, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivfpq_topk(spark, path, qvec, C, k=10, nprobe=4, n_cells=16)
+
+
+def _q_sim_ivfpq_rerank(spark, sf):
+    """IVFADC+R (r5): the ADC top-50 shortlist from the cell-pruned code
+    scan is re-ranked by the integer-exact quantized dot product over the
+    raw vectors of ONLY those 50 ids (broadcast semi-join into the probed
+    partitions) — the standard accuracy-restoring second stage, with every
+    compared quantity int64 so the DuckDB replay matches bit-for-bit."""
+    from data_quality_framework_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk_rerank,
+    )
+
+    C = _pq_codebooks(spark, sf)
+    path = _build_cached_index(
+        spark, sf, "ivfpq_index",
+        builder=lambda tmp: build_ivfpq_index(_t(spark, sf, "embeddings"), tmp, C),
+    )
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_topk_rerank(
+        spark, path, qvec, C, k=10, shortlist=50, nprobe=4, n_cells=16
+    )
+
+
+def _q_sim_recall_eval(spark, sf):
+    """ANN recall@10 audit (r5): exact integer-dot ground truth over ALL
+    vectors vs the IVFPQ ADC top-10 — quantifies the combined probe +
+    compression loss as one (k, hits, recall_ppm) row, the measured number
+    that justifies (or indicts) an nprobe/codebook configuration."""
+    from data_quality_framework_spark.operators.pq import (
+        ann_recall_eval,
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    C = _pq_codebooks(spark, sf)
+    path = _build_cached_index(
+        spark, sf, "ivfpq_index",
+        builder=lambda tmp: build_ivfpq_index(_t(spark, sf, "embeddings"), tmp, C),
+    )
+    e = _t(spark, sf, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    approx = ivfpq_topk(spark, path, qvec, C, k=10, nprobe=4, n_cells=16)
+    return ann_recall_eval(e, approx, qvec, k=10)
 
 
 def _q_dedup_incremental(spark, sf):
@@ -3862,6 +3940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq_trained": _q_sim_topk_pq,
         # IVFADC: cell-partition-pruned + stored-code ADC serving (r5)
         "sim_topk_ivfpq": _q_sim_ivfpq,
+        # IVFADC+R: exact-dot re-rank of the ADC shortlist (r5)
+        "sim_topk_ivfpq_rerank": _q_sim_ivfpq_rerank,
+        # ANN recall@k audit: IVFPQ vs exact integer-dot ground truth (r5)
+        "sim_ann_recall_eval": _q_sim_recall_eval,
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
@@ -7075,6 +7157,12 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["sim_topk_pq_trained"] = _pq_oracle_sql(_oracle_sf_dir())
         out["sim_topk_ivfpq"] = _pq_oracle_sql(_oracle_sf_dir(), nprobe=4)
+        out["sim_topk_ivfpq_rerank"] = _pq_oracle_sql(
+            _oracle_sf_dir(), nprobe=4, mode="rerank"
+        )
+        out["sim_ann_recall_eval"] = _pq_oracle_sql(
+            _oracle_sf_dir(), nprobe=4, mode="recall"
+        )
     except (OSError, duckdb.Error):
         pass
     return out

@@ -154,8 +154,11 @@ HEADLINE = [
     # LSH candidate-stage precision/recall audit
     "sim_topk_pq_trained",
     "dedup_lsh_pr_eval",
-    # r5 nineteenth wave: IVFADC serving path (cell partitions + stored codes)
+    # r5 nineteenth wave: IVFADC serving path (cell partitions + stored codes),
+    # exact-dot re-rank of the ADC shortlist, recall@k audit
     "sim_topk_ivfpq",
+    "sim_topk_ivfpq_rerank",
+    "sim_ann_recall_eval",
 ]
 
 

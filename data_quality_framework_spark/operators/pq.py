@@ -238,6 +238,46 @@ def build_ivfpq_index(
     return path
 
 
+def exact_dot_expr(query_vec: Sequence[float], vec_col: str = "embedding"):
+    """Integer-exact dot product of a stored vector column with a literal
+    query, entirely JVM-side: both sides are fixed-point quantized
+    (``floor(x * 2^20 + 0.5)`` — the module-wide spec, identical in numpy,
+    Spark ``floor`` and DuckDB ``floor``), multiplied with ``zip_with`` and
+    folded with ``aggregate``. int64-safe for dim <= 64 unit-ball vectors
+    (64 * 2^40 < 2^47); no UDF, whole-stage codegen."""
+    q = quantize_fixed(np.asarray(query_vec, dtype=np.float64))
+    qlit = F.array(*[F.lit(int(v)) for v in q])
+    qe = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(qe, qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_dot_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force integer-dot top-k — the exact ground truth the ANN paths
+    approximate (and the re-rank scorer). One scan, TakeOrderedAndProject,
+    deterministic id tiebreak; the total order is an int64 so any engine
+    reproduces it bit-for-bit."""
+    return (
+        df.select(F.col(id_col), exact_dot_expr(query_vec, vec_col).alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     spark,
     index_path: str,
@@ -274,4 +314,77 @@ def ivfpq_topk(
         idx.select(F.col(id_col), score.cast("long").alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.col(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_topk_rerank(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    codebooks: "np.ndarray",
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    ivf_seed: int = 7,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVFADC+R serving recipe (Jegou et al. §V: re-rank the ADC
+    shortlist with exact distances): stage 1 takes the top-``shortlist`` by
+    compressed-domain ADC score (partition-pruned, codes-only scan); stage 2
+    re-reads the RAW vectors of ONLY those ``shortlist`` ids — a broadcast
+    semi-join against the same probed partitions, so the wide column is
+    deserialized for ~50 rows, not the corpus — and re-ranks by the
+    integer-exact dot product. Fixes ADC's quantization-induced rank
+    inversions near the top at the cost of one extra tiny join; at 100 TB
+    the re-rank reads O(shortlist) vectors regardless of corpus size."""
+    cand = ivfpq_topk(
+        spark, index_path, query_vec, codebooks,
+        k=shortlist, nprobe=nprobe, n_cells=n_cells,
+        ivf_seed=ivf_seed, centroids=centroids, id_col=id_col,
+    )
+    from data_quality_framework_spark.operators.similarity import ivf_probe_cells
+
+    probe_cells = [
+        int(c) for c in ivf_probe_cells(query_vec, nprobe, n_cells, ivf_seed, centroids)
+    ]
+    raw = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, vec_col)
+    )
+    return (
+        raw.join(F.broadcast(cand.select(id_col)), id_col)
+        .select(F.col(id_col), exact_dot_expr(query_vec, vec_col).alias("dot_q"))
+        .orderBy(F.desc("dot_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_recall_eval(
+    df: DataFrame,
+    approx_topk: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k audit for any ANN path — the tuning instrument that turns
+    "nprobe=4 seems fine" into a measured number (the ANN analog of
+    ``dedup.lsh_pr_eval``): exact integer-dot ground-truth top-k vs the
+    approximate result's ids, reduced to ONE row of int64s
+    ``(k, hits, recall_ppm)`` with floor-div ppm so every engine agrees
+    bit-for-bit. Both inputs are k-row frames — the join and agg are
+    driver-trivial; the only corpus-sized work is the exact scan, which is
+    the point of the audit (run it on a bounded sample at 100 TB)."""
+    exact = exact_dot_topk(df, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+    hits = exact.select(id_col).join(approx_topk.select(id_col), id_col)
+    return hits.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("hits"),
+        F.floor(F.count(F.lit(1)) * F.lit(1000000) / F.lit(k))
+        .cast("long")
+        .alias("recall_ppm"),
     )

@@ -4725,3 +4725,92 @@ def test_ivfpq_index_and_topk(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "ReadSchema: struct<vec_id:bigint,pq_codes" in plan, plan
+
+
+def test_ivfpq_rerank_and_recall_eval(spark, tmp_path):
+    """IVFADC+R: the ADC top-``shortlist`` re-ranked by the integer-exact
+    quantized dot over raw vectors equals a numpy replica; the recall audit
+    reduces exact-vs-approx top-k to one integer row. Both plans stay
+    UDF-free at query time."""
+    import numpy as np
+
+    from data_quality_framework_spark.operators.pq import (
+        PQ_SCALE,
+        ann_recall_eval,
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+        pq_adc_lut,
+        quantize_fixed,
+        train_pq_codebooks,
+    )
+    from data_quality_framework_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((5, 32)) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 5] + rng.standard_normal(32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    C = train_pq_codebooks(df, m=4, k_codes=8, sample_size=400, order_col="vec_id")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, C, n_cells=8)
+    q = rows[7][1]
+
+    # --- numpy replica: probe -> encode -> ADC -> shortlist -> exact dot
+    probes = set(ivf_probe_cells(q, nprobe=2, n_cells=8))
+    IC = ivf_centroids(32, 8, 7)
+    CQ = np.stack([quantize_fixed(cb) for cb in C])
+    lut = pq_adc_lut(q, C)
+    qq = quantize_fixed(np.asarray(q, dtype=np.float64))
+
+    def fixed(v):
+        return np.floor(
+            np.asarray(v, dtype=np.float32).astype(np.float64) * PQ_SCALE + 0.5
+        ).astype(np.int64)
+
+    adc, exact_all = [], []
+    for i, v in rows:
+        # float32 storage round-trip everywhere: parquet holds float32, so
+        # both the encode UDF and the JVM dot see float32-rounded values
+        x = np.asarray(v, dtype=np.float32).astype(np.float64)
+        ev = fixed(v)
+        exact_all.append((i, int(ev @ qq)))
+        if int(np.argmax(IC @ x)) not in probes:
+            continue
+        qv = quantize_fixed(x)
+        s = 0
+        for j in range(4):
+            block = qv[j * 8 : (j + 1) * 8]
+            code = int(np.argmin(((CQ[j] - block[None, :]) ** 2).sum(axis=1)))
+            s += int(lut[j][code])
+        adc.append((i, s))
+    adc.sort(key=lambda t: (-t[1], t[0]))
+    short_ids = {i for i, _ in adc[:30]}
+    rerank = sorted(
+        ((i, d) for i, d in exact_all if i in short_ids), key=lambda t: (-t[1], t[0])
+    )
+
+    out = ivfpq_topk_rerank(
+        spark, path, q, C, k=5, shortlist=30, nprobe=2, n_cells=8
+    )
+    got = [(r["vec_id"], r["dot_q"]) for r in out.collect()]
+    assert got == rerank[:5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # --- recall audit: one integer row, floor-div ppm, replica-exact
+    approx = ivfpq_topk(spark, path, q, C, k=5, nprobe=2, n_cells=8)
+    row = ann_recall_eval(df, approx, q, k=5).collect()[0]
+    exact_all.sort(key=lambda t: (-t[1], t[0]))
+    exact_ids = {i for i, _ in exact_all[:5]}
+    approx_ids = {i for i, _ in adc[:5]}
+    hits = len(exact_ids & approx_ids)
+    assert (row["k"], row["hits"], row["recall_ppm"]) == (
+        5, hits, 10**6 * hits // 5,
+    )
