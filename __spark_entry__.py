@@ -2515,6 +2515,56 @@ def _hll_oracle_sql() -> str:
     """
 
 
+#: the two deterministic source halves compared by text_kmv_overlap —
+#: snapshot "a" = the first ten generator sources, "b" = the rest
+_KMV_HALF_A = tuple(f"src{i}" for i in range(10))
+
+
+def _kmv_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cardinality import (
+        duckdb_kmv_overlap_sql,
+    )
+
+    half = ", ".join(f"'{s}'" for s in _KMV_HALF_A)
+    inner = f"""
+        SELECT CASE WHEN source IN ({half}) THEN 'a' ELSE 'b' END AS tag,
+               g AS v
+        FROM (SELECT source, unnest({_shingle_list_expr(5)}) AS g
+              FROM documents WHERE text IS NOT NULL) t
+        WHERE g <> ''
+    """
+    return duckdb_kmv_overlap_sql(inner, k=128)
+
+
+def _q_kmv_overlap(spark, sf):
+    """KMV bottom-k cross-snapshot overlap (r5): the bounded-state answer
+    to "how much of source-half B's word-5-gram space is already in
+    half A" — distinct estimates for both halves AND their union plus a
+    Jaccard estimate, all from two 128-row sketches (k smallest distinct
+    md5_60 gram hashes per half; `operators/cardinality.py::kmv_overlap`).
+    HLL cannot intersect; the exact `text_source_overlap` token join can
+    but shuffles every distinct key — KMV's shuffle is <=k rows per map
+    partition (mapInPandas bounded pre-filter) at ANY corpus size. Every
+    reported statistic is integer (DECIMAL(38,0) `div` vs DuckDB HUGEINT
+    `//` for the saturated-regime estimator), so the oracle replay is
+    bit-exact."""
+    from data_quality_framework_spark.functions.hashing import shingles
+    from data_quality_framework_spark.operators.cardinality import kmv_overlap
+
+    d = _t(spark, sf, "documents")
+    grams = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.when(F.col("source").isin(*_KMV_HALF_A), "a")
+            .otherwise("b")
+            .alias("snap"),
+            F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("g"),
+        )
+        .filter(F.col("g") != "")
+    )
+    return kmv_overlap(grams, "g", "snap", k=128)
+
+
 def _q_hll_distinct(spark, sf):
     """Engine-exact HyperLogLog distinct count (r5): m=64 integer registers
     over md5-derived 60-bit hashes; the harmonic sum stays integer (powers
@@ -4071,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_profile": _q_hourly_profile,
         "text_exact_quantiles": _q_exact_quantiles,
         "text_hll_distinct": _q_hll_distinct,
+        # KMV bottom-k cross-snapshot overlap/Jaccard sketch (r5)
+        "text_kmv_overlap": _q_kmv_overlap,
         "text_mixture_budget": _q_mixture_budget,
         "events_interval_join": _q_interval_join,
         "events_skew_profile": _q_skew_profile,
@@ -6836,6 +6888,9 @@ def oracle_sql() -> dict[str, str]:
         # HLL oracle (r5): the register + integer-harmonic-sum replay from
         # cardinality.duckdb_hll_sql (shared constants), exact count joined
         "text_hll_distinct": _hll_oracle_sql(),
+        # KMV oracle (r5): bottom-k-of-distinct via window row_number,
+        # HUGEINT // replaying Spark's DECIMAL(38,0) div estimator
+        "text_kmv_overlap": _kmv_oracle_sql(),
         # interval-join oracle (r5): sessions replayed via lag/sum windows,
         # then DuckDB's NATIVE range join (IEJoin) — independent semantics
         "events_interval_join": """

@@ -159,6 +159,8 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_rerank",
     "sim_ann_recall_eval",
+    # r5 twenty-first wave: KMV bottom-k cross-snapshot overlap sketch
+    "text_kmv_overlap",
 ]
 
 

@@ -47,6 +47,9 @@ __all__ = [
     "duckdb_hll_sql",
     "hll_distinct_by",
     "duckdb_hll_by_sql",
+    "kmv_sketch_by",
+    "kmv_overlap",
+    "duckdb_kmv_overlap_sql",
 ]
 
 #: total hash bits taken from md5 (15 hex chars -> positive in int64)
@@ -304,4 +307,239 @@ def duckdb_hll_by_sql(input_sql: str, group_col: str, p: int = 12) -> str:
                               * CAST({scale} AS BIGINT)) * 10000) / 10000
                    AS est_q
         FROM agg
+    """
+
+
+def kmv_sketch_by(
+    df: DataFrame, col: str, tag_col: str, k: int = 128
+) -> DataFrame:
+    """Per-tag KMV (bottom-k / k-minimum-values) distinct sketch: the k
+    SMALLEST distinct 60-bit md5 hashes of ``col`` per tag, as rows
+    (tag, h) — at most k per tag.
+
+    Why KMV next to HLL: an HLL register frame estimates |A| but carries
+    no set-intersection information — merging registers only unions. A
+    KMV sketch is a uniform sample of each set's hash space, so two
+    sketches ALSO estimate |A ∩ B| / |A ∪ B| (Beyer et al., SIGMOD'07):
+    the bottom-k of (sketch_a ∪ sketch_b) is exactly the bottom-k of the
+    union set, and the fraction of its members present in both sketches
+    is an unbiased Jaccard estimator. That is the cross-SNAPSHOT question
+    HLL cannot answer: "how much of crawl B's url/vocab space is already
+    in crawl A?"
+
+    Engine-exactness: hash = first 15 hex md5 chars as a 60-bit integer
+    (the module's HLL convention), the sketch is a deterministic set (k
+    smallest distinct hashes — no RNG, no ties post-distinct), and every
+    downstream statistic (:func:`kmv_overlap`) is integer arithmetic, so
+    a DuckDB window-function replay (:func:`duckdb_kmv_overlap_sql`)
+    matches bit-for-bit.
+
+    Scale contract: a naive bottom-k needs ``distinct()`` — a shuffle of
+    EVERY distinct key, the exact cost sketches exist to avoid. Here an
+    ``mapInPandas`` pre-filter folds each partition's Arrow batches into
+    a bounded ≤k-per-tag running bottom-k (numpy ``unique`` + slice, no
+    per-row Python), so the exchange carries at most k·tags rows PER MAP
+    PARTITION; the exact global bottom-k (distinct + per-tag row_number)
+    then runs on that tiny remainder. The pre-filter only ever REMOVES
+    rows that cannot be in the global bottom-k, so the result is
+    identical to the naive plan. Tags are cast to string (the sketch key
+    space, not data); nulls in ``col`` are excluded like every distinct
+    counter in this module.
+
+    Reference parity: beyond-reference north-rule scope (the reference's
+    duplicate_checker COUNT(DISTINCT) family has no cross-set overlap
+    instrument); pairs with `text_source_overlap`'s exact token join as
+    the bounded-state path whose error that exact query can audit.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.filter(F.col(col).isNotNull()).select(
+        F.col(tag_col).cast("string").alias("__tag"), h.alias("h")
+    )
+
+    def _prefilter(batches):
+        import numpy as np
+        import pandas as pd
+
+        best: dict = {}
+        for pdf in batches:
+            for tag, sub in pdf.groupby("__tag", sort=False):
+                arr = sub["h"].to_numpy(dtype="int64")
+                prev = best.get(tag)
+                merged = arr if prev is None else np.concatenate([prev, arr])
+                best[tag] = np.unique(merged)[:k]
+        if best:
+            tags = list(best)
+            yield pd.DataFrame(
+                {
+                    "__tag": np.repeat(tags, [len(best[t]) for t in tags]),
+                    "h": np.concatenate([best[t] for t in tags]),
+                }
+            )
+
+    from pyspark.sql.window import Window
+
+    pre = hashed.mapInPandas(_prefilter, "__tag string, h bigint")
+    w = Window.partitionBy("__tag").orderBy("h")
+    return (
+        pre.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("__tag").alias(tag_col), "h")
+    )
+
+
+def _kmv_est(n: str, hk: str, k: int):
+    """Integer-exact KMV estimator column: n if the sketch is unsaturated
+    (exact regime), else (k-1)·2^60 div h_k — the numerator exceeds int64
+    for k > 8, so it runs in DECIMAL(38,0) with SQL ``div`` (integral
+    division), which DuckDB reproduces with HUGEINT ``//``."""
+    return F.when(F.col(n) < k, F.col(n)).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38,0))"
+            f" * CAST({1 << 60} AS DECIMAL(38,0)))"
+            f" div CAST({hk} AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    col: str,
+    tag_col: str,
+    k: int = 128,
+    tags: tuple = ("a", "b"),
+) -> DataFrame:
+    """Cross-snapshot distinct + overlap estimates from two KMV sketches.
+
+    One row, all BIGINT: (k, n_a, est_a, n_b, est_b, n_union_k,
+    est_union, inter_in_k, jaccard_ppm) where est_* is the KMV distinct
+    estimate ((k-1)·2^60 div h_k; exact count when the sketch is
+    unsaturated), n_union_k / est_union describe the bottom-k of the
+    UNION (computable from the two sketches alone — the KMV closure
+    property), inter_in_k counts union-sketch members present in BOTH
+    sketches, and jaccard_ppm = (10^6 · inter_in_k) div n_union_k
+    estimates the Jaccard similarity of the two distinct-value sets.
+
+    Everything after :func:`kmv_sketch_by` touches ≤ 2k rows, so the
+    combine stage costs nothing at any corpus size.
+    """
+    tag_a, tag_b = tags
+    sk = kmv_sketch_by(df, col, tag_col, k)
+    per = (
+        sk.groupBy(tag_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("h").alias("hk"))
+        .withColumn("est", _kmv_est("n", "hk", k))
+    )
+
+    def _pick(tag: str, src: str, out: str):
+        return F.coalesce(
+            F.sum(F.when(F.col(tag_col) == tag, F.col(src))), F.lit(0)
+        ).cast("long").alias(out)
+
+    piv = per.agg(
+        _pick(tag_a, "n", "n_a"),
+        _pick(tag_a, "est", "est_a"),
+        _pick(tag_b, "n", "n_b"),
+        _pick(tag_b, "est", "est_b"),
+    )
+    uk = sk.select("h").distinct().orderBy("h").limit(k)
+    fl = (
+        uk.join(sk, "h")
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col(tag_col) == tag_a, 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col(tag_col) == tag_b, 1).otherwise(0)).alias("ib"),
+        )
+    )
+    us = fl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.max("h").alias("hk_u"),
+        F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0))
+        .cast("long")
+        .alias("inter"),
+    )
+    return (
+        piv.crossJoin(us)
+        .withColumn("est_union", _kmv_est("n_u", "hk_u", k))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_a",
+            "est_a",
+            "n_b",
+            "est_b",
+            F.col("n_u").alias("n_union_k"),
+            "est_union",
+            F.col("inter").alias("inter_in_k"),
+            F.expr(
+                "CAST(CASE WHEN n_u > 0 THEN (1000000 * inter) div n_u"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def duckdb_kmv_overlap_sql(
+    input_sql: str, k: int = 128, tags: tuple = ("a", "b")
+) -> str:
+    """DuckDB replay of :func:`kmv_overlap` over ``input_sql`` (a query
+    producing columns ``tag`` and ``v``) — same md5-60 hash, same
+    bottom-k-of-distinct semantics (window row_number), same integral
+    division (HUGEINT ``//`` vs Spark's DECIMAL(38,0) ``div``)."""
+    tag_a, tag_b = tags
+    two60 = 1 << 60
+    return f"""
+        WITH vals AS ({input_sql}),
+        hh AS (SELECT DISTINCT CAST(tag AS VARCHAR) AS tag,
+                      CAST('0x' || substring(md5(CAST(v AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+               FROM vals WHERE v IS NOT NULL),
+        rk AS (SELECT tag, h,
+                      row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+               FROM hh),
+        sk AS (SELECT tag, h FROM rk WHERE rn <= {k}),
+        pest AS (SELECT tag, n,
+                        CASE WHEN n < {k} THEN n
+                             ELSE CAST((CAST({k - 1} AS HUGEINT)
+                                        * CAST({two60} AS HUGEINT))
+                                       // CAST(hk AS HUGEINT) AS BIGINT)
+                        END AS est
+                 FROM (SELECT tag, CAST(count(*) AS BIGINT) AS n,
+                              max(h) AS hk
+                       FROM sk GROUP BY 1) per),
+        piv AS (SELECT
+                coalesce(CAST(sum(CASE WHEN tag = '{tag_a}' THEN n END)
+                              AS BIGINT), 0) AS n_a,
+                coalesce(CAST(sum(CASE WHEN tag = '{tag_a}' THEN est END)
+                              AS BIGINT), 0) AS est_a,
+                coalesce(CAST(sum(CASE WHEN tag = '{tag_b}' THEN n END)
+                              AS BIGINT), 0) AS n_b,
+                coalesce(CAST(sum(CASE WHEN tag = '{tag_b}' THEN est END)
+                              AS BIGINT), 0) AS est_b
+                FROM pest),
+        uk AS (SELECT h FROM (SELECT DISTINCT h FROM sk) t
+               ORDER BY h LIMIT {k}),
+        fl AS (SELECT uk.h,
+                      max(CASE WHEN sk.tag = '{tag_a}' THEN 1 ELSE 0 END)
+                          AS ia,
+                      max(CASE WHEN sk.tag = '{tag_b}' THEN 1 ELSE 0 END)
+                          AS ib
+               FROM uk JOIN sk USING (h) GROUP BY 1),
+        us AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS hk_u,
+                      coalesce(CAST(sum(ia * ib) AS BIGINT), 0) AS inter
+               FROM fl)
+        SELECT CAST({k} AS BIGINT) AS k, n_a, est_a, n_b, est_b,
+               n_u AS n_union_k,
+               CASE WHEN n_u < {k} THEN n_u
+                    ELSE CAST((CAST({k - 1} AS HUGEINT)
+                               * CAST({two60} AS HUGEINT))
+                              // CAST(hk_u AS HUGEINT) AS BIGINT)
+               END AS est_union,
+               inter AS inter_in_k,
+               CAST(CASE WHEN n_u > 0 THEN (1000000 * inter) // n_u
+                    ELSE 0 END AS BIGINT) AS jaccard_ppm
+        FROM piv, us
     """

@@ -4814,3 +4814,104 @@ def test_ivfpq_rerank_and_recall_eval(spark, tmp_path):
     assert (row["k"], row["hits"], row["recall_ppm"]) == (
         5, hits, 10**6 * hits // 5,
     )
+
+
+def test_kmv_sketch_exact_bottomk_across_partitions(spark):
+    """The mapInPandas bounded pre-filter never loses a global bottom-k
+    member: the per-tag sketch over a many-partition input equals a pure
+    Python bottom-k-of-distinct replay of the md5_60 spec; duplicates
+    collapse; nulls are excluded; k<2 raises."""
+    import hashlib
+
+    from data_quality_framework_spark.operators.cardinality import kmv_sketch_by
+
+    k = 16
+    rows = []
+    for i in range(500):
+        tag = "a" if i % 3 else "b"
+        rows.append((tag, f"val{i % 200}"))  # duplicates across rows
+    rows += [("a", None), ("b", None)]
+    d = spark.createDataFrame(rows, "tag string, v string").repartition(11)
+    got = {
+        (r["tag"], r["h"]) for r in kmv_sketch_by(d, "v", "tag", k).collect()
+    }
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for tag in ("a", "b"):
+        hs = sorted({h60(v) for t, v in rows if t == tag and v is not None})
+        want |= {(tag, h) for h in hs[:k]}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        kmv_sketch_by(d, "v", "tag", 1)
+
+
+def test_kmv_overlap_matches_python_replay(spark):
+    """kmv_overlap's one-row statistics — saturated-regime DECIMAL div
+    estimates, union-sketch size, intersection count, Jaccard ppm — equal
+    a pure Python replay exactly, in BOTH the saturated (n >= k) and
+    unsaturated (exact-count) regimes, and the estimates land within the
+    expected KMV error of the true cardinalities."""
+    import hashlib
+
+    from data_quality_framework_spark.operators.cardinality import kmv_overlap
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def replay(vals_a, vals_b, k):
+        sa = sorted({h60(v) for v in vals_a})[:k]
+        sb = sorted({h60(v) for v in vals_b})[:k]
+
+        def est(s):
+            return len(s) if len(s) < k else ((k - 1) << 60) // s[-1]
+
+        uk = sorted(set(sa) | set(sb))[:k]
+        inter = sum(1 for h in uk if h in set(sa) and h in set(sb))
+        n_u = len(uk)
+        eu = n_u if n_u < k else ((k - 1) << 60) // uk[-1]
+        jac = (1_000_000 * inter) // n_u if n_u else 0
+        return {
+            "k": k,
+            "n_a": len(sa),
+            "est_a": est(sa),
+            "n_b": len(sb),
+            "est_b": est(sb),
+            "n_union_k": n_u,
+            "est_union": eu,
+            "inter_in_k": inter,
+            "jaccard_ppm": jac,
+        }
+
+    # saturated regime with planted partial overlap: |A|=600, |B|=500,
+    # |A∩B|=200 distinct values
+    k = 64
+    vals_a = [f"x{i}" for i in range(600)]
+    vals_b = [f"x{i}" for i in range(400, 900)]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    d = spark.createDataFrame(rows, "snap string, v string").repartition(7)
+    got = kmv_overlap(d, "v", "snap", k, tags=("a", "b")).collect()[0].asDict()
+    want = replay(vals_a, vals_b, k)
+    assert got == want
+    # sanity: the estimator is actually estimating (not exact-counting)
+    assert want["n_a"] == k and want["est_a"] != 600
+    for estv, truth in ((want["est_a"], 600), (want["est_b"], 500),
+                        (want["est_union"], 900)):
+        assert abs(estv - truth) / truth < 4 / (k - 1) ** 0.5
+
+    # unsaturated regime: exact counts, Jaccard over the full union
+    got2 = kmv_overlap(d, "v", "snap", 2048).collect()[0].asDict()
+    want2 = replay(vals_a, vals_b, 2048)
+    assert got2 == want2
+    assert (got2["n_a"], got2["est_a"]) == (600, 600)
+    assert got2["jaccard_ppm"] == (1_000_000 * 200) // 900
+
+    # one tag entirely absent -> zeros on that side, no division blowup
+    da = spark.createDataFrame([("a", "only")], "snap string, v string")
+    row = kmv_overlap(da, "v", "snap", 8).collect()[0].asDict()
+    assert (row["n_b"], row["est_b"], row["inter_in_k"]) == (0, 0, 0)
+    assert (row["n_a"], row["n_union_k"]) == (1, 1)
+    assert row["jaccard_ppm"] == 0
