@@ -2536,6 +2536,60 @@ def _kmv_oracle_sql() -> str:
     return duckdb_kmv_overlap_sql(inner, k=128)
 
 
+def _kmv_incremental_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.cardinality import duckdb_kmv_sql
+
+    even = duckdb_kmv_sql(
+        "SELECT doc_id AS v FROM documents WHERE doc_id % 2 = 0", k=128
+    )
+    full = duckdb_kmv_sql("SELECT doc_id AS v FROM documents", k=128)
+    return f"""
+        SELECT 1 AS batch_id, s.*, CAST(1 AS BIGINT) AS n_batches
+        FROM ({even}) s
+        UNION ALL
+        SELECT 2 AS batch_id, s.*, CAST(2 AS BIGINT) AS n_batches
+        FROM ({full}) s
+        ORDER BY batch_id
+    """
+
+
+def _q_kmv_incremental(spark, sf):
+    """Cross-run cumulative KMV sketching (r5): the two-batch doc_id split
+    run through `incremental_kmv` — each batch folds its ≤k-row bottom-k
+    sketch into a persisted store and reports the cumulative distinct
+    estimate, bit-identical (KMV closure: bottom-k of unioned bottom-k's
+    = bottom-k of the unioned sets) to a from-scratch sketch over every
+    batch so far, which is exactly what the oracle recomputes in SQL.
+    Unlike the HLL register store this one keeps per-batch sketches, so
+    batch-vs-history overlap (`kmv_overlap`) is queryable for free."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.cardinality import incremental_kmv
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="dq_kmv_store_")
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        rows = []
+        for bid, batch in (("1", b1), ("2", b2)):
+            r = incremental_kmv(spark, batch, "doc_id", store, bid, k=128)
+            row = r.collect()[0]
+            rows.append(
+                (int(bid), row["k"], row["n_sketch"], row["est_distinct"],
+                 row["n_batches"])
+            )
+        return spark.createDataFrame(
+            rows,
+            "batch_id int, k long, n_sketch long, est_distinct long, "
+            "n_batches long",
+        ).orderBy("batch_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _q_kmv_overlap(spark, sf):
     """KMV bottom-k cross-snapshot overlap (r5): the bounded-state answer
     to "how much of source-half B's word-5-gram space is already in
@@ -4123,6 +4177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_distinct": _q_hll_distinct,
         # KMV bottom-k cross-snapshot overlap/Jaccard sketch (r5)
         "text_kmv_overlap": _q_kmv_overlap,
+        # cross-run incremental KMV sketch store (r5)
+        "text_kmv_incremental": _q_kmv_incremental,
         "text_mixture_budget": _q_mixture_budget,
         "events_interval_join": _q_interval_join,
         "events_skew_profile": _q_skew_profile,
@@ -6891,6 +6947,9 @@ def oracle_sql() -> dict[str, str]:
         # KMV oracle (r5): bottom-k-of-distinct via window row_number,
         # HUGEINT // replaying Spark's DECIMAL(38,0) div estimator
         "text_kmv_overlap": _kmv_oracle_sql(),
+        # incremental-KMV oracle (r5): per-batch cumulative replays, the
+        # KMV closure property making from-scratch == store-merged
+        "text_kmv_incremental": _kmv_incremental_oracle_sql(),
         # interval-join oracle (r5): sessions replayed via lag/sum windows,
         # then DuckDB's NATIVE range join (IEJoin) — independent semantics
         "events_interval_join": """

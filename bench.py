@@ -160,7 +160,9 @@ HEADLINE = [
     "sim_topk_ivfpq_rerank",
     "sim_ann_recall_eval",
     # r5 twenty-first wave: KMV bottom-k cross-snapshot overlap sketch
+    # + its cross-run incremental store
     "text_kmv_overlap",
+    "text_kmv_incremental",
 ]
 
 

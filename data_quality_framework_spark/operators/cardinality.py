@@ -48,6 +48,8 @@ __all__ = [
     "hll_distinct_by",
     "duckdb_hll_by_sql",
     "kmv_sketch_by",
+    "incremental_kmv",
+    "duckdb_kmv_sql",
     "kmv_overlap",
     "duckdb_kmv_overlap_sql",
 ]
@@ -543,3 +545,93 @@ def duckdb_kmv_overlap_sql(
                     ELSE 0 END AS BIGINT) AS jaccard_ppm
         FROM piv, us
     """
+
+
+def duckdb_kmv_sql(input_sql: str, k: int = 128) -> str:
+    """Single-set DuckDB replay of a KMV sketch's summary over
+    ``input_sql`` (a query producing one column ``v``): one row
+    (k, n_sketch, est_distinct), sharing every constant with the Spark
+    path (:func:`kmv_sketch_by` + :func:`_kmv_est`)."""
+    two60 = 1 << 60
+    return f"""
+        WITH vals AS ({input_sql}),
+        hh AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(v AS VARCHAR)),
+                                                      1, 15) AS BIGINT) AS h
+               FROM vals WHERE v IS NOT NULL),
+        sk AS (SELECT h FROM hh ORDER BY h LIMIT {k}),
+        ag AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS hk FROM sk)
+        SELECT CAST({k} AS BIGINT) AS k, n AS n_sketch,
+               CASE WHEN n < {k} THEN n
+                    ELSE CAST((CAST({k - 1} AS HUGEINT)
+                               * CAST({two60} AS HUGEINT))
+                              // CAST(hk AS HUGEINT) AS BIGINT)
+               END AS est_distinct
+        FROM ag
+    """
+
+
+def incremental_kmv(
+    spark,
+    df: DataFrame,
+    col: str,
+    store_path: str,
+    batch_id: str,
+    k: int = 128,
+) -> DataFrame:
+    """Cross-RUN KMV distinct sketching: fold a new crawl batch's bottom-k
+    sketch into a persisted store and return the CUMULATIVE sketch summary
+    over every batch processed so far — the sketch-store family's
+    (HLL / count-min / digest / histogram) overlap-capable member.
+
+    Store layout and contracts mirror :func:`incremental_hll`: one ≤k-row
+    (h) frame per batch under ``batch_id=<id>/`` (a few KB), written as a
+    directory-level overwrite so re-running a failed batch is idempotent;
+    ``k`` and the hash are pinned to the store on first use (mixed knobs
+    would merge incompatible sketches). The cumulative summary takes the
+    bottom-k of the UNION of all stored sketches — exact by the KMV
+    closure property (every global bottom-k hash is in its own batch's
+    bottom-k), so the result is bit-identical to a from-scratch sketch
+    over the concatenated batches and therefore SQL-replayable
+    (:func:`duckdb_kmv_sql`). Because per-batch sketches are KEPT (not
+    max-merged away like HLL registers), the store also supports
+    batch-vs-store overlap queries (:func:`kmv_overlap` over any two
+    stored frames) at zero extra scan cost.
+
+    Returns one row: (k, n_sketch, est_distinct, n_batches).
+    Sequential-batch contract as for `dedup.incremental_exact_dedup`.
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    _pin_store_params(
+        spark, store_path, {"k": k, "hash": f"md5/{HASH_BITS}bit"}
+    )
+    sketch = kmv_sketch_by(
+        df.withColumn("__one", F.lit("x")), col, "__one", k
+    ).select("h")
+    sketch.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    merged = (
+        spark.read.parquet(*dirs)
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    ag = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.max("h").alias("hk")
+    )
+    return ag.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n").alias("n_sketch"),
+        _kmv_est("n", "hk", k).alias("est_distinct"),
+        F.lit(len(dirs)).cast("long").alias("n_batches"),
+    )
