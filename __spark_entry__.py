@@ -2229,6 +2229,46 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _q_host_triangles(spark, sf):
+    """Host-graph triangle census (r5): the same synthesized 64-host link
+    graph as graph_host_rank, reduced to its undirected simple form and
+    counted by the degree-ordered orientation (Suri & Vassilvitskii
+    WWW'11) — each triangle generated once at its minimum-(degree, id)
+    endpoint, so the hottest hub host produces zero wedges
+    (`operators/graphrank.py::triangle_stats`). Reports the exact
+    triangle count and the integer-ppm global clustering coefficient —
+    the classic link-farm density signal. Pure integer counting; the
+    oracle replays the canonicalization, orientation and wedge-close
+    joins verbatim."""
+    from data_quality_framework_spark.operators.graphrank import triangle_stats
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    e = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 64).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"),
+            (
+                (F.col("doc_id") * 37 + F.coalesce(F.col("n_chars"), F.lit(0))) % 64
+            ).cast("string"),
+        ).alias("dst"),
+    )
+    return triangle_stats(e)
+
+
+def _triangle_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.graphrank import (
+        duckdb_triangle_sql,
+    )
+
+    inner = """
+        SELECT concat('h', CAST(doc_id % 64 AS VARCHAR)) AS src,
+               concat('h', CAST((doc_id * 37 + coalesce(n_chars, 0)) % 64
+                                AS VARCHAR)) AS dst
+        FROM documents
+    """
+    return duckdb_triangle_sql(inner)
+
+
 def _q_rendezvous_reshard(spark, sf):
     """Rendezvous-sharding movement audit (r5): assign every doc to 5
     shards and to 6 shards by highest-random-weight over the
@@ -4155,6 +4195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew-safe two-phase per-group top-k (r5)
         "text_topk_per_group": _q_topk_per_group,
         "graph_host_rank": _q_host_rank,
+        # degree-ordered triangle census + clustering coefficient (r5)
+        "graph_host_triangles": _q_host_triangles,
         # outlink extraction -> host link profile from raw markup (r5)
         "text_outlink_profile": _q_outlink_profile,
         # greedy small-file compaction planning over a file inventory (r5)
@@ -6635,6 +6677,8 @@ def oracle_sql() -> dict[str, str]:
         # host-rank oracle (r5): the 5 power steps unrolled as chained CTEs
         # with // integer division — bit-exact vs the Spark fixed-point loop
         "graph_host_rank": _host_rank_oracle_sql(),
+        # triangle-census oracle (r5): identical orientation + wedge joins
+        "graph_host_triangles": _triangle_oracle_sql(),
         # outlink-profile oracle (r5): identical page furniture, identical
         # regex strings (imported from operators/linkgraph), same
         # resolution CASE, integer-floor external ratio

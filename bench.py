@@ -163,6 +163,8 @@ HEADLINE = [
     # + its cross-run incremental store
     "text_kmv_overlap",
     "text_kmv_incremental",
+    # r5 twenty-second wave: degree-ordered triangle census
+    "graph_host_triangles",
 ]
 
 

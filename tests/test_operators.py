@@ -4960,3 +4960,49 @@ def test_incremental_kmv_store_merges_exactly(spark, tmp_path):
     # knob drift refused once the store holds data
     with pytest.raises(ValueError):
         incremental_kmv(spark, d2, "u", store, "3", k + 1)
+
+
+def test_triangle_stats_exact_counts(spark):
+    """triangle_stats equals a brute-force Python census on a graph with a
+    planted clique, an open path, a hub star (many wedges, no closures),
+    duplicate/reversed multi-edges and self-loops; empty input yields the
+    all-zero row."""
+    from itertools import combinations
+
+    from data_quality_framework_spark.operators.graphrank import triangle_stats
+
+    edges = []
+    clique = ["c1", "c2", "c3", "c4", "c5"]          # C(5,3)=10 triangles
+    edges += [(a, b) for a, b in combinations(clique, 2)]
+    edges += [("p1", "p2"), ("p2", "p3")]            # open path: 0
+    edges += [("hub", f"leaf{i}") for i in range(12)]  # star: 0
+    edges += [("c1", "c2"), ("c2", "c1"), ("c3", "c3")]  # noise collapses
+    d = spark.createDataFrame(edges, "src string, dst string").repartition(5)
+    row = triangle_stats(d).collect()[0].asDict()
+
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row == {
+        "n_vertices": len(adj),
+        "n_edges": len(simple),
+        "n_wedges": wedges,
+        "n_triangles": tris,
+        "clustering_ppm": (3_000_000 * tris) // wedges,
+    }
+    assert tris == 10
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    zrow = triangle_stats(empty).collect()[0].asDict()
+    assert zrow == {
+        "n_vertices": 0, "n_edges": 0, "n_wedges": 0, "n_triangles": 0,
+        "clustering_ppm": 0,
+    }
