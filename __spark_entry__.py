@@ -2229,6 +2229,38 @@ def _q_host_rank(spark, sf):
     return out.select(F.col("id").alias("host"), "rank").orderBy("host")
 
 
+def _q_decay_profile(spark, sf):
+    """Recency-decayed activity ranking (r5): per event type, every event
+    contributes scale >> (age_days div 7) relative to the corpus's max
+    event date — a bucket-quantized half-life decay whose power-of-two
+    contributions are exact integers, so the score is bit-identical
+    under any partitioning and mergeable across runs by addition
+    (`operators/temporal.py::decayed_counts`). The crawl-scheduler's
+    "active now" signal next to the undecayed count; the oracle
+    recomputes the anchor and every shift in SQL."""
+    from data_quality_framework_spark.operators.temporal import decayed_counts
+
+    e = _t(spark, sf, "events")
+    return decayed_counts(
+        e, ["event_type"], "ts", half_life_days=7, scale=1_000_000
+    ).orderBy("event_type")
+
+
+def _decay_oracle_sql() -> str:
+    from data_quality_framework_spark.operators.temporal import (
+        duckdb_decayed_counts_sql,
+    )
+
+    inner = duckdb_decayed_counts_sql(
+        "SELECT event_type AS k, ts FROM events", half_life_days=7,
+        scale=1_000_000,
+    )
+    return f"""
+        SELECT k AS event_type, n_events, first_day, last_day, decayed_score
+        FROM ({inner}) t ORDER BY event_type
+    """
+
+
 def _q_host_triangles(spark, sf):
     """Host-graph triangle census (r5): the same synthesized 64-host link
     graph as graph_host_rank, reduced to its undirected simple form and
@@ -4197,6 +4229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_rank": _q_host_rank,
         # degree-ordered triangle census + clustering coefficient (r5)
         "graph_host_triangles": _q_host_triangles,
+        # half-life-decayed activity ranking (r5)
+        "events_decay_profile": _q_decay_profile,
         # outlink extraction -> host link profile from raw markup (r5)
         "text_outlink_profile": _q_outlink_profile,
         # greedy small-file compaction planning over a file inventory (r5)
@@ -6679,6 +6713,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_host_rank": _host_rank_oracle_sql(),
         # triangle-census oracle (r5): identical orientation + wedge joins
         "graph_host_triangles": _triangle_oracle_sql(),
+        # decayed-activity oracle (r5): anchor + power-of-two shifts in SQL
+        "events_decay_profile": _decay_oracle_sql(),
         # outlink-profile oracle (r5): identical page furniture, identical
         # regex strings (imported from operators/linkgraph), same
         # resolution CASE, integer-floor external ratio

@@ -164,7 +164,9 @@ HEADLINE = [
     "text_kmv_overlap",
     "text_kmv_incremental",
     # r5 twenty-second wave: degree-ordered triangle census
+    # + half-life-decayed activity ranking
     "graph_host_triangles",
+    "events_decay_profile",
 ]
 
 

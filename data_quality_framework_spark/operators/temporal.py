@@ -35,7 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "coverage_gaps", "recrawl_churn"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "coverage_gaps",
+    "recrawl_churn",
+    "decayed_counts",
+    "duckdb_decayed_counts_sql",
+]
 
 
 def asof_join(
@@ -358,3 +365,91 @@ def recrawl_churn(
         .alias("churn_ppm"),
         "max_versions",
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    half_life_days: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recency-decayed activity score per key — the crawl-scheduler's
+    ranking signal ("which hosts/event types are active NOW"), with the
+    decay pinned to integer arithmetic so it is engine-exact.
+
+    Each event contributes ``scale >> (age_days div half_life_days)``
+    where age is measured in whole days back from the corpus anchor
+    (the max event DATE — recomputed identically by the oracle): a
+    bucket-quantized half-life decay. Powers of two make every
+    contribution an exact integer (no float exp/pow, no summation-order
+    hazard), the per-key sum is map-side combinable (one partial per
+    (partition, key) on the shuffle, like every counter in this
+    engine), and two runs' scores are mergeable by addition. Shifts are
+    capped at 62 so a decade-old event contributes exactly 0 without
+    overflowing the shift. Null keys/timestamps are excluded.
+
+    Returns one row per key: (key_cols..., n_events, first_day,
+    last_day, decayed_score) — n_events is the undecayed count for
+    contrast, first/last_day the key's activity span (DATE).
+
+    Reference parity: beyond-reference north-rule scope (recency
+    weighting for crawl scheduling); the anchor-from-data convention
+    follows `recrawl_churn`.
+    """
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    base = df.filter(F.col(ts_col).isNotNull())
+    for k in key_cols:
+        base = base.filter(F.col(k).isNotNull())
+    days = base.select(
+        *key_cols, F.to_date(F.col(ts_col)).alias("__day")
+    )
+    anchor = days.agg(F.max("__day").alias("__anchor"))
+    contrib = (
+        days.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "__bucket",
+            F.least(
+                F.expr(f"datediff(__anchor, __day) div {half_life_days}"),
+                F.lit(62),
+            ).cast("int"),
+        )
+        .withColumn(
+            "__c", F.expr(f"shiftright(CAST({scale} AS BIGINT), __bucket)")
+        )
+    )
+    return (
+        contrib.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("__day").alias("first_day"),
+            F.max("__day").alias("last_day"),
+            F.sum("__c").cast("long").alias("decayed_score"),
+        )
+    )
+
+
+def duckdb_decayed_counts_sql(
+    input_sql: str, half_life_days: int = 7, scale: int = 1_000_000
+) -> str:
+    """DuckDB replay of :func:`decayed_counts` over ``input_sql`` (a query
+    producing columns ``k`` and ``ts``), one output row per ``k`` — same
+    anchor-from-data, same capped power-of-two decay buckets."""
+    return f"""
+        WITH vals AS ({input_sql}),
+        d AS (SELECT k, CAST(ts AS DATE) AS day
+              FROM vals WHERE k IS NOT NULL AND ts IS NOT NULL),
+        a AS (SELECT max(day) AS anchor FROM d),
+        c AS (SELECT k, day,
+                     CAST({scale} AS BIGINT)
+                         >> least(date_diff('day', day, anchor)
+                                  // {half_life_days}, 62) AS contrib
+              FROM d, a)
+        SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+               min(day) AS first_day, max(day) AS last_day,
+               CAST(sum(contrib) AS BIGINT) AS decayed_score
+        FROM c GROUP BY k
+    """

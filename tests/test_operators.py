@@ -5006,3 +5006,42 @@ def test_triangle_stats_exact_counts(spark):
         "n_vertices": 0, "n_edges": 0, "n_wedges": 0, "n_triangles": 0,
         "clustering_ppm": 0,
     }
+
+
+def test_decayed_counts_exact_replay(spark):
+    """decayed_counts equals a pure Python replay of the capped
+    power-of-two half-life decay (anchor = max event date), nulls are
+    excluded, ancient events contribute exactly 0, and invalid knobs
+    raise."""
+    import datetime as dt
+
+    from data_quality_framework_spark.operators.temporal import decayed_counts
+
+    anchor = dt.datetime(2024, 3, 31, 12, 0, 0)
+    rows = []
+    # key "a": events 0, 3, 7, 14, 700 days old; "b": all fresh
+    for age in (0, 3, 7, 14, 700):
+        rows.append(("a", anchor - dt.timedelta(days=age)))
+    rows += [("b", anchor), ("b", anchor - dt.timedelta(days=1))]
+    rows += [(None, anchor), ("a", None)]
+    d = spark.createDataFrame(rows, "k string, ts timestamp").repartition(4)
+    got = {
+        r["k"]: r.asDict()
+        for r in decayed_counts(d, ["k"], "ts", 7, 1_000_000).collect()
+    }
+
+    def score(ages):
+        return sum(1_000_000 >> min(a // 7, 62) for a in ages)
+
+    assert got["a"]["n_events"] == 5
+    assert got["a"]["decayed_score"] == score([0, 3, 7, 14, 700])
+    assert 1_000_000 >> min(700 // 7, 62) == 0  # decade-old -> exactly 0
+    assert got["b"]["decayed_score"] == score([0, 1]) == 2_000_000
+    assert got["a"]["first_day"] == (anchor - dt.timedelta(days=700)).date()
+    assert got["a"]["last_day"] == anchor.date()
+    assert set(got) == {"a", "b"}  # null key/ts rows excluded
+
+    with pytest.raises(ValueError):
+        decayed_counts(d, ["k"], "ts", 0)
+    with pytest.raises(ValueError):
+        decayed_counts(d, ["k"], "ts", 7, 0)
