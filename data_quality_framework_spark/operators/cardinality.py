@@ -430,7 +430,10 @@ def kmv_overlap(
     combine stage costs nothing at any corpus size.
     """
     tag_a, tag_b = tags
-    sk = kmv_sketch_by(df, col, tag_col, k)
+    # the sketch feeds three consumers (per-tag stats, the union bottom-k,
+    # and the membership flags); persist the <=2k-row frame so the corpus
+    # scan + pre-filter run ONCE, not once per consumer
+    sk = kmv_sketch_by(df, col, tag_col, k).persist()
     per = (
         sk.groupBy(tag_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n"), F.max("h").alias("hk"))
