@@ -4058,6 +4058,144 @@ def _q_hourly_profile(spark, sf):
     return hourly_profile(_t(spark, sf, "events"))
 
 
+#: keep-threshold grid for the calibration sweep — spans the fitted logit's
+#: observed range on the documents corpus (about [-21.3, -1.3] at every tier)
+_CALIBRATION_GRID = [-20.0, -18.0, -16.0, -14.0, -12.0, -10.0, -8.0, -6.0, -4.0, -2.0]
+
+
+def _q_quality_calibration(spark, sf):
+    """Keep-threshold calibration sweep (r5): the fitted quality logit
+    (`functions/textstats.py::quality_score`) scored against a fixed
+    heuristic reference labeling (word_count >= 10, stopword_fraction >=
+    0.05, symbol_ratio <= 0.2 — a C4-style keep rule), confusion surface
+    at 10 thresholds. One corpus scan, one single-row conditional-sum
+    aggregate, grid reshaped by a constant-size explode — the grid never
+    multiplies corpus rows (`operators/calibration.py::threshold_sweep`).
+    This is the step the reference's fixed WARN/FAIL cutoffs skip: choose
+    the production keep-threshold from a measured precision/recall curve.
+    Reference parity: base_checker.py:25-69 (single-threshold verdict)."""
+    from data_quality_framework_spark.operators.calibration import threshold_sweep
+
+    return threshold_sweep(
+        _calibration_scored(spark, sf), "score", "label", _CALIBRATION_GRID
+    )
+
+
+def _q_source_quality_prior(spark, sf):
+    """Per-source empirical-Bayes quality prior (r5): each source's mean
+    fitted-logit quality shrunk toward the global mean with pseudo-count
+    m=20 — the slice-level trust signal a production filter uses for
+    low-volume hosts. One scan, one rollup (grouping-sets) shuffle; scores
+    floor-quantized to integer micro-units so every mean is an
+    order-independent integer sum (`operators/calibration.py::
+    shrunken_group_prior`)."""
+    from data_quality_framework_spark.operators.calibration import (
+        shrunken_group_prior,
+    )
+
+    d = TS.with_text_stats(_t(spark, sf, "documents"), full=False)
+    scored = d.select("source", TS.quality_score().alias("score"))
+    return shrunken_group_prior(scored, "source", "score", m=20.0).orderBy("source")
+
+
+def _calibration_scored(spark, sf):
+    """Shared (score, label) projection for the calibration family."""
+    d = TS.with_text_stats(_t(spark, sf, "documents"), full=False)
+    return d.select(
+        F.round(TS.quality_score(), 6).alias("score"),
+        (
+            (F.col("word_count") >= 10)
+            & (F.round("stopword_fraction", 4) >= 0.05)
+            & (F.round("symbol_ratio", 4) <= 0.2)
+        ).alias("label"),
+    )
+
+
+def _q_quality_reliability(spark, sf):
+    """Reliability diagram (r5): fixed-width bins over the fitted logit
+    (11 bins of width 2 spanning the observed [-21.3, -1.3] range), per
+    bin the doc count, observed positive rate against the heuristic
+    reference labeling, and the quantized mean score. Row-local binning
+    (no ntile/global sort), one groupBy over <= 11 keys
+    (`operators/calibration.py::reliability_bins`). A calibrated scorer
+    shows pos_rate rising monotonically with the bin — the diagnostic a
+    threshold choice from text_quality_calibration rests on."""
+    from data_quality_framework_spark.operators.calibration import reliability_bins
+
+    return reliability_bins(
+        _calibration_scored(spark, sf), "score", "label", lo=-22.0, width=2.0, nbins=11
+    )
+
+
+def _q_scorer_kappa(spark, sf):
+    """Cohen's kappa (r5) between the fitted-logit keep decision
+    (score >= -12, the mid-grid threshold) and the heuristic reference
+    rule: the four contingency cells in one single-row aggregate, kappa
+    from exact integer counts (`operators/calibration.py::
+    rater_agreement`). The chance-corrected agreement number a filter
+    audit reports where raw accuracy would flatter an imbalanced corpus."""
+    from data_quality_framework_spark.operators.calibration import rater_agreement
+
+    d = _calibration_scored(spark, sf).select(
+        (F.col("score") >= F.lit(-12.0)).alias("a"), F.col("label").alias("b")
+    )
+    return rater_agreement(d, "a", "b")
+
+
+def _calibration_oracle_sqls() -> dict[str, str]:
+    """DuckDB twins for the calibration family. The quality logit is the
+    SAME 4-term blend (same term order -> bit-identical doubles) as the
+    text_quality_topk oracle; the label reuses the round-4 stat
+    expressions proven green by text_quality_profile."""
+    from data_quality_framework_spark.operators.calibration import (
+        duckdb_rater_agreement_sql,
+        duckdb_reliability_sql,
+        duckdb_shrunken_prior_sql,
+        duckdb_threshold_sweep_sql,
+    )
+
+    stop_frac = f"""(CASE WHEN {_NONBLANK} AND {_WS_TOKENS} > 0
+        THEN len(list_filter(string_split_regex(regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+'),
+                             w -> list_contains({_STOP_SQL}, lower(w)))) * 1.0 / {_WS_TOKENS}
+        ELSE 0.0 END)"""
+    sym_frac = f"""(CASE WHEN coalesce(length(text), 0) > 0
+        THEN (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[#*…]|\\.{{3}}', '', 'g'))) * 1.0 / length(text)
+        ELSE 0.0 END)"""
+    wc = f"(CASE WHEN {_NONBLANK} THEN {_WS_TOKENS} ELSE 0 END)"
+    quality = f"""(({TS.QUALITY_WEIGHTS["stopword_fraction"]!r}) * {stop_frac}
+        + ({TS.QUALITY_WEIGHTS["wc_norm"]!r}) * (least(CAST({wc} AS DOUBLE), 500.0) / 500.0)
+        + ({TS.QUALITY_WEIGHTS["symbol_ratio"]!r}) * {sym_frac}
+        + ({TS.QUALITY_WEIGHTS["bias"]!r}))"""
+
+    sweep_inner = f"""
+        SELECT round({quality}, 6) AS score,
+               ({wc} >= 10
+                AND round({stop_frac}, 4) >= 0.05
+                AND round({sym_frac}, 4) <= 0.2) AS label
+        FROM documents
+    """
+    prior_inner = f"SELECT source, {quality} AS score FROM documents"
+    kappa_inner = f"""
+        SELECT (round({quality}, 6) >= -12.0) AS a,
+               ({wc} >= 10
+                AND round({stop_frac}, 4) >= 0.05
+                AND round({sym_frac}, 4) <= 0.2) AS b
+        FROM documents
+    """
+    return {
+        "text_quality_calibration": duckdb_threshold_sweep_sql(
+            sweep_inner, _CALIBRATION_GRID
+        ),
+        "text_source_quality_prior": duckdb_shrunken_prior_sql(
+            prior_inner, "source", m=20.0
+        ),
+        "text_quality_reliability": duckdb_reliability_sql(
+            sweep_inner, lo=-22.0, width=2.0, nbins=11
+        ),
+        "text_scorer_kappa": duckdb_rater_agreement_sql(kappa_inner),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_project_filter": _q_s1,
@@ -4275,6 +4413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wt_pipeline_summary": _q_pipeline,
         # same pipeline, TRAINED char-bigram ppl model (the KenLM seam)
         "wt_pipeline_bigram": _q_pipeline_bigram,
+        # keep-threshold precision/recall sweep of the fitted logit (r5)
+        "text_quality_calibration": _q_quality_calibration,
+        # per-source shrunken (empirical-Bayes) quality prior (r5)
+        "text_source_quality_prior": _q_source_quality_prior,
+        # reliability diagram: score-bin vs observed positive rate (r5)
+        "text_quality_reliability": _q_quality_reliability,
+        # Cohen's kappa: logit keep-decision vs heuristic rule (r5)
+        "text_scorer_kappa": _q_scorer_kappa,
     }
 
 
@@ -7318,6 +7464,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (SELECT count(*) FROM hier) = (SELECT count(*) FROM nodes)
                         THEN 'PASS' ELSE 'WARNING' END AS check_result
         """,
+        # calibration-family oracles (r5): threshold sweep + shrunken prior
+        **_calibration_oracle_sqls(),
     }
     # trained-IVF oracle (r4): centroids are DATA-dependent literals,
     # re-derived with no Spark from the gate's own parquet (same sample rows,

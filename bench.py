@@ -167,6 +167,12 @@ HEADLINE = [
     # + half-life-decayed activity ranking
     "graph_host_triangles",
     "events_decay_profile",
+    # r5 twenty-third wave: keep-threshold calibration sweep, per-source
+    # shrunken quality prior, reliability diagram, scorer-kappa audit
+    "text_quality_calibration",
+    "text_source_quality_prior",
+    "text_quality_reliability",
+    "text_scorer_kappa",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Quality-classifier calibration operators.
+
+The reference framework reports a single PASS/WARN/FAIL verdict per rule at
+one fixed threshold (base_checker.py:25-69's violation_ratio against the
+rule's warning/fail cutoffs). A production quality filter needs the step
+BEFORE that: given a fitted document-quality score and a reference labeling,
+sweep the keep-threshold and report the confusion surface so the cutoff is
+chosen from measured precision/recall, not guessed — and, per corpus slice
+(host/domain/source), a shrunken quality prior so low-volume slices don't
+whipsaw the filter.
+
+Scale design (both operators):
+
+* ``threshold_sweep`` is ONE corpus scan and ONE single-row aggregate —
+  every (threshold x class) cell is a conditional partial sum, so the map
+  side emits one short row per task regardless of grid size, and the
+  T-row output is reshaped FROM the aggregate row by an inline
+  array-of-struct explode (1 row -> T rows). No threshold-grid row
+  multiplication ever touches corpus rows, unlike the naive
+  corpus-cross-join-grid shape whose shuffle is T x corpus.
+* ``shrunken_group_prior`` folds the per-group AND the global aggregate
+  into one scan/shuffle via ``rollup`` (grouping-sets), then broadcasts the
+  single grand-total row back over the per-group rows. Scores are
+  floor-quantized to integer micro-units before summing, so every mean is
+  an integer sum divided at the end — bit-identical under any partitioning
+  or aggregation order (double summation order is NOT associative; integer
+  summation is), and re-derivable exactly by an external SQL engine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    thresholds: Sequence[float] = (),
+) -> DataFrame:
+    """Confusion-surface sweep of ``score >= t`` against a boolean label.
+
+    Returns one row per threshold: ``threshold, kept, tp, fp, fn,
+    precision, recall, f1`` (rates rounded to 6; 0.0 when undefined so the
+    output is total-order stable). ``kept`` is monotonically non-increasing
+    in ``t`` by construction.
+
+    The plan is a single scan + a single-row two-stage hash aggregate with
+    2T+2 conditional-sum cells, then a constant-size explode — the grid
+    never multiplies corpus rows (see module docstring).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be a non-empty sequence")
+    ts = [float(t) for t in thresholds]
+    lab = F.col(label_col)
+    sc = F.col(score_col)
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("_total"),
+        F.coalesce(F.sum(lab.cast("long")), F.lit(0)).cast("long").alias("_pos"),
+    ]
+    for i, t in enumerate(ts):
+        ge = sc >= F.lit(t)
+        aggs.append(
+            F.coalesce(F.sum(F.when(ge & lab, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_tp{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(ge & ~lab, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_fp{i}")
+        )
+    one = df.agg(*aggs)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_tp{i}").alias("tp"),
+                F.col(f"_fp{i}").alias("fp"),
+            )
+            for i, t in enumerate(ts)
+        ]
+    )
+    tp = F.col("e.tp")
+    fp = F.col("e.fp")
+    fn = F.col("_pos") - tp
+    kept = tp + fp
+    # integer-over-integer double division: exact same value in any engine
+    precision = F.when(kept > 0, F.round(tp.cast("double") / kept, 6)).otherwise(
+        F.lit(0.0)
+    )
+    recall = F.when(
+        F.col("_pos") > 0, F.round(tp.cast("double") / F.col("_pos"), 6)
+    ).otherwise(F.lit(0.0))
+    f1_den = F.lit(2) * tp + fp + fn
+    f1 = F.when(
+        f1_den > 0, F.round((F.lit(2) * tp).cast("double") / f1_den, 6)
+    ).otherwise(F.lit(0.0))
+
+    return (
+        one.select(F.col("_pos"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.threshold").alias("threshold"),
+            kept.alias("kept"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            fn.alias("fn"),
+            precision.alias("precision"),
+            recall.alias("recall"),
+            f1.alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def duckdb_threshold_sweep_sql(
+    inner_sql: str, thresholds: Sequence[float]
+) -> str:
+    """DuckDB replica of :func:`threshold_sweep` over ``inner_sql``, which
+    must yield columns ``score`` (double) and ``label`` (boolean). The
+    oracle takes the simple shape (grid cross join + group by) — the Spark
+    side's single-aggregate plan is the scale optimization, the semantics
+    are identical."""
+    ts = ", ".join(f"({float(t)!r})" for t in thresholds)
+    return f"""
+        WITH scored AS ({inner_sql}),
+             grid(threshold) AS (VALUES {ts}),
+             cells AS (
+               SELECT g.threshold,
+                      CAST(sum(CASE WHEN s.score >= g.threshold AND s.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN s.score >= g.threshold AND NOT s.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN s.label THEN 1 ELSE 0 END) AS BIGINT) AS pos
+               FROM grid g CROSS JOIN scored s
+               GROUP BY g.threshold
+             )
+        SELECT threshold,
+               tp + fp AS kept,
+               tp,
+               fp,
+               pos - tp AS fn,
+               CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) ELSE 0.0 END AS precision,
+               CASE WHEN pos > 0 THEN round(CAST(tp AS DOUBLE) / pos, 6) ELSE 0.0 END AS recall,
+               CASE WHEN 2 * tp + fp + (pos - tp) > 0
+                    THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (pos - tp)), 6)
+                    ELSE 0.0 END AS f1
+        FROM cells ORDER BY threshold
+    """
+
+
+def shrunken_group_prior(
+    df: DataFrame,
+    group_col: str,
+    score_col: str = "score",
+    m: float = 20.0,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group empirical-Bayes quality prior: each group's mean score,
+    shrunk toward the global mean with pseudo-count ``m`` —
+    ``(sum_g + m * global_mean) / (n_g + m)``. Low-volume groups (the long
+    tail of hosts) sit near the global prior; high-volume groups converge
+    to their own mean. Returns ``(group, n_docs, mean_quality,
+    shrunk_quality)``.
+
+    One scan, one grouping-sets shuffle (``rollup`` computes the per-group
+    rows AND the grand total together; ``grouping()`` separates them, so a
+    genuinely NULL group key is still a distinct group, not the total).
+    Scores are floor-quantized to ``1/quant`` units and summed as longs —
+    order-independent, exactly reproducible in SQL (module docstring).
+    """
+    qi = F.floor(F.col(score_col) * F.lit(float(quant))).cast("long")
+    rolled = (
+        df.select(F.col(group_col).alias("_g"), qi.alias("_qi"))
+        .rollup("_g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_qi").cast("long").alias("_s"),
+            F.grouping("_g").cast("int").alias("_is_total"),
+        )
+        # two consumers (per-group rows + the one total row) — persist the
+        # <=groups+1-row frame so the corpus scan runs once, not twice
+        .persist()
+    )
+    # NOTE: Spark resolves column names case-insensitively by default, so the
+    # total row's columns must not differ from "_n"/"_s" only by case
+    tot = rolled.filter(F.col("_is_total") == 1).select(
+        F.col("_n").alias("_n_all"), F.col("_s").alias("_s_all")
+    )
+    per = rolled.filter(F.col("_is_total") == 0)
+
+    qd = F.lit(float(quant))
+    mean = (F.col("_s").cast("double") / qd) / F.col("_n")
+    gmean = (F.col("_s_all").cast("double") / qd) / F.col("_n_all")
+    shrunk = ((F.col("_s").cast("double") / qd) + F.lit(float(m)) * gmean) / (
+        F.col("_n") + F.lit(float(m))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n_docs"),
+        F.round(mean, 6).alias("mean_quality"),
+        F.round(shrunk, 6).alias("shrunk_quality"),
+    )
+
+
+def duckdb_shrunken_prior_sql(
+    inner_sql: str, group_col: str, m: float = 20.0, quant: int = 1_000_000
+) -> str:
+    """DuckDB replica of :func:`shrunken_group_prior`; ``inner_sql`` must
+    yield ``{group_col}`` and ``score`` (double, un-rounded — the
+    quantization here must see the same bits the Spark side sees). The
+    arithmetic mirrors the Spark expression term-for-term."""
+    q = f"{float(quant)!r}"
+    mm = f"{float(m)!r}"
+    return f"""
+        WITH scored AS (
+               SELECT {group_col} AS g,
+                      CAST(floor(score * {q}) AS BIGINT) AS qi
+               FROM ({inner_sql}) t
+             ),
+             per AS (
+               SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(qi) AS BIGINT) AS s
+               FROM scored GROUP BY g
+             ),
+             tot AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(qi) AS BIGINT) AS s_all
+               FROM scored
+             )
+        SELECT per.g AS {group_col},
+               per.n AS n_docs,
+               round((CAST(per.s AS DOUBLE) / {q}) / per.n, 6) AS mean_quality,
+               round(((CAST(per.s AS DOUBLE) / {q})
+                      + {mm} * ((CAST(tot.s_all AS DOUBLE) / {q}) / tot.n_all))
+                     / (per.n + {mm}), 6) AS shrunk_quality
+        FROM per CROSS JOIN tot
+        ORDER BY {group_col}
+    """
+
+
+def reliability_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    lo: float = 0.0,
+    width: float = 1.0,
+    nbins: int = 10,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Reliability diagram over FIXED-WIDTH score bins: per bin, the doc
+    count, observed positive rate, and mean score. Fixed-width binning is
+    pure row-local arithmetic — no global sort, no ntile window moving the
+    corpus through one partition — so the plan is one scan + one
+    ``groupBy(bin)`` over at most ``nbins`` keys. Scores outside
+    ``[lo, lo + nbins*width)`` clamp into the edge bins, so the output is
+    always a total partition of the corpus. Mean scores go through the
+    same floor-quantized integer sums as :func:`shrunken_group_prior`
+    (order-independent, SQL-exact).
+
+    Against a probability-calibrated scorer you'd bin sigmoid(score) and
+    report ECE; sigmoid is transcendental (libm-dependent bits), so this
+    operator stays on the logit scale where every value is exactly
+    reproducible cross-engine — monotone in the probability, identical
+    ranking diagnostics.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    sc = F.col(score_col)
+    raw = F.floor((sc - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1))
+    qi = F.floor(sc * F.lit(float(quant))).cast("long")
+    lab = F.col(label_col)
+    out = (
+        df.select(bin_.alias("bin"), qi.alias("_qi"), lab.alias("_lab"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_lab").cast("long")).cast("long").alias("pos"),
+            F.sum("_qi").cast("long").alias("_s"),
+        )
+    )
+    return out.select(
+        F.col("bin"),
+        (F.lit(float(lo)) + F.col("bin") * F.lit(float(width))).alias("bin_lo"),
+        F.col("n_docs"),
+        F.col("pos"),
+        F.round(F.col("pos").cast("double") / F.col("n_docs"), 6).alias("pos_rate"),
+        F.round(
+            (F.col("_s").cast("double") / F.lit(float(quant))) / F.col("n_docs"), 6
+        ).alias("mean_score"),
+    ).orderBy("bin")
+
+
+def duckdb_reliability_sql(
+    inner_sql: str,
+    lo: float = 0.0,
+    width: float = 1.0,
+    nbins: int = 10,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB replica of :func:`reliability_bins`; ``inner_sql`` must yield
+    ``score`` (double) and ``label`` (boolean)."""
+    lo_s, w_s, q_s = f"{float(lo)!r}", f"{float(width)!r}", f"{float(quant)!r}"
+    return f"""
+        WITH scored AS ({inner_sql}),
+             binned AS (
+               SELECT least(greatest(CAST(floor((score - {lo_s}) / {w_s}) AS BIGINT), 0), {int(nbins) - 1}) AS bin,
+                      CAST(floor(score * {q_s}) AS BIGINT) AS qi,
+                      label
+               FROM scored
+             )
+        SELECT bin,
+               {lo_s} + bin * {w_s} AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate,
+               round((CAST(sum(qi) AS DOUBLE) / {q_s}) / count(*), 6) AS mean_score
+        FROM binned GROUP BY bin ORDER BY bin
+    """
+
+
+def rater_agreement(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two boolean raters (e.g. the fitted-logit keep
+    decision vs the heuristic rule): one single-row aggregate of the four
+    contingency cells, kappa derived from exact integer counts —
+    ``kappa = (po - pe) / (1 - pe)`` with po the observed agreement and pe
+    the chance agreement from the marginals. Returns one row:
+    ``(n, both_keep, both_drop, only_a, only_b, po, pe, kappa)``.
+    ``kappa`` is NULL when pe == 1 (degenerate: both raters constant).
+    One scan, one short aggregate row on the shuffle.
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+
+    def cell(cond: Column, name: str) -> Column:
+        return (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    one = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(a & b, "both_keep"),
+        cell(~a & ~b, "both_drop"),
+        cell(a & ~b, "only_a"),
+        cell(~a & b, "only_b"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("both_keep") + F.col("both_drop")).cast("double") / n
+    a_pos = (F.col("both_keep") + F.col("only_a")).cast("double")
+    b_pos = (F.col("both_keep") + F.col("only_b")).cast("double")
+    pe = (a_pos * b_pos + (n - a_pos) * (n - b_pos)) / (n * n)
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return one.select(
+        "n",
+        "both_keep",
+        "both_drop",
+        "only_a",
+        "only_b",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.alias("kappa"),
+    )
+
+
+def duckdb_rater_agreement_sql(inner_sql: str) -> str:
+    """DuckDB replica of :func:`rater_agreement`; ``inner_sql`` must yield
+    boolean columns ``a`` and ``b``. Arithmetic mirrors the Spark
+    expression term-for-term (all inputs are exact integer counts)."""
+    return f"""
+        WITH r AS ({inner_sql}),
+             c AS (
+               SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+                      CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS both_drop,
+                      CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+                      CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+               FROM r
+             )
+        SELECT n, both_keep, both_drop, only_a, only_b,
+               round(CAST(both_keep + both_drop AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+               round((CAST(both_keep + only_a AS DOUBLE) * CAST(both_keep + only_b AS DOUBLE)
+                      + (CAST(n AS DOUBLE) - CAST(both_keep + only_a AS DOUBLE))
+                        * (CAST(n AS DOUBLE) - CAST(both_keep + only_b AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+               CASE WHEN (CAST(both_keep + only_a AS DOUBLE) * CAST(both_keep + only_b AS DOUBLE)
+                          + (CAST(n AS DOUBLE) - CAST(both_keep + only_a AS DOUBLE))
+                            * (CAST(n AS DOUBLE) - CAST(both_keep + only_b AS DOUBLE)))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                    THEN round(((CAST(both_keep + both_drop AS DOUBLE) / CAST(n AS DOUBLE))
+                                - (CAST(both_keep + only_a AS DOUBLE) * CAST(both_keep + only_b AS DOUBLE)
+                                   + (CAST(n AS DOUBLE) - CAST(both_keep + only_a AS DOUBLE))
+                                     * (CAST(n AS DOUBLE) - CAST(both_keep + only_b AS DOUBLE)))
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                               / (1.0 - (CAST(both_keep + only_a AS DOUBLE) * CAST(both_keep + only_b AS DOUBLE)
+                                         + (CAST(n AS DOUBLE) - CAST(both_keep + only_a AS DOUBLE))
+                                           * (CAST(n AS DOUBLE) - CAST(both_keep + only_b AS DOUBLE)))
+                                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+                    ELSE NULL END AS kappa
+        FROM c
+    """

@@ -5045,3 +5045,138 @@ def test_decayed_counts_exact_replay(spark):
         decayed_counts(d, ["k"], "ts", 0)
     with pytest.raises(ValueError):
         decayed_counts(d, ["k"], "ts", 7, 0)
+
+
+# ---------------------------------------------------------------------------
+# calibration: threshold sweep + shrunken group prior
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_exact_confusion(spark):
+    """Hand-checkable confusion surface; kept monotone non-increasing."""
+    from data_quality_framework_spark.operators.calibration import threshold_sweep
+
+    rows = [
+        (0.9, True),
+        (0.8, True),
+        (0.7, False),
+        (0.4, True),
+        (0.2, False),
+        (0.1, False),
+    ]
+    d = spark.createDataFrame(rows, "score double, label boolean")
+    out = {
+        r["threshold"]: r.asDict()
+        for r in threshold_sweep(d, "score", "label", [0.0, 0.5, 0.85]).collect()
+    }
+    assert out[0.0]["tp"] == 3 and out[0.0]["fp"] == 3 and out[0.0]["fn"] == 0
+    assert out[0.5]["tp"] == 2 and out[0.5]["fp"] == 1 and out[0.5]["fn"] == 1
+    assert out[0.85]["tp"] == 1 and out[0.85]["fp"] == 0 and out[0.85]["fn"] == 2
+    assert out[0.5]["precision"] == round(2 / 3, 6)
+    assert out[0.5]["recall"] == round(2 / 3, 6)
+    assert out[0.5]["f1"] == round(4 / 6, 6)
+    assert out[0.85]["precision"] == 1.0
+    kept = [out[t]["kept"] for t in (0.0, 0.5, 0.85)]
+    assert kept == sorted(kept, reverse=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        threshold_sweep(d, "score", "label", [])
+
+
+def test_threshold_sweep_single_scan_no_grid_blowup(spark):
+    """The grid must NOT multiply corpus rows: exactly one scan of the
+    input in the physical plan, and only the single-row aggregate exchange."""
+    from data_quality_framework_spark.operators.calibration import threshold_sweep
+
+    d = spark.range(10_000).select(
+        (F.col("id") % 97 / 97.0).alias("score"), (F.col("id") % 3 == 0).alias("label")
+    )
+    out = threshold_sweep(d, "score", "label", [0.1 * i for i in range(10)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 10000") == 1  # one scan of the source
+    # no join/cartesian of grid x corpus anywhere in the plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_shrunken_prior_hand_calc_and_null_group(spark):
+    """Exact shrinkage arithmetic; a NULL group key is a group, not the
+    grand total (grouping() separation)."""
+    from data_quality_framework_spark.operators.calibration import (
+        shrunken_group_prior,
+    )
+
+    rows = [("a", 2.0)] * 8 + [("b", 10.0)] * 2 + [(None, 4.0)] * 2
+    d = spark.createDataFrame(rows, "src string, score double")
+    got = {
+        r["src"]: r.asDict()
+        for r in shrunken_group_prior(d, "src", "score", m=4.0).collect()
+    }
+    assert set(got) == {"a", "b", None}
+    g = (8 * 2.0 + 2 * 10.0 + 2 * 4.0) / 12  # global mean = 44/12
+    assert got["a"]["n_docs"] == 8
+    assert got["a"]["mean_quality"] == 2.0
+    assert got["a"]["shrunk_quality"] == round((16.0 + 4.0 * g) / 12.0, 6)
+    assert got["b"]["mean_quality"] == 10.0
+    assert got["b"]["shrunk_quality"] == round((20.0 + 4.0 * g) / 6.0, 6)
+    assert got[None]["n_docs"] == 2  # null key is its own group
+    # shrinkage pulls toward the global mean, never past it
+    for k in ("a", "b"):
+        lo, hi = sorted((got[k]["mean_quality"], round(g, 6)))
+        assert lo <= got[k]["shrunk_quality"] <= hi
+
+
+def test_reliability_bins_clamp_and_exact_rates(spark):
+    """Out-of-range scores clamp into edge bins; rates and quantized means
+    are exact; output is a total partition of the input."""
+    from data_quality_framework_spark.operators.calibration import reliability_bins
+
+    rows = [
+        (-5.0, False),  # below lo -> bin 0
+        (0.5, True),
+        (0.75, False),
+        (1.5, True),
+        (9.9, True),  # above hi -> last bin
+    ]
+    d = spark.createDataFrame(rows, "score double, label boolean")
+    out = {
+        r["bin"]: r.asDict()
+        for r in reliability_bins(d, "score", "label", lo=0.0, width=1.0, nbins=3).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_docs"] == 3 and out[0]["pos"] == 1  # -5.0 clamped in
+    assert out[0]["pos_rate"] == round(1 / 3, 6)
+    assert out[0]["mean_score"] == round((-5.0 + 0.5 + 0.75) / 3, 6)
+    assert out[1]["n_docs"] == 1 and out[1]["pos_rate"] == 1.0
+    assert out[2]["n_docs"] == 1  # 9.9 clamped into bin 2
+    assert out[2]["bin_lo"] == 2.0
+    assert sum(v["n_docs"] for v in out.values()) == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reliability_bins(d, "score", "label", nbins=0)
+
+
+def test_rater_agreement_kappa_hand_calc(spark):
+    """Kappa from a hand-built contingency table; NULL when degenerate."""
+    from data_quality_framework_spark.operators.calibration import rater_agreement
+
+    # 2x2 cells: both=4, neither=3, only_a=2, only_b=1 (n=10)
+    rows = (
+        [(True, True)] * 4 + [(False, False)] * 3 + [(True, False)] * 2 + [(False, True)]
+    )
+    d = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = rater_agreement(d, "a", "b").collect()[0]
+    assert (r["both_keep"], r["both_drop"], r["only_a"], r["only_b"]) == (4, 3, 2, 1)
+    po = 7 / 10
+    pe = (6 * 5 + 4 * 5) / 100
+    assert r["po"] == round(po, 6)
+    assert r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+    # constant raters -> pe == 1 -> kappa NULL, po still defined
+    dc = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    rc = rater_agreement(dc, "a", "b").collect()[0]
+    assert rc["kappa"] is None and rc["po"] == 1.0
