@@ -173,6 +173,12 @@ HEADLINE = [
     "text_source_quality_prior",
     "text_quality_reliability",
     "text_scorer_kappa",
+    # r5 twenty-fourth wave: jackknife keep-rate uncertainty, encoding-
+    # damage audit, readability, host-conditional boilerplate census
+    "text_keep_rate_jackknife",
+    "text_mojibake_profile",
+    "text_readability_profile",
+    "text_host_boilerplate",
 ]
 
 

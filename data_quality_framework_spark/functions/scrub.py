@@ -221,3 +221,74 @@ def duckdb_scrub_ips_sql(expr: str) -> str:
     pat = _IP_CAND.replace("'", "''")
     one = f"regexp_replace({expr}, '{pat}', '\\1<IP>\\3', 'g')"
     return f"regexp_replace({one}, '{pat}', '\\1<IP>\\3', 'g')"
+
+
+# --------------------------------------------------------------------------
+# Credential/secret scrub (r5 wave 25)
+# --------------------------------------------------------------------------
+#
+# Web crawls pick up leaked credentials — pasted configs, committed .env
+# files, log dumps — and a pretraining corpus must not memorize them
+# (detect-secrets / gitleaks territory, a DIFFERENT axis from the PII
+# family: these identify machines and accounts, not people). Each pattern
+# is a structured, high-precision token format (prefix + fixed alphabet +
+# length band), so plain anchored regexes suffice — no checksum gate like
+# cards. Patterns are a pure RE2 subset (no lookaround, no backrefs), so
+# Java regex and DuckDB RE2 produce byte-identical scrubs; the chain is
+# applied in list order on both engines.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWSKEY>"),
+    ("gh_token", r"\bghp_[A-Za-z0-9]{36}\b", "<GHTOKEN>"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}", "<SLACKTOKEN>"),
+    (
+        "jwt",
+        r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+        "<JWT>",
+    ),
+    ("private_key", r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----", "<PRIVATEKEY>"),
+]
+
+
+def count_secrets(text: Column) -> Column:
+    """Total secret-token occurrences across ``SECRET_PATTERNS`` (long)."""
+    total = F.lit(0).cast("long")
+    for _, pat, _repl in SECRET_PATTERNS:
+        total = total + F.regexp_count(text, F.lit(pat)).cast("long")
+    return total
+
+
+def scrub_secrets(text: Column) -> Column:
+    """Mask every secret token to its type marker (ordered chain)."""
+    out = text
+    for _, pat, repl in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def has_raw_secret(text: Column) -> Column:
+    """Any secret token survives in ``text`` (leak predicate)."""
+    any_pat = "|".join(f"(?:{p})" for _, p, _r in SECRET_PATTERNS)
+    return text.rlike(any_pat)
+
+
+def duckdb_count_secrets_sql(expr: str) -> str:
+    """DuckDB replica of :func:`count_secrets`."""
+    cells = " + ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))"
+        for _, pat, _r in SECRET_PATTERNS
+    )
+    return f"CAST({cells} AS BIGINT)"
+
+
+def duckdb_scrub_secrets_sql(expr: str) -> str:
+    """DuckDB replica of :func:`scrub_secrets` (same chain order)."""
+    out = expr
+    for _, pat, repl in SECRET_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def duckdb_has_secret_sql(expr: str) -> str:
+    """DuckDB replica of :func:`has_raw_secret`."""
+    any_pat = "|".join(f"(?:{p})" for _, p, _r in SECRET_PATTERNS)
+    return f"regexp_matches({expr}, '{any_pat}')"

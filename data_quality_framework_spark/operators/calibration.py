@@ -125,7 +125,9 @@ def duckdb_threshold_sweep_sql(
     oracle takes the simple shape (grid cross join + group by) — the Spark
     side's single-aggregate plan is the scale optimization, the semantics
     are identical."""
-    ts = ", ".join(f"({float(t)!r})" for t in thresholds)
+    # CAST: a bare decimal literal in VALUES types the column DECIMAL, and a
+    # DECIMAL threshold round-trips as Decimal, not the float Spark emits
+    ts = ", ".join(f"(CAST({float(t)!r} AS DOUBLE))" for t in thresholds)
     return f"""
         WITH scored AS ({inner_sql}),
              grid(threshold) AS (VALUES {ts}),
@@ -311,7 +313,7 @@ def duckdb_reliability_sql(
                FROM scored
              )
         SELECT bin,
-               {lo_s} + bin * {w_s} AS bin_lo,
+               CAST({lo_s} AS DOUBLE) + bin * CAST({w_s} AS DOUBLE) AS bin_lo,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
                round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate,
@@ -365,6 +367,134 @@ def rater_agreement(
         F.round(pe, 6).alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def jackknife_rate(
+    df: DataFrame,
+    flag_col: str,
+    bucket_col: str,
+    rate_quant: int = 1_000_000,
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of a boolean rate.
+
+    A 10^12-doc filter reports ONE keep rate; whether a 0.2% week-over-week
+    move is signal or noise needs an uncertainty, and the delete-one-group
+    jackknife over hash buckets is the classic way to get one without
+    resampling (no RNG — the buckets come from a deterministic hash the
+    caller supplies, e.g. ``md5_60(id) % B``). For each non-empty bucket i
+    the leave-out estimate is ``r_i = (K - k_i) / (N - n_i)``; the jackknife
+    variance is ``(B-1)/B * sum_i (r_i - mean_r)^2``.
+
+    Engine-exactness: each ``r_i`` is floor-quantized to ``1/rate_quant``
+    units VIA PURE INTEGER ARITHMETIC — ``(K - k_i) * rate_quant div
+    (N - n_i)`` — so Σq and Σq² are exact longs under any aggregation
+    order, and the final variance is a handful of identical double ops.
+    (q ≤ rate_quant, so Σq² ≤ B·10^12 — no long overflow below ~10^6
+    buckets; ``(K-k_i)*rate_quant`` bounds N at ~9·10^12 docs per call,
+    documented — shard the corpus into per-snapshot calls beyond that.)
+
+    Returns one row: ``(n_docs, n_flagged, rate, n_buckets, jk_se)``.
+    ``jk_se`` is NULL when fewer than 2 non-empty buckets exist. One corpus
+    scan, one groupBy over ≤B keys, one B-row reduce — the uncertainty
+    costs nothing more than the point estimate.
+    """
+    per = (
+        df.groupBy(F.col(bucket_col).alias("_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.coalesce(F.sum(F.col(flag_col).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("_k"),
+        )
+    )
+    tot = per.agg(
+        F.sum("_n").cast("long").alias("_N_all"),
+        F.sum("_k").cast("long").alias("_K_all"),
+        F.count(F.lit(1)).cast("long").alias("_B"),
+    )
+    # exact LONG division on both engines (Spark `div`, DuckDB `//`) — a
+    # double ratio + floor() could land 1 ulp below an exact integer
+    qi = F.expr(
+        f"((_K_all - _k) * {int(rate_quant)}L) div (_N_all - _n)"
+    ).cast("long")
+    sums = (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("_N_all") > F.col("_n"))  # guard the single-bucket case
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(qi).cast("long").alias("_s1"),
+            F.sum(qi * qi).cast("long").alias("_s2"),
+        )
+    )
+    # totals ride the unfiltered aggregate so the degenerate single-bucket
+    # case still reports (n_docs, n_flagged) — matching the SQL oracle shape
+    stats = tot.select(
+        F.col("_N_all").alias("n_docs"), F.col("_K_all").alias("n_flagged")
+    ).crossJoin(F.broadcast(sums))
+    b = F.col("n_buckets").cast("double")
+    qd = F.lit(float(rate_quant))
+    # var in quantized units^2: (B-1)/B * (S2 - S1^2/B); back to rate units
+    var = (
+        (b - F.lit(1.0)) / b
+        * (
+            F.col("_s2").cast("double")
+            - F.col("_s1").cast("double") * F.col("_s1").cast("double") / b
+        )
+        / (qd * qd)
+    )
+    rate = F.round(
+        F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    se = F.when(F.col("n_buckets") >= 2, F.round(F.sqrt(var), 6))
+    return stats.select(
+        "n_docs", "n_flagged", rate.alias("rate"), "n_buckets", se.alias("jk_se")
+    )
+
+
+def duckdb_jackknife_sql(inner_sql: str, rate_quant: int = 1_000_000) -> str:
+    """DuckDB replica of :func:`jackknife_rate`; ``inner_sql`` must yield
+    ``flag`` (boolean) and ``bucket`` (integer). Mirrors the integer
+    quantization term-for-term (DuckDB's // is floor division, matching
+    Spark's F.floor of the exact ratio on non-negative operands)."""
+    q = str(int(rate_quant))
+    return f"""
+        WITH r AS ({inner_sql}),
+             per AS (
+               SELECT bucket AS b,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS k
+               FROM r GROUP BY bucket
+             ),
+             tot AS (
+               SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                      CAST(sum(k) AS BIGINT) AS k_all
+               FROM per
+             ),
+             qs AS (
+               SELECT CAST(((tot.k_all - per.k) * {q}) // (tot.n_all - per.n) AS BIGINT) AS qi
+               FROM per CROSS JOIN tot
+               WHERE tot.n_all > per.n
+             ),
+             s AS (
+               SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                      CAST(sum(qi) AS BIGINT) AS s1,
+                      CAST(sum(qi * qi) AS BIGINT) AS s2
+               FROM qs
+             )
+        SELECT tot.n_all AS n_docs,
+               tot.k_all AS n_flagged,
+               round(CAST(tot.k_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE), 6) AS rate,
+               s.n_buckets,
+               CASE WHEN s.n_buckets >= 2
+                    THEN round(sqrt(
+                           (CAST(s.n_buckets AS DOUBLE) - 1.0) / CAST(s.n_buckets AS DOUBLE)
+                           * (CAST(s.s2 AS DOUBLE)
+                              - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                                / CAST(s.n_buckets AS DOUBLE))
+                           / ({q}.0 * {q}.0)), 6)
+                    ELSE NULL END AS jk_se
+        FROM tot CROSS JOIN s
+    """
 
 
 def duckdb_rater_agreement_sql(inner_sql: str) -> str:

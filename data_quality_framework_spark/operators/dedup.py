@@ -769,6 +769,92 @@ def paragraph_dedup(
     return line_dedup(df, id_col=id_col, text_col=text_col, min_docs=min_docs, sep="\n\n")
 
 
+def host_boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_frac_ppm: int = 300_000,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """HOST-CONDITIONAL boilerplate census: per group (host/source), how
+    much of its text mass is site-template furniture.
+
+    :func:`line_dedup` thresholds on a GLOBAL distinct-doc count, which
+    misses exactly the lines that matter most on the web: a small site's
+    nav bar appears on every one of ITS pages but under any corpus-wide
+    ``min_docs`` tuned for 10^12 docs. Here a line is boilerplate for a
+    group when it appears in ``>= max(min_docs, ceil(min_frac_ppm/1e6 *
+    group_docs))`` DISTINCT docs OF THAT GROUP — the standard
+    template-detection conditioning (boilerplate is a per-site property).
+
+    Returns one row per group: ``(group, group_docs, distinct_lines,
+    bp_lines, bp_line_hits, bp_char_ppm)`` — the census a cleaning pass is
+    sized from (and the per-source "this host is 80% template" drop
+    signal). The threshold is integer cross-multiplied (``1e6 * n >=
+    min_frac_ppm * group_docs``), engine-exact.
+
+    Scale shape: one shuffle on (group, md5(line)) — uniform keys, map-side
+    combinable counts; the per-group reduce is metadata-sized (distinct
+    lines, not line instances, after the first combine). No text leaves the
+    map stage: lines travel as (hash, length) pairs.
+    """
+    import re as _re
+
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("line"),
+        )
+        .select("g", "id", F.md5("line").alias("lh"), F.length("line").alias("ln"))
+    )
+    per_line = lines.groupBy("g", "lh").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum("ln").cast("long").alias("chars"),
+    )
+    group_docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.countDistinct(id_col).cast("long").alias("group_docs"))
+    )
+    j = per_line.join(group_docs, "g")
+    is_bp = (F.col("n_docs") >= F.lit(int(min_docs))) & (
+        F.col("n_docs") * F.lit(1_000_000)
+        >= F.lit(int(min_frac_ppm)) * F.col("group_docs")
+    )
+    return (
+        j.groupBy("g", "group_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_lines"),
+            F.sum(F.when(is_bp, 1).otherwise(0)).cast("long").alias("bp_lines"),
+            F.sum(F.when(is_bp, F.col("n_hits")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("bp_line_hits"),
+            F.sum(F.when(is_bp, F.col("chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("_bp_chars"),
+            F.sum("chars").cast("long").alias("_all_chars"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "group_docs",
+            "distinct_lines",
+            "bp_lines",
+            "bp_line_hits",
+            F.expr(
+                "case when _all_chars > 0 "
+                "then (1000000 * _bp_chars) div _all_chars else 0 end"
+            ).cast("long").alias("bp_char_ppm"),
+        )
+    )
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

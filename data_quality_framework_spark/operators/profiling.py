@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 __all__ = ["fd_violations", "column_corr", "mad_outliers", "gini_diversity",
            "grouped_median", "mad_outliers_by", "benford_audit",
            "chi2_contingency_audit", "BENFORD_PPM", "charclass_profile",
-           "novelty_rate", "MIXED_SCRIPT_PATTERN"]
+           "novelty_rate", "MIXED_SCRIPT_PATTERN", "MOJIBAKE_PATTERNS",
+           "mojibake_profile", "READABILITY_PATTERNS", "readability_profile",
+           "SPAM_SIGNAL_PATTERNS", "spam_signals_profile"]
 
 
 def fd_violations(
@@ -518,4 +520,187 @@ def novelty_rate(
             .cast("long")
             .alias("novelty_ppm"),
         )
+    )
+
+
+#: Encoding-damage signatures, shared VERBATIM with the DuckDB oracle (both
+#: engines receive the identical pattern string; every char is a literal
+#: code point once Python resolves the escapes, so Java regex and RE2 read
+#: the same class). Keys:
+#:   repl  — U+FFFD replacement characters (decoder already gave up);
+#:   c1    — C1 control block U+0080-U+009F (cp1252 bytes decoded as
+#:           latin-1, the classic smart-quote corruption);
+#:   moji  — UTF-8 bytes decoded as latin-1/cp1252: "Ã"/"Â"
+#:           followed by a continuation-range char (Ã© etc.), or
+#:           the "â€" prefix the cp1252 round-trip stamps on
+#:           every damaged punctuation mark.
+MOJIBAKE_PATTERNS: list[tuple[str, str]] = [
+    ("repl", "\ufffd"),
+    ("c1", "[\u0080-\u009f]"),
+    ("moji", "[\u00c2\u00c3][\u0080-\u00bf]|\u00e2\u20ac"),
+]
+
+
+def mojibake_profile(
+    df: DataFrame, text_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group encoding-damage audit over ``MOJIBAKE_PATTERNS``.
+
+    Web text arrives through charset sniffing, and sniffing fails in three
+    canonical ways this operator counts separately: hard decoder failures
+    (U+FFFD), cp1252-as-latin-1 C1 controls, and UTF-8-as-latin-1 mojibake
+    sequences. Per group it reports doc count, per-signature damaged-doc
+    counts, total damage occurrences, and occurrences per million chars —
+    the page-level drop signal AND the slice-level "this source's fetcher
+    is misconfigured" signal in one row.
+
+    Pure JVM ``regexp_count``/``rlike`` column expressions — one scan, one
+    small aggregate, group keys plus six longs on the exchange, no explode,
+    no UDF. The damage patterns are module constants consumed verbatim by
+    the oracle, so cross-engine parity is by construction. Extends the
+    reference's per-column null/blank profile (null_checker.py:58-78) down
+    to the byte-integrity axis it has no analog for.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    any_pat = "|".join(f"(?:{p})" for _, p in MOJIBAKE_PATTERNS)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+    ]
+    for name, pat in MOJIBAKE_PATTERNS:
+        aggs.append(
+            F.sum(F.when(t.rlike(pat), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_docs")
+        )
+    aggs.append(
+        F.sum(F.regexp_count(t, F.lit(any_pat))).cast("long").alias("damage_hits")
+    )
+    g = df.groupBy(*group_cols).agg(*aggs)
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "total_chars",
+        *[f"{name}_docs" for name, _ in MOJIBAKE_PATTERNS],
+        "damage_hits",
+        F.expr(
+            "case when total_chars > 0 "
+            "then (1000000 * damage_hits) div total_chars else 0 end"
+        ).cast("long").alias("damage_ppm"),
+    )
+
+
+#: Readability token patterns, shared VERBATIM with the DuckDB oracle:
+#: words = maximal non-whitespace runs; sentences = maximal terminal-
+#: punctuation runs; syllables ~ maximal vowel-letter runs (the standard
+#: cheap proxy — exact syllabification needs a dictionary).
+READABILITY_PATTERNS: dict[str, str] = {
+    "word": "[^ \\t\\r\\n]+",
+    "sentence": "[.!?]+",
+    "vowel_group": "[aeiouyAEIOUY]+",
+}
+
+
+def readability_profile(
+    df: DataFrame, text_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group Flesch-style readability from integer sufficient stats.
+
+    Sums words / sentence-marks / vowel-group (syllable-proxy) counts as
+    exact longs in one aggregate, then derives words-per-sentence,
+    syllables-per-word, and the Flesch reading-ease analog
+    ``206.835 - 1.015*wps - 84.6*spw`` as a handful of IEEE-correctly-
+    rounded double ops over identical operands — engine-exact, like
+    ``column_corr``. Groups with zero sentences/words report NULL rates
+    rather than dividing by zero (an all-blank slice is a data problem the
+    NULL should surface, not mask as 206.835).
+
+    Readability is a standard web-text quality axis (C4/Gopher filter on
+    its inputs — word counts, sentence shape); this reports the calibrated
+    per-slice view. One scan, one small aggregate, zero UDFs.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(pat))
+        for name, pat in READABILITY_PATTERNS.items()
+    }
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(counts["word"]).cast("long").alias("words"),
+        F.sum(counts["sentence"]).cast("long").alias("sentences"),
+        F.sum(counts["vowel_group"]).cast("long").alias("vowel_groups"),
+    )
+    wps = F.col("words").cast("double") / F.nullif(
+        F.col("sentences"), F.lit(0)
+    ).cast("double")
+    spw = F.col("vowel_groups").cast("double") / F.nullif(
+        F.col("words"), F.lit(0)
+    ).cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "words",
+        "sentences",
+        "vowel_groups",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(flesch, 6).alias("flesch_score"),
+    )
+
+
+#: Promotional/link-spam signal patterns, shared VERBATIM with the DuckDB
+#: oracle (pure RE2 subset): bare URL mentions, email addresses, shouted
+#: ALL-CAPS words (>= 3 letters), and multi-bang runs — the C4-era "does
+#: this page exist to sell me something" axes.
+SPAM_SIGNAL_PATTERNS: list[tuple[str, str]] = [
+    ("url", "(?:https?://|www\\.)[^ \\t\\r\\n]+"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("caps_word", "\\b[A-Z]{3,}\\b"),
+    ("bang_run", "!{2,}"),
+]
+
+
+def spam_signals_profile(
+    df: DataFrame, text_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group promotional/link-spam signal census over
+    ``SPAM_SIGNAL_PATTERNS``.
+
+    For each signal: total occurrences and how many docs carry it at
+    least once, plus combined occurrences per million chars — the slice-
+    level "this source is an outlet mall" ranking signal and the per-page
+    drop input. Heuristic quality filters (C4, Gopher) treat link/shout
+    density as a core spam axis; this is its calibrated profile.
+
+    Pure JVM ``regexp_count``/``rlike`` inside one scan and one small
+    aggregate — group keys plus ~10 longs on the exchange, no explode, no
+    UDF. Patterns are module constants consumed verbatim by the oracle.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+    ]
+    for name, pat in SPAM_SIGNAL_PATTERNS:
+        aggs.append(
+            F.sum(F.regexp_count(t, F.lit(pat))).cast("long").alias(f"{name}_hits")
+        )
+        aggs.append(
+            F.sum(F.when(t.rlike(pat), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_docs")
+        )
+    g = df.groupBy(*group_cols).agg(*aggs)
+    all_hits = " + ".join(f"{name}_hits" for name, _ in SPAM_SIGNAL_PATTERNS)
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "total_chars",
+        *[c for name, _ in SPAM_SIGNAL_PATTERNS
+          for c in (f"{name}_hits", f"{name}_docs")],
+        F.expr(
+            f"case when total_chars > 0 "
+            f"then (1000000 * ({all_hits})) div total_chars else 0 end"
+        ).cast("long").alias("spam_ppm"),
     )

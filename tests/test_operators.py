@@ -5180,3 +5180,116 @@ def test_rater_agreement_kappa_hand_calc(spark):
     dc = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
     rc = rater_agreement(dc, "a", "b").collect()[0]
     assert rc["kappa"] is None and rc["po"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# wave 24: mojibake, readability, jackknife, host boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_profile_planted(spark):
+    from data_quality_framework_spark.operators.profiling import mojibake_profile
+
+    rows = [
+        ("a", "clean ascii text."),
+        ("a", "damaged caf\u00c3\u00a9 here"),          # moji (2 chars of damage, 1 hit)
+        ("a", "smart \u00e2\u20ac\u0153quote"),         # moji via \u00e2\u20ac prefix
+        ("b", "control\u0092char"),                       # c1
+        ("b", "repl \ufffd char \ufffd twice"),          # repl, 2 hits
+        ("b", None),                                       # null text -> ''
+    ]
+    d = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r.asDict() for r in mojibake_profile(d, "text", ["source"]).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 3 and a["repl_docs"] == 0 and a["c1_docs"] == 0
+    assert a["moji_docs"] == 2 and a["damage_hits"] == 2
+    assert b["n_docs"] == 3 and b["repl_docs"] == 1 and b["c1_docs"] == 1
+    assert b["moji_docs"] == 0 and b["damage_hits"] == 3
+    assert b["total_chars"] == len("control\u0092char") + len("repl \ufffd char \ufffd twice")
+    assert b["damage_ppm"] == (1_000_000 * 3) // b["total_chars"]
+
+
+def test_readability_profile_hand_calc(spark):
+    from data_quality_framework_spark.operators.profiling import readability_profile
+
+    # "the cat sat. it ran!" -> 5 words, 2 sentence runs, vowel groups:
+    # the(1) cat(1) sat(1) it(1) ran(1) = 5
+    rows = [("s", "the cat sat. it ran!"), ("s", "no terminal punctuation here")]
+    d = spark.createDataFrame(rows, "source string, text string")
+    r = readability_profile(d, "text", ["source"]).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["words"] == 5 + 4
+    assert r["sentences"] == 2
+    # doc2 vowel groups: no(1) terminal(3: e,i,a) punctuation(4: u,ua,io? ->
+    # p-u-nct-ua-t-io-n = u, ua, io = 3) here(2: e,e) = 1+3+3+2 = 9
+    assert r["vowel_groups"] == 5 + 9
+    wps = r["words"] / r["sentences"]
+    spw = r["vowel_groups"] / r["words"]
+    assert r["words_per_sentence"] == round(wps, 6)
+    assert r["flesch_score"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+
+
+def test_readability_zero_sentences_null(spark):
+    from data_quality_framework_spark.operators.profiling import readability_profile
+
+    d = spark.createDataFrame([("s", "no punctuation")], "source string, text string")
+    r = readability_profile(d, "text", ["source"]).collect()[0]
+    assert r["sentences"] == 0
+    assert r["words_per_sentence"] is None and r["flesch_score"] is None
+
+
+def test_jackknife_rate_hand_calc(spark):
+    from data_quality_framework_spark.operators.calibration import jackknife_rate
+
+    # 3 buckets: (n, k) = (4, 2), (3, 3), (3, 0) -> N=10, K=5
+    rows = []
+    for b, n, k in [(0, 4, 2), (1, 3, 3), (2, 3, 0)]:
+        rows += [(b, i < k) for i in range(n)]
+    d = spark.createDataFrame(rows, "bucket int, flag boolean")
+    r = jackknife_rate(d, "flag", "bucket").collect()[0]
+    assert r["n_docs"] == 10 and r["n_flagged"] == 5 and r["n_buckets"] == 3
+    assert r["rate"] == 0.5
+    qs = [((5 - k) * 1_000_000) // (10 - n) for n, k in [(4, 2), (3, 3), (3, 0)]]
+    s1, s2, bb = sum(qs), sum(q * q for q in qs), 3
+    var = (bb - 1) / bb * (s2 - s1 * s1 / bb) / 1e12
+    assert r["jk_se"] == round(math.sqrt(var), 6)
+
+
+def test_jackknife_single_bucket_null_se(spark):
+    from data_quality_framework_spark.operators.calibration import jackknife_rate
+
+    d = spark.createDataFrame([(0, True), (0, False)], "bucket int, flag boolean")
+    r = jackknife_rate(d, "flag", "bucket").collect()[0]
+    # one bucket: every leave-out estimate is degenerate -> no rows survive
+    # the N > n guard, so n_buckets = 0 and jk_se is NULL; totals still report
+    assert r["jk_se"] is None
+    assert r["n_docs"] == 2 and r["n_flagged"] == 1 and r["n_buckets"] == 0
+
+
+def test_host_boilerplate_stats_planted(spark):
+    from data_quality_framework_spark.operators.dedup import host_boilerplate_stats
+
+    # host a: nav line on all 4 docs (bp), unique body lines (not bp);
+    # host b: 2 docs share one line, but min_docs=3 keeps it non-bp
+    rows = [
+        (1, "a", "NAV\nbody one"),
+        (2, "a", "NAV\nbody two"),
+        (3, "a", "NAV\nbody three"),
+        (4, "a", "NAV\nbody four"),
+        (5, "b", "shared\nuniq five"),
+        (6, "b", "shared\nuniq six"),
+        (7, "b", "uniq seven"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["source"]: r.asDict()
+        for r in host_boilerplate_stats(
+            d, "doc_id", "source", "text", min_frac_ppm=500_000, min_docs=3
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a["group_docs"] == 4 and a["distinct_lines"] == 5
+    assert a["bp_lines"] == 1 and a["bp_line_hits"] == 4
+    total_a = sum(len(l) for t in ["NAV\nbody one", "NAV\nbody two", "NAV\nbody three", "NAV\nbody four"] for l in t.split("\n"))
+    assert a["bp_char_ppm"] == (1_000_000 * 4 * 3) // total_a
+    assert b["bp_lines"] == 0 and b["bp_line_hits"] == 0 and b["bp_char_ppm"] == 0
