@@ -4238,6 +4238,24 @@ def _q_host_boilerplate(spark, sf):
     ).orderBy("source")
 
 
+def _q_quality_canonical(spark, sf):
+    """Quality-aware canonical election (r5): within each near-dup
+    component (the shared deterministic doc_id pair graph), keep the
+    member with the most content (n_chars, ties -> smallest id) — the
+    RefinedWeb-style election that min-id dedup gets wrong whenever a
+    worse mirror sorts first. Integer scores make the whole decision
+    engine-exact; the DuckDB oracle recomputes components with a REAL
+    recursive CTE and elects via an ordered-aggregate first()
+    (`operators/dedup.py::quality_canonical`)."""
+    from data_quality_framework_spark.operators.dedup import quality_canonical
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = quality_canonical(d, _component_edges(d), "doc_id", "n_chars")
+    return out.select("doc_id", "component", "is_quality_canonical").orderBy(
+        "doc_id"
+    )
+
+
 def _q_spam_signals(spark, sf):
     """Promotional/link-spam census (r5): URL / email / ALL-CAPS /
     multi-bang occurrence and carrier-doc counts per source from
@@ -4518,12 +4536,45 @@ def _wave24_oracle_sqls() -> dict[str, str]:
         FROM s ORDER BY doc_id
     """
 
+    # quality-canonical oracle (r5 wave 26): recursive-CTE components (vs
+    # the operator's label propagation), winner per component by ordered-
+    # aggregate first(id ORDER BY n_chars DESC, id) — all-integer election
+    quality_canonical = """
+        WITH RECURSIVE
+        e0 AS (
+          SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+          FROM documents WHERE doc_id % 8 < (doc_id // 8) % 8
+          UNION ALL
+          SELECT CAST(doc_id AS BIGINT), CAST(doc_id + (doc_id // 8) % 8 AS BIGINT)
+          FROM documents WHERE doc_id % 8 = 0 AND (doc_id // 8) % 8 > 1
+        ),
+        und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        r AS (
+          SELECT a AS id, b AS x FROM und
+          UNION
+          SELECT r.id, und.b FROM r JOIN und ON und.a = r.x
+        ),
+        comp AS (SELECT id, least(id, min(x)) AS component FROM r GROUP BY id),
+        mem AS (SELECT comp.id, comp.component, d.n_chars
+                FROM comp JOIN documents d ON d.doc_id = comp.id),
+        win AS (SELECT component, first(id ORDER BY n_chars DESC, id ASC) AS winner
+                FROM mem GROUP BY component)
+        SELECT d.doc_id,
+               CAST(coalesce(mem.component, d.doc_id) AS BIGINT) AS component,
+               coalesce(mem.id = win.winner, TRUE) AS is_quality_canonical
+        FROM documents d
+        LEFT JOIN mem ON mem.id = d.doc_id
+        LEFT JOIN win ON win.component = mem.component
+        ORDER BY d.doc_id
+    """
+
     return {
         "text_mojibake_profile": mojibake,
         "text_readability_profile": readability,
         "text_host_boilerplate": boilerplate,
         "text_spam_signals": spam,
         "text_secret_scrub": secret,
+        "dedup_quality_canonical": quality_canonical,
     }
 
 
@@ -4761,6 +4812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 wave 25: promotional-spam census, credential/secret scrub
         "text_spam_signals": _q_spam_signals,
         "text_secret_scrub": _q_secret_scrub,
+        # r5 wave 26: quality-aware canonical election per near-dup cluster
+        "dedup_quality_canonical": _q_quality_canonical,
     }
 
 

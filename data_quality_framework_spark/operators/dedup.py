@@ -1283,6 +1283,67 @@ def soft_dedup_weights(
     )
 
 
+def quality_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    keep_col: str = "is_quality_canonical",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware canonical election per near-dup cluster: keep the
+    member with the HIGHEST quality score (ties → smallest id), not the
+    arbitrary min-id/first-seen winner.
+
+    Min-id election (``exact_dedup``, the minhash family) throws away the
+    best-written copy of a page whenever a worse mirror happens to sort
+    first — RefinedWeb/FineWeb-style pipelines elect by quality (or length)
+    for exactly this reason. ``pairs`` is the verified near-dup edge list;
+    clusters come from :func:`near_dup_components`; the winner per
+    component is one ``max(struct(score, -id))`` aggregate — no window over
+    the corpus, no sort. Docs in no pair are singletons and keep
+    themselves via the left join's null path (their ``component`` is their
+    own id, mirroring the components convention).
+
+    Engine-exactness: the election compares (score, -id) structs — with an
+    integral score column the whole decision is integer; with a double
+    score both engines compare identical IEEE values (the caller owns
+    producing a cross-engine-stable score, e.g. a quantized logit).
+
+    Scale shape: the pair graph is the dup TAIL (≪ corpus); everything up
+    to the final corpus join touches tail-sized frames only. The corpus
+    join is a plain equi-join on the id so AQE broadcasts the tail when it
+    measures small.
+    """
+    comp = near_dup_components(pairs, max_iter=max_iter)
+    members = docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+    ).join(comp, "id")
+    winners = (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("__s").alias("s"), (-F.col("id")).alias("negid"))
+            ).alias("w")
+        )
+        .select("component", (-F.col("w.negid")).alias("__winner"))
+    )
+    flags = members.join(winners, "component").select(
+        F.col("id").alias("__fid"),
+        (F.col("id") == F.col("__winner")).alias("__keep"),
+        F.col("component").alias("__comp"),
+    )
+    return (
+        docs.join(flags, docs[id_col] == F.col("__fid"), "left")
+        .withColumn(keep_col, F.coalesce(F.col("__keep"), F.lit(True)))
+        .withColumn(
+            "component",
+            F.coalesce(F.col("__comp"), docs[id_col].cast("long")).cast("long"),
+        )
+        .drop("__fid", "__keep", "__comp")
+    )
+
+
 def lsh_pr_eval(
     df: DataFrame,
     id_col: str,

@@ -5293,3 +5293,24 @@ def test_host_boilerplate_stats_planted(spark):
     total_a = sum(len(l) for t in ["NAV\nbody one", "NAV\nbody two", "NAV\nbody three", "NAV\nbody four"] for l in t.split("\n"))
     assert a["bp_char_ppm"] == (1_000_000 * 4 * 3) // total_a
     assert b["bp_lines"] == 0 and b["bp_line_hits"] == 0 and b["bp_char_ppm"] == 0
+
+
+def test_quality_canonical_election(spark):
+    from data_quality_framework_spark.operators.dedup import quality_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 50)],
+        "doc_id long, score long",
+    )
+    # cluster {1,2,3}: best score 99 tied by 2 and 3 -> smallest id 2 wins;
+    # 4 and 5 are singletons -> keep themselves
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["component"], r["is_quality_canonical"])
+        for r in quality_canonical(docs, pairs, "doc_id", "score").collect()
+    }
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
