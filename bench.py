@@ -179,6 +179,11 @@ HEADLINE = [
     "text_mojibake_profile",
     "text_readability_profile",
     "text_host_boilerplate",
+    # r5 twenty-fifth/sixth wave: spam heuristics, secret scrubbing,
+    # quality-aware canonical election per near-dup cluster
+    "text_spam_signals",
+    "text_secret_scrub",
+    "dedup_quality_canonical",
 ]
 
 

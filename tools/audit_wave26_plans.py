@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""One-off plan audit for the r5 wave-24/25/26 operators at sf0.1.
+
+Prints, per query, the counts of Exchange / HashAggregate / Generate /
+BatchScan-or-FileScan nodes and whether any Python UDF appears — the
+evidence PLANS.md cites. Read-only; no data written.
+"""
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NAMES = [
+    "text_keep_rate_jackknife",
+    "text_mojibake_profile",
+    "text_readability_profile",
+    "text_host_boilerplate",
+    "text_spam_signals",
+    "text_secret_scrub",
+    "dedup_quality_canonical",
+]
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+qs = E.queries()
+for name in NAMES:
+    df = qs[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {
+        "exchange": len(re.findall(r"\bExchange\b", plan)),
+        "hashagg": len(re.findall(r"\bHashAggregate\b", plan)),
+        "objagg": len(re.findall(r"ObjectHashAggregate|SortAggregate", plan)),
+        "generate": len(re.findall(r"\bGenerate\b", plan)),
+        "scan": len(re.findall(r"FileScan|BatchScan", plan)),
+        "pythonudf": len(re.findall(r"BatchEvalPython|ArrowEvalPython", plan)),
+        "bcast": len(re.findall(r"BroadcastExchange", plan)),
+        "sort": len(re.findall(r"\bSort\b", plan)),
+    }
+    print(name, counts, flush=True)
+spark.stop()
