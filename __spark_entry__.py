@@ -1223,6 +1223,96 @@ def _q_contamination(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_contamination_incremental(spark, sf):
+    """Cross-run decontamination (r5 wave 27): two eval suites (every 50th
+    doc, then the 25-offset half-phase) are added to a persisted eval-gram
+    store in SEPARATE runs (``build_contamination_store``), then the full
+    corpus is screened against the union of suites straight from the store
+    (``incremental_contamination``) — no eval text is re-read at screening
+    time. md5_60 gram hashes so the oracle reproduces the join keys; the
+    oracle recomputes the same report from the concatenated suites, proving
+    store-served == batch semantics."""
+    import shutil
+    import tempfile
+
+    from data_quality_framework_spark.operators.contamination import (
+        build_contamination_store,
+        incremental_contamination,
+    )
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(~TS.is_blank(F.col("text")))  # == the oracle's _NONBLANK
+        .select("doc_id", "text")
+    )
+    store = tempfile.mkdtemp(prefix="dq_contam_store_")
+    shutil.rmtree(store, ignore_errors=True)  # operator owns the layout
+    try:
+        for bid, pred in (
+            ("suite_a", F.col("doc_id") % 50 == 0),
+            ("suite_b", F.col("doc_id") % 50 == 25),
+        ):
+            build_contamination_store(
+                spark,
+                d.filter(pred).withColumnRenamed("doc_id", "bench_id"),
+                store,
+                bid,
+                n=8,
+                hash_fn="md5_60",
+            )
+        report = incremental_contamination(
+            spark, d, store, n=8, hash_fn="md5_60"
+        ).localCheckpoint()  # settle before the store dir is removed
+        return report.orderBy("doc_id")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _q_semantic_diversity(spark, sf):
+    """Semantic-diversity census (r5 wave 27): every embedding assigned to
+    its nearest TRAINED centroid (the same data-adapted quantizer as
+    sim_topk_ivf_trained) -> per-cluster occupancy, floor-div ppm share and
+    integer cosine-tightness mass — the curation view cluster-balanced
+    sampling is sized from. Assignment is all-JVM (centroid literals, no
+    UDF); the oracle re-derives the centroids Spark-free from the same
+    parquet and replays the census on integer-exact encodings."""
+    from data_quality_framework_spark.operators.similarity import cluster_census
+
+    C = _trained_centroids(spark, sf)
+    return cluster_census(_t(spark, sf, "embeddings"), C).orderBy("cell")
+
+
+def _q_multimodal_phash(spark, sf):
+    """Media near-dup pairs (r5 wave 27): binary payloads -> 60-bit
+    signatures via the Arrow mapInPandas media path (deterministic md5 stub
+    standing in for pHash, per the multimodal decode contract) -> JVM-side
+    banded hamming LSH + exact verify. Planted dup families collide at
+    hamming 0; uncapped 4-banding is pigeonhole-complete for hamming <= 3,
+    so the brute-force SQL oracle matches exactly."""
+    from data_quality_framework_spark.operators.multimodal import (
+        media_signature64,
+        signature_near_dup_pairs,
+    )
+
+    base = (
+        _t(spark, sf, "documents")
+        .filter(~TS.is_blank(F.col("text")))  # == the oracle's _NONBLANK
+        .select("doc_id", "text")
+    )
+    # plant exact re-uploads (the emb_near_dup_pairs pattern): a shifted
+    # copy of the first docs collides at hamming 0 like a re-hosted image
+    aug = base.unionByName(
+        base.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+        )
+    )
+    d = aug.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    sigs = media_signature64(d)
+    return signature_near_dup_pairs(sigs, max_hamming=3, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic stratified sampling (r4): language-stratified rates
     (en 0.6, de 0.3, everything else incl. NULL lang 0.1) decided by a pure
@@ -4643,6 +4733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_batches": _q_dedup_incremental,
         "dedup_incremental_near": _q_dedup_incremental_near,
         "text_contamination_flags": _q_contamination,
+        "text_contamination_incremental": _q_contamination_incremental,
+        "text_semantic_diversity": _q_semantic_diversity,
         "text_stratified_sample": _q_stratified_sample,
         # temperature-flattened mixture sampling (r5)
         "text_temperature_sample": _q_temperature_sample,
@@ -4724,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_scores": _q_dsir_scores,
         "text_repetition_profile": _q_repetition,
         "multimodal_image_features": _q_multimodal,
+        "multimodal_phash_pairs": _q_multimodal_phash,
         # video frame / audio chunk segmentation plans (r5)
         "multimodal_media_plan": _q_media_plan,
         # CCNet-style dedup-normalized keying view, byte-exact (r5)
@@ -5875,6 +5968,24 @@ def oracle_sql() -> dict[str, str]:
                                  s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS gh
                         FROM d),
                  bh AS (SELECT doc_id AS bid, gh FROM dh WHERE doc_id % 50 = 0)
+            SELECT d.doc_id,
+                   count(DISTINCT d.gh) AS contaminated_ngrams,
+                   count(DISTINCT b.bid) AS n_bench_docs
+            FROM dh d JOIN bh b USING (gh)
+            GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # cross-run decontamination oracle (r5 wave 27): the store-served
+        # screening must equal contamination_flags over the CONCATENATED
+        # suites — same md5_60 gram hashes, bench side = both suite phases
+        "text_contamination_incremental": f"""
+            WITH d AS (SELECT doc_id, {_shingle_list_expr(8)} AS sh
+                       FROM documents WHERE {_NONBLANK}),
+                 dh AS (SELECT doc_id,
+                               unnest(list_distinct(list_transform(sh,
+                                 s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))) AS gh
+                        FROM d),
+                 bh AS (SELECT DISTINCT doc_id AS bid, gh FROM dh
+                        WHERE doc_id % 50 = 0 OR doc_id % 50 = 25)
             SELECT d.doc_id,
                    count(DISTINCT d.gh) AS contaminated_ngrams,
                    count(DISTINCT b.bid) AS n_bench_docs
@@ -7087,6 +7198,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
         """,
+        # media signature near-dup oracle (r5 wave 27): the mapInPandas stub
+        # signature is md5-derived from the payload bytes (= the text's
+        # UTF-8), so SQL reproduces it; brute-force hamming <= 3 pairs ==
+        # the banded LSH output (pigeonhole-complete, uncapped)
+        "multimodal_phash_pairs": f"""
+            WITH nb AS (SELECT doc_id, text FROM documents WHERE {_NONBLANK}),
+                 aug AS (SELECT doc_id, text FROM nb
+                         UNION ALL
+                         SELECT doc_id + 100000, text FROM nb WHERE doc_id < 20),
+                 s AS (SELECT doc_id,
+                              CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sig
+                       FROM aug)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ORDER BY id_a, id_b
+        """,
         # drift oracle (r5): decile edges via quantile_cont over snapshot
         # A's integer word counts (duplicates collapsed sorted-distinct),
         # bucket = #edges strictly below the value, full-outer count join
@@ -7885,6 +8014,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c, q
             WHERE list_contains(q.probes, c.cell + 1)
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """
+        # semantic-diversity census oracle (r5 wave 27): same trained
+        # centroid literals, same first-argmax cell rule, integer-exact
+        # (ppm floor-div, round(cos,4)-scaled int64 sums)
+        out["text_semantic_diversity"] = f"""
+            WITH d AS (SELECT {_ivf_dots_sql(16, C_tr)} AS d,
+                              sqrt(list_sum(list_transform(embedding,
+                                v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+                       FROM embeddings),
+                 cells AS (SELECT CAST(list_position(d, list_max(d)) - 1 AS INTEGER) AS cell,
+                                  CAST(round(list_max(d) / nrm * 10000) AS BIGINT) AS cos_e4
+                           FROM d),
+                 c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                              CAST(sum(cos_e4) AS BIGINT) AS sum_cos_e4
+                       FROM cells GROUP BY cell),
+                 t AS (SELECT sum(n_vecs) AS tot FROM c)
+            SELECT cell, n_vecs,
+                   CAST(n_vecs * 1000000 // t.tot AS BIGINT) AS share_ppm,
+                   sum_cos_e4
+            FROM c, t ORDER BY cell
         """
     except (OSError, duckdb.Error):
         pass

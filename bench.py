@@ -184,6 +184,11 @@ HEADLINE = [
     "text_spam_signals",
     "text_secret_scrub",
     "dedup_quality_canonical",
+    # r5 twenty-seventh wave: cross-run eval-gram contamination store,
+    # trained-centroid diversity census, media signature near-dup
+    "text_contamination_incremental",
+    "text_semantic_diversity",
+    "multimodal_phash_pairs",
 ]
 
 

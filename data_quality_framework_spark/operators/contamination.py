@@ -90,6 +90,94 @@ def contamination_flags(
     )
 
 
+def build_contamination_store(
+    spark,
+    bench: DataFrame,
+    store_path: str,
+    batch_id: str,
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist one benchmark suite's distinct (gram-hash, bench-doc) pairs
+    into a cross-run eval-gram store (``batch_id=<id>/`` layout, idempotent
+    per-suite overwrite like the dedup/digest stores).
+
+    Production shape: eval suites arrive once and rarely change, but every
+    NEW crawl batch must be screened against ALL of them. Re-shingling
+    every eval suite per crawl is O(suites x crawls) redundant text work;
+    the store makes each screening O(new batch + store) — and the store is
+    tiny (distinct gram hashes of eval sets, ~MBs at 10^5 bench docs).
+    The (n, hash_fn) knobs are pinned to the store (`_store_params.json`):
+    mixing gram sizes or hash families would silently miss every overlap.
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    _pin_store_params(spark, store_path, {"n": int(n), "hash_fn": hash_fn})
+    (
+        _gram_hashes(bench, bench_id, bench_text, n, hash_fn)
+        .withColumnRenamed("id", "bid")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/batch_id={batch_id}")
+    )
+
+
+def incremental_contamination(
+    spark,
+    docs: DataFrame,
+    store_path: str,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Screen a training batch against EVERY benchmark suite ever added to
+    ``store_path`` (see :func:`build_contamination_store`) without
+    re-reading any eval text: same per-doc report as
+    :func:`contamination_flags`, with the bench side served from the
+    persisted distinct gram hashes.
+
+    ``(n, hash_fn)`` must match the store's pin — validated, not trusted
+    (a mismatched gram size can never hash-match, so drift would silently
+    pass every doc as clean).
+
+    Scale shape: the store read is metadata-sized; AQE broadcasts it, so
+    the corpus side joins map-side exactly like the batch operator. Gram
+    sets of suites added in separate batches may overlap — the union is
+    DISTINCT-ed before the join so a gram shared by two suites still
+    counts once per doc (and ``n_bench_docs`` still counts distinct bench
+    docs across all suites).
+    """
+    from data_quality_framework_spark.operators.dedup import _pin_store_params
+
+    _pin_store_params(spark, store_path, {"n": int(n), "hash_fn": hash_fn})
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dirs = [
+        s.getPath().toString()
+        for s in fs.listStatus(root)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    if not dirs:
+        raise ValueError(
+            f"contamination store {store_path!r} holds no batch_id=* suites"
+        )
+    b = spark.read.parquet(*dirs).select("gh", "bid").distinct()
+    d = _gram_hashes(docs, doc_id, text_col, n, hash_fn)
+    return (
+        d.join(b, "gh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gh").cast("long").alias("contaminated_ngrams"),
+            F.countDistinct("bid").cast("long").alias("n_bench_docs"),
+        )
+        .withColumnRenamed("id", doc_id)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

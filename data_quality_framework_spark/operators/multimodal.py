@@ -90,6 +90,111 @@ def extract_image_features(
     return df.select(id_col, binary_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+MEDIA_SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+
+def media_signature64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "payload",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary -> 60-bit perceptual-signature stand-in via mapInPandas.
+
+    The production shape of image near-dup (pHash/dHash): decode the
+    payload, downsample, threshold against the median -> a small bit
+    signature whose hamming distance tracks visual similarity. The decode
+    itself is STUBBED like :func:`extract_image_features` (no Pillow in
+    this container): ``decode_stub=True`` derives a deterministic 60-bit
+    signature from the payload bytes (first 15 hex chars of md5 — exactly
+    reproducible by an external SQL engine, and identical payloads get
+    hamming 0 like identical images would); ``decode_stub=False`` raises
+    where a real pHash would plug in. 60 bits (not 64) keeps the value
+    positive in an int64 across engines.
+
+    The Arrow plumbing is the real contract: binary payloads stream
+    through mapInPandas batches (never Python row objects), and the output
+    (id, sig) longs feed the JVM-side banded LSH below — the decode is the
+    ONLY Python stage, exactly where a GPU/PIL worker sits in production.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:  # pragma: no cover - no decoder in sandbox
+                raise NotImplementedError(
+                    "real perceptual hashing requires an image decoder "
+                    "(Pillow); install and implement here"
+                )
+            sigs = [
+                int(hashlib.md5(p if p is not None else b"").hexdigest()[:15], 16)
+                for p in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sig": pd.array(sigs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, MEDIA_SIGNATURE_SCHEMA)
+
+
+def signature_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup media pairs over precomputed bit signatures: banded hamming
+    LSH + exact verification — :func:`~data_quality_framework_spark.
+    operators.dedup.simhash_pairs`' join shape, decoupled from text so the
+    signature source can be the Arrow media path above (or any ingest-time
+    signature column). Complete for ``max_hamming < bands`` by pigeonhole
+    when uncapped; ``bucket_cap`` is the opt-in scale knob with the same
+    approximation caveat as the text variant.
+
+    Scale shape: signatures band into (band-key, id, sig) longs — binary
+    payloads never join, never shuffle; the band self-join is the only
+    exchange and its keys are uniform for hash-derived signatures.
+    """
+    from pyspark.sql import Window
+
+    from data_quality_framework_spark.functions.hashing import (
+        hamming64,
+        simhash_bands,
+    )
+
+    base = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
+    exploded = base.select(
+        "id", "sh", F.explode(simhash_bands(F.col("sh"), bands)).alias("band")
+    )
+    if bucket_cap is not None:
+        exploded = (
+            exploded.withColumn(
+                "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
+            )
+            .filter(F.col("rn") <= bucket_cap)
+            .drop("rn")
+        )
+    a = exploded.select("band", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = exploded.select("band", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

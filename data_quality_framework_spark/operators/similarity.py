@@ -284,6 +284,63 @@ def ivf_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col, round_digits)
 
 
+def cluster_census(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-diversity census over trained centroids: assign every vector
+    to its nearest centroid (cosine argmax, first-max tie rule) and report
+    the per-cluster occupancy profile — the corpus-curation view behind
+    cluster-balanced sampling / SemDeDup-style pruning decisions ("is the
+    corpus 40% one semantic clump?").
+
+    One row per cluster: ``(cell, n_vecs, share_ppm, sum_cos_e4)`` —
+    occupancy, floor-div parts-per-million share, and the summed
+    (round(cos,4) x 10^4 as int64) cosine-to-own-centroid mass, whose ratio
+    to ``n_vecs`` is the cluster's mean tightness. The ppm and e4 encodings
+    keep every compared value an integer (engine-exact under any
+    partitioning; an external SQL engine reproduces them bit-for-bit from
+    the same centroid literals).
+
+    Scale shape: the centroid matrix ships as literals (k x dim doubles —
+    the trained-quantizer contract); assignment + per-row cosine are pure
+    JVM ``zip_with``/``aggregate`` expressions (no Python UDF, unlike the
+    pandas ``ivf_cell_udf`` — a census has no Arrow batch to amortize);
+    ONE map-side-combined aggregation shuffles (cell, count, sum) partials;
+    the share window runs over the k-row aggregate, not the corpus.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    v = F.col(vec_col).cast("array<double>")
+    dots = F.array(*[dot_expr(v, _query_lit(c)) for c in C])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    # centroids are unit rows -> cos(vec, own centroid) = max dot / |vec|
+    cos = F.array_max(dots) / norm_expr(v)
+    assigned = df.select(
+        cell.alias("cell"),
+        F.round(cos * 10_000, 0).cast("long").alias("cos_e4"),
+    )
+    census = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("cos_e4").cast("long").alias("sum_cos_e4"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_vecs").over(Window.partitionBy())
+    return census.select(
+        "cell",
+        "n_vecs",
+        F.expr("n_vecs * 1000000").cast("long").alias("__num"),
+        total.alias("__tot"),
+        "sum_cos_e4",
+    ).select(
+        "cell",
+        "n_vecs",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+        "sum_cos_e4",
+    )
+
+
 # --------------------------------------------------------------------------
 # ingest-time ANN index: bucket/cell as PARTITION columns -> file pruning
 # --------------------------------------------------------------------------

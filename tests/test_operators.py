@@ -5314,3 +5314,161 @@ def test_quality_canonical_election(spark):
     assert out[3] == (1, False)
     assert out[4] == (4, True)
     assert out[5] == (5, True)
+
+
+# ---------------------------------------------------------------------------
+# wave 27: incremental contamination store / semantic diversity census /
+# media signature near-dup
+# ---------------------------------------------------------------------------
+
+def test_incremental_contamination_matches_batch(spark, tmp_path):
+    """Store-served screening == contamination_flags over concatenated
+    suites; knob drift against the pin refuses loudly."""
+    import pytest
+
+    from data_quality_framework_spark.operators.contamination import (
+        build_contamination_store,
+        contamination_flags,
+        incremental_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+            (3, "an entirely clean training document with no overlap"),
+            (4, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    suite_a = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    suite_b = spark.createDataFrame(
+        [(200, "pack my box with five dozen liquor jugs today")],
+        "bench_id long, text string",
+    )
+    store = str(tmp_path / "contam_store")
+    build_contamination_store(spark, suite_a, store, "a", n=5, hash_fn="md5_60")
+    build_contamination_store(spark, suite_b, store, "b", n=5, hash_fn="md5_60")
+
+    inc = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["n_bench_docs"])
+        for r in incremental_contamination(
+            spark, docs, store, n=5, hash_fn="md5_60"
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["n_bench_docs"])
+        for r in contamination_flags(
+            docs, suite_a.unionByName(suite_b), n=5, hash_fn="md5_60"
+        ).collect()
+    }
+    assert inc == batch
+    assert set(inc) == {1, 2, 4}  # doc 3 is clean
+    assert inc[1][1] == 1  # one suite doc touched
+
+    # knob drift vs the store pin must refuse, not silently pass-all-clean
+    with pytest.raises(ValueError):
+        incremental_contamination(spark, docs, store, n=7, hash_fn="md5_60")
+
+
+def test_incremental_contamination_empty_store_refuses(spark, tmp_path):
+    from data_quality_framework_spark.operators.contamination import (
+        incremental_contamination,
+    )
+
+    docs = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    store = str(tmp_path / "empty_store")
+    with pytest.raises(ValueError, match="no batch_id"):
+        incremental_contamination(spark, docs, store, n=5, hash_fn="md5_60")
+
+
+def test_cluster_census_hand_calc(spark):
+    """Axis-aligned unit centroids: assignment, floor-div ppm shares and the
+    e4 cosine mass are all hand-checkable; ties go to the first centroid
+    (numpy-argmax rule)."""
+    from data_quality_framework_spark.operators.similarity import cluster_census
+
+    rows = [
+        (1, [1.0, 0.0]),   # cell 0, cos 1.0
+        (2, [2.0, 0.0]),   # cell 0, cos 1.0 (scale-invariant)
+        (3, [0.0, 3.0]),   # cell 1, cos 1.0
+        (4, [1.0, 1.0]),   # tie (dots 1.0, 1.0) -> FIRST max -> cell 0, cos 1/sqrt(2)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["cell"]: (r["n_vecs"], r["share_ppm"], r["sum_cos_e4"])
+        for r in cluster_census(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert out[0][0] == 3 and out[1][0] == 1
+    assert out[0][1] == 750_000 and out[1][1] == 250_000
+    # cell 0 cosine mass: 1.0 + 1.0 + 0.70710678 -> 10000+10000+7071
+    assert out[0][2] == 27_071
+    assert out[1][2] == 10_000
+
+
+def test_cluster_census_ppm_is_floor_div(spark):
+    """3 vectors over 2 cells: 1/3 share must floor to 333333, not round."""
+    from data_quality_framework_spark.operators.similarity import cluster_census
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["cell"]: r["share_ppm"]
+        for r in cluster_census(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert out == {0: 666_666, 1: 333_333}
+
+
+def test_media_signature_stub_and_pairs(spark):
+    """The stub signature is the documented md5-derived 60-bit value;
+    identical payloads pair at hamming 0, distinct ones don't pair."""
+    import hashlib
+
+    from data_quality_framework_spark.operators.multimodal import (
+        media_signature64,
+        signature_near_dup_pairs,
+    )
+
+    payload = b"\x89PNG fake bytes"
+    other = b"\xff\xd8 other fake bytes"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload)), (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    sigs = media_signature64(df)
+    got = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert got[1] == got[2] == int(hashlib.md5(payload).hexdigest()[:15], 16)
+    assert got[3] == int(hashlib.md5(other).hexdigest()[:15], 16)
+
+    pairs = signature_near_dup_pairs(sigs).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_signature_banding_pigeonhole_boundary(spark):
+    """bands=4 finds every pair within hamming 3 (pigeonhole) but CANNOT see
+    a 4-bit spread hitting all four bands — the documented completeness
+    boundary that keeps max_hamming < bands the exact regime."""
+    from data_quality_framework_spark.operators.multimodal import (
+        signature_near_dup_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0),
+            (2, 0b111),                                  # 3 flips, all in band 0
+            (3, 1 | (1 << 16) | (1 << 32) | (1 << 48)),  # 1 flip in EACH band
+        ],
+        "doc_id long, sig long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in signature_near_dup_pairs(sigs, max_hamming=4, bands=4).collect()
+    }
+    assert got[(1, 2)] == 3          # within-band flips: candidate + verified
+    assert (1, 3) not in got         # no shared band -> LSH can't propose it
+    assert (2, 3) not in got         # differs in every band -> also unseen

@@ -24,6 +24,10 @@ NAMES = [
     "text_spam_signals",
     "text_secret_scrub",
     "dedup_quality_canonical",
+    # wave 27
+    "text_contamination_incremental",
+    "text_semantic_diversity",
+    "multimodal_phash_pairs",
 ]
 
 spark = (
@@ -44,7 +48,9 @@ for name in NAMES:
         "objagg": len(re.findall(r"ObjectHashAggregate|SortAggregate", plan)),
         "generate": len(re.findall(r"\bGenerate\b", plan)),
         "scan": len(re.findall(r"FileScan|BatchScan", plan)),
-        "pythonudf": len(re.findall(r"BatchEvalPython|ArrowEvalPython", plan)),
+        "pythonudf": len(
+            re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)
+        ),
         "bcast": len(re.findall(r"BroadcastExchange", plan)),
         "sort": len(re.findall(r"\bSort\b", plan)),
     }
