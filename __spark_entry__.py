@@ -1307,7 +1307,10 @@ def _q_multimodal_phash(spark, sf):
         )
     )
     d = aug.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    sigs = media_signature64(d)
+    # localCheckpoint: the band self-join references the signature frame on
+    # BOTH sides — settle it once so the Arrow decode pass runs once, not
+    # twice (at production scale the signature is an ingest-time column)
+    sigs = media_signature64(d).localCheckpoint()
     return signature_near_dup_pairs(sigs, max_hamming=3, bands=4).orderBy(
         "id_a", "id_b"
     )
