@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Per-query isolation harness for the r6 optimization round (bench.py is
+FROZEN for measurement; this file owns the guide-§1 instrumentation).
+
+Usage:
+  python bench_extra.py time  q1 [q2 ...]   # N timed runs per query (count,
+                                            # same methodology as bench.py)
+  python bench_extra.py noop  q1 [q2 ...]   # noop-sink isolation (§1.4):
+                                            # computes EVERY column
+  python bench_extra.py plan  q1 [q2 ...]   # write .explain("formatted") to
+                                            # plans/r06/<q>_<TAG>.txt
+Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+     RUNS (default 3), TAG (plan file suffix, default "before").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("RUNS", "3"))
+TAG = os.environ.get("TAG", "before")
+
+
+def main() -> None:
+    mode, names = sys.argv[1], sys.argv[2:]
+    if hasattr(os, "sched_setaffinity"):
+        try:
+            os.sched_setaffinity(0, range(CPUS))
+        except OSError:
+            pass
+    import __spark_entry__ as entrymod
+    from data_quality_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="dq-bench-extra", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qmap = entrymod.queries()
+    out: dict[str, list[float]] = {}
+    for name in names:
+        fn = qmap[name]
+        if mode == "plan":
+            os.makedirs("plans/r06", exist_ok=True)
+            df = fn(spark, SF_DIR)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(f"plans/r06/{name}_{TAG}.txt", "w") as f:
+                f.write(txt)
+            print(f"wrote plans/r06/{name}_{TAG}.txt")
+            continue
+        spark.sparkContext.setJobDescription(f"{mode}:{name}")
+        for _ in range(RUNS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            if mode == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            out.setdefault(name, []).append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        print(json.dumps({name: out[name]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -209,39 +209,31 @@ def ks_statistic(
             F.sum("__b").cast("long").alias("__cb"),
         )
     )
-    part = (
-        g.repartitionByRange(n_parts, F.col("v"))
-        .sortWithinPartitions("v")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    per_part = sorted(
-        part.groupBy("__pid")
-        .agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
-        .collect(),
-        key=lambda r: r["__pid"],
-    )
-    offsets, acc_a, acc_b = [], 0, 0
-    for r in per_part:
-        offsets.append((r["__pid"], acc_a, acc_b))
-        acc_a += r["__na"]
-        acc_b += r["__nb"]
-    n_a, n_b = acc_a, acc_b
+    # r6: offsets moved IN-PLAN (ranking.range_offsets over the reused
+    # range exchange) — the old persist + K-row collect becomes part of
+    # the caller's single job. One eager 1-row action remains: the sample
+    # totals (placement-invariant global sums), which the declared
+    # contract needs eagerly to refuse an empty side with ValueError.
+    from data_quality_framework_spark.operators.ranking import range_offsets
+
+    tot = g.agg(
+        F.sum("__ca").cast("long").alias("na"),
+        F.sum("__cb").cast("long").alias("nb"),
+    ).collect()[0]
+    n_a, n_b = int(tot["na"] or 0), int(tot["nb"] or 0)
     if n_a == 0 or n_b == 0:
-        part.unpersist()
         raise ValueError("ks_statistic: both samples must be non-empty")
-    off = F.broadcast(
-        spark.createDataFrame(
-            offsets, "__pid int, __offa long, __offb long"
-        )
+    part = g.repartitionByRange(n_parts, F.col("v")).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    off = range_offsets(part, {"a": F.col("__ca"), "b": F.col("__cb")})
     from pyspark.sql import Window
 
     w = Window.partitionBy("__pid").orderBy("v")
     cum = (
-        part.join(off, "__pid")
-        .withColumn("__cuma", F.sum("__ca").over(w) + F.col("__offa"))
-        .withColumn("__cumb", F.sum("__cb").over(w) + F.col("__offb"))
+        part.join(F.broadcast(off), "__pid")
+        .withColumn("__cuma", F.sum("__ca").over(w) + F.col("__off_a"))
+        .withColumn("__cumb", F.sum("__cb").over(w) + F.col("__off_b"))
     )
     out = (
         cum.agg(

@@ -58,6 +58,15 @@ def exact_quantiles(
     all work happens at DISTINCT-VALUE cardinality. Right-shaped for
     length-like and quantized-score columns; for unbounded-cardinality
     float columns, quantize first (the caller owns the bucket width).
+
+    Fully LAZY since r6: the per-partition offsets are the in-plan K-row
+    ``ranking.range_offsets`` branch over the SAME range exchange
+    (exchange reuse — see its docstring), the total row count is a 1-row
+    aggregate branch, and the quantile spec is built by exploding the
+    ``q_bp`` literals against that total — no persist, no collect, no
+    eager checkpoint; the whole recipe is one job at the caller's action
+    (was 3 jobs + a persist lifecycle per call, and ``mad_outliers`` pays
+    it twice).
     """
     if not q_bp:
         raise ValueError("q_bp must name at least one quantile")
@@ -66,6 +75,8 @@ def exact_quantiles(
             raise ValueError(f"q_bp entries must be in [1, 10000], got {q}")
     if len(set(q_bp)) != len(q_bp):
         raise ValueError("q_bp entries must be distinct")
+    from data_quality_framework_spark.operators.ranking import range_offsets
+
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -76,48 +87,36 @@ def exact_quantiles(
         .groupBy("value")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    part = (
-        counts.repartitionByRange(n_parts, F.col("value"))
-        .sortWithinPartitions("value")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    part = counts.repartitionByRange(n_parts, F.col("value")).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    # K-row driver action (K = partitions), same shape as global_rank's
-    # offset pass — the only data leaving the cluster is one sum per part
-    per_part = sorted(
-        part.groupBy("__pid").agg(F.sum("__c").alias("__n")).collect(),
-        key=lambda r: r["__pid"],
+    off = range_offsets(part, {"c": F.col("__c")})
+    # total n as a 1-row branch over the counts aggregate (placement-
+    # invariant — a global sum needs no partition consistency); the spec
+    # explodes the q_bp literals against it, k = ceil(q*n/10^4) in-plan
+    total = counts.agg(F.sum("__c").cast("long").alias("__n"))
+    spec = total.select(
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in sorted(q_bp)])
+        ).alias("q_bp"),
+        "__n",
+    ).select(
+        "q_bp",
+        F.expr("CAST((q_bp * __n + 9999) div 10000 AS BIGINT)").alias("k"),
+        "__n",
     )
-    offsets, acc = [], 0
-    for r in per_part:
-        offsets.append((r["__pid"], acc))
-        acc += r["__n"]
-    n = acc
-    ranks = [(q, (q * n + 9999) // 10000) for q in sorted(q_bp)]
-    off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    )
-    spec = F.broadcast(spark.createDataFrame(ranks, "q_bp int, k long"))
     w = Window.partitionBy("__pid").orderBy("value")
     cum = (
-        part.join(off, "__pid")
-        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
+        part.join(F.broadcast(off), "__pid")
+        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off_c"))
     )
-    out = (
+    return (
         cum.join(
-            spec,
+            F.broadcast(spec),
             (spec["k"] > cum["__cum"] - cum["__c"]) & (spec["k"] <= cum["__cum"]),
         )
-        .select(
-            "q_bp",
-            "value",
-            "k",
-            F.lit(n).cast("long").alias("n_rows"),
-        )
-        .localCheckpoint(eager=True)
+        .select("q_bp", "value", "k", F.col("__n").cast("long").alias("n_rows"))
     )
-    part.unpersist()
-    return out
 
 
 def quantile_map(
@@ -144,8 +143,19 @@ def quantile_map(
     `exact_quantiles` call at the ≤ 10000 distinct basis-point ranks; the
     final join is a broadcast of the ≤ 10000-row quantile table. Nulls
     excluded on both sides.
+
+    Lazy since r6 (one eager 1-row action remains): B's cumulative table
+    uses the in-plan ``ranking.range_offsets`` branch, and A's bp-th
+    order statistics come from joining A's OWN in-plan cumulative table
+    against the distinct-bp frame directly — the old path collected B's
+    bps to the driver and re-entered ``exact_quantiles`` with them as
+    literals (2 collects, 2 persists, 2 checkpoints per call). ``n_b`` is
+    still collected (1 row, placement-invariant) because an empty B must
+    refuse EAGERLY with ValueError, part of the declared contract.
     """
     from pyspark.sql import Window
+
+    from data_quality_framework_spark.operators.ranking import range_offsets
 
     spark = df_a.sparkSession
     n_parts = num_partitions or int(
@@ -157,42 +167,59 @@ def quantile_map(
         .groupBy("value_b")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    part = (
-        b_counts.repartitionByRange(n_parts, F.col("value_b"))
-        .sortWithinPartitions("value_b")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    n_b = int(
+        b_counts.agg(F.sum("__c").cast("long").alias("n")).collect()[0]["n"]
+        or 0
     )
-    per_part = sorted(
-        part.groupBy("__pid").agg(F.sum("__c").alias("__n")).collect(),
-        key=lambda r: r["__pid"],
-    )
-    offsets, acc = [], 0
-    for r in per_part:
-        offsets.append((r["__pid"], acc))
-        acc += r["__n"]
-    n_b = acc
     if n_b == 0:
-        part.unpersist()
         raise ValueError("quantile_map: snapshot B has no non-null values")
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __off long")
+    part = b_counts.repartitionByRange(n_parts, F.col("value_b")).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    off = range_offsets(part, {"c": F.col("__c")})
     w = Window.partitionBy("__pid").orderBy("value_b")
     ranked = (
-        part.join(off, "__pid")
-        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off"))
+        part.join(F.broadcast(off), "__pid")
+        .withColumn("__cum", F.sum("__c").over(w) + F.col("__off_c"))
         .withColumn(
             "bp", F.expr(f"(10000 * __cum + {n_b} - 1) div {n_b}").cast("int")
         )
         .select("value_b", "bp")
-        .localCheckpoint(eager=True)
     )
-    part.unpersist()
-    bps = sorted({r["bp"] for r in ranked.select("bp").distinct().collect()})
-    qa = exact_quantiles(df_a, col, bps, num_partitions).select(
-        F.col("q_bp").alias("bp"), F.col("value").alias("value_a")
+    # A's bp-th order statistics, in-plan: distinct bps -> k = ceil(bp *
+    # n_a / 10^4) -> interval join against A's cumulative (value, count)
+    # table — the exact_quantiles recipe with the spec coming from the
+    # plan instead of the driver. bp/cum values are placement-invariant,
+    # so branching `ranked` twice is safe regardless of exchange reuse.
+    a_counts = (
+        df_a.select(F.col(col).alias("value_a"))
+        .filter(F.col("value_a").isNotNull())
+        .groupBy("value_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ca"))
     )
+    a_part = a_counts.repartitionByRange(n_parts, F.col("value_a")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    a_off = range_offsets(a_part, {"c": F.col("__ca")})
+    wa = Window.partitionBy("__pid").orderBy("value_a")
+    a_cum = (
+        a_part.join(F.broadcast(a_off), "__pid")
+        .withColumn("__cum_a", F.sum("__ca").over(wa) + F.col("__off_c"))
+    )
+    n_a_total = a_counts.agg(F.sum("__ca").cast("long").alias("__na"))
+    spec = (
+        ranked.select("bp").distinct()
+        .crossJoin(F.broadcast(n_a_total))
+        .select(
+            "bp",
+            F.expr("CAST((bp * __na + 9999) div 10000 AS BIGINT)").alias("k"),
+        )
+    )
+    qa = a_cum.join(
+        F.broadcast(spec),
+        (spec["k"] > a_cum["__cum_a"] - a_cum["__ca"])
+        & (spec["k"] <= a_cum["__cum_a"]),
+    ).select("bp", "value_a")
     return (
         ranked.join(F.broadcast(qa), "bp")
         .select("value_b", "bp", "value_a")

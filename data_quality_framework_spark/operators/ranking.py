@@ -25,7 +25,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_rank", "topk_per_group", "rrf_fuse"]
+__all__ = ["global_rank", "range_offsets", "topk_per_group", "rrf_fuse"]
+
+
+def range_offsets(
+    part: DataFrame,
+    weights: dict[str, Column],
+    keep_refs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-range-partition EXCLUSIVE prefix sums of each weight, computed
+    entirely IN-PLAN (r6) — the lazy replacement for the old
+    persist + ``collect()`` offset pass shared by ``global_rank``,
+    ``quantiles.exact_quantiles`` and ``drift.ks_statistic``.
+
+    ``part`` must carry a ``__pid`` column (``spark_partition_id()`` over a
+    range-shuffled frame). Returns the K-row frame
+    ``(__pid, __off_<name>... )`` where K = number of range partitions.
+    The per-pid totals are a map-side-combinable aggregation, and the
+    running sum is a window over K rows — metadata at any corpus size
+    (K = shuffle partitions), so the single-partition window is free.
+
+    Correctness rests on EXCHANGE REUSE: the offsets branch and the
+    consumer branch both read the SAME range exchange (identical subtrees
+    → ``ReusedExchange`` / AQE stage reuse, asserted in tests), so both see
+    one row→partition placement per execution. Ranks derived as
+    offset + within-partition position are then placement-invariant: any
+    boundary sampling yields the same global rank under a strict total
+    order. Versus the collected form this removes two driver actions, a
+    persist lifecycle and an eager checkpoint per call — the recipe
+    becomes one lazy plan (guide §2.4/§5: no driver data work, fewer
+    passes).
+
+    ``keep_refs``: columns of ``part`` that the offsets branch must KEEP
+    REFERENCING even though the offset math does not need them. Column
+    pruning otherwise rewrites this branch's copy of the exchange over a
+    narrower scan — a DIFFERENT subtree, so reuse cannot fire and the two
+    branches could sample different range boundaries. Each ref is folded
+    in as ``least(0, count(ref))`` — always 0 (counts are non-negative),
+    but not constant-foldable, so the reference survives the optimizer.
+    Pass every non-key column when the weights alone don't already
+    reference them (``global_rank`` does); the (value, count) recipes
+    (quantiles/KS) reference all their columns naturally."""
+    aggs = [F.sum(c).cast("long").alias(f"__n_{k}") for k, c in weights.items()]
+    zero = F.lit(0).cast("long")
+    for i, ref in enumerate(keep_refs or []):
+        aggs.append(F.least(zero, F.count(ref)).alias(f"__z{i}"))
+    counts = part.groupBy("__pid").agg(*aggs)
+    ref_zero = sum(
+        (F.col(f"__z{i}") for i in range(len(keep_refs or []))), zero
+    )
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "__pid",
+        *[
+            (F.coalesce(F.sum(F.col(f"__n_{k}")).over(w), F.lit(0)) + ref_zero)
+            .cast("long")
+            .alias(f"__off_{k}")
+            for k in weights
+        ],
+    )
 
 
 def global_rank(
@@ -33,7 +91,7 @@ def global_rank(
     order_by: list[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Attach a 1-based global ``rank_col`` consistent with ``order_by``
     without a single-partition sort.
@@ -44,47 +102,35 @@ def global_rank(
     partition-placement-dependent. With a strict order the result equals
     ``row_number() OVER (ORDER BY ...)`` exactly.
 
-    Partition-id stability: the per-partition offsets are collected in a
-    first pass, so the second pass must see the SAME row→partition mapping.
-    The range-shuffled input is persisted across the two passes; with
-    ``materialize=True`` (default) the ranked result is then eagerly
-    local-checkpointed — freezing the ranks as data, not lineage — and the
-    intermediate cache is dropped before returning. Pass
-    ``materialize=False`` for very large exports where holding the result
-    in executor storage is unwanted: the intermediate stays persisted (the
-    offsets in the plan are only valid against it) and the CALLER owns
-    calling ``spark.catalog.clearCache()``/unpersist after its one action.
-    """
+    Fully LAZY since r6: the per-partition offsets are a K-row in-plan
+    branch over the SAME range exchange (``range_offsets`` — exchange
+    reuse guarantees one placement per execution), broadcast-joined back.
+    No driver action, no persist, no checkpoint; one job end to end where
+    the collected form paid a sampling pass, an offsets collect and an
+    eager checkpoint per call. ``materialize=True`` additionally freezes
+    the result via ``localCheckpoint`` (rare: only when the caller reuses
+    the ranked frame across MANY actions and wants to stop re-executing
+    the range shuffle)."""
     if not order_by:
         raise ValueError("order_by must name at least one column")
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = (
-        df.repartitionByRange(n, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    part = df.repartitionByRange(n, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    counts = sorted(
-        part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect(),
-        key=lambda r: r["__pid"],
+    off = range_offsets(
+        part, {"r": F.lit(1)}, keep_refs=[F.col(c) for c in df.columns]
     )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["__pid"], acc))
-        acc += r["__n"]
-    off = F.broadcast(spark.createDataFrame(offsets, "__pid int, __offset long"))
     w = Window.partitionBy("__pid").orderBy(*order_by)
     out = (
-        part.join(off, "__pid")
+        part.join(F.broadcast(off), "__pid")
         .withColumn(
-            rank_col, (F.row_number().over(w) + F.col("__offset")).cast("long")
+            rank_col, (F.row_number().over(w) + F.col("__off_r")).cast("long")
         )
-        .drop("__pid", "__offset")
+        .drop("__pid", "__off_r")
     )
     if materialize:
         out = out.localCheckpoint(eager=True)
-        part.unpersist()
     return out
 
 
