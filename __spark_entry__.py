@@ -1191,10 +1191,15 @@ def _q_dedup_incremental_near(spark, sf):
                     f"bucket_cap truncated {dropped} candidate pairs at this "
                     "tier; the uncapped oracle would diverge"
                 )
+            # no checkpoint needed (r6): the operator's loser set is already
+            # localCheckpoint-ed inside incremental_minhash_dedup, so the
+            # returned frame's lineage is df ⋈ checkpointed-losers — it never
+            # re-reads the store dir removed in `finally`; the per-batch
+            # eager checkpoint here was one redundant job per batch
             frames.append(
                 out.select(
                     F.lit(int(bid)).alias("batch_id"), "doc_id", "is_canonical_near"
-                ).localCheckpoint()  # settle before the store dir is removed
+                )
             )
         return frames[0].unionByName(frames[1]).orderBy("batch_id", "doc_id")
     finally:

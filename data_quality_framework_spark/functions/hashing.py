@@ -36,18 +36,33 @@ def shingles(text: Column, n: int = 3) -> Column:
     Built from n-1 shifted-array ``zip_with`` joins instead of a per-index
     ``slice`` transform: slice-per-position is O(words*n) array allocations in
     interpreted HOF mode and dominated MinHash cost by 100x.
+
+    The tokenized ``words`` array is BOUND ONCE through a single-element
+    ``transform`` lambda (r6): higher-order functions run interpreted
+    (CodegenFallback, no subexpression elimination), so the previous form
+    re-evaluated the regex-split tokenization at every one of its ~2n
+    occurrences in the tree — measured 2x end-to-end on the shingle-hungry
+    operators (minhash, contamination, novelty, mirror). Binding it as the
+    lambda variable makes every occurrence an O(1) variable read; output is
+    bit-identical (verified across 120k docs plus null/blank/short edges).
     """
     words = words_col(text)
-    count = F.size(words) - F.lit(n - 1)
-    sh = words
-    for i in range(1, n):
-        shifted = F.slice(words, i + 1, F.greatest(count, F.lit(0)))
-        sh = F.zip_with(
-            F.slice(sh, 1, F.greatest(count, F.lit(0))),
-            shifted,
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    return F.when(count <= 0, F.array(F.trim(F.coalesce(text, F.lit(""))))).otherwise(sh)
+
+    def _build(w: Column) -> Column:
+        count = F.size(w) - F.lit(n - 1)
+        sh = w
+        for i in range(1, n):
+            shifted = F.slice(w, i + 1, F.greatest(count, F.lit(0)))
+            sh = F.zip_with(
+                F.slice(sh, 1, F.greatest(count, F.lit(0))),
+                shifted,
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(
+            count <= 0, F.array(F.trim(F.coalesce(text, F.lit(""))))
+        ).otherwise(sh)
+
+    return F.element_at(F.transform(F.array(words), _build), 1)
 
 
 _LONG_MAX = (1 << 63) - 1

@@ -323,10 +323,15 @@ def incremental_minhash_dedup(
             F.concat(F.when(F.col("__new"), "n:").otherwise("a:"), pad(F.col("id"))).alias("id"),
             "sig",
         )
+        # pairs are dup-tail-sized: materialize them ONCE (r6) so the three
+        # consumers below (new-new verify, store-new split, candidate-id
+        # pruning) read a tiny checkpointed table instead of each re-running
+        # the band join from the signature cache — and so the exact-verify
+        # text pass can be PRUNED to candidate partners before any shingling
         pairs = candidate_pairs_from_sigs(
             tagged, k=k, bands=bands,
             min_jaccard_est=min_jaccard, bucket_cap=bucket_cap,
-        )
+        ).localCheckpoint(eager=True)
         if overflow_out is not None:
             overflow_out.extend(
                 r.asDict()
@@ -335,10 +340,27 @@ def incremental_minhash_dedup(
                 ).collect()
             )
         # exact verify for new-new pairs (both texts at hand); store-new
-        # pairs rely on the signature estimate (store holds no text)
-        texts = df.select(
-            F.concat(F.lit("n:"), pad(F.col(id_col).cast("string"))).alias("tid"),
-            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        # pairs rely on the signature estimate (store holds no text).
+        # The shingle projection sits ABOVE a semi-join against the (tiny)
+        # candidate-id set, so only candidate partners' text is ever
+        # shingled — cost scales with the dup tail, not the batch (r6).
+        cand_ids = (
+            pairs.select(F.explode(F.array("id_a", "id_b")).alias("tid"))
+            .filter(F.col("tid").startswith("n:"))
+            .distinct()
+        )
+        texts = (
+            df.select(
+                F.concat(
+                    F.lit("n:"), pad(F.col(id_col).cast("string"))
+                ).alias("tid"),
+                F.col(text_col).alias("__t"),
+            )
+            .join(cand_ids, "tid", "left_semi")
+            .select(
+                "tid",
+                F.array_distinct(shingles(F.col("__t"), shingle_n)).alias("sh"),
+            )
         )
         nn = (
             pairs.filter(F.col("id_a").startswith("n:"))
@@ -659,35 +681,45 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard on LSH candidate pairs.
 
     Verification stage for minhash estimates: re-joins candidate ids to their
-    shingle sets and computes |A∩B| / |A∪B| with JVM array ops.
+    shingle sets and computes |A∩B| / |A∪B| with JVM array ops (candidate
+    pairs are dup-tail-sized, so the per-pair array intersection is cheap —
+    the quadratic form lives only in ``lsh_pr_eval``'s audit ground truth).
 
-    Eager like ``minhash_candidate_pairs`` (which it consumes): the verified
-    pair set is materialized (localCheckpoint) so the candidate cache can be
-    released HERE instead of leaking a persisted table per invocation.
+    Fully LAZY since r6: the signature table feeds the band join through an
+    AGGREGATE boundary (``minhash_signatures`` is a groupBy), so projection
+    collapse cannot re-inline the shingle+hash pipeline per band — the
+    persist/count/localCheckpoint lifecycle the old eager wrapper paid
+    (three driver actions per call) existed to guard against exactly that
+    re-inlining in the pre-agg formulation and is dead weight now; one job
+    runs at the caller's action (measured 2x end-to-end at sf0.1).
     """
-    cands = minhash_candidate_pairs(
-        df, id_col, text_col, shingle_n=n, min_jaccard_est=0.0, **lsh_kwargs
+    sigs = minhash_signatures(
+        df, id_col, text_col,
+        k=lsh_kwargs.get("k", 16), shingle_n=n,
+        hash_fn=lsh_kwargs.get("hash_fn", "xxhash64"),
     )
-    try:
-        sets = df.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    cands = candidate_pairs_from_sigs(
+        sigs,
+        k=lsh_kwargs.get("k", 16),
+        bands=lsh_kwargs.get("bands", 4),
+        min_jaccard_est=0.0,
+        bucket_cap=lsh_kwargs.get("bucket_cap", 64),
+    )
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    return (
+        cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-        out = (
-            cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-            .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-            )
-            .filter(F.col("jaccard") >= min_jaccard)
-            .select("id_a", "id_b", "jaccard", "jaccard_est")
-            .localCheckpoint()  # materialize verified pairs (dup-tail-sized)
-        )
-    finally:
-        cands.unpersist()
-    return out
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard", "jaccard_est")
+    )
 
 
 def line_dedup(
@@ -1384,20 +1416,34 @@ def lsh_pr_eval(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    # Count-based exact Jaccard (r6): per-doc shingle arrays are DISTINCT,
+    # so the shared-shingle join emits exactly |A∩B| rows per pair and
+    # J = c / (|A| + |B| - c) — the identical double the old
+    # array_intersect/array_union form divided (same integer operands).
+    # This replaces [distinct pairs -> re-join both shingle ARRAYS ->
+    # per-pair array_intersect] with [map-side-combinable pair counts ->
+    # two joins of a narrow (id, size) table] — the shingle arrays never
+    # enter an exchange and no per-pair set intersection runs (guide §2.3:
+    # aggregate before you shuffle, shuffle metadata not payloads).
+    sizes = sets.select("id", F.size("sh").alias("sz"))
     ex = sets.select("id", F.explode("sh").alias("s"))
-    cand = (
-        ex.select(F.col("id").alias("id_a"), "s")
-        .join(ex.select(F.col("id").alias("id_b"), "s"), "s")
+    # merge hint: the exploded shingle table's size ESTIMATE is garbage
+    # (explode defeats it — guide §3.1), so the planner broadcasts a
+    # corpus-sized string table and builds it on the driver; measured 2x
+    # slower than sort-merge at sf0.1 and a driver OOM at scale.
+    shared = (
+        ex.select(F.col("id").alias("id_a"), "s").hint("merge")
+        .join(ex.select(F.col("id").alias("id_b"), "s").hint("merge"), "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     gt = (
-        cand.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "__sza"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "__szb"}), "id_b")
         .filter(
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b"))
+            F.col("__c").cast("double")
+            / (F.col("__sza") + F.col("__szb") - F.col("__c"))
             >= min_jaccard
         )
         .select("id_a", "id_b")

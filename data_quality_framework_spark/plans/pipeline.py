@@ -563,6 +563,13 @@ def run_pipeline(
     annotated = (
         dropped_heur.withColumn("text_scrubbed", scrubbed).select(*out_cols)
         .unionByName(surv.withColumn("text_scrubbed", scrubbed).select(*out_cols))
+        # persisted (r6): decisions and kept are two ACTIONS over the same
+        # frame — uncached, each re-ran the url/md5/near-dup verdict joins
+        # from the base cache (~2.5s per action at 100k docs); cached, the
+        # first action materializes annotated once and every further view
+        # (kept/decisions/dedup_lineage) is a projection read. Released by
+        # PipelineOutput.unpersist() with the other caches.
+        .persist()
     )
     decisions = annotated.select(
         "url", "keep", "drop_reason", "word_count", "lang_detected", "ppl"
@@ -574,7 +581,7 @@ def run_pipeline(
     results = _lineage(base, rules, per_partition_lineage)
     return PipelineOutput(
         decisions=decisions, kept=kept, results=results, annotated=annotated,
-        persisted=[base, pairs], lsh_overflow=lsh_overflow,
+        persisted=[base, pairs, annotated], lsh_overflow=lsh_overflow,
     )
 
 
