@@ -338,17 +338,23 @@ def fit_char_bigram_lm(df, text_col: str = "text"):
     empty, verified vs ``length``), so the zipped pairs are byte-identical
     to the substr form."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    L = F.length(t)
-    ch = F.split(t, "")
-    n1 = F.greatest(L - 1, F.lit(0))
-    pairs = F.when(
-        L >= 2,
-        F.zip_with(
-            F.slice(ch, 1, n1),
-            F.slice(ch, 2, n1),
-            lambda a, b: (_cls_col(a) * _N_CLASSES + _cls_col(b)).cast("int"),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+
+    # the char array is bound once through a single-element transform
+    # lambda (the shingles() trick) so the split — and the O(bytes)
+    # length scan, replaced by O(1) array size — run once per row, not
+    # once per reference inside the interpreted HOF tree
+    def _pairs(ch: Column) -> Column:
+        n1 = F.greatest(F.size(ch) - 1, F.lit(0))
+        return F.when(
+            F.size(ch) >= 2,
+            F.zip_with(
+                F.slice(ch, 1, n1),
+                F.slice(ch, 2, n1),
+                lambda a, b: (_cls_col(a) * _N_CLASSES + _cls_col(b)).cast("int"),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    pairs = F.element_at(F.transform(F.array(F.split(t, "")), _pairs), 1)
     return (
         df.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")

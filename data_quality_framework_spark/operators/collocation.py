@@ -84,7 +84,12 @@ def pmi_topk(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    dt = _doc_terms(df, text_col, id_col)
+    # materialized once (r6): dt feeds FOUR consumers (the vocab collect,
+    # n_docs, the kept-pair branch, and dfreq again via vocab_df) — left
+    # lazy, the row-local tokenization re-ran per branch; the operator is
+    # eager anyway (the vocab collect below), so one checkpoint pays for
+    # all reads
+    dt = _doc_terms(df, text_col, id_col).localCheckpoint()
 
     # document frequency per term: the one corpus-sized shuffle, map-side
     # combined (explode -> partial counts -> merge)

@@ -327,18 +327,52 @@ def incremental_minhash_dedup(
         # consumers below (new-new verify, store-new split, candidate-id
         # pruning) read a tiny checkpointed table instead of each re-running
         # the band join from the signature cache — and so the exact-verify
-        # text pass can be PRUNED to candidate partners before any shingling
-        pairs = candidate_pairs_from_sigs(
+        # text pass can be PRUNED to candidate partners before any shingling.
+        # When overflow accounting is on, the per-band stats ride the SAME
+        # checkpoint as tagged union rows (both are audit-sized and both
+        # read the one signature cache), so accounting costs zero extra
+        # actions instead of its own collect job per batch.
+        pairs_raw = candidate_pairs_from_sigs(
             tagged, k=k, bands=bands,
             min_jaccard_est=min_jaccard, bucket_cap=bucket_cap,
-        ).localCheckpoint(eager=True)
+        )
         if overflow_out is not None:
-            overflow_out.extend(
-                r.asDict()
-                for r in minhash_overflow_stats(
-                    tagged, k=k, bands=bands, bucket_cap=bucket_cap
-                ).collect()
+            ov = minhash_overflow_stats(
+                tagged, k=k, bands=bands, bucket_cap=bucket_cap
             )
+            nl = F.lit(None).cast("long")
+            combo = pairs_raw.select(
+                F.lit(0).alias("__tag"), "id_a", "id_b", "jaccard_est",
+                nl.alias("band_no"), nl.alias("n_buckets"),
+                nl.alias("n_overflow_buckets"), nl.alias("max_bucket"),
+                nl.alias("dropped_rows"), nl.alias("dropped_candidate_pairs"),
+            ).unionByName(
+                ov.select(
+                    F.lit(1).alias("__tag"),
+                    F.lit(None).cast("string").alias("id_a"),
+                    F.lit(None).cast("string").alias("id_b"),
+                    F.lit(None).cast("double").alias("jaccard_est"),
+                    F.col("band_no").cast("long"), "n_buckets",
+                    "n_overflow_buckets", "max_bucket",
+                    "dropped_rows", "dropped_candidate_pairs",
+                )
+            ).localCheckpoint(eager=True)
+            ov_cols = [
+                "band_no", "n_buckets", "n_overflow_buckets", "max_bucket",
+                "dropped_rows", "dropped_candidate_pairs",
+            ]
+            overflow_out.extend(
+                {**r.asDict(), "band_no": int(r["band_no"])}
+                for r in combo.filter(F.col("__tag") == 1)
+                .select(*ov_cols)
+                .orderBy("band_no")
+                .collect()
+            )
+            pairs = combo.filter(F.col("__tag") == 0).select(
+                "id_a", "id_b", "jaccard_est"
+            )
+        else:
+            pairs = pairs_raw.localCheckpoint(eager=True)
         # exact verify for new-new pairs (both texts at hand); store-new
         # pairs rely on the signature estimate (store holds no text).
         # The shingle projection sits ABOVE a semi-join against the (tiny)
@@ -609,7 +643,9 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti").withColumn(keep_col, F.lit(True))
 
 
-def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def near_dup_components(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Connected components of the candidate-pair graph as (id, component).
 
     Iterative min-label propagation: each round every node takes the minimum
@@ -626,6 +662,49 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # MEASURED-SIZE HYBRID (r6, the AQE-broadcast pattern applied to CC):
+    # count the edge list first (one cheap cache-materializing action);
+    # when it fits the explicit driver budget (~30 MB at the default),
+    # run exact min-label union-find on the driver — microseconds and ONE
+    # createDataFrame, where every distributed round costs a join + a
+    # checkpoint job. The distributed loop below remains the path for
+    # genuinely large dup tails; the collect is bounded by construction,
+    # never "collect and hope".
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(x, find(x)) for x in parent]
+        id_type = pairs.schema["id_a"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("component", id_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
@@ -640,33 +719,52 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(
+            nbr_min, labels["id"] == nbr_min["a"], "left"
+        ).select(
+            "id",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("component"),
+        )
+        # POINTER COMPRESSION (r6): follow one label hop (component :=
+        # label(component)) before checkpointing. Min-label propagation
+        # alone advances the minimum one edge per round (O(diameter)
+        # rounds); with per-round compression label chains halve each
+        # round, so convergence is O(log diameter) — fewer checkpoint
+        # jobs, same unique fixed point (the min id per component, which
+        # is all callers and the recursive-CTE oracles observe). label(x)
+        # <= x always holds, so taking the hop never overshoots the min.
+        lbl = stepped.select(
+            F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            stepped.join(lbl, stepped["component"] == lbl["__lid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+                "__old",
+                F.coalesce("__lcomp", F.col("component")).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # convergence check reads the just-checkpointed frame (r6): the old
+        # label travels WITH the row, so no second join-the-previous-round
+        # job — one cheap filter over materialized data
+        changed = new_labels.filter(F.col("component") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         if changed == 0:
             break
     else:
         und.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"near_dup_components did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter; returning "
             "partial components would silently keep extra survivors"
         )
     und.unpersist()
+    edges.unpersist()
     return labels
 
 

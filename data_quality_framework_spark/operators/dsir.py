@@ -38,25 +38,39 @@ from data_quality_framework_spark.functions.textstats import words_col
 
 def _gram_array(text: Column, ns: tuple[int, ...]) -> Column:
     """Lowercased whitespace unigram/bigram array (order: unigrams then
-    bigrams, duplicates kept — counts are the whole point)."""
-    w = words_col(F.lower(text))
-    parts = []
-    for n in ns:
-        if n == 1:
-            parts.append(w)
-        elif n == 2:
-            big = F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-            parts.append(F.when(F.size(w) >= 2, big).otherwise(F.array().cast("array<string>")))
-        else:
-            raise ValueError(f"only unigrams/bigrams supported, got n={n}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.concat(out, p)
-    return out
+    bigrams, duplicates kept — counts are the whole point).
+
+    The tokenized array is bound ONCE through a single-element
+    ``transform`` lambda (r6, same fix as ``hashing.shingles``):
+    higher-order functions run interpreted with no subexpression
+    elimination, so the regex-split tokenization was otherwise
+    re-evaluated at each of its ~6 occurrences in the tree."""
+    w0 = words_col(F.lower(text))
+
+    def _build(w: Column) -> Column:
+        parts = []
+        for n in ns:
+            if n == 1:
+                parts.append(w)
+            elif n == 2:
+                big = F.zip_with(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+                parts.append(
+                    F.when(F.size(w) >= 2, big).otherwise(
+                        F.array().cast("array<string>")
+                    )
+                )
+            else:
+                raise ValueError(f"only unigrams/bigrams supported, got n={n}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return out
+
+    return F.element_at(F.transform(F.array(w0), _build), 1)
 
 
 def hashed_ngram_features(

@@ -56,13 +56,20 @@ def domain_suffixes(host: Column) -> Column:
 
     Label-boundary semantics live HERE (each suffix is produced by slicing
     the label array), so the membership test downstream is plain equality —
-    no substring matching anywhere."""
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(parts, i, n), "."),
-    )
+    no substring matching anywhere. The label array is bound once through
+    a single-element ``transform`` lambda (r6, the ``shingles()`` trick) so
+    the host split/regex does not re-run per suffix in the interpreted
+    HOF."""
+    parts0 = F.split(host, r"\.")
+
+    def _build(parts: Column) -> Column:
+        n = F.size(parts)
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(parts, i, n), "."),
+        )
+
+    return F.element_at(F.transform(F.array(parts0), _build), 1)
 
 
 def domain_blocklist_flags(

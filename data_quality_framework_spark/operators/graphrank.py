@@ -65,27 +65,74 @@ def host_rank(
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # WEIGHTED-EDGE COLLAPSE (r6): a multi-edge m→n with multiplicity w
+    # contributes w * (rank(m) div outdeg(m)) — the identical integer sum
+    # the per-occurrence join computed. One corpus pass reduces the edge
+    # MULTISET to ≤ |hosts|^2 weighted rows (map-side combinable), so
+    # every power iteration joins host-cardinality metadata instead of
+    # re-joining the full edge list (guide §2.3: aggregate before you
+    # shuffle; 10^12 page edges become one aggregation + tiny rounds).
+    ew = (
+        e.groupBy("__src", "__dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("__w"))
+        .persist()
+    )
+    # MEASURED-SIZE HYBRID (r6, same pattern as near_dup_components): the
+    # weighted host graph is usually tiny next to the page-edge multiset
+    # that produced it; when it fits an explicit driver budget, run the
+    # power iterations in plain Python integers (`//` == Spark `div` on
+    # the non-negative operands, so ranks are bit-identical) — one corpus
+    # aggregation + one collect instead of per-iteration join/checkpoint
+    # jobs. Large graphs keep the distributed loop below.
+    n_ew = ew.count()
+    if n_ew <= 2_000_000:
+        rows = ew.collect()
+        ew.unpersist()
+        deg: dict = {}
+        node_set = set()
+        for r in rows:
+            deg[r["__src"]] = deg.get(r["__src"], 0) + r["__w"]
+            node_set.add(r["__src"])
+            node_set.add(r["__dst"])
+        base_l = (scale * (10000 - damping_bp)) // 10000
+        rank = {n: scale for n in node_set}
+        for _ in range(iterations):
+            inc: dict = {}
+            for r in rows:
+                c = r["__w"] * (rank[r["__src"]] // deg[r["__src"]])
+                inc[r["__dst"]] = inc.get(r["__dst"], 0) + c
+            rank = {
+                n: base_l + (damping_bp * inc.get(n, 0)) // 10000
+                for n in node_set
+            }
+        from pyspark.sql import types as T
+
+        id_type = e.schema["__src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("rank", T.LongType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(rank.items()), schema
+        )
     nodes = (
-        e.select(F.col("__src").alias("id"))
-        .unionByName(e.select(F.col("__dst").alias("id")))
+        ew.select(F.col("__src").alias("id"))
+        .unionByName(ew.select(F.col("__dst").alias("id")))
         .distinct()
         .persist()
     )
-    ej = (
-        e.join(
-            e.groupBy("__src").agg(F.count(F.lit(1)).cast("long").alias("__d")),
-            "__src",
-        )
-        .persist()
-    )
+    deg = ew.groupBy("__src").agg(F.sum("__w").cast("long").alias("__d"))
+    ejw = ew.join(deg, "__src").persist()
     base = (scale * (10000 - damping_bp)) // 10000
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
         inc = (
-            ej.join(ranks, ej["__src"] == ranks["id"])
+            ejw.join(ranks, ejw["__src"] == ranks["id"])
             .select(
                 F.col("__dst").alias("id"),
-                F.expr("rank div __d").alias("__c"),
+                (F.col("__w") * F.expr("rank div __d")).alias("__c"),
             )
             .groupBy("id")
             .agg(F.sum("__c").alias("__s"))
@@ -101,7 +148,8 @@ def host_rank(
             )
             .localCheckpoint(eager=True)
         )
-    ej.unpersist()
+    ejw.unpersist()
+    ew.unpersist()
     nodes.unpersist()
     return ranks
 
