@@ -323,56 +323,28 @@ def incremental_minhash_dedup(
             F.concat(F.when(F.col("__new"), "n:").otherwise("a:"), pad(F.col("id"))).alias("id"),
             "sig",
         )
-        # pairs are dup-tail-sized: materialize them ONCE (r6) so the three
+        # overflow accounting FIRST (r6): one metadata-sized (band, count)
+        # aggregation over the signature cache, whose max_bucket column is
+        # also the measure-then-choose input that lets the band join skip
+        # its row_number cap window (per join side) whenever no bucket can
+        # overflow — see candidate_pairs_from_sigs. The pairs are then
+        # materialized ONCE (dup-tail-sized localCheckpoint) so the three
         # consumers below (new-new verify, store-new split, candidate-id
         # pruning) read a tiny checkpointed table instead of each re-running
         # the band join from the signature cache — and so the exact-verify
         # text pass can be PRUNED to candidate partners before any shingling.
-        # When overflow accounting is on, the per-band stats ride the SAME
-        # checkpoint as tagged union rows (both are audit-sized and both
-        # read the one signature cache), so accounting costs zero extra
-        # actions instead of its own collect job per batch.
-        pairs_raw = candidate_pairs_from_sigs(
+        ov_rows = minhash_overflow_stats(
+            tagged, k=k, bands=bands, bucket_cap=bucket_cap
+        ).collect()
+        if overflow_out is not None:
+            overflow_out.extend(
+                {**r.asDict(), "band_no": int(r["band_no"])} for r in ov_rows
+            )
+        pairs = candidate_pairs_from_sigs(
             tagged, k=k, bands=bands,
             min_jaccard_est=min_jaccard, bucket_cap=bucket_cap,
-        )
-        if overflow_out is not None:
-            ov = minhash_overflow_stats(
-                tagged, k=k, bands=bands, bucket_cap=bucket_cap
-            )
-            nl = F.lit(None).cast("long")
-            combo = pairs_raw.select(
-                F.lit(0).alias("__tag"), "id_a", "id_b", "jaccard_est",
-                nl.alias("band_no"), nl.alias("n_buckets"),
-                nl.alias("n_overflow_buckets"), nl.alias("max_bucket"),
-                nl.alias("dropped_rows"), nl.alias("dropped_candidate_pairs"),
-            ).unionByName(
-                ov.select(
-                    F.lit(1).alias("__tag"),
-                    F.lit(None).cast("string").alias("id_a"),
-                    F.lit(None).cast("string").alias("id_b"),
-                    F.lit(None).cast("double").alias("jaccard_est"),
-                    F.col("band_no").cast("long"), "n_buckets",
-                    "n_overflow_buckets", "max_bucket",
-                    "dropped_rows", "dropped_candidate_pairs",
-                )
-            ).localCheckpoint(eager=True)
-            ov_cols = [
-                "band_no", "n_buckets", "n_overflow_buckets", "max_bucket",
-                "dropped_rows", "dropped_candidate_pairs",
-            ]
-            overflow_out.extend(
-                {**r.asDict(), "band_no": int(r["band_no"])}
-                for r in combo.filter(F.col("__tag") == 1)
-                .select(*ov_cols)
-                .orderBy("band_no")
-                .collect()
-            )
-            pairs = combo.filter(F.col("__tag") == 0).select(
-                "id_a", "id_b", "jaccard_est"
-            )
-        else:
-            pairs = pairs_raw.localCheckpoint(eager=True)
+            max_bucket=max((int(r["max_bucket"]) for r in ov_rows), default=0),
+        ).localCheckpoint(eager=True)
         # exact verify for new-new pairs (both texts at hand); store-new
         # pairs rely on the signature estimate (store holds no text).
         # The shingle projection sits ABOVE a semi-join against the (tiny)
@@ -551,6 +523,21 @@ def minhash_signatures(
     (``('0x' || substr(md5(s),1,15))::BIGINT``) — used where an external
     oracle must recompute the signatures bit-for-bit. Both stay pure JVM.
     """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    return _sigs_from_exploded(exploded, k, hash_fn)
+
+
+def _sigs_from_exploded(exploded: DataFrame, k: int, hash_fn: str) -> DataFrame:
+    """The shared minhash aggregation over an (id, sh) exploded shingle
+    frame — the tail of :func:`minhash_signatures`, split out (r6) so a
+    caller that already materialized per-doc shingle sets (e.g.
+    ``lsh_pr_eval``, which needs them for its exact ground truth anyway)
+    can derive signatures WITHOUT re-running the tokenize+shingle pipeline
+    from text. min over a distinct set == min over the multiset, so
+    feeding ``array_distinct``-ed shingles yields bit-identical signatures."""
     from data_quality_framework_spark.functions.hashing import (
         MINHASH_PRIME,
         _minhash_coeffs,
@@ -565,15 +552,12 @@ def minhash_signatures(
         base_hash = md5_60(F.col("sh"))
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5_60)")
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select("id", F.pmod(base_hash, p).alias("h"))
+    hashed = exploded.select("id", F.pmod(base_hash, p).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % p).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return exploded.groupBy("id").agg(*aggs).select(
+    return hashed.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
 
@@ -584,15 +568,28 @@ def candidate_pairs_from_sigs(
     bands: int = 4,
     min_jaccard_est: float = 0.5,
     bucket_cap: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH band join over a precomputed (id, sig) signature table."""
+    """LSH band join over a precomputed (id, sig) signature table.
+
+    ``max_bucket`` (r6, guide §2.4 "remove shuffles outright" via the
+    measure-then-choose pattern): callers that already KNOW the largest
+    band bucket — ``minhash_overflow_stats`` reports it as a metadata-sized
+    aggregation, and every production call site runs that accounting anyway
+    — pass it here; when it does not exceed ``bucket_cap`` the cap is a
+    proven no-op and the row_number window (a full shuffle + sort of the
+    exploded band table, executed once PER JOIN SIDE) is skipped entirely.
+    The capped path is unchanged whenever the cap can actually bind."""
     rows = k // bands
     exploded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("band")
     )
-    ranked = exploded.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
-    ).filter(F.col("rn") <= bucket_cap)
+    if max_bucket is not None and max_bucket <= bucket_cap:
+        ranked = exploded
+    else:
+        ranked = exploded.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("band").orderBy("id"))
+        ).filter(F.col("rn") <= bucket_cap)
 
     a = ranked.select(F.col("band"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = ranked.select(F.col("band"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -783,17 +780,21 @@ def ngram_jaccard_pairs(
     pairs are dup-tail-sized, so the per-pair array intersection is cheap —
     the quadratic form lives only in ``lsh_pr_eval``'s audit ground truth).
 
-    Fully LAZY since r6: the signature table feeds the band join through an
-    AGGREGATE boundary (``minhash_signatures`` is a groupBy), so projection
-    collapse cannot re-inline the shingle+hash pipeline per band — the
-    persist/count/localCheckpoint lifecycle the old eager wrapper paid
-    (three driver actions per call) existed to guard against exactly that
-    re-inlining in the pre-agg formulation and is dead weight now; one job
-    runs at the caller's action (measured 2x end-to-end at sf0.1).
+    The per-doc distinct shingle sets are materialized ONCE
+    (``localCheckpoint``, r6) and feed the signature derivation AND both
+    verify-join sides: left lazy, the tokenize+shingle pipeline re-ran in
+    four separate scan branches of the executed plan (two signature sides
+    via the band join, two verify sides) — the same projection-collapse
+    re-inlining the signature AGGREGATE boundary alone cannot stop for the
+    verify joins, which need the raw shingle ARRAYS.
     """
-    sigs = minhash_signatures(
-        df, id_col, text_col,
-        k=lsh_kwargs.get("k", 16), shingle_n=n,
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    ).localCheckpoint()
+    sigs = _sigs_from_exploded(
+        sets.select("id", F.explode("sh").alias("sh")),
+        k=lsh_kwargs.get("k", 16),
         hash_fn=lsh_kwargs.get("hash_fn", "xxhash64"),
     )
     cands = candidate_pairs_from_sigs(
@@ -802,10 +803,6 @@ def ngram_jaccard_pairs(
         bands=lsh_kwargs.get("bands", 4),
         min_jaccard_est=0.0,
         bucket_cap=lsh_kwargs.get("bucket_cap", 64),
-    )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
     )
     return (
         cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -1509,36 +1506,43 @@ def lsh_pr_eval(
     """
     from data_quality_framework_spark.functions.textstats import is_blank
 
-    base = df.filter(~is_blank(F.col(text_col)))
-    sets = base.select(
+    # The per-doc distinct shingle sets feed FOUR consumers (both sides of
+    # the shared-shingle self-join, the size lookup, and the minhash
+    # signatures) — materialized ONCE (r6): left lazy, Catalyst re-inlined
+    # the full tokenize+shingle pipeline into every branch (6 scan+Generate
+    # subtrees in the executed plan; measured ~3x end-to-end at sf0.1).
+    sets = df.filter(~is_blank(F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).localCheckpoint()
     # Count-based exact Jaccard (r6): per-doc shingle arrays are DISTINCT,
     # so the shared-shingle join emits exactly |A∩B| rows per pair and
     # J = c / (|A| + |B| - c) — the identical double the old
     # array_intersect/array_union form divided (same integer operands).
-    # This replaces [distinct pairs -> re-join both shingle ARRAYS ->
-    # per-pair array_intersect] with [map-side-combinable pair counts ->
-    # two joins of a narrow (id, size) table] — the shingle arrays never
-    # enter an exchange and no per-pair set intersection runs (guide §2.3:
-    # aggregate before you shuffle, shuffle metadata not payloads).
-    sizes = sets.select("id", F.size("sh").alias("sz"))
-    ex = sets.select("id", F.explode("sh").alias("s"))
+    # Each side's set SIZE rides the exploded rows (one extra int per row,
+    # r6) instead of two post-aggregation joins against an (id, size)
+    # table — min() recovers it per pair (all values in a group are equal),
+    # deleting two joins + two scans from the plan (guide §2.3/§2.4).
+    ex = sets.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     # merge hint: the exploded shingle table's size ESTIMATE is garbage
     # (explode defeats it — guide §3.1), so the planner broadcasts a
     # corpus-sized string table and builds it on the driver; measured 2x
     # slower than sort-merge at sf0.1 and a driver OOM at scale.
-    shared = (
-        ex.select(F.col("id").alias("id_a"), "s").hint("merge")
-        .join(ex.select(F.col("id").alias("id_b"), "s").hint("merge"), "s")
+    gt = (
+        ex.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"), "s")
+        .hint("merge")
+        .join(
+            ex.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"), "s")
+            .hint("merge"),
+            "s",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    gt = (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "__sza"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "__szb"}), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min("__sza").alias("__sza"),
+            F.min("__szb").alias("__szb"),
+        )
         .filter(
             F.col("__c").cast("double")
             / (F.col("__sza") + F.col("__szb") - F.col("__c"))
@@ -1546,7 +1550,9 @@ def lsh_pr_eval(
         )
         .select("id_a", "id_b")
     )
-    sigs = minhash_signatures(base, id_col, text_col, k, shingle_n, hash_fn)
+    sigs = _sigs_from_exploded(
+        sets.select("id", F.explode("sh").alias("sh")), k, hash_fn
+    )
     pred = candidate_pairs_from_sigs(
         sigs, k, bands, min_jaccard, bucket_cap
     ).select("id_a", "id_b")

@@ -509,23 +509,32 @@ def run_pipeline(
     ).persist()
     lsh_overflow: list[dict] = []
     try:
+        # overflow accounting FIRST (r6): it is a metadata-sized (band,
+        # count) aggregation over the cached signature table, and its
+        # max_bucket column doubles as the measure-then-choose input for
+        # the pair join — when no bucket exceeds the cap (the common case
+        # outside boilerplate storms) the cap is a proven no-op and
+        # candidate_pairs_from_sigs skips its row_number window (a full
+        # shuffle + sort of the exploded band table, once per join side).
+        # Previously this ran as a SECOND band pass after the pair join:
+        # same aggregation, one extra action, no plan benefit.
+        from data_quality_framework_spark.operators.dedup import (
+            minhash_overflow_stats,
+        )
+
+        ov_rows = minhash_overflow_stats(
+            sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
+            bucket_cap=cfg.lsh_bucket_cap,
+        ).collect()
+        if cfg.account_lsh_overflow:
+            lsh_overflow = [r.asDict() for r in ov_rows]
+        max_bucket = max((int(r["max_bucket"]) for r in ov_rows), default=0)
         pairs = candidate_pairs_from_sigs(
             sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
             min_jaccard_est=cfg.min_jaccard_est, bucket_cap=cfg.lsh_bucket_cap,
+            max_bucket=max_bucket,
         ).persist()
         pairs.count()
-        if cfg.account_lsh_overflow:
-            from data_quality_framework_spark.operators.dedup import (
-                minhash_overflow_stats,
-            )
-
-            lsh_overflow = [
-                r.asDict()
-                for r in minhash_overflow_stats(
-                    sigs, k=cfg.minhash_k, bands=cfg.minhash_bands,
-                    bucket_cap=cfg.lsh_bucket_cap,
-                ).collect()
-            ]
     finally:
         sigs.unpersist()
     losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
