@@ -1240,14 +1240,22 @@ def semantic_dedup(
     one Arrow round trip per row.
     """
     from data_quality_framework_spark.operators.similarity import (
-        cosine_expr,
+        dot_expr,
         ivf_cell_udf,
+        norm_expr,
     )
 
     cell_udf = ivf_cell_udf(None, n_cells, seed, centroids)
+    # per-row norm computed ONCE here (r6): cosine_expr per pair re-folds
+    # BOTH operands' norms through interpreted higher-order aggregates —
+    # 3 full array folds per candidate pair; precomputing ||v|| per row
+    # leaves one dot fold per pair, and norm(a)*norm(b) multiplies the
+    # SAME doubles the inline fold produced, so every cosine is
+    # bit-identical (guide §1.2 step 2: per-task work, after shape).
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
+        norm_expr(F.col(vec_col).cast("array<double>")).alias("nv"),
         cell_udf(F.col(vec_col)).alias("cell"),
     )
     if cell_cap is not None:
@@ -1261,12 +1269,22 @@ def semantic_dedup(
     # is hot, then the cache is released before the verdict join
     vecs = vecs.persist()
     try:
-        a = vecs.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-        b = vecs.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        a = vecs.select(
+            "cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nv").alias("nv_a"),
+        )
+        b = vecs.select(
+            "cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nv").alias("nv_b"),
+        )
         losers = (
             a.join(b, "cell")
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(cosine_expr(F.col("v_a"), F.col("v_b")) >= min_cosine)
+            .filter(
+                dot_expr(F.col("v_a"), F.col("v_b"))
+                / (F.col("nv_a") * F.col("nv_b"))
+                >= min_cosine
+            )
             .select(F.col("id_b").alias("__loser"))
             .distinct()
             .localCheckpoint()  # eager: dup-tail-sized, AQE broadcasts it

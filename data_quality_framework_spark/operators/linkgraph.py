@@ -293,19 +293,36 @@ def mirror_components(
         .select("grp", md5_60(F.col("g")).alias("gh"))
         .distinct()
     )
+    # One aggregation replaces [count-per-gram -> join back -> self-join]
+    # (r6): the old shape ran the shingle+md5+distinct gram pipeline three
+    # times (cap-count branch + both self-join sides) and shuffled it for
+    # each. Collecting each gram's group set once bounds the row width by
+    # ``group_cap`` (the cap that already exists to kill boilerplate
+    # blowup), and the a<b pair expansion becomes a row-local higher-order
+    # transform over the SORTED member array — the same pair multiset the
+    # self-join produced, one gram pass, one shuffle (guide §2.3/§2.4).
+    # With no cap the width is the gram's group count — the same quantity
+    # the self-join squared per gram, so the cap-less memory shape is
+    # strictly better than the cap-less join it replaces.
+    groups = grams.groupBy("gh").agg(
+        F.array_sort(F.collect_set("grp")).alias("gs")
+    )
     if group_cap is not None:
-        ok = (
-            grams.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("__ng"))
-            .filter(F.col("__ng") <= group_cap)
-            .select("gh")
-        )
-        grams = grams.join(ok, "gh")
+        groups = groups.filter(F.size("gs") <= group_cap)
     pairs = (
-        grams.alias("a")
-        .join(grams.alias("b"), "gh")
-        .filter(F.col("a.grp") < F.col("b.grp"))
-        .groupBy(F.col("a.grp").alias("id_a"), F.col("b.grp").alias("id_b"))
+        groups.filter(F.size("gs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(gs, (x, i) -> transform("
+                        "slice(gs, i + 2, size(gs) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
         .select("id_a", "id_b")

@@ -500,8 +500,18 @@ def novelty_rate(
         F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("g"),
     ).filter(F.col("g") != "")
     pairs = grams.select("id", *group_cols, md5_60(F.col("g")).alias("gh"))
-    first = pairs.groupBy("gh").agg(F.min("id").alias("first_id"))
-    tagged = pairs.join(first, "gh").withColumn(
+    # first-seen ownership as an all-rows window min over the gh partition
+    # (r6): the old [groupBy(gh).min -> join back on gh] shape shuffled the
+    # gram table TWICE and re-ran the shingle+md5 explode for the join side
+    # (projection collapse re-inlines it); the window reuses the one
+    # hash-partition-by-gh exchange and needs no second scan (guide §2.4 —
+    # window keyed like the preceding shuffle shares its exchange). Same
+    # min-per-gh value, same rows, bit-identical novelty flags.
+    from pyspark.sql.window import Window
+
+    tagged = pairs.withColumn(
+        "first_id", F.min("id").over(Window.partitionBy("gh"))
+    ).withColumn(
         "__novel", F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
     )
     return (

@@ -95,13 +95,19 @@ def exact_substring_dedup(
         .select("id", "pos", F.md5(F.array_join("w", " ")).alias("wh"))
     )
 
-    dup_wh = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # global duplicate decision as a count window over the hash partition
+    # (r6): the old [groupBy(wh).count -> join back on wh] re-ran the whole
+    # posexplode + per-doc window + md5 subtree for the join side (Catalyst
+    # re-inlines it into both consumers) — the second-most expensive pass
+    # in the operator. The window shuffles (id, pos, wh) by wh once and
+    # filters in place; same count per hash, same surviving rows.
+    covered = (
+        wins.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+        )
         .filter(F.col("__n") >= min_count)
-        .select("wh")
+        .select("id", "pos")
     )
-    covered = wins.join(dup_wh, "wh").select("id", "pos")
 
     # merge overlapping/adjacent windows [pos, pos+window) into maximal
     # spans: a new span starts where pos exceeds the running max end of
