@@ -458,6 +458,14 @@ def run_pipeline(
     # picks a broadcast join at runtime whenever the set is genuinely small.
 
     # --- url-level collapse (full-row duplicates share the url) -------------
+    # The two group-verdict tables (url canon here, md5 canon below) are
+    # localCheckpoint-ed (r6): each is referenced by several downstream
+    # branches across several ACTIONS (the signature-cache materialization,
+    # both halves of the annotated union), and left lazy Catalyst re-ran
+    # the full groupBy over the cached base once per reference — ~0.5 s per
+    # evaluation at 100k docs, 3x for url_dups alone. Both tables are
+    # dup-GROUP-sized narrow metadata (url/md5 + canon key), the same class
+    # of intermediate the dedup operators already checkpoint.
     url_dups = (
         base.groupBy("url")
         .agg(
@@ -469,6 +477,7 @@ def run_pipeline(
         )
         .filter(F.col("__n") > 1)
         .select("url", "__url_canon")
+        .localCheckpoint()
     )
     docs = base.join(url_dups, "url", "left")
     docs = docs.filter(
@@ -490,6 +499,7 @@ def run_pipeline(
         .agg(F.count(F.lit(1)).alias("__n"), F.min("sort_key").alias("__md5_canon"))
         .filter(F.col("__n") > 1)
         .select("content_md5", "__md5_canon")
+        .localCheckpoint()  # see url_dups above
     )
     survivors = survivors.join(md5_dups, "content_md5", "left")
     survivors = survivors.withColumn(
@@ -499,6 +509,7 @@ def run_pipeline(
 
     # --- near-dup (MinHash-LSH) among exact-canonical survivors -------------
     canon = survivors.filter(~F.col("f_exact_dup"))
+    del survivors  # verdict assembly below re-derives flags on ONE frame
     # signature table persisted only for the duration of pair materialization;
     # the (dup-tail-sized) pair set stays cached and is released by
     # PipelineOutput.unpersist() once the caller has written its outputs.
@@ -538,40 +549,48 @@ def run_pipeline(
     finally:
         sigs.unpersist()
     losers = pairs.select(F.col("id_b").alias("sort_key")).distinct()
-    survivors = survivors.join(
-        losers.withColumn("f_near_dup", F.lit(True)), "sort_key", "left"
-    )
-    survivors = survivors.withColumn(
-        "f_near_dup", F.coalesce(F.col("f_near_dup") & ~F.col("f_exact_dup"), F.lit(False))
-    )
 
     # --- decision assembly: ONE unified plan -----------------------------
     # decisions and kept are projections of a single `annotated` DataFrame so
     # a caller can materialize the whole pipeline with ONE write and derive
     # every view from the stored result (run_pipeline.py does exactly that;
     # three independent actions re-executed the dedup DAG three times).
+    # Single-branch verdict projection (r6): the old
+    # [docs.filter(flagged) UNION docs.filter(clean)+dedup-joins] shape
+    # evaluated the docs subtree (base cache read + url-collapse joins)
+    # once per union side in EVERY action that touched annotated; one
+    # left-join chain over docs with flag-guarded CASE columns produces
+    # byte-identical rows — a flagged doc's attached md5-canon/loser match
+    # is inert because every dedup flag is ANDed with ~f_any_heuristic,
+    # exactly the population the old md5_dups/losers joins were scoped to.
     out_cols = [
         "url", "warc_ts", "lang", "lang_detected", "ppl", "word_count",
         "keep", "drop_reason", "text_scrubbed",
     ]
-    dropped_heur = (
-        docs.filter(F.col("f_any_heuristic"))
-        .withColumn("keep", F.lit(False))
-        .withColumn("drop_reason", drop_reason_expr(cfg))
+    full = (
+        docs.join(md5_dups, "content_md5", "left")
+        .join(losers.withColumn("__near_hit", F.lit(True)), "sort_key", "left")
     )
-    surv = (
-        survivors.withColumn("keep", ~F.col("f_exact_dup") & ~F.col("f_near_dup"))
+    f_any = F.col("f_any_heuristic")
+    f_exact = (
+        ~f_any
+        & F.col("__md5_canon").isNotNull()
+        & (F.col("sort_key") != F.col("__md5_canon"))
+    )
+    f_near = ~f_any & ~f_exact & F.coalesce(F.col("__near_hit"), F.lit(False))
+    annotated = (
+        full.withColumn("keep", ~f_any & ~f_exact & ~f_near)
         .withColumn(
             "drop_reason",
-            F.when(F.col("f_exact_dup"), "exact_duplicate")
-            .when(F.col("f_near_dup"), "near_duplicate")
+            F.when(f_any, drop_reason_expr(cfg))
+            .when(f_exact, "exact_duplicate")
+            .when(f_near, "near_duplicate")
             .otherwise(F.lit(None)),
         )
-    )
-    scrubbed = F.when(F.col("keep"), scrub_chain(F.col("text"), cfg))  # kept docs only
-    annotated = (
-        dropped_heur.withColumn("text_scrubbed", scrubbed).select(*out_cols)
-        .unionByName(surv.withColumn("text_scrubbed", scrubbed).select(*out_cols))
+        .withColumn(
+            "text_scrubbed", F.when(F.col("keep"), scrub_chain(F.col("text"), cfg))
+        )
+        .select(*out_cols)
         # persisted (r6): decisions and kept are two ACTIONS over the same
         # frame — uncached, each re-ran the url/md5/near-dup verdict joins
         # from the base cache (~2.5s per action at 100k docs); cached, the
