@@ -2821,7 +2821,9 @@ def _q_mixture_budget(spark, sf):
             (F.expr("CAST(substring(source, 4) AS INT)") % 4).cast("string"),
         ).alias("fam"),
         F.greatest(F.lit(1).cast("long"), F.expr("n_chars div 4")).alias("tok"),
-    )
+        # materialized once (r6): mixture_flags references its input in the
+        # totals/over/bucket/boundary/verdict branches; 3 narrow cols/doc
+    ).localCheckpoint()
     out = mixture_flags(
         d, "fam", "tok", "doc_id",
         {"fam0": 4000, "fam1": 3000, "fam2": 2000, "fam3": 1000},
@@ -3464,9 +3466,13 @@ def _q_anomaly_mad(spark, sf):
     from data_quality_framework_spark.operators.profiling import mad_outliers
 
     e = _t(spark, sf, "events")
+    # materialized once (r6): mad_outliers embeds its input in ~4 plan
+    # branches (median counts, deviation counts, both verdict joins) and
+    # each re-ran the full event scan + day aggregation; the frame is
+    # per-DAY counts — bounded metadata at any corpus size
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
-    )
+    ).localCheckpoint()
     out = mad_outliers(daily, "n_events", k_milli=2000)
     return out.select("day", "n_events", "med", "mad", "is_outlier").orderBy(
         "day"
@@ -4042,7 +4048,10 @@ def _q_rrf_fusion(spark, sf):
         "doc_id",
         F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_vocab"),
-    )
+        # materialized once (r6): rrf_fuse ranks it per signal, joins it
+        # back, and ranks the fusion — 4+ plan branches, each re-running
+        # the tokenize+distinct vocabulary count; the frame is 3 longs/doc
+    ).localCheckpoint()
     out = rrf_fuse(
         base,
         "doc_id",

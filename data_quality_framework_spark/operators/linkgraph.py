@@ -291,7 +291,9 @@ def mirror_components(
         )
         .filter(F.col("g") != "")
         .select("grp", md5_60(F.col("g")).alias("gh"))
-        .distinct()
+        # no pre-distinct (r6): collect_set below dedups (grp) per gh with
+        # MAP-SIDE partial sets, so the explicit .distinct() was a second
+        # full exchange of the gram table for the same dedup
     )
     # One aggregation replaces [count-per-gram -> join back -> self-join]
     # (r6): the old shape ran the shingle+md5+distinct gram pipeline three
