@@ -1458,6 +1458,10 @@ def _q_ppl_buckets(spark, sf):
             & (F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
         )
         .select("doc_id", "lang", F.round(perplexity(F.col("text")), 6).alias("pplr"))
+        # materialized once (r6): the cutoff fit and the bucket assignment
+        # both read this frame, and left lazy each re-ran the Arrow
+        # perplexity UDF over the corpus; 3 narrow cols/doc
+        .localCheckpoint()
     )
     cuts = ppl_bucket_cutoffs(d, "lang", "pplr", exact=True)
     b = with_ppl_bucket(d, cuts, "lang", "pplr")

@@ -139,9 +139,11 @@ def incremental_contamination(
     :func:`contamination_flags`, with the bench side served from the
     persisted distinct gram hashes.
 
-    ``(n, hash_fn)`` must match the store's pin — validated, not trusted
+    ``(n, hash_fn)`` must match the store's pin — validated READ-ONLY
     (a mismatched gram size can never hash-match, so drift would silently
-    pass every doc as clean).
+    pass every doc as clean; and a screening run never creates or rewrites
+    the pin — a missing pin means "not a built store" and is refused, r6
+    per r5 advice).
 
     Scale shape: the store read is metadata-sized; AQE broadcasts it, so
     the corpus side joins map-side exactly like the batch operator. Gram
@@ -150,9 +152,9 @@ def incremental_contamination(
     counts once per doc (and ``n_bench_docs`` still counts distinct bench
     docs across all suites).
     """
-    from data_quality_framework_spark.operators.dedup import _pin_store_params
+    from data_quality_framework_spark.operators.dedup import _check_store_params
 
-    _pin_store_params(spark, store_path, {"n": int(n), "hash_fn": hash_fn})
+    _check_store_params(spark, store_path, {"n": int(n), "hash_fn": hash_fn})
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -157,6 +157,41 @@ def _pin_store_params(spark, store_path: str, params: dict) -> None:
         out.close()
 
 
+def _check_store_params(spark, store_path: str, params: dict) -> None:
+    """READ-ONLY pin validation for screening/query paths: refuse when the
+    pin is absent or disagrees, and never create or rewrite anything.
+    :func:`_pin_store_params` WRITES the pin when none exists — right for
+    build paths, wrong for a pure read: screening against a typo'd or
+    never-built store would create the directory plus a pin as a side
+    effect, and a data-bearing store whose pin file was lost would be
+    silently re-pinned to the caller's knobs instead of refusing — the
+    exact silent all-clean drift the pin exists to prevent (r5 advice)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_path + "/_store_params.json")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise ValueError(
+            f"store {store_path} has no _store_params.json pin — not a "
+            "built store (build it first; a read path never creates pins)"
+        )
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    stored = json.loads(raw)
+    if stored != params:
+        raise ValueError(
+            f"store {store_path} was built with {stored}; screening with "
+            f"{params} would silently miss every overlap. Use the store's "
+            "knobs."
+        )
+
+
 def incremental_exact_dedup(
     spark,
     df: DataFrame,

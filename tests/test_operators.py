@@ -5375,14 +5375,31 @@ def test_incremental_contamination_matches_batch(spark, tmp_path):
 
 
 def test_incremental_contamination_empty_store_refuses(spark, tmp_path):
+    """Screening is a pure READ (r6, r5 advice): a never-built store is
+    refused on the missing pin, and the refusal leaves NO pin/dir side
+    effect behind; a data-bearing store whose pin file was lost refuses
+    instead of being silently re-pinned to the caller's knobs."""
+    import os
+
     from data_quality_framework_spark.operators.contamination import (
+        build_contamination_store,
         incremental_contamination,
     )
 
     docs = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
     store = str(tmp_path / "empty_store")
-    with pytest.raises(ValueError, match="no batch_id"):
+    with pytest.raises(ValueError, match="no _store_params.json"):
         incremental_contamination(spark, docs, store, n=5, hash_fn="md5_60")
+    # read path must not have created the store dir or a pin as a side effect
+    assert not os.path.exists(store)
+
+    built = str(tmp_path / "built_store")
+    suite = spark.createDataFrame([(1, "a b c d e f")], "bench_id long, text string")
+    build_contamination_store(spark, suite, built, "a", n=5, hash_fn="md5_60")
+    os.remove(os.path.join(built, "_store_params.json"))
+    with pytest.raises(ValueError, match="no _store_params.json"):
+        incremental_contamination(spark, docs, built, n=5, hash_fn="md5_60")
+    assert not os.path.exists(os.path.join(built, "_store_params.json"))
 
 
 def test_cluster_census_hand_calc(spark):
